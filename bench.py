@@ -1,0 +1,119 @@
+"""Benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per query: one warm-up-free timed loop of N_RUNS runs, median reported.
+Also benchmarks the log-scan path (parse throughput) over a synthetic
+Apache log generated deterministically into a temp dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_topk",
+    "q04_distinct",
+    "q05_count_distinct",
+    "q06_having",
+    "q07_agg_filter",
+    "q08_join_agg",
+    "q09_range_join",
+    "q10_cte_subquery",
+    "q11_scalar_funcs",
+    "q12_window",
+    "q13_set_ops",
+    "q14_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+def gen_log(path: str, n_lines: int = 200_000) -> None:
+    """Deterministic synthetic CLF+combined log for the scan benchmark."""
+    import random
+
+    rng = random.Random(42)
+    methods = ["GET", "POST", "PUT", "DELETE"]
+    paths = [f"/page/{i}" for i in range(50)] + ["/search?q=x", "/api/v1/data"]
+    uas = ["Mozilla/5.0 (X11; Linux)", "curl/8.0", "Googlebot/2.1"]
+    with open(path, "w") as fh:
+        for i in range(n_lines):
+            fh.write(
+                f"10.0.{rng.randrange(256)}.{rng.randrange(256)} - user{rng.randrange(100)} "
+                f"[10/Oct/2024:13:{i % 60:02d}:{rng.randrange(60):02d} +0000] "
+                f'"{rng.choice(methods)} {rng.choice(paths)} HTTP/1.1" '
+                f"{rng.choice([200, 200, 200, 304, 404, 500])} {rng.randrange(100000)} "
+                f'"-" "{rng.choice(uas)}"\n'
+            )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from duckdb_httpd_log_spark import get_spark, read_httpd_log
+    import duckdb_httpd_log_spark.operators  # noqa: F401
+    from duckdb_httpd_log_spark.plans.registry import REGISTRY
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = REGISTRY.get(name)
+        if qd is None:
+            continue
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            n = qd.spark_fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    # log-scan throughput benchmark (the §2.A surface)
+    with tempfile.TemporaryDirectory() as td:
+        log_path = os.path.join(td, "bench_access.log")
+        gen_log(log_path)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, log_path, format_type="combined").count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_200k_combined"] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each oracle-checked against DuckDB running semantically
+identical SQL over the same tables:
+
+- exact dedup: hash-groupBy with deterministic keeper selection;
+- n-gram Jaccard near-dup: shingle → candidate-pair join → exact
+  Jaccard, with a hot-shingle document-frequency cap so the pair join
+  can't quadratically explode on a stop-shingle (the cap is part of the
+  operator's contract and applied identically in the oracle);
+- MinHash + LSH: per-permutation min-hash signatures (md5-keyed, so
+  both engines compute byte-identical signatures), banded into LSH
+  buckets, candidates verified with exact Jaccard;
+- SimHash: 64-bit sign-of-weighted-bits fingerprint from token md5s.
+
+Scale shape: everything is shuffle-on-key (gram, band_key, doc_id) hash
+aggregation/join — no cross joins, no driver-side loops. The DF cap
+bounds the worst-case candidate-pair fanout per shingle; at 100 TB the
+same plan holds with the cap keeping hot shingles from creating
+quadratic pair lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register, table
+
+# --- shared shingling parameters (MUST match the SQL oracles below) --------
+NGRAM = 3
+DF_CAP = 50  # drop shingles present in more than DF_CAP documents
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 12  # signatures
+LSH_BANDS = 3  # bands of r = K/BANDS rows
+LSH_R = MINHASH_K // LSH_BANDS
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): distinct word-3-gram shingles per document."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) would count DOWN in Spark; guard short docs
+            F.expr(
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
+                f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                f" else array() end"
+            )
+        ).alias("g"),
+    ).distinct()
+    return grams
+
+
+def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles with document-frequency cap applied (scale guard)."""
+    grams = _doc_grams(spark, sf_dir)
+    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    return grams.join(F.broadcast(hot), "g", "left_anti")
+
+
+# SQL fragments shared by the oracle queries (DuckDB dialect)
+_SQL_GRAMS = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    all_grams AS (
+        SELECT DISTINCT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, greatest(len(t) - {NGRAM - 2}, 1))]) AS g
+        FROM toks
+    ),
+    hot AS (SELECT g FROM all_grams GROUP BY g HAVING count(*) > {DF_CAP}),
+    grams AS (SELECT * FROM all_grams WHERE g NOT IN (SELECT g FROM hot))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_hash
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_id
+    """,
+    "exact dedup: hash-groupBy on content hash, deterministic keeper (min id)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies", "text_hash")
+        .orderBy("keeper_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_GRAMS},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+    FROM inter
+    JOIN gc ga ON ga.doc_id = doc_a
+    JOIN gc gb ON gb.doc_id = doc_b
+    WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    "word-3-gram Jaccard near-dup pairs at threshold 0.5 with hot-shingle DF cap",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _capped_grams(spark, sf_dir).cache()
+    gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_GRAMS},
+    perms AS (SELECT unnest(range(0, {MINHASH_K})) AS i),
+    sigs AS (
+        SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+        FROM grams, perms
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // {LSH_R} AS band,
+               md5(string_agg(sig, '|' ORDER BY i) || '#' || CAST(i // {LSH_R} AS VARCHAR)) AS band_key
+        FROM sigs
+        GROUP BY doc_id, i // {LSH_R}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams g1
+        JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+        JOIN cands c ON c.doc_a = g1.doc_id AND c.doc_b = g2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+    FROM inter i
+    JOIN gc ga ON ga.doc_id = i.doc_a
+    JOIN gc gb ON gb.doc_id = i.doc_b
+    WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    "MinHash(12) + LSH(3 bands × 4) candidate generation, exact-Jaccard verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _capped_grams(spark, sf_dir).cache()
+    perms = F.explode(F.array(*[F.lit(i) for i in range(MINHASH_K)])).alias("i")
+    sigs = (
+        grams.select("doc_id", "g", perms)
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("g")).cast("binary")).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("i") / LSH_R).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.concat_ws(
+                        "|",
+                        F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)"),
+                    ),
+                    F.lit("#"),
+                    F.col("band").cast("string"),
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cands = (
+        ba.join(bb, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    # exact-Jaccard verification restricted to LSH candidates
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, i.j,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1 + i.j // 4, 1)) - 1)
+                 >> (3 - i.j % 4)) & 1 AS bit
+        FROM toks, (SELECT unnest(range(0, 64)) AS j) i
+    ),
+    sums AS (
+        SELECT doc_id, j, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM sums
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "64-bit SimHash from distinct-token md5 bits (sign of summed ±1 weights)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bits = toks.select(
+        "doc_id",
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+        F.explode(F.array(*[F.lit(j) for j in range(64)])).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.expr(
+            "shiftright(instr('0123456789abcdef', substring(h, 1 + cast(j / 4 as int), 1)) - 1,"
+            " 3 - j % 4) & 1"
+        ).alias("bit"),
+    )
+    sums = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("s")
+    )
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, case when s > 0 then '1' else '0' end as b))),"
+                    " x -> x.b)"
+                ),
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

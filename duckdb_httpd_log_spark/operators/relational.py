@@ -1,0 +1,475 @@
+"""The §2.B relational operator inventory, expressed Spark-first.
+
+Every operator the reference's documented query surface uses
+(saygox/duckdb-httpd-log README/docs/test corpus — scan, projection,
+filters incl. LIKE/BETWEEN/IS NULL, hash aggregation with all five
+aggregates, COUNT(DISTINCT), HAVING, FILTER clauses, DISTINCT,
+multi-key ORDER BY + LIMIT top-k, equi-join, range-predicate join,
+CTE/scalar subqueries, casts and scalar string/date functions) plus
+window functions as a beyond-reference extension.
+
+Scale notes are per query: broadcasts are explicit where a side is a
+dimension table, the range join is implemented as a bucketed equi-join
+(shuffle on a time bin instead of a broadcast nested-loop cross
+product), and every aggregation is a partial+final hash agg Catalyst
+plans natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: full hash-agg surface (COUNT/SUM/AVG/MIN/MAX + GROUP BY)
+# README.md:55, test/sql/core/basic.test:54-64
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           round(avg(l_extendedprice), 4)                         AS avg_price,
+           round(avg(l_discount), 4)                              AS avg_disc,
+           count(*)                                               AS count_order,
+           round(min(l_extendedprice), 2)                         AS min_price,
+           round(max(l_extendedprice), 2)                         AS max_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle beyond the group keys",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection: =, >, AND, BETWEEN, LIKE, IS NOT NULL + top-N under
+# total order (docs/read_httpd_log.md:228,281; read_httpd_log.test:138)
+# ---------------------------------------------------------------------------
+@register(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus = 'F'
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+    "predicate stack pushed into the parquet scan (PushedFilters), column-pruned read",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_totalprice").between(50000, 200000)
+            & (F.col("o_orderstatus") == "F")
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY multi-key + LIMIT — Spark plans TakeOrderedAndProject (top-k
+# without a full sort); README.md:117-122
+# ---------------------------------------------------------------------------
+@register(
+    "q03_topk",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "top-k: TakeOrderedAndProject, no global sort",
+)
+def q03_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "total_price", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT (basic.test:45-50) and COUNT(DISTINCT) (read_httpd_log_combined
+# .test:50-53)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "SELECT DISTINCT = hash aggregate on all columns",
+)
+def q04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q05_count_distinct",
+    """
+    SELECT count(DISTINCT c_nationkey) AS n_nations,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_rows
+    FROM customer
+    """,
+    "COUNT(DISTINCT) — Catalyst expands to two-phase aggregate",
+)
+def q05_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING (docs/read_httpd_conf.md:77-82) and FILTER clause aggregation
+# (duration.test:71-73)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_having",
+    """
+    SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    ORDER BY l_orderkey
+    """,
+    "GROUP BY + HAVING = agg followed by a filter on aggregates",
+)
+def q06_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("n_items") >= 6)
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "q07_agg_filter",
+    """
+    SELECT count(*) FILTER (WHERE l_tax > 0.05)              AS high_tax,
+           count(*) FILTER (WHERE l_returnflag = 'R')        AS returned,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_revenue,
+           count(*) AS total
+    FROM lineitem
+    """,
+    "FILTER-clause aggregates = count(when(cond)) / sum(when(cond)) — one pass",
+)
+def q07_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("high_tax"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("discounted_revenue"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-join + aggregation; dimension sides broadcast explicitly (at 100 TB
+# the fact side never shuffles for these joins)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_join_agg",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    "fact ⋈ broadcast(dim) ⋈ broadcast(dim): no fact-side shuffle before the agg",
+)
+def q08_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-predicate join (the docs' BETWEEN self-join,
+# docs/read_httpd_log.md:269-283). Implemented as a bucketed equi-join:
+# events are assigned to W-second bins; each left row joins its bin and
+# the two adjacent bins (explode of 3 bin keys), then the exact range
+# predicate filters. This turns an O(n^2) nested-loop into a shuffle
+# hash join keyed on the bin — the 100 TB-safe plan shape.
+# ---------------------------------------------------------------------------
+_RANGE_W = 120  # seconds; window is ±W
+
+
+@register(
+    "q09_range_join",
+    f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON b.ts BETWEEN a.ts - INTERVAL {_RANGE_W} SECOND
+                  AND a.ts + INTERVAL {_RANGE_W} SECOND
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    "time-window self-join via bin-bucketed equi-join instead of BNLJ",
+)
+def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    w = F.lit(_RANGE_W * 1_000_000)  # window in exact microseconds
+    sec = F.unix_micros("ts")
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        sec.alias("sec_a"),
+        F.col("event_type").alias("type_a"),
+        F.explode(
+            F.array(
+                (sec / w).cast("long") - 1,
+                (sec / w).cast("long"),
+                (sec / w).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        sec.alias("sec_b"),
+        F.col("event_type").alias("type_b"),
+        (sec / w).cast("long").alias("bin"),
+    )
+    pairs = left.join(right, "bin").filter(
+        (F.col("sec_b") >= F.col("sec_a") - w)
+        & (F.col("sec_b") <= F.col("sec_a") + w)
+        & (F.col("id_a") != F.col("id_b"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTE / derived table / scalar subquery (docs/read_httpd_log.md:270-276)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_cte_subquery",
+    """
+    WITH big_orders AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_big_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM big_orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "CTE + scalar subquery + join-back aggregation",
+)
+def q10_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    avg_price = o.agg(F.avg("o_totalprice")).first()[0]
+    big = o.filter(F.col("o_totalprice") > avg_price).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        big.join(c, big.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: casts, LENGTH, replace, EXTRACT(EPOCH), date trunc,
+# JSON extraction (timestamp_format.test:24,122; glob_patterns.test:23,201-206)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_scalar_funcs",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR)                        AS id_str,
+           CAST(floor(value) AS INTEGER)                    AS value_int,
+           length(event_type)                               AS type_len,
+           replace(event_type, 'e', 'E')                    AS type_replaced,
+           upper(event_type)                                AS type_upper,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT)          AS epoch_sec,
+           strftime(ts, '%Y-%m-%d')                         AS day_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    "scalar expression surface: casts, string fns, epoch extraction, JSON",
+)
+def q11_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.col("event_id").cast("string").alias("id_str"),
+            F.floor("value").cast("int").alias("value_int"),
+            F.length("event_type").alias("type_len"),
+            F.regexp_replace("event_type", "e", "E").alias("type_replaced"),
+            F.upper("event_type").alias("type_upper"),
+            F.unix_timestamp("ts").alias("epoch_sec"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (beyond the reference's surface — absent there, noted in
+# SURVEY §2.B last row): row_number / rank / lag / running aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "q12_window",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER w                          AS rn,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w     AS gap_us,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+    "window functions partitioned by user: single shuffle on user_id",
+)
+def q12_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+            F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (beyond reference; Spark/DuckDB built-ins)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_set_ops",
+    """
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    ORDER BY k
+    """,
+    "INTERSECT of customer and supplier nations",
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (beyond reference)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    "ROLLUP aggregation (expand + single hash agg)",
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )

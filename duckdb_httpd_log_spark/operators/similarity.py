@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns.
+
+- `ann_cosine_topk`: exact brute-force cosine top-k — the correctness
+  baseline. Queries are broadcast against the corpus; the dot product
+  is a JVM-side `aggregate(zip_with(...))` over the float array (no
+  Python), ranking via a window partitioned by query.
+- `ann_lsh_topk`: the scale path — random-hyperplane LSH (deterministic
+  md5-derived hyperplanes) buckets the corpus; each query only scores
+  its own bucket ± Hamming-1 probes. Same output schema; at 100 TB the
+  bucket join replaces the full cross product.
+
+Float discipline for oracle parity: elements are cast to double before
+any arithmetic and summed in ascending index order in both engines, so
+the doubles are bit-identical; cosine is rounded to 4 decimals before
+ranking with a deterministic id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import register, table
+
+N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
+TOP_K = 5
+DIM = 64
+
+_DOT = (
+    "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM = "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               round(
+                 list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})])
+                 / (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE for i in range(1, {DIM + 1})]))
+                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})]))),
+                 4) AS cosine
+        FROM q, c
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    ORDER BY q_id, cosine DESC, c_id
+    """,
+    "exact brute-force cosine top-k: broadcast queries × corpus, JVM-side dot product",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.expr(_DOT)
+                / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+        .orderBy("q_id", F.col("cosine").desc(), "c_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; rows-only check — the bucketing is
+# Spark-specific, but the output contract matches ann_cosine_topk's shape)
+# ---------------------------------------------------------------------------
+N_PLANES = 4  # 16 buckets; multi-probe Hamming<=1 visits 5 of them
+
+
+def _hyperplanes():
+    """Deterministic pseudo-random hyperplanes: component p,d derived from
+    md5(p:d) — reproducible across runs with no RNG dependency."""
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        vec = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            vec.append((h / 0x7FFFFFFF) - 1.0)  # roughly uniform [-1, 1)
+        planes.append(vec)
+    return planes
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # Spark-specific physical strategy; driver records rows-only
+    "random-hyperplane LSH buckets + per-bucket exact rerank (the 100 TB path)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+
+    def sig_expr(col: str):
+        bits = []
+        for p, vec in enumerate(planes):
+            arr = "array(" + ", ".join(f"cast({x} as double)" for x in vec) + ")"
+            dot = (
+                f"aggregate(zip_with({col}, {arr}, (x, y) -> cast(x as double) * y),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            bits.append(f"case when {dot} >= 0 then {1 << p} else 0 end")
+        return F.expr(" + ".join(bits))
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), sig_expr("embedding").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), sig_expr("embedding").alias("qbucket")
+    )
+    # multi-probe: exact bucket plus Hamming-1 neighbors
+    probes = q.select(
+        "q_id",
+        "qe",
+        F.explode(
+            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(N_PLANES)])
+        ).alias("bucket"),
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.expr(_DOT) / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
+                4,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+        .orderBy("q_id", F.col("cosine").desc(), "c_id")
+    )

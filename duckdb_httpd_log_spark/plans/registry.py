@@ -1,0 +1,80 @@
+"""Query registry: each operator from SURVEY.md §2 (and the beyond-
+reference training-data operators) is declared once as a pair of
+implementations — an idiomatic-PySpark DataFrame program and, where
+SQL-expressible, the equivalent ANSI SQL string a DuckDB oracle runs on
+the same parquet tables.
+
+Contract requirements (driver correctness gate):
+- identical column names/aliases on both sides;
+- deterministic result sets (LIMIT only under a total order);
+- floating aggregates rounded identically on both sides so the
+  order-insensitive value hash is stable across engines;
+- timestamps/intervals projected as text/epoch numerics, never raw, to
+  dodge engine-specific rendering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the session invariants every query relies on, defensively: the
+    caller (e.g. the verify driver) may hand us an arbitrarily configured
+    session. All three are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
+    # rejects; read as long and convert explicitly below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+            # nanosAsLong surfaced a nanos-precision column: truncate to µs
+            # (same precision DuckDB materializes) and restore TimestampType
+            # integral division: double math would drift by ~0.25 µs at
+            # 2024-era epochs, enough to break µs-exact oracle parity
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: Optional[str]  # None => non-SQL-expressible (rows-only check)
+    description: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str, oracle_sql: Optional[str], description: str = ""
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name=name, spark_fn=fn, oracle_sql=oracle_sql, description=description)
+        return fn
+
+    return deco

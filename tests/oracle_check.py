@@ -1,0 +1,99 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and an
+order-insensitive value hash (values canonicalized: floats rounded,
+NULLs normalized). Usage:
+
+    python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            if f == int(f) and abs(f) < 1e15:
+                return str(int(f))
+            return f"{f:.6g}"
+    except ImportError:
+        pass
+    return str(v)
+
+
+def row_set(rows):
+    return sorted("|".join(canon(v) for v in row) for row in rows)
+
+
+def main():
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from duckdb_httpd_log_spark import get_spark
+    from duckdb_httpd_log_spark.plans.registry import REGISTRY, TABLES
+    import duckdb_httpd_log_spark.operators  # noqa: F401  (registers queries)
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
+        sdf = qd.spark_fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = [c.lower() for c in sdf.columns]
+        if qd.oracle_sql is None:
+            print(f"{name:28s} rows-only: {len(srows)} rows")
+            continue
+        orel = con.execute(qd.oracle_sql)
+        ocols = [d[0].lower() for d in orel.description]
+        orows = [tuple(r) for r in orel.fetchall()]
+        ok_cols = scols == ocols
+        ok_count = len(srows) == len(orows)
+        ok_vals = row_set(srows) == row_set(orows)
+        status = "MATCH" if (ok_cols and ok_count and ok_vals) else "MISMATCH"
+        print(f"{name:28s} {status}  spark={len(srows)} duckdb={len(orows)} cols_ok={ok_cols}")
+        if status == "MISMATCH":
+            failures.append(name)
+            if not ok_cols:
+                print(f"    spark cols:  {scols}\n    duckdb cols: {ocols}")
+            if ok_cols:
+                s, o = row_set(srows), row_set(orows)
+                sset, oset = set(s), set(o)
+                for x in list(sset - oset)[:3]:
+                    print(f"    spark-only:  {x}")
+                for x in list(oset - sset)[:3]:
+                    print(f"    duckdb-only: {x}")
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all MATCH")
+
+
+if __name__ == "__main__":
+    main()
