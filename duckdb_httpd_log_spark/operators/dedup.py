@@ -187,59 +187,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash(12) + LSH(3 bands × 4) candidate generation, exact-Jaccard verify",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _capped_grams(spark, sf_dir).cache()
-    perms = F.explode(F.array(*[F.lit(i) for i in range(MINHASH_K)])).alias("i")
-    sigs = (
-        grams.select("doc_id", "g", perms)
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("g")).cast("binary")).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("sig"))
+    # Single groupBy computes all K min-hashes at once (K aggregate
+    # expressions — no K-fold row explosion) together with the gram set
+    # and count used for candidate verification. One shuffle on doc_id.
+    grams = _capped_grams(spark, sf_dir)
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")).cast("binary"))).alias(f"s{i}")
+        for i in range(MINHASH_K)
+    ]
+    docs = grams.groupBy("doc_id").agg(
+        *sig_aggs,
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("g").alias("gs"),
     )
-    bands = (
-        sigs.withColumn("band", (F.col("i") / LSH_R).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat(
-                    F.concat_ws(
-                        "|",
-                        F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)"),
-                    ),
-                    F.lit("#"),
-                    F.col("band").cast("string"),
-                ).cast("binary")
-            ).alias("band_key")
+    band_keys = [
+        F.md5(
+            F.concat(
+                F.concat_ws("|", *[F.col(f"s{b * LSH_R + r}") for r in range(LSH_R)]),
+                F.lit(f"#{b}"),
+            ).cast("binary")
         )
-    )
+        for b in range(LSH_BANDS)
+    ]
+    bands = docs.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
     cands = (
         ba.join(bb, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )
-    # exact-Jaccard verification restricted to LSH candidates
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    # exact-Jaccard verification: join the (few) candidates back to the
+    # per-doc gram sets — set intersection instead of a second gram-gram
+    # self-join. (For huge documents swap the set intersect back to a
+    # re-join on grams; candidates stay tiny either way.)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"), F.col("n").alias("na"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"), F.col("n").alias("nb"))
     inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")))
     )
-    gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
-        inter.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
