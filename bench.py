@@ -39,11 +39,16 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
     "text_language_id",
     "text_quality",
     "text_token_count",
     "text_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

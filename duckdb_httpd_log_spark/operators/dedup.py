@@ -22,10 +22,13 @@ quadratic pair lists.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register, table
+from .similarity import hyperplanes
 
 # --- shared shingling parameters (MUST match the SQL oracles below) --------
 NGRAM = 3
@@ -231,6 +234,127 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+# Banded random-hyperplane LSH generates candidate pairs (the 100 TB
+# path: shuffle on band_key, never an all-pairs cross join); candidates
+# are verified with the exact cosine. The oracle mirrors the banding
+# bit-for-bit — the same md5-derived hyperplane literals are embedded in
+# both the Spark expressions and the DuckDB SQL, and both engines sum
+# the dot product in ascending element order, so the candidate sets are
+# identical by construction.
+EMB_DIM = 64
+EMB_PLANES = 16
+EMB_BANDS = 4
+EMB_PLANES_PER_BAND = EMB_PLANES // EMB_BANDS
+EMB_COS_THRESHOLD = 0.4  # synthetic embeddings top out near cosine 0.51
+
+_EMB_PLANES = hyperplanes(EMB_PLANES, EMB_DIM, salt="emb-dedup:")
+
+
+def _emb_cosine_sql(a: str, b: str) -> str:
+    dot = f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, {EMB_DIM + 1})])"
+    na = f"sqrt(list_sum([{a}[i]::DOUBLE * {a}[i]::DOUBLE for i in range(1, {EMB_DIM + 1})]))"
+    nb = f"sqrt(list_sum([{b}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, {EMB_DIM + 1})]))"
+    return f"{dot} / ({na} * {nb})"
+
+
+def _emb_planes_values_sql() -> str:
+    rows = []
+    for p, vec in enumerate(_EMB_PLANES):
+        lst = "[" + ", ".join(repr(x) for x in vec) + "]"
+        rows.append(f"({p}, {lst})")
+    return ", ".join(rows)
+
+
+@register(
+    "dedup_embedding",
+    f"""
+    WITH planes(p, w) AS (SELECT * FROM (VALUES {_emb_planes_values_sql()}) t(p, w)),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_sum([embedding[i]::DOUBLE * w[i] for i in range(1, {EMB_DIM + 1})]) >= 0
+                    THEN '1' ELSE '0' END AS b
+        FROM embeddings, planes
+    ),
+    bands AS (
+        SELECT vec_id,
+               CAST(p // {EMB_PLANES_PER_BAND} AS VARCHAR) || ':' || string_agg(b, '' ORDER BY p) AS band_key
+        FROM bits
+        GROUP BY vec_id, p // {EMB_PLANES_PER_BAND}
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round({_emb_cosine_sql("ea.embedding", "eb.embedding")}, 4) AS cosine
+    FROM cands
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE round({_emb_cosine_sql("ea.embedding", "eb.embedding")}, 4) >= {EMB_COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    "embedding near-dup: banded random-hyperplane LSH candidates + exact cosine verify",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector math runs in Arrow-vectorized pandas UDFs (numpy matmul /
+    # einsum): Catalyst's higher-order functions (aggregate/zip_with)
+    # are interpreted per-row and ~100x slower for dense 64-dim float
+    # work, which is exactly the "Python unavoidable -> Arrow batches"
+    # case. Elements are widened float32 -> float64 (exact) before any
+    # arithmetic, matching the oracle's ::DOUBLE casts; round(4) absorbs
+    # sub-ulp summation-order differences.
+    emb = table(spark, sf_dir, "embeddings")
+    planes_t = np.array(_EMB_PLANES, dtype=np.float64).T  # dim x n_planes
+
+    @F.pandas_udf("long")
+    def signature(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        bits = (mat @ planes_t) >= 0  # n x n_planes
+        weights = 1 << np.arange(EMB_PLANES, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
+
+    @F.pandas_udf("double")
+    def cosine(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.stack(ea.values).astype(np.float64)
+        b = np.stack(eb.values).astype(np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(np.round(dot / (na * nb), 4))
+
+    sigs = emb.select("vec_id", "embedding", signature("embedding").alias("sig"))
+    # one band key per EMB_PLANES_PER_BAND-bit slice of the signature
+    band_keys = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.shiftright(F.col("sig"), b * EMB_PLANES_PER_BAND).bitwiseAND(
+                (1 << EMB_PLANES_PER_BAND) - 1
+            ),
+        )
+        for b in range(EMB_BANDS)
+    ]
+    bands = sigs.select("vec_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    cands = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band_key")
+        .join(bands.select(F.col("vec_id").alias("vec_b"), "band_key"), "band_key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
     )
 
 

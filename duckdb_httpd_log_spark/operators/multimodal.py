@@ -119,3 +119,137 @@ def extract_features(df: DataFrame) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(binary_table(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Resize (images/videos): the resample itself is a DETERMINISTIC FAKE
+# (crop to the first quarter of the payload — a real build hands the
+# bytes to PIL/ffmpeg); the contract under test is the Arrow batch
+# plumbing, the halved metadata dims, and the derived output bytes.
+# ---------------------------------------------------------------------------
+RESIZE_FRACTION = 4  # keep ceil(n/4) bytes
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+        StructField("out_digest", StringType()),
+    ]
+)
+
+
+def resize_payload(payload: bytes, width, height):
+    """DETERMINISTIC FAKE resize: crop to the first ceil(n/4) bytes and
+    halve the metadata dims (stand-in for PIL's Image.resize)."""
+    n = len(payload)
+    keep = (n + RESIZE_FRACTION - 1) // RESIZE_FRACTION
+    out = payload[:keep]
+    return out, (width or 0) // 2, (height or 0) // 2
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched resize over image/video payloads (audio passed over)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"].isin(["image", "video"])]
+            outs = [
+                resize_payload(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["meta_width"], pdf["meta_height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "out_width": [o[1] for o in outs],
+                    "out_height": [o[2] for o in outs],
+                    "out_bytes": [len(o[0]) for o in outs],
+                    "out_digest": [hashlib.md5(o[0]).hexdigest() for o in outs],
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS kind,
+           (n_chars % 1920) // 2                                  AS out_width,
+           (n_chars % 1080) // 2                                  AS out_height,
+           (octet_length(encode(text)) + {RESIZE_FRACTION - 1}) // {RESIZE_FRACTION} AS out_bytes,
+           md5(substr(text, 1, CAST((octet_length(encode(text)) + {RESIZE_FRACTION - 1}) // {RESIZE_FRACTION} AS INTEGER))) AS out_digest
+    FROM documents
+    WHERE doc_id % 3 IN (0, 2)
+    ORDER BY doc_id
+    """,
+    "binary-column resize via Arrow-batched mapInPandas (stubbed resampler, real plumbing)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(binary_table(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (videos): emit one row per sampled fixed-size frame at a
+# byte stride — the 1:N shape of a real ffmpeg frame extractor, with the
+# decode stubbed to a deterministic byte slice.
+# ---------------------------------------------------------------------------
+FRAME_BYTES = 64
+FRAME_STRIDE = 128
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Arrow-batched 1:N frame sampling over video payloads."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            rows = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_bytes", "frame_digest")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(range(0, len(payload), FRAME_STRIDE)):
+                    frame = payload[off : off + FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_digest"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH vids AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER)                 AS frame_idx,
+               CAST(i * {FRAME_STRIDE} AS BIGINT) AS frame_offset,
+               CAST(least({FRAME_BYTES}, n - i * {FRAME_STRIDE}) AS BIGINT) AS frame_bytes,
+               md5(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INTEGER), {FRAME_BYTES})) AS frame_digest
+        FROM vids, LATERAL unnest(range(0, (n + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})) t(i)
+    )
+    SELECT * FROM frames ORDER BY doc_id, frame_idx
+    """,
+    "1:N video frame sampling via Arrow-batched mapInPandas (stubbed decoder, real plumbing)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(binary_table(spark, sf_dir)).orderBy("doc_id", "frame_idx")

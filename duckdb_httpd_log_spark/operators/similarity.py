@@ -94,19 +94,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 4  # 16 buckets; multi-probe Hamming<=1 visits 5 of them
 
 
-def _hyperplanes():
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, salt: str = ""):
     """Deterministic pseudo-random hyperplanes: component p,d derived from
-    md5(p:d) — reproducible across runs with no RNG dependency."""
+    md5(salt:p:d) — reproducible across runs (and across engines: the
+    same float literals are embedded in both the Spark expressions and
+    the DuckDB oracle SQL) with no RNG dependency."""
     import hashlib
 
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         vec = []
-        for d in range(DIM):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+        for d in range(dim):
+            h = int(hashlib.md5(f"{salt}{p}:{d}".encode()).hexdigest()[:8], 16)
             vec.append((h / 0x7FFFFFFF) - 1.0)  # roughly uniform [-1, 1)
         planes.append(vec)
     return planes
+
+
+_hyperplanes = hyperplanes
 
 
 @register(
@@ -155,6 +160,102 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine")
+        .orderBy("q_id", F.col("cosine").desc(), "c_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (alternative scale path; rows-only check + recall
+# test vs the brute-force baseline in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+IVF_NLIST = 16  # coarse cells
+IVF_NPROBE = 6  # cells each query visits
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic coarse centroids: the IVF_NLIST corpus vectors with
+    the smallest md5(vec_id) — a seedless, engine-independent sample (a
+    production build would run k-means / MLlib KMeans here; the cell
+    assignment and probe machinery below is identical either way)."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(IVF_NLIST)
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _cell_expr(vec_col: str, centroids: list) -> F.Column:
+    """argmin_c L2²(vec, centroid_c) as a JVM-side expression: an array of
+    (distance, cell_id) structs reduced with array_min (lexicographic
+    struct ordering = min distance, ties to lower cell id)."""
+    cells = []
+    for cid, cen in enumerate(centroids):
+        arr = "array(" + ", ".join(f"cast({repr(x)} as double)" for x in cen) + ")"
+        d2 = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        cells.append(f"struct({d2} as d, {cid} as c)")
+    return F.expr(f"array_min(array({', '.join(cells)})).c")
+
+
+def _probe_expr(vec_col: str, centroids: list) -> F.Column:
+    """The IVF_NPROBE nearest cells, as an array to explode."""
+    cells = []
+    for cid, cen in enumerate(centroids):
+        arr = "array(" + ", ".join(f"cast({repr(x)} as double)" for x in cen) + ")"
+        d2 = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        cells.append(f"struct({d2} as d, {cid} as c)")
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(cells)})), 1, {IVF_NPROBE}), s -> s.c)"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # Spark-specific physical strategy; driver records rows-only
+    "IVF coarse quantization: corpus bucketed by nearest centroid, queries probe 4 cells",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = _centroids(spark, sf_dir)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        _cell_expr("embedding", centroids).alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(_probe_expr("embedding", centroids)).alias("cell"),
+        )
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.expr(_DOT) / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
+                4,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (

@@ -1,0 +1,62 @@
+"""Column-function library tests (duckdb_httpd_log_spark.functions)."""
+
+from pyspark.sql import functions as F
+
+from duckdb_httpd_log_spark import functions as H
+
+
+def test_status_class_and_is_error(spark):
+    df = spark.createDataFrame([(200,), (301,), (404,), (503,), (None,)], "status int")
+    got = [
+        (r.c, r.e)
+        for r in df.select(
+            H.status_class(F.col("status")).alias("c"), H.is_error(F.col("status")).alias("e")
+        ).collect()
+    ]
+    assert got == [("2xx", False), ("3xx", False), ("4xx", True), ("5xx", True), (None, None)]
+
+
+def test_apache_timestamp_utc(spark):
+    df = spark.createDataFrame([("10/Oct/2000:13:55:36 -0700",)], "t string")
+    row = df.select(H.apache_timestamp(F.col("t")).alias("ts")).collect()[0]
+    assert str(row.ts) == "2000-10-10 20:55:36"
+
+
+def test_strftime_timestamp(spark):
+    df = spark.createDataFrame([("2024-03-01 10:20:30",)], "t string")
+    row = df.select(H.strftime_timestamp(F.col("t"), "%Y-%m-%d %H:%M:%S").alias("ts")).collect()[0]
+    assert str(row.ts) == "2024-03-01 10:20:30"
+
+
+def test_path_helpers(spark):
+    df = spark.createDataFrame(
+        [("/a/b/c.HTML", "?q=1&page=2"), ("/", None)], "path string, qs string"
+    )
+    rows = df.select(
+        H.url_path_depth(F.col("path")).alias("d"),
+        H.path_extension(F.col("path")).alias("x"),
+        H.query_param(F.col("qs"), "page").alias("p"),
+    ).collect()
+    assert (rows[0].d, rows[0].x, rows[0].p) == (3, "html", "2")
+    assert (rows[1].d, rows[1].x, rows[1].p) == (0, None, None)
+
+
+def test_bytes_ip_bot(spark):
+    df = spark.createDataFrame(
+        [(512, "10.1.2.3", "Mozilla/5.0"), (5 * 1024 * 1024, "192.168.1.77", "Googlebot/2.1")],
+        "b long, ip string, ua string",
+    )
+    rows = df.select(
+        H.human_bytes(F.col("b")).alias("hb"),
+        H.ip_prefix(F.col("ip")).alias("px"),
+        H.is_bot(F.col("ua")).alias("bot"),
+    ).collect()
+    assert (rows[0].hb, rows[0].px, rows[0].bot) == ("512 B", "10.1.2", False)
+    assert (rows[1].hb, rows[1].px, rows[1].bot) == ("5.0 MiB", "192.168.1", True)
+
+
+def test_interval_micros(spark):
+    df = spark.createDataFrame([(1500000,)], "us long").select(
+        H.interval_micros(F.expr("us * INTERVAL '0.000001' SECOND")).alias("us")
+    )
+    assert df.collect()[0].us == 1500000

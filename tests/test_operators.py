@@ -92,3 +92,23 @@ def test_multimodal_plumbing(spark):
     rows = feats.orderBy("doc_id").limit(5).collect()
     assert all(r.n_bytes > 0 and len(r.digest) == 32 for r in rows)
     assert {r.kind for r in feats.collect()} <= {"image", "audio", "video"}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF probing 6/16 cells must still recover most of the exact top-k."""
+    exact = REGISTRY["ann_cosine_topk"].spark_fn(spark, SF_DIR)
+    ivf = REGISTRY["ann_ivf_topk"].spark_fn(spark, SF_DIR)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    i = {(r.q_id, r.c_id) for r in ivf.collect()}
+    assert len(e) > 0
+    recall = len(e & i) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_dedup_pairs_verified(spark):
+    """Every emitted pair is above threshold and deduplicated (a<b)."""
+    pairs = REGISTRY["dedup_embedding"].spark_fn(spark, SF_DIR).collect()
+    assert len(pairs) > 0
+    assert all(r.vec_a < r.vec_b for r in pairs)
+    assert all(r.cosine >= 0.4 for r in pairs)
+    assert len({(r.vec_a, r.vec_b) for r in pairs}) == len(pairs)
