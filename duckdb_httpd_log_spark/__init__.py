@@ -9,10 +9,22 @@ Public API:
     read_httpd_log(spark, path, format_type=, format_str=, conf=, raw=)
     read_httpd_conf(spark, path)
     get_spark() — tuned local session helper
+    register_datasource(spark) — enable spark.read.format("httpd_log")
 """
 
 from .session import get_spark
 from .sources.conf import read_httpd_conf
 from .sources.reader import read_httpd_log
 
-__all__ = ["read_httpd_log", "read_httpd_conf", "get_spark"]
+
+def register_datasource(spark) -> None:
+    """Register the `httpd_log` Python Data Source on this session, making
+    logs readable via ``spark.read.format("httpd_log").load(path)`` and
+    ``CREATE TABLE ... USING httpd_log`` (SQL surface parity with the
+    reference's table function)."""
+    from .sources.datasource import HttpdLogDataSource
+
+    spark.dataSource.register(HttpdLogDataSource)
+
+
+__all__ = ["read_httpd_log", "read_httpd_conf", "get_spark", "register_datasource"]

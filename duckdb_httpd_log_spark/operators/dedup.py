@@ -126,7 +126,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-3-gram Jaccard near-dup pairs at threshold 0.5 with hot-shingle DF cap",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _capped_grams(spark, sf_dir).cache()
+    # three consumers (gc + both sides of the pair join) with alias
+    # renames that defeat exchange reuse — materialize once
+    grams = _capped_grams(spark, sf_dir).localCheckpoint(eager=False)
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -203,6 +205,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.collect_list("g").alias("gs"),
     )
+    # docs feeds three consumers (bands + both verify sides) whose alias
+    # renames defeat Catalyst exchange reuse — without this the gram
+    # pipeline is scanned and shuffled 3x. localCheckpoint materializes
+    # it once, truncates lineage, and is GC'd with the DataFrame.
+    docs = docs.localCheckpoint(eager=False)
     band_keys = [
         F.md5(
             F.concat(

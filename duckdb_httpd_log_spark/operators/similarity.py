@@ -17,6 +17,8 @@ ranking with a deterministic id tie-break.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -193,69 +195,60 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def _cell_expr(vec_col: str, centroids: list) -> F.Column:
-    """argmin_c L2²(vec, centroid_c) as a JVM-side expression: an array of
-    (distance, cell_id) structs reduced with array_min (lexicographic
-    struct ordering = min distance, ties to lower cell id)."""
-    cells = []
-    for cid, cen in enumerate(centroids):
-        arr = "array(" + ", ".join(f"cast({repr(x)} as double)" for x in cen) + ")"
-        d2 = (
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
-            " cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        cells.append(f"struct({d2} as d, {cid} as c)")
-    return F.expr(f"array_min(array({', '.join(cells)})).c")
-
-
-def _probe_expr(vec_col: str, centroids: list) -> F.Column:
-    """The IVF_NPROBE nearest cells, as an array to explode."""
-    cells = []
-    for cid, cen in enumerate(centroids):
-        arr = "array(" + ", ".join(f"cast({repr(x)} as double)" for x in cen) + ")"
-        d2 = (
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
-            " cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        cells.append(f"struct({d2} as d, {cid} as c)")
-    return F.expr(
-        f"transform(slice(array_sort(array({', '.join(cells)})), 1, {IVF_NPROBE}), s -> s.c)"
-    )
-
-
 @register(
     "ann_ivf_topk",
     None,  # Spark-specific physical strategy; driver records rows-only
-    "IVF coarse quantization: corpus bucketed by nearest centroid, queries probe 4 cells",
+    "IVF coarse quantization: corpus bucketed by nearest centroid, queries probe 6 cells",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cell assignment and scoring run in Arrow-vectorized pandas UDFs
+    # (numpy): dense 64-dim float math is ~100x faster there than in
+    # Catalyst's interpreted higher-order functions, and the centroid
+    # matrix stays out of the expression tree (literal-heavy plans are
+    # slow to analyze/codegen).
     emb = table(spark, sf_dir, "embeddings")
-    centroids = _centroids(spark, sf_dir)
+    cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
+
+    @F.pandas_udf("int")
+    def nearest_cell(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        # ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² is rank-constant
+        d2 = -2.0 * (mat @ cen.T) + (cen * cen).sum(axis=1)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        d2 = -2.0 * (mat @ cen.T) + (cen * cen).sum(axis=1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :IVF_NPROBE]
+        return pd.Series(list(order.astype("int32")))
+
+    @F.pandas_udf("double")
+    def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        a = np.stack(qe.values).astype(np.float64)
+        b = np.stack(ce.values).astype(np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(np.round(dot / (na * nb), 4))
 
     corpus = emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ce"),
-        _cell_expr("embedding", centroids).alias("cell"),
+        nearest_cell("embedding").alias("cell"),
     )
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
-            F.explode(_probe_expr("embedding", centroids)).alias("cell"),
+            F.explode(probe_cells("embedding")).alias("cell"),
         )
     )
     scored = (
         probes.join(corpus, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                F.expr(_DOT) / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
-                4,
-            ).alias("cosine"),
-        )
+        .select("q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (

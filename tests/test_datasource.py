@@ -1,0 +1,83 @@
+"""The `httpd_log` Python Data Source must agree row-for-row with the
+primary Catalyst reader (`read_httpd_log`) on the fixture corpus —
+schema, values, raw-mode metadata, gzip, and custom formats."""
+
+import pytest
+
+from duckdb_httpd_log_spark import read_httpd_log, register_datasource
+
+from .conftest import data
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_datasource(spark)
+
+
+def _rows(df):
+    cols = df.columns
+    out = []
+    for r in df.collect():
+        out.append(tuple(r[c] for c in cols))
+    return sorted(out, key=lambda t: tuple(repr(x) for x in t))
+
+
+def _compare(spark, path, **opts):
+    ref = read_httpd_log(spark, path, **opts)
+    reader = spark.read.format("httpd_log").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    got = reader.load()
+    assert got.columns == ref.columns
+    assert [f.dataType for f in got.schema.fields] == [f.dataType for f in ref.schema.fields]
+    assert _rows(got) == _rows(ref)
+    return got
+
+
+def test_common_sample(spark):
+    df = _compare(spark, data("common", "sample.log"))
+    assert df.count() == 6
+
+
+def test_combined(spark):
+    _compare(spark, data("combined", "combined.log"))
+
+
+def test_raw_mode_with_errors(spark):
+    df = _compare(spark, data("common", "with_errors.log"), raw=True)
+    errs = {r.line_number for r in df.filter("parse_error").collect()}
+    assert errs == {2, 4}
+
+
+def test_gzip(spark):
+    _compare(spark, data("compressed", "access.log.gz"))
+
+
+def test_glob_multi_file(spark):
+    df = _compare(spark, data("multi_file", "server*.log"))
+    assert df.select("log_file").distinct().count() == 3
+
+
+def test_custom_format_durations(spark):
+    _compare(
+        spark,
+        data("directives", "duration.log"),
+        format_str='%h %l %u %t "%r" %>s %b %D',
+    )
+
+
+def test_auto_detect(spark):
+    _compare(spark, data("common", "sample.log"))
+
+
+def test_sql_surface(spark):
+    """SQL ergonomics parity with the reference's table function: register
+    the source as a view, query with plain SQL (Spark's CREATE TABLE ...
+    USING <python-source> does not forward OPTIONS to the reader yet, so
+    the supported SQL route is format().load() + temp view)."""
+    path = data("common", "sample.log")
+    spark.read.format("httpd_log").option("path", path).load().createOrReplaceTempView("logs_sql")
+    got = spark.sql(
+        "SELECT status, count(*) AS n FROM logs_sql GROUP BY status ORDER BY n DESC, status"
+    ).collect()
+    assert got[0].n >= 1 and got[0].status is not None
