@@ -73,3 +73,45 @@ def windowed_status_counts(
             "total_bytes",
         )
     )
+
+
+def dedup_stream(
+    logs: DataFrame,
+    keys: Optional[list] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; state for
+    a key is dropped once the watermark passes it, so state stays bounded
+    no matter how long the stream runs (the streaming twin of
+    `dedup_exact`). Defaults to the natural "same request replayed" key."""
+    keys = keys or ["client_host", "timestamp", "method", "path"]
+    return logs.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def error_rate_alerts(
+    logs: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    min_requests: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Windowed 5xx-rate monitor: emits (window, n_requests, n_5xx, rate)
+    for windows whose server-error rate crosses `threshold` with at least
+    `min_requests` — the standard streaming alerting rollup."""
+    five_xx = F.sum(F.when(F.col("status") >= 500, 1).otherwise(0))
+    agg = (
+        logs.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_requests"), five_xx.alias("n_5xx"))
+        .filter(
+            (F.col("n_requests") >= min_requests)
+            & (F.col("n_5xx") / F.col("n_requests") >= threshold)
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_requests",
+        "n_5xx",
+        F.round(F.col("n_5xx") / F.col("n_requests"), 4).alias("error_rate"),
+    )

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+must hold in the compiled plan, not just in intent — dimension joins
+broadcast, scans prune columns and push filters into parquet, the log
+reader stays a narrow (shuffle-free) whole-stage-codegen'd pipeline,
+and aggregations keep their map-side partial phase."""
+
+import re
+
+import duckdb_httpd_log_spark.operators  # noqa: F401
+from duckdb_httpd_log_spark import read_httpd_log
+from duckdb_httpd_log_spark.plans.registry import REGISTRY
+
+from .conftest import data
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_agg_broadcasts_dimensions(spark):
+    plan = _plan(REGISTRY["q08_join_agg"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    plan = _plan(REGISTRY["q01_pricing_summary"].spark_fn(spark, SF_DIR))
+    # column pruning: only the 6 referenced lineitem columns reach the scan
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    # predicate pushdown into the parquet scan
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    # partial+final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_log_reader_fast_path_is_narrow(spark):
+    df = read_httpd_log(spark, data("common", "sample.log"))
+    plan = _plan(df)
+    assert "Exchange" not in plan  # parse pipeline must not shuffle
+    # '*(1)' = whole-stage-codegen stage marker in the plan tree; the
+    # regex projection must stay inside codegen (whose common-subexpr
+    # elimination runs the line regex once per row, not once per column)
+    assert plan.lstrip().startswith("*(")
+
+
+def test_exact_dedup_has_partial_agg(spark):
+    plan = _plan(REGISTRY["dedup_exact"].spark_fn(spark, SF_DIR))
+    # partial_min/partial_count before the exchange = map-side combine
+    assert "partial_" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(REGISTRY["q09_range_join"].spark_fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan  # bin-bucketed equi-join, not O(n^2)
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(REGISTRY["q03_topk"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # no full sort for ORDER BY+LIMIT

@@ -66,3 +66,50 @@ def test_windowed_rollup(spark, tmp_path):
         "n_requests",
         "total_bytes",
     }
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate lines across arriving files collapse to one row."""
+    from duckdb_httpd_log_spark.streaming.log_stream import dedup_stream
+
+    logdir = tmp_path / "logs3"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+    shutil.copy(data("common", "sample.log"), logdir / "b.log")  # exact replay
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    deduped = dedup_stream(stream)
+    _run_stream(deduped, "stream_dedup")
+    out = spark.sql("SELECT * FROM stream_dedup")
+    assert out.count() == 6  # 12 arriving rows, 6 unique requests
+
+
+def test_error_rate_alerts(spark, tmp_path):
+    from duckdb_httpd_log_spark.streaming.log_stream import error_rate_alerts
+
+    logdir = tmp_path / "logs4"
+    logdir.mkdir()
+    # craft a window of mostly-500s plus the clean sample
+    lines = [
+        f'10.0.0.{i} - - [10/Oct/2024:10:00:{i:02d} +0000] "GET /x HTTP/1.1" '
+        f"{500 if i < 8 else 200} 10\n"
+        for i in range(10)
+    ]
+    (logdir / "burst.log").write_text("".join(lines))
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    alerts = error_rate_alerts(stream, window="1 minute", min_requests=5, threshold=0.5)
+    # complete mode: append would hold the window open until the watermark
+    # passes it, which a single availableNow batch never does
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("stream_alerts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_alerts").collect()
+    assert len(rows) == 1
+    assert rows[0].n_requests == 10 and rows[0].n_5xx == 8
+    assert abs(rows[0].error_rate - 0.8) < 1e-9
