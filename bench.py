@@ -94,7 +94,9 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
 
-    # log-scan throughput benchmark (the §2.A surface)
+    # log-scan throughput benchmark (the §2.A surface): single file
+    # (matches the reference's one-thread-per-file granularity) and a
+    # 16-file glob (the multi-file parallel axis from BASELINE.md)
     with tempfile.TemporaryDirectory() as td:
         log_path = os.path.join(td, "bench_access.log")
         gen_log(log_path)
@@ -104,6 +106,17 @@ def main() -> None:
             read_httpd_log(spark, log_path, format_type="combined").count()
             runs.append(time.perf_counter() - t0)
         timings["log_scan_200k_combined"] = round(statistics.median(runs), 4)
+
+        multi = os.path.join(td, "multi")
+        os.makedirs(multi)
+        for i in range(16):
+            gen_log(os.path.join(multi, f"server{i:02d}.log"), n_lines=50_000)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, os.path.join(multi, "server*.log"), format_type="combined").count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_16files_800k"] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
