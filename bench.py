@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_token_count",
     "text_fingerprint",
+    "text_redact",
+    "text_split_assign",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",

@@ -151,3 +151,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring(norm, 1, 64).cast("binary")).alias("prefix_hash"),
         F.substring(F.md5(norm.cast("binary")), 1, 8).alias("shard_key"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction: scrub emails / URLs / IPv4s before training.
+# Pure regexp_replace — stays in codegen; patterns restricted to the
+# regex dialect subset DuckDB's RE2 and Java's regex share.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g')                    AS redacted,
+           length(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           length(regexp_extract_all(text, '{_URL_RE}'))   AS n_urls
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "PII-style scrubbing: URL/email/IPv4 redaction + match counts",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _URL_RE, "<URL>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)")).alias("n_urls"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test assignment: md5-bucket on (salt, doc_id) —
+# stable across engines, runs, and cluster sizes; no RNG, no shuffle
+# beyond the final sort. The standard split primitive for corpus builds.
+# ---------------------------------------------------------------------------
+SPLIT_SALT = "corpus-v1"
+
+
+@register(
+    "text_split_assign",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+    "deterministic 90/5/5 train/val/test split via salted md5 bucketing",
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.select("doc_id", bucket.cast("int").alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 90, "train").when(F.col("bucket") < 95, "val").otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
