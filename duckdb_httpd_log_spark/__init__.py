@@ -24,6 +24,9 @@ def register_datasource(spark) -> None:
     reference's table function)."""
     from .sources.datasource import HttpdLogDataSource
 
+    # the reader implements pushFilters(); Spark refuses such sources
+    # unless python filter pushdown is switched on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HttpdLogDataSource)
 
 

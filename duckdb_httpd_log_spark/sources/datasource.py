@@ -27,11 +27,47 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    StringContains,
+)
 
 from .logformat import generate_schema
 from .pyconvert import build_row_converter, error_row, iter_log_lines
 from .reader import _SPARK_TYPES, expand_paths, resolve_format
+
+# filters we evaluate executor-side before rows cross the Arrow boundary
+# (on by-value-comparable columns only — timestamps/intervals stay with
+# Spark to avoid tz-representation mismatches)
+_PUSHABLE_TYPES = {"string", "int", "bigint", "boolean"}
+
+
+def _eval_filter(f, v) -> bool:
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, In):
+        return v in f.value
+    if isinstance(f, StringContains):
+        return f.value in v
+    return True
 
 
 def _schema_ddl(schema: list[tuple[str, str]]) -> str:
@@ -88,6 +124,29 @@ class HttpdLogReader(DataSourceReader):
         self.files = files
         self.parsed = parsed
         self.raw_mode = raw_mode
+        self.pushed: list[tuple[object, int]] = []  # (filter, row index)
+
+    def pushFilters(self, filters):
+        """Partial pushdown: supported predicates are ALSO applied
+        executor-side in `read` (rows drop before the Arrow transfer),
+        but every filter is returned so Spark re-verifies above the scan
+        — pushdown here is a row-volume optimization, never a
+        correctness dependency."""
+        schema = generate_schema(self.parsed, self.raw_mode)
+        index = {name: i for i, (name, _t) in enumerate(schema)}
+        types = dict(schema)
+        supported = (EqualTo, GreaterThan, LessThan, In, IsNull, IsNotNull, StringContains)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if (
+                isinstance(f, supported)
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in index
+                and types[attr[0]] in _PUSHABLE_TYPES
+            ):
+                self.pushed.append((f, index[attr[0]]))
+            yield f
 
     def partitions(self) -> list[InputPartition]:
         # one partition per file: the reference's parallelism unit
@@ -95,7 +154,7 @@ class HttpdLogReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         fname = partition.value
-        parsed, raw = self.parsed, self.raw_mode
+        parsed, raw, pushed = self.parsed, self.raw_mode, self.pushed
         convert = build_row_converter(parsed)
         compiled = parsed.compiled
         for line_number, line in iter_log_lines(fname):
@@ -105,8 +164,12 @@ class HttpdLogReader(DataSourceReader):
             if m is not None and m.end() == len(line):
                 row = convert(m.groups())
                 if raw:
-                    yield (*row, fname, line_number, False, line)
+                    row = (*row, fname, line_number, False, line)
                 else:
-                    yield (*row, fname)
+                    row = (*row, fname)
             elif raw:
-                yield (*error_row(parsed), fname, line_number, True, line)
+                row = (*error_row(parsed), fname, line_number, True, line)
+            else:
+                continue
+            if all(_eval_filter(f, row[i]) for f, i in pushed):
+                yield row

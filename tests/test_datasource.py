@@ -81,3 +81,14 @@ def test_sql_surface(spark):
         "SELECT status, count(*) AS n FROM logs_sql GROUP BY status ORDER BY n DESC, status"
     ).collect()
     assert got[0].n >= 1 and got[0].status is not None
+
+
+def test_filter_pushdown_matches_unfiltered_semantics(spark):
+    """Pushed filters must not change results vs filtering above the scan
+    (pushdown is partial: Spark re-verifies every predicate)."""
+    path = data("common", "sample.log")
+    base = spark.read.format("httpd_log").option("path", path).load()
+    filtered = base.filter("status = 200 AND client_host IS NOT NULL").collect()
+    ref = [r for r in read_httpd_log(spark, path).collect() if r.status == 200]
+    assert len(filtered) == len(ref)
+    assert {r.client_host for r in filtered} == {r.client_host for r in ref}
