@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q12_window",
     "q13_set_ops",
     "q14_rollup",
+    "q15_sessionize",
+    "q16_asof_join",
+    "q17_funnel",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
