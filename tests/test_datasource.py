@@ -92,3 +92,24 @@ def test_filter_pushdown_matches_unfiltered_semantics(spark):
     ref = [r for r in read_httpd_log(spark, path).collect() if r.status == 200]
     assert len(filtered) == len(ref)
     assert {r.client_host for r in filtered} == {r.client_host for r in ref}
+
+
+@pytest.mark.parametrize(
+    "fixture,fmt",
+    [
+        ("directives/timestamp_sec.log", "%h %{sec}t"),
+        ("directives/timestamp_usec.log", "%h %{usec}t"),
+        ("directives/timestamp_strftime.log", "%h %{%Y-%m-%d %H:%M:%S}t"),
+        ("directives/typed_headers.log", '%h %l %u %t "%r" %>s %{Content-Length}o %{Age}o'),
+        ("directives/process_thread.log", "%h %P %{tid}P %{hextid}P %k %X"),
+        ("directives/logio.log", "%h %I %O %S"),
+        ("directives/duration.log", '%h %l %u %t "%r" %>s %b %D %T'),
+        ("timestamp_begin_end/begin_end.log",
+         '%h %{begin:%d/%b/%Y:%H:%M:%S %z}t %{end:%d/%b/%Y:%H:%M:%S %z}t "%r" %>s'),
+    ],
+)
+def test_directive_parity_with_reader(spark, fixture, fmt):
+    """The python converter must agree with the Catalyst expressions on
+    every typed-conversion family (epoch/strftime/frac timestamps, typed
+    headers, %X remap, log-IO bytes, durations, begin/end groups)."""
+    _compare(spark, data(*fixture.split("/")), format_str=fmt)
