@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q15_sessionize",
     "q16_asof_join",
     "q17_funnel",
+    "q18_quantiles",
+    "q19_heavy_hitters",
+    "q20_approx_distinct",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

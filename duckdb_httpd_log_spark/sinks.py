@@ -1,0 +1,58 @@
+"""Output sinks for parsed logs — the layout side of the 100 TB story.
+
+The reference delegates output to its host engine (DuckDB `COPY TO`);
+the Spark-native equivalent is the DataFrameWriter, wrapped here with
+the partitioning discipline a large corpus needs: date-partitioned
+parquet (partition pruning for time-range queries) with a bounded
+file count per partition (no small-file explosion, no 10 GB monoliths).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def save_logs_partitioned(
+    logs: DataFrame,
+    path: str,
+    ts_column: str = "timestamp",
+    files_per_partition: int = 8,
+    mode: str = "error",
+    compression: str = "zstd",
+) -> None:
+    """Write parsed logs as date-partitioned parquet.
+
+    Adds a `log_date` partition column derived from `ts_column`, then
+    `repartition(files_per_partition, log_date)` so each date directory
+    holds a bounded number of similarly-sized files — the layout that
+    keeps both the writer shuffle and later partition-pruned scans
+    healthy at 100 TB (readers of `WHERE log_date = ...` touch one
+    directory; `spark.sql.files.maxPartitionBytes` re-splits on read).
+    """
+    (
+        logs.withColumn("log_date", F.to_date(F.col(ts_column)))
+        .repartition(files_per_partition, F.col("log_date"))
+        .write.mode(mode)
+        .partitionBy("log_date")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
+def save_logs_single(
+    logs: DataFrame, path: str, fmt: str = "parquet", mode: str = "error",
+    coalesce: Optional[int] = 1,
+) -> None:
+    """Small-result export (reports, samples): optionally coalesced to a
+    handful of files; format `parquet`, `csv`, or `json`."""
+    df = logs.coalesce(coalesce) if coalesce else logs
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)

@@ -112,3 +112,51 @@ def test_embedding_dedup_pairs_verified(spark):
     assert all(r.vec_a < r.vec_b for r in pairs)
     assert all(r.cosine >= 0.4 for r in pairs)
     assert len({(r.vec_a, r.vec_b) for r in pairs}) == len(pairs)
+
+
+def test_approx_distinct_tolerance(spark):
+    """HLL++ estimates must fall within the configured 2% rsd (allow 3x)."""
+    import duckdb
+
+    row = REGISTRY["q20_approx_distinct"].spark_fn(spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT l_orderkey), count(DISTINCT l_partkey), count(DISTINCT l_suppkey)"
+        f" FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchone()
+    for est, true in zip((row.approx_orders, row.approx_parts, row.approx_suppliers), exact):
+        assert abs(est - true) / true < 0.06, (est, true)
+
+
+def test_salted_heavy_hitters_equal_plain_groupby(spark):
+    """The two-phase salted aggregation must be bit-identical to the
+    plain groupBy it replaces."""
+    from duckdb_httpd_log_spark.plans.registry import table as _table
+    import pyspark.sql.functions as F
+
+    got = [(r.user_id, r.n_events) for r in REGISTRY["q19_heavy_hitters"].spark_fn(spark, SF_DIR).collect()]
+    ev = _table(spark, SF_DIR, "events")
+    plain = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id").limit(10).collect()
+    )
+    assert got == [(r.user_id, r.n) for r in plain]
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    """Date-partitioned parquet sink: partition dirs exist, data round-trips,
+    and a date filter prunes partitions."""
+    from duckdb_httpd_log_spark.sinks import save_logs_partitioned
+    from duckdb_httpd_log_spark.plans.registry import table as _table
+
+    ev = _table(spark, SF_DIR, "events").limit(500)
+    out = str(tmp_path / "events_parted")
+    save_logs_partitioned(ev, out, ts_column="ts", files_per_partition=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert "log_date" in back.columns
+    one_day = back.select("log_date").distinct().limit(1).collect()[0].log_date
+    pruned = back.filter(back.log_date == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(log_date" in plan or "log_date" in plan
+    assert pruned.count() > 0
