@@ -12,7 +12,7 @@ Public API:
     register_datasource(spark) — enable spark.read.format("httpd_log")
 """
 
-from .session import get_spark
+from .session import get_spark, register_tables
 from .sources.conf import read_httpd_conf
 from .sources.reader import read_httpd_log
 
@@ -30,4 +30,4 @@ def register_datasource(spark) -> None:
     spark.dataSource.register(HttpdLogDataSource)
 
 
-__all__ = ["read_httpd_log", "read_httpd_conf", "get_spark", "register_datasource"]
+__all__ = ["read_httpd_log", "read_httpd_conf", "get_spark", "register_datasource", "register_tables"]

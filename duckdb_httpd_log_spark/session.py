@@ -42,3 +42,13 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the benchmark tables as temp views so the full query
+    surface is reachable from plain ``spark.sql`` — the same ergonomics
+    as the reference's DuckDB session with pre-registered views."""
+    from .plans.registry import TABLES, table
+
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
