@@ -61,12 +61,36 @@ def mark_and_split(value: Column, pattern: str, num_groups: int) -> tuple[Column
     ``ok`` is true when the line fully matched; ``parts`` is the array of
     capture-group strings (1-based group i at parts[i-1]).
     """
+    marked = marked_expr(value, pattern, num_groups)
+    return ok_and_parts(marked)
+
+
+def marked_expr(value: Column, pattern: str, num_groups: int) -> Column:
+    """The single-pass match: rewrite a matching line to
+    ``\\x02<g1>\\x01<g2>…``; a non-matching line passes through unchanged."""
     repl = SENTINEL + SEP.join(f"${i}" for i in range(1, num_groups + 1))
     anchored = pattern + "$" if pattern.startswith("^") else "^" + pattern + "$"
-    marked = F.regexp_replace(value, anchored, repl)
+    return F.regexp_replace(value, anchored, repl)
+
+
+def ok_and_parts(marked: Column) -> tuple[Column, Column]:
     ok = F.substring(marked, 1, 1) == F.lit(SENTINEL)
     parts = F.split(F.substring(marked, 2, 2147483646), SEP, -1)
     return ok, parts
+
+
+def materialization_barrier(col: Column) -> Column:
+    """Wrap a column so Catalyst materializes it once instead of inlining
+    it into every consumer.
+
+    Codegen's common-subexpression elimination works within one operator
+    only; a Filter above a Project re-evaluates any projected expression
+    its predicate references (CollapseProject + PushDownPredicate inline
+    the alias). Wrapping the expression in an always-true nondeterministic
+    guard blocks both rules, so a filter + N-column projection over the
+    line regex costs ONE regex execution per row instead of two. The
+    guard is semantically the identity (rand() >= -1 is always true)."""
+    return F.when(F.rand(seed=0) >= -1.0, col)
 
 
 def group_value(parts: Column, capture_index: int) -> Column:
