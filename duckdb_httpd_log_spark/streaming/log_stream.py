@@ -46,10 +46,15 @@ def read_httpd_log_stream(
 
     df = spark.readStream.text(path)
     df = df.filter(F.length("value") > 0)
-    ok, parts = X.mark_and_split(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)
+    # same single-regex-execution shape as the batch fast path
+    marked = X.materialization_barrier(
+        X.marked_expr(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)
+    )
+    df = df.select(marked.alias("__m"), _normalize_file_uri(F.input_file_name()).alias("__f"))
+    ok, parts = X.ok_and_parts(F.col("__m"))
     cols = _projection(parsed, ok, parts)
-    cols.append(_normalize_file_uri(F.input_file_name()).alias("log_file"))
-    return df.withColumn("__ok", ok).filter(F.col("__ok")).select(*cols)
+    cols.append(F.col("__f").alias("log_file"))
+    return df.filter(ok).select(*cols)
 
 
 def windowed_status_counts(

@@ -49,10 +49,14 @@ def test_log_reader_fast_path_is_narrow(spark):
     df = read_httpd_log(spark, data("common", "sample.log"))
     plan = _plan(df)
     assert "Exchange" not in plan  # parse pipeline must not shuffle
-    # '*(1)' = whole-stage-codegen stage marker in the plan tree; the
-    # regex projection must stay inside codegen (whose common-subexpr
-    # elimination runs the line regex once per row, not once per column)
+    # '*(1)' = whole-stage-codegen stage marker in the plan tree
     assert plan.lstrip().startswith("*(")
+    # the line regex (over the scanned `value` column) must appear ONCE
+    # in the plan (materialization barrier): filter + N-column projection
+    # share a single execution — without it CollapseProject /
+    # PushDownPredicate inline the regexp into every consumer. (The
+    # other regexp_replace in the plan is the file-URI normalizer.)
+    assert plan.count("regexp_replace(value#") == 1
 
 
 def test_exact_dedup_has_partial_agg(spark):
