@@ -24,7 +24,7 @@ def test_tokenize_quotes_and_escapes():
 
 
 @given(fmt=fmt_text, nick=nickname)
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 def test_logformat_roundtrip(tmp_path_factory, fmt, nick):
     """A LogFormat line's quoted format string comes back verbatim, with
     the nickname attached and the right type."""
@@ -39,7 +39,7 @@ def test_logformat_roundtrip(tmp_path_factory, fmt, nick):
 
 
 @given(fmt=fmt_text)
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 def test_continuation_joins_with_space(tmp_path_factory, fmt):
     """A trailing backslash continues the logical line; the entry keeps
     the FIRST physical line's number (reference parity)."""
