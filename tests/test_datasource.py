@@ -113,3 +113,30 @@ def test_directive_parity_with_reader(spark, fixture, fmt):
     every typed-conversion family (epoch/strftime/frac timestamps, typed
     headers, %X remap, log-IO bytes, durations, begin/end groups)."""
     _compare(spark, data(*fixture.split("/")), format_str=fmt)
+
+
+# --- randomized differential: python converter vs Catalyst expressions ----
+from hypothesis import given, settings  # noqa: E402
+from .test_logformat_properties import _sample_value, format_strings  # noqa: E402
+
+
+@given(format_strings())
+@settings(max_examples=15, deadline=None, derandomize=True)
+def test_random_format_differential(spark, tmp_path_factory, fmt):
+    """For arbitrary directive combinations, the Data Source's python
+    typed converter and the primary reader's Catalyst expressions must
+    produce identical rows on a synthetic line."""
+    tokens = fmt.split(" ")
+    vals = []
+    for tok in tokens:
+        if tok.startswith('"') and tok.endswith('"'):
+            vals.append(f'"{_sample_value(tok[1:-1])}"')
+        else:
+            v = _sample_value(tok)
+            if not v.startswith("["):
+                v = v.replace(" ", "_")
+            vals.append(v)
+    line = " ".join(vals)
+    p = tmp_path_factory.mktemp("ds") / "synthetic.log"
+    p.write_text((line + "\n") * 3)
+    _compare(spark, str(p), format_str=fmt)
