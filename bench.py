@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_RUNS = 3
+N_RUNS = 5  # median of 5: this box's run-to-run variance is ~±20%
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
