@@ -136,14 +136,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-3-gram Jaccard near-dup pairs at threshold 0.5 with hot-shingle DF cap",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # three consumers (gc + both sides of the pair join) with alias
-    # renames that defeat exchange reuse — materialize once
-    grams = _capped_grams(spark, sf_dir).localCheckpoint(eager=False)
+    # Pair-join machinery only needs gram IDENTITY, not content: shuffle
+    # 8-byte xxhash64 keys instead of ~20-byte shingle strings (64-bit
+    # collision odds over ~10^6 distinct shingles are ~10^-7 — far below
+    # the engines' float-rounding agreement threshold). Three consumers
+    # (gc + both sides of the pair join) with alias renames that defeat
+    # exchange reuse — materialize once.
+    grams = (
+        _capped_grams(spark, sf_dir)
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .localCheckpoint(eager=False)
+    )
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
     inter = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -213,19 +221,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = grams.groupBy("doc_id").agg(
         *sig_aggs,
         F.count(F.lit(1)).alias("n"),
-        F.collect_list("g").alias("gs"),
+        # verification needs gram IDENTITY only: carry 8-byte xxhash64s,
+        # not shingle strings, through the shuffle and the intersects
+        F.collect_list(F.xxhash64("g")).alias("gs"),
     )
     # docs feeds three consumers (bands + both verify sides) whose alias
     # renames defeat Catalyst exchange reuse — without this the gram
     # pipeline is scanned and shuffled 3x. localCheckpoint materializes
     # it once, truncates lineage, and is GC'd with the DataFrame.
     docs = docs.localCheckpoint(eager=False)
+    # band identity as a 64-bit hash (the oracle's band_key md5 string is
+    # only an equality key there too — identity, not content)
     band_keys = [
-        F.md5(
-            F.concat(
-                F.concat_ws("|", *[F.col(f"s{b * LSH_R + r}") for r in range(LSH_R)]),
-                F.lit(f"#{b}"),
-            ).cast("binary")
+        F.xxhash64(
+            F.concat_ws("|", *[F.col(f"s{b * LSH_R + r}") for r in range(LSH_R)]),
+            F.lit(f"#{b}"),
         )
         for b in range(LSH_BANDS)
     ]
