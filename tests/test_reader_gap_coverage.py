@@ -190,3 +190,53 @@ def test_malformed_raw_error_accounting(spark):
     good = [r for r in rows if not r.parse_error]
     assert all(r.raw_line for r in rows)  # raw_line always populated
     assert len(good) >= 1 and good[0].status == 200
+
+
+# --- input-shape robustness ----------------------------------------------
+def test_read_directory_path(spark, tmp_path):
+    """A directory argument reads every file under it (reference glob
+    semantics accept directories via the multi-file layer)."""
+    import shutil
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    shutil.copy(data("common", "sample.log"), d / "a.log")
+    shutil.copy(data("common", "sample.log"), d / "b.log")
+    df = read_httpd_log(spark, str(d), format_type="common")
+    assert df.count() == 12
+    assert df.select("log_file").distinct().count() == 2
+
+
+def test_empty_file(spark, tmp_path):
+    p = tmp_path / "empty.log"
+    p.write_text("")
+    df = read_httpd_log(spark, str(p), format_type="common")
+    assert df.count() == 0
+    assert "status" in df.columns  # schema intact with zero rows
+
+
+def test_blank_lines_only_raw(spark, tmp_path):
+    """A file of only blank lines: no rows, but the schema includes the
+    raw metadata columns (blank lines advance the counter, emit nothing)."""
+    p = tmp_path / "blank.log"
+    p.write_text("\n\n\n")
+    df = read_httpd_log(spark, str(p), format_type="common", raw=True)
+    assert df.count() == 0
+    assert {"line_number", "parse_error", "raw_line"} <= set(df.columns)
+
+
+def test_missing_file_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="No files found"):
+        read_httpd_log(spark, str(tmp_path / "nope.log"), format_type="common")
+
+
+def test_single_directive_format(spark, tmp_path):
+    p = tmp_path / "one.log"
+    p.write_text("10.0.0.1\n10.0.0.2\n")
+    df = read_httpd_log(spark, str(p), format_str="%h")
+    assert [r.client_host for r in df.orderBy("client_host").collect()] == [
+        "10.0.0.1",
+        "10.0.0.2",
+    ]
