@@ -119,6 +119,30 @@ class HttpdLogDataSource(DataSource):
         return HttpdLogReader(*self._bind())
 
 
+_ARROW_BATCH_ROWS = 8192
+
+_PY_TYPES = {
+    "string": "StringType",
+    "int": "IntegerType",
+    "bigint": "LongType",
+    "timestamp": "TimestampType",
+    "interval": "DayTimeIntervalType",
+    "boolean": "BooleanType",
+}
+
+
+def _arrow_schema(schema: list[tuple[str, str]]):
+    """pyarrow schema matching Spark's arrow mapping for our type set —
+    built without a SparkSession (executors have none)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    struct = T.StructType(
+        [T.StructField(name, getattr(T, _PY_TYPES[t])()) for name, t in schema]
+    )
+    return to_arrow_schema(struct)
+
+
 class HttpdLogReader(DataSourceReader):
     def __init__(self, files, parsed, raw_mode):
         self.files = files
@@ -152,11 +176,29 @@ class HttpdLogReader(DataSourceReader):
         # one partition per file: the reference's parallelism unit
         return [InputPartition(f) for f in self.files]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition):
+        """Yield pyarrow RecordBatches (Spark 4 accepts them from python
+        sources directly): columnar transfer beats per-row pickling by a
+        wide margin on this path."""
+        import pyarrow as pa
+
         fname = partition.value
         parsed, raw, pushed = self.parsed, self.raw_mode, self.pushed
         convert = build_row_converter(parsed)
         compiled = parsed.compiled
+        schema = generate_schema(parsed, raw)
+        arrow_schema = _arrow_schema(schema)
+        ncols = len(schema)
+        buf: list[list] = [[] for _ in range(ncols)]
+
+        def flush():
+            arrays = [
+                pa.array(buf[i], type=arrow_schema.field(i).type) for i in range(ncols)
+            ]
+            for col in buf:
+                col.clear()
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
         for line_number, line in iter_log_lines(fname):
             if not line:
                 continue  # empty lines advance the counter, emit no row
@@ -172,4 +214,9 @@ class HttpdLogReader(DataSourceReader):
             else:
                 continue
             if all(_eval_filter(f, row[i]) for f, i in pushed):
-                yield row
+                for i, v in enumerate(row):
+                    buf[i].append(v)
+                if len(buf[0]) >= _ARROW_BATCH_ROWS:
+                    yield flush()
+        if buf[0]:
+            yield flush()
