@@ -122,25 +122,37 @@ _hyperplanes = hyperplanes
     "random-hyperplane LSH buckets + per-bucket exact rerank (the 100 TB path)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized numpy kernels (see ann_ivf_topk for rationale:
+    # interpreted higher-order functions are ~100x slower on dense
+    # 64-dim float math, and literal-heavy plans are slow to analyze).
     emb = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    planes_t = np.array(_hyperplanes(), dtype=np.float64).T  # dim x n_planes
 
-    def sig_expr(col: str):
-        bits = []
-        for p, vec in enumerate(planes):
-            arr = "array(" + ", ".join(f"cast({x} as double)" for x in vec) + ")"
-            dot = (
-                f"aggregate(zip_with({col}, {arr}, (x, y) -> cast(x as double) * y),"
-                " cast(0.0 as double), (acc, v) -> acc + v)"
-            )
-            bits.append(f"case when {dot} >= 0 then {1 << p} else 0 end")
-        return F.expr(" + ".join(bits))
+    @F.pandas_udf("int")
+    def bucket_of(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        bits = (mat @ planes_t) >= 0
+        weights = 1 << np.arange(N_PLANES, dtype=np.int32)
+        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+
+    @F.pandas_udf("double")
+    def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        a = np.stack(qe.values).astype(np.float64)
+        b = np.stack(ce.values).astype(np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(np.round(dot / (na * nb), 4))
 
     corpus = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), sig_expr("embedding").alias("bucket")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        bucket_of("embedding").alias("bucket"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), sig_expr("embedding").alias("qbucket")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        bucket_of("embedding").alias("qbucket"),
     )
     # multi-probe: exact bucket plus Hamming-1 neighbors
     probes = q.select(
@@ -153,14 +165,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         probes.join(corpus, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                F.expr(_DOT) / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
-                4,
-            ).alias("cosine"),
-        )
+        .select("q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("cosine"))
         .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
