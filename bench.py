@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q18_quantiles",
     "q19_heavy_hitters",
     "q20_approx_distinct",
+    "q21_time_bucketed",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -191,3 +191,29 @@ def q17_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("stage", stage)
         .orderBy("user_id")
     )
+
+
+@register(
+    "q21_time_bucketed",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "hourly time-bucketed rollup (the reference README's requests-per-period idiom)",
+)
+def q21_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_us")
+    )

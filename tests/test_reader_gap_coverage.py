@@ -240,3 +240,20 @@ def test_single_directive_format(spark, tmp_path):
         "10.0.0.1",
         "10.0.0.2",
     ]
+
+
+def test_bzip2_matches_plain(spark, tmp_path):
+    """bzip2 input decodes transparently — and unlike gzip it's a
+    SPLITTABLE codec, so one big .bz2 file still parallelizes."""
+    import bz2
+    import shutil
+
+    src = data("common", "sample.log")
+    plain = read_httpd_log(spark, src, format_type="common")
+    bz = tmp_path / "sample.log.bz2"
+    with open(src, "rb") as fi, bz2.open(bz, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    compressed = read_httpd_log(spark, str(bz), format_type="common")
+    a = sorted([tuple(r)[:-1] for r in plain.collect()])  # drop log_file
+    b = sorted([tuple(r)[:-1] for r in compressed.collect()])
+    assert a == b
