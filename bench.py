@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_redact",
     "text_split_assign",
+    "text_ngram_counts",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",

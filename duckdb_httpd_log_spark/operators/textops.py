@@ -238,3 +238,52 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: the LM-data counting workload. Top-k by
+# count with a deterministic tie-break; the heavy lifting is one
+# explode + one hash aggregation (map-side partial combine), the
+# canonical shape for counting over a 100 TB corpus.
+# ---------------------------------------------------------------------------
+NGRAM_N = 2
+NGRAM_TOP = 100
+
+
+@register(
+    "text_ngram_counts",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT unnest([t[i] || ' ' || t[i+1]
+                       for i in range(1, greatest(len(t), 1))]) AS g
+        FROM toks
+    )
+    SELECT g AS ngram, count(*) AS n, count(*) * 1.0 / (SELECT count(*) FROM grams) AS frac
+    FROM grams
+    GROUP BY g
+    ORDER BY n DESC, ngram
+    LIMIT {NGRAM_TOP}
+    """,
+    "top bigrams with counts and corpus fraction (LM-data statistics)",
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                f"case when size(split(text, ' ')) >= {NGRAM_N} then"
+                f" transform(sequence(1, size(split(text, ' ')) - 1),"
+                f"  i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"
+                f" else array() end"
+            )
+        ).alias("ngram")
+    )
+    total = grams.count()  # driver-side scalar (one job), like the oracle's subquery
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("frac", F.col("n") / F.lit(total))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(NGRAM_TOP)
+    )
