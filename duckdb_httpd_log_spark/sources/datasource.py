@@ -25,8 +25,6 @@ reference binds.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,

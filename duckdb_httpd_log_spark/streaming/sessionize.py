@@ -13,7 +13,6 @@ operator in tests.
 
 from __future__ import annotations
 
-import datetime
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
