@@ -66,5 +66,15 @@ def test_stream_sessionize_emits_on_timeout(spark, tmp_path):
         by_host = {r.client_host: r for r in rows}
         assert by_host["192.168.1.1"].n_requests == 2
         assert by_host["192.168.1.1"].total_bytes == 2326 + 5678
+        # the stateful stream must agree with the batch twin exactly
+        # (sample.log spans 5 minutes -> one session per host at 30m gap)
+        batch = {
+            r.client_host: (r.n_requests, r.total_bytes)
+            for r in sessionize_batch(
+                read_httpd_log(spark, data("common", "sample.log")), gap_seconds=30 * 60
+            ).collect()
+        }
+        got = {r.client_host: (r.n_requests, r.total_bytes) for r in rows}
+        assert got == batch
     finally:
         q.stop()
