@@ -28,9 +28,12 @@ def _sql_list(words: list[str]) -> str:
 
 
 def _ratio_spark(lang: str):
+    # cast to double BEFORE dividing: Spark's `1.0` SQL literal is a
+    # DECIMAL, and decimal outputs stringify differently from DuckDB's
+    # doubles in the driver's value hash (r1 hash_match=false).
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return F.expr(
-        f"round(size(filter(t, x -> x in ({lst}))) * 1.0 / greatest(size(t), 1), 4)"
+        f"round(size(filter(t, x -> x in ({lst}))) / cast(greatest(size(t), 1) as double), 4)"
     ).alias(f"{lang}_ratio")
 
 
@@ -92,7 +95,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "text", F.split("text", " ").alias("t"))
     n_tokens = F.size("t")
-    uniq = F.expr("size(array_distinct(t)) * 1.0 / greatest(size(t), 1)")
+    uniq = F.expr("size(array_distinct(t)) / cast(greatest(size(t), 1) as double)")
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),

@@ -62,7 +62,7 @@ def mark_and_split(value: Column, pattern: str, num_groups: int) -> tuple[Column
     capture-group strings (1-based group i at parts[i-1]).
     """
     marked = marked_expr(value, pattern, num_groups)
-    return ok_and_parts(marked)
+    return ok_and_parts(marked, num_groups)
 
 
 def marked_expr(value: Column, pattern: str, num_groups: int) -> Column:
@@ -73,9 +73,13 @@ def marked_expr(value: Column, pattern: str, num_groups: int) -> Column:
     return F.regexp_replace(value, anchored, repl)
 
 
-def ok_and_parts(marked: Column) -> tuple[Column, Column]:
-    ok = F.substring(marked, 1, 1) == F.lit(SENTINEL)
+def ok_and_parts(marked: Column, num_groups: int) -> tuple[Column, Column]:
     parts = F.split(F.substring(marked, 2, 2147483646), SEP, -1)
+    # The part-count guard rejects lines whose captured text contains a
+    # literal \x01 (which would shift every later column) and lines that
+    # didn't match but happen to start with \x02 — both degrade to
+    # parse_error/dropped instead of silently mis-typed columns.
+    ok = (F.substring(marked, 1, 1) == F.lit(SENTINEL)) & (F.size(parts) == F.lit(num_groups))
     return ok, parts
 
 
@@ -89,8 +93,16 @@ def materialization_barrier(col: Column) -> Column:
     the alias). Wrapping the expression in an always-true nondeterministic
     guard blocks both rules, so a filter + N-column projection over the
     line regex costs ONE regex execution per row instead of two. The
-    guard is semantically the identity (rand() >= -1 is always true)."""
-    return F.when(F.rand(seed=0) >= -1.0, col)
+    guard is semantically the identity: length(input_file_name()) >= 0 is
+    always true on a file scan.
+
+    (Previously rand(seed) >= -1.0 — Spark 4.1's optimizer constant-folds
+    comparisons of rand() against out-of-range literals, which silently
+    dissolved the barrier; input_file_name() is equally nondeterministic
+    to the optimizer but its length cannot be range-analyzed, and unlike
+    rand it is valid in streaming plans. Pinned by
+    tests/test_plans.py::test_log_reader_fast_path_is_narrow.)"""
+    return F.when(F.length(F.input_file_name()) >= 0, col)
 
 
 def group_value(parts: Column, capture_index: int) -> Column:

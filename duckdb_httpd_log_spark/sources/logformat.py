@@ -28,6 +28,14 @@ always place skipped duplicates last). We keep the two strictly in sync.
 from __future__ import annotations
 
 import re
+import sys
+
+if sys.version_info < (3, 11):  # pragma: no cover
+    raise ImportError(
+        "duckdb_httpd_log_spark requires Python >= 3.11: generated log-line "
+        "regexes use possessive quantifiers, which the `re` module only "
+        "supports from 3.11 (declared via requires-python in pyproject.toml)"
+    )
 from dataclasses import dataclass, field as dc_field
 from enum import Enum
 from typing import Optional

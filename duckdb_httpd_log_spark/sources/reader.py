@@ -70,6 +70,39 @@ def expand_paths(path: PathLike) -> list[str]:
     return sorted(dict.fromkeys(files))
 
 
+# Extensions Hadoop's compression-codec factory resolves for Spark's text
+# scan. A gzip file NAMED outside this set would be read as raw bytes by
+# spark.read.text, so every line would fail the regex and be silently
+# dropped — the reference decompresses by content (AUTO_DETECT on open,
+# src/httpd_log_buffered_reader.cpp:6), so those files are detected at
+# bind time and routed through a per-file binary+gunzip path instead.
+_CODEC_EXTS = {".gz", ".gzip", ".bz2", ".deflate", ".zst", ".zstd", ".snappy", ".lz4"}
+
+
+def _gzip_by_magic(fname: str) -> bool:
+    try:
+        with open(fname, "rb") as fh:
+            return fh.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
+def _split_misnamed_gzip(files: list[str]) -> tuple[list[str], list[str]]:
+    """Partition files into (extension-routed, gzip-by-magic-but-misnamed).
+
+    The 2-byte magic probe runs only for files whose extension is NOT a
+    known codec extension, so the bind-time cost is bounded by the number
+    of oddly-named files, not total data size."""
+    plain, misnamed = [], []
+    for f in files:
+        ext = os.path.splitext(f)[1].lower()
+        if ext not in _CODEC_EXTS and _gzip_by_magic(f):
+            misnamed.append(f)
+        else:
+            plain.append(f)
+    return plain, misnamed
+
+
 def _open_text(fname: str) -> io.TextIOBase:
     """Open a log file for driver-side sampling, sniffing gzip magic."""
     with open(fname, "rb") as fh:
@@ -259,6 +292,62 @@ def _parse_columns(parsed: ParsedFormat, value):
     return ok, parts
 
 
+def _lines_array_expr() -> "F.Column":
+    """Split a wholetext ``value`` into lines: strip trailing ``\\r``; a
+    trailing newline does not produce a phantom final line."""
+    lines = F.expr(r"transform(split(value, '\n'), x -> regexp_replace(x, '\r$', ''))")
+    return F.when(
+        F.col("value").endswith("\n"), F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0)))
+    ).otherwise(lines)
+
+
+def _gunzip_wholetext_df(spark: SparkSession, files: list[str]) -> DataFrame:
+    """DataFrame[(log_file, value)] for gzip files whose NAMES Spark's
+    extension-based codec resolution would misread as raw bytes.
+
+    Distributed: one binaryFile row per file, gunzipped executor-side in
+    an Arrow ``mapInPandas`` — the same one-partition-per-file
+    granularity gzip gets on the extension path (gzip is unsplittable)."""
+    import pandas as pd
+
+    def gunzip(batches):
+        for pdf in batches:
+            texts = [
+                _gzip.decompress(bytes(c)).decode("utf-8", errors="replace")
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame({"log_file": pdf["path"], "value": texts})
+
+    bdf = spark.read.format("binaryFile").load(files).select("path", "content")
+    out = bdf.mapInPandas(gunzip, schema="log_file string, value string")
+    return out.select(_normalize_file_uri(F.col("log_file")).alias("log_file"), "value")
+
+
+def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
+    """DataFrame[(value, __f)] of raw lines: the splittable text scan for
+    extension-routed files, unioned with the gunzip branch for
+    content-detected gzip files lacking a codec extension."""
+    plain, misnamed = _split_misnamed_gzip(files)
+    dfs = []
+    if plain:
+        dfs.append(
+            spark.read.text(plain).select(
+                "value", _normalize_file_uri(F.input_file_name()).alias("__f")
+            )
+        )
+    if misnamed:
+        whole = _gunzip_wholetext_df(spark, misnamed)
+        dfs.append(
+            whole.select(
+                F.explode(_lines_array_expr()).alias("value"), F.col("log_file").alias("__f")
+            )
+        )
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    return df
+
+
 def _read_fast(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> DataFrame:
     """Splittable fast path (raw=False): drops unparseable/empty lines.
 
@@ -266,19 +355,15 @@ def _read_fast(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> D
     drop-unparsed Filter and the typed Projection share ONE regex
     execution per line (without it, predicate pushdown inlines the
     regexp into both operators — measured ~15% slower)."""
-    df = spark.read.text(files)
+    df = _fast_lines_df(spark, files)
     df = df.filter(F.length("value") > 0)
     if not parsed.fields:
-        return df.filter(F.lit(False)).select(
-            _normalize_file_uri(F.input_file_name()).alias("log_file")
-        )
+        return df.filter(F.lit(False)).select(F.col("__f").alias("log_file"))
     marked = X.materialization_barrier(
         X.marked_expr(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)
     )
-    df = df.select(
-        marked.alias("__m"), _normalize_file_uri(F.input_file_name()).alias("__f")
-    )
-    ok, parts = X.ok_and_parts(F.col("__m"))
+    df = df.select(marked.alias("__m"), "__f")
+    ok, parts = X.ok_and_parts(F.col("__m"), parsed.num_capture_groups)
     cols = _projection(parsed, ok, parts)
     cols.append(F.col("__f").alias("log_file"))
     return df.filter(ok).select(*cols)
@@ -288,16 +373,20 @@ def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> Da
     """Raw mode: per-file line numbers (empty + error lines advance the
     counter; empty lines emit no row; error rows keep parse_error=true and
     the raw text)."""
-    df = spark.read.text(files, wholetext=True).select(
-        _normalize_file_uri(F.input_file_name()).alias("log_file"), "value"
-    )
-    # split into lines; strip trailing \r; a trailing newline does not
-    # produce a phantom final line
-    lines = F.expr(r"transform(split(value, '\n'), x -> regexp_replace(x, '\r$', ''))")
-    lines = F.when(
-        F.col("value").endswith("\n"), F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0)))
-    ).otherwise(lines)
-    df = df.select("log_file", F.posexplode(lines).alias("pos", "line"))
+    plain, misnamed = _split_misnamed_gzip(files)
+    dfs = []
+    if plain:
+        dfs.append(
+            spark.read.text(plain, wholetext=True).select(
+                _normalize_file_uri(F.input_file_name()).alias("log_file"), "value"
+            )
+        )
+    if misnamed:
+        dfs.append(_gunzip_wholetext_df(spark, misnamed))
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
+    df = df.select("log_file", F.posexplode(_lines_array_expr()).alias("pos", "line"))
     df = df.withColumn("line_number", (F.col("pos") + 1).cast("bigint")).drop("pos")
     df = df.filter(F.length("line") > 0)
 

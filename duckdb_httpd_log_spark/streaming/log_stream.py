@@ -51,7 +51,7 @@ def read_httpd_log_stream(
         X.marked_expr(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)
     )
     df = df.select(marked.alias("__m"), _normalize_file_uri(F.input_file_name()).alias("__f"))
-    ok, parts = X.ok_and_parts(F.col("__m"))
+    ok, parts = X.ok_and_parts(F.col("__m"), parsed.num_capture_groups)
     cols = _projection(parsed, ok, parts)
     cols.append(F.col("__f").alias("log_file"))
     return df.filter(ok).select(*cols)

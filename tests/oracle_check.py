@@ -28,16 +28,14 @@ def canon(v):
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(v).lower()
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            if f == int(f) and abs(f) < 1e15:
-                return str(int(f))
-            return f"{f:.6g}"
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT coerced to float: the driver's hash
+        # distinguishes Decimal from double (r1: text_language_id /
+        # text_quality hash-mismatched on decimal(17,4) vs DOUBLE).
+        # A Decimal here should be treated as a parity bug.
+        return f"DECIMAL:{v}"
     return str(v)
 
 

@@ -42,6 +42,11 @@ def test_all_queries_run_nonempty(spark):
         df = qd.spark_fn(spark, SF_DIR)
         assert df.count() >= 0, name
         assert len(df.columns) > 0, name
+        # Spark SQL literals like `1.0` are DECIMAL; DuckDB's are DOUBLE.
+        # The driver's value hash distinguishes the two, so any decimal
+        # output column is a latent oracle mismatch (bit us in round 1).
+        decs = [(c, t) for c, t in df.dtypes if t.startswith("decimal")]
+        assert not decs, f"{name} emits decimal columns {decs}; cast to double"
 
 
 @pytest.mark.parametrize("name", ORACLE_SUBSET)

@@ -365,6 +365,53 @@ def test_gzip_matches_plain(spark):
     assert gz_files.log_file.endswith(".gz")
 
 
+def test_gzip_without_extension_detected_by_magic(spark, tmp_path):
+    # a gzip file NAMED like a plain log: Spark's extension-based codec
+    # would read raw bytes and silently drop every line; the bind-time
+    # magic probe must route it through the gunzip branch instead
+    # (reference: AUTO_DETECT on open, src/httpd_log_buffered_reader.cpp:6)
+    import gzip as _gz
+    import shutil
+
+    misnamed = tmp_path / "server_misnamed.log"
+    shutil.copyfile(data("compressed", "server1.log.gz"), misnamed)
+    plain = read_httpd_log(spark, data("multi_file", "server1.log")).drop("log_file")
+    sniffed = read_httpd_log(spark, str(misnamed)).drop("log_file")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, sniffed.collect()))
+
+    # raw mode: same rows + correct per-file line numbers
+    raw = read_httpd_log(spark, str(misnamed), raw=True)
+    rows = raw.orderBy("line_number").collect()
+    assert [r.line_number for r in rows] == [1, 2]
+    assert not any(r.parse_error for r in rows)
+
+    # mixed glob: one plain + one misnamed-gzip in a single read
+    (tmp_path / "plain.log").write_bytes(
+        _gz.decompress(misnamed.read_bytes())
+    )
+    mixed = read_httpd_log(spark, str(tmp_path / "*"))
+    assert mixed.count() == 4
+    assert mixed.select("log_file").distinct().count() == 2
+
+
+def test_control_char_line_degrades_to_parse_error(spark, tmp_path):
+    # captured text containing the \x01/\x02 marker bytes must not shift
+    # columns: the parts-count guard rejects the line (parse_error in raw
+    # mode, dropped in fast mode)
+    good = '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 10'
+    evil = '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /b\x01x HTTP/1.0" 200 11'
+    sneaky = "\x02not a log line at all"
+    p = tmp_path / "ctrl.log"
+    p.write_text(f"{good}\n{evil}\n{sneaky}\n")
+
+    fast = read_httpd_log(spark, str(p), format_type="common")
+    assert [r.path for r in fast.collect()] == ["/a"]
+
+    raw = read_httpd_log(spark, str(p), format_type="common", raw=True).orderBy("line_number")
+    flags = [r.parse_error for r in raw.collect()]
+    assert flags == [False, True, True]
+
+
 # --- special chars / edge cases ---------------------------------------------
 def test_special_chars(spark):
     df = read_httpd_log(spark, data("edge_cases", "special_chars.log"), format_type="common", raw=True)
