@@ -272,21 +272,31 @@ NGRAM_TOP = 100
 )
 def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                f"case when size(split(text, ' ')) >= {NGRAM_N} then"
-                f" transform(sequence(1, size(split(text, ' ')) - 1),"
-                f"  i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"
-                f" else array() end"
-            )
-        ).alias("ngram")
+    # materialize the token array once; build bigrams over it (the naive
+    # expr re-runs split(text) three times per row)
+    grams = (
+        docs.select(F.split("text", " ").alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"case when size(t) >= {NGRAM_N} then"
+                    f" transform(sequence(1, size(t) - 1),"
+                    f"  i -> concat_ws(' ', t[i-1], t[i]))"
+                    f" else array() end"
+                )
+            ).alias("ngram")
+        )
     )
-    total = grams.count()  # driver-side scalar (one job), like the oracle's subquery
+    # ONE pass over the corpus: the total gram count is the sum of the
+    # per-ngram counts, derived from the aggregated (tiny) result rather
+    # than a second full explode+count job. The broadcast scalar join
+    # costs nothing; the heavy explode shuffle is shared via Spark's
+    # exchange reuse.
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        grams.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("frac", F.col("n") / F.lit(total))
+        counts.crossJoin(F.broadcast(total))
+        .select("ngram", "n", (F.col("n") / F.col("__total")).alias("frac"))
         .orderBy(F.col("n").desc(), "ngram")
         .limit(NGRAM_TOP)
     )
