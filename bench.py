@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "text_redact",
     "text_split_assign",
     "text_ngram_counts",
+    "text_quality_rules",
+    "text_contamination",
+    "text_pack_sequences",
+    "sample_stratified",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_features",

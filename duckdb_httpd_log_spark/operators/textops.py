@@ -249,6 +249,280 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explode + one hash aggregation (map-side partial combine), the
 # canonical shape for counting over a 100 TB corpus.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# C4/Gopher-style rule-based quality filter: the standard pre-training
+# keep/drop gate. Each rule is a named boolean column so downstream
+# pipelines can audit WHY a document was dropped, not just that it was.
+# Pure Catalyst expressions; thresholds shared with the oracle.
+# ---------------------------------------------------------------------------
+QR_MIN_TOKENS, QR_MAX_TOKENS = 20, 1000
+QR_MIN_MEAN_LEN, QR_MAX_MEAN_LEN = 2.0, 12.0
+QR_MIN_STOP_HITS = 1
+QR_MIN_UNIQ = 0.3
+QR_MAX_NUM_RATIO = 0.3
+_NUM_TOKEN_RE = "^[0-9]+$"
+
+
+@register(
+    "text_quality_rules",
+    f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE, 4) AS mean_tok_len,
+               len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS stop_hits,
+               round(len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE, 4) AS uniq_ratio,
+               round(len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE, 4) AS num_ratio
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, stop_hits, uniq_ratio, num_ratio,
+           n_tokens BETWEEN {QR_MIN_TOKENS} AND {QR_MAX_TOKENS}            AS r_word_count,
+           mean_tok_len BETWEEN {QR_MIN_MEAN_LEN} AND {QR_MAX_MEAN_LEN}    AS r_mean_len,
+           stop_hits >= {QR_MIN_STOP_HITS}                                 AS r_stopword,
+           uniq_ratio >= {QR_MIN_UNIQ}                                     AS r_repetition,
+           num_ratio <= {QR_MAX_NUM_RATIO}                                 AS r_numeric,
+           (n_tokens BETWEEN {QR_MIN_TOKENS} AND {QR_MAX_TOKENS})
+             AND (mean_tok_len BETWEEN {QR_MIN_MEAN_LEN} AND {QR_MAX_MEAN_LEN})
+             AND stop_hits >= {QR_MIN_STOP_HITS}
+             AND uniq_ratio >= {QR_MIN_UNIQ}
+             AND num_ratio <= {QR_MAX_NUM_RATIO}                           AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+    "C4/Gopher-style rule filter: per-rule booleans + keep decision",
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "round(aggregate(t, 0L, (a, x) -> a + length(x)) / cast(greatest(size(t), 1) as double), 4)"
+        ).alias("mean_tok_len"),
+        F.expr(f"size(filter(t, x -> x in ({en})))").alias("stop_hits"),
+        F.expr("round(size(array_distinct(t)) / cast(greatest(size(t), 1) as double), 4)").alias(
+            "uniq_ratio"
+        ),
+        F.expr(
+            f"round(size(filter(t, x -> x rlike '{_NUM_TOKEN_RE}')) / cast(greatest(size(t), 1) as double), 4)"
+        ).alias("num_ratio"),
+    )
+    r_wc = F.col("n_tokens").between(QR_MIN_TOKENS, QR_MAX_TOKENS)
+    r_ml = F.col("mean_tok_len").between(QR_MIN_MEAN_LEN, QR_MAX_MEAN_LEN)
+    r_st = F.col("stop_hits") >= QR_MIN_STOP_HITS
+    r_rep = F.col("uniq_ratio") >= QR_MIN_UNIQ
+    r_num = F.col("num_ratio") <= QR_MAX_NUM_RATIO
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "stop_hits",
+        "uniq_ratio",
+        "num_ratio",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_st.alias("r_stopword"),
+        r_rep.alias("r_repetition"),
+        r_num.alias("r_numeric"),
+        (r_wc & r_ml & r_st & r_rep & r_num).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: k docs per (lang, source) stratum,
+# ranked by a salted content-independent hash — stable across engines,
+# runs, and cluster sizes. Window partitioned on the stratum key, so the
+# shuffle is per-stratum (no global sort) and scales with executors.
+# ---------------------------------------------------------------------------
+STRAT_K = 20
+STRAT_SALT = "strat-v1"
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('{STRAT_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {STRAT_K}
+    ORDER BY lang, source, rk
+    """,
+    f"deterministic stratified sample: top-{STRAT_K} per (lang, source) by salted md5 rank",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{STRAT_SALT}:"), F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("lang", "source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= STRAT_K)
+        .orderBy("lang", "source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: score every training doc by its distinct
+# word-3-gram overlap against a benchmark set (here: source = 'src0').
+# The benchmark gram set is broadcast (eval sets are small in practice);
+# the per-doc count is one hash aggregation — the canonical shape for
+# decontaminating a 100 TB corpus against held-out eval suites.
+# ---------------------------------------------------------------------------
+CONTAM_NGRAM = 3
+CONTAM_BENCH_SOURCE = "src0"
+CONTAM_THRESHOLD = 0.5
+
+
+@register(
+    "text_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, greatest(len(t) - {CONTAM_NGRAM - 2}, 1))]) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = '{CONTAM_BENCH_SOURCE}'),
+    per_doc AS (
+        SELECT gr.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+        FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+        WHERE gr.source <> '{CONTAM_BENCH_SOURCE}'
+        GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(n_hit / n_grams::DOUBLE, 4) AS contamination,
+           n_hit / n_grams::DOUBLE >= {CONTAM_THRESHOLD} AS contaminated
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    "benchmark decontamination: distinct 3-gram overlap vs the benchmark source",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"case when size(t) >= {CONTAM_NGRAM} then"
+                f" transform(sequence(1, size(t) - {CONTAM_NGRAM - 1}),"
+                f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                f" else array() end"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.filter(F.col("source") == CONTAM_BENCH_SOURCE).select(F.col("g").alias("bg")).distinct()
+    )
+    per_doc = (
+        grams.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+        .join(F.broadcast(bench), F.col("g") == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("bg").alias("n_hit"))
+    )
+    contamination = F.col("n_hit") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(contamination, 4).alias("contamination"),
+        (contamination >= CONTAM_THRESHOLD).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign docs (in doc_id order) to fixed-size context
+# shards by global token offset — the shard-building step of a training
+# pipeline. The global prefix sum is computed the scalable way: range-
+# partition by doc_id, per-partition totals (one tiny job), then a
+# per-partition cumulative sum seeded with the exclusive partition
+# offset — NO single-partition global window, so the same plan holds at
+# 100 TB. Oracle: DuckDB's global window cumsum (fine at oracle scale).
+# ---------------------------------------------------------------------------
+PACK_CTX = 4096
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT CAST((cum - n_tok) // {PACK_CTX} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    ORDER BY shard_id
+    """,
+    f"pack docs into {PACK_CTX}-token shards via distributed two-phase prefix sum",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    d = (
+        docs.repartitionByRange(nparts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # two consumers (per-partition totals + the cumsum pass) must see
+        # identical partitioning; checkpoint pins it and runs the range
+        # shuffle once
+        .localCheckpoint(eager=False)
+    )
+    totals = {r.pid: r.s for r in d.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    def cumsum(batches):
+        running = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = b_off.value[int(pdf["pid"].iloc[0])]
+            cs = pdf["n_tok"].cumsum() + running
+            running = int(cs.iloc[-1])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tok": pdf["n_tok"], "cum": cs}
+            )
+
+    c = d.mapInPandas(cumsum, schema="doc_id long, n_tok long, cum long")
+    shard = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(PACK_CTX)).cast("bigint")
+    return (
+        c.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 NGRAM_N = 2
 NGRAM_TOP = 100
 

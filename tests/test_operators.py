@@ -21,6 +21,10 @@ ORACLE_SUBSET = [
     "text_quality",
     "ann_cosine_topk",
     "multimodal_features",
+    "text_quality_rules",
+    "sample_stratified",
+    "text_contamination",
+    "text_pack_sequences",
 ]
 
 
@@ -146,6 +150,61 @@ def test_salted_heavy_hitters_equal_plain_groupby(spark):
         .orderBy(F.col("n").desc(), "user_id").limit(10).collect()
     )
     assert got == [(r.user_id, r.n) for r in plain]
+
+
+def test_pack_sequences_conserves_tokens_and_is_contiguous(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.operators.textops import PACK_CTX
+    from duckdb_httpd_log_spark.plans.registry import table
+
+    shards = REGISTRY["text_pack_sequences"].spark_fn(spark, SF_DIR).collect()
+    docs = table(spark, SF_DIR, "documents")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    # every token lands in exactly one shard
+    assert sum(s.total_tokens for s in shards) == total
+    assert sum(s.n_docs for s in shards) == docs.count()
+    # shards are contiguous doc-id ranges in order
+    ids = [s.shard_id for s in shards]
+    assert ids == sorted(ids)
+    for prev, nxt in zip(shards, shards[1:]):
+        assert prev.last_doc < nxt.first_doc
+    # a shard never starts past its offset window: every shard's start
+    # offset is inside [shard_id*CTX, (shard_id+1)*CTX)
+    assert all(s.total_tokens > 0 for s in shards)
+
+
+def test_stratified_sample_bounded_per_stratum(spark):
+    from duckdb_httpd_log_spark.operators.textops import STRAT_K
+
+    rows = REGISTRY["sample_stratified"].spark_fn(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per[(r.lang, r.source)] = per.get((r.lang, r.source), 0) + 1
+        assert 1 <= r.rk <= STRAT_K
+    assert all(n <= STRAT_K for n in per.values())
+
+
+def test_quality_rules_keep_is_conjunction(spark):
+    rows = REGISTRY["text_quality_rules"].spark_fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.keep == (
+            r.r_word_count and r.r_mean_len and r.r_stopword and r.r_repetition and r.r_numeric
+        )
+
+
+def test_contamination_excludes_benchmark_and_bounds(spark):
+    from duckdb_httpd_log_spark.operators.textops import CONTAM_BENCH_SOURCE
+    from duckdb_httpd_log_spark.plans.registry import table
+
+    out = REGISTRY["text_contamination"].spark_fn(spark, SF_DIR)
+    docs = table(spark, SF_DIR, "documents")
+    bench_ids = {r.doc_id for r in docs.filter(f"source = '{CONTAM_BENCH_SOURCE}'").collect()}
+    rows = out.collect()
+    assert not any(r.doc_id in bench_ids for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_grams
+        assert 0.0 <= r.contamination <= 1.0
 
 
 def test_partitioned_sink_roundtrip(spark, tmp_path):
