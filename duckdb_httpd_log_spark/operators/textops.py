@@ -244,12 +244,6 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Corpus n-gram statistics: the LM-data counting workload. Top-k by
-# count with a deterministic tie-break; the heavy lifting is one
-# explode + one hash aggregation (map-side partial combine), the
-# canonical shape for counting over a 100 TB corpus.
-# ---------------------------------------------------------------------------
-# ---------------------------------------------------------------------------
 # C4/Gopher-style rule-based quality filter: the standard pre-training
 # keep/drop gate. Each rule is a named boolean column so downstream
 # pipelines can audit WHY a document was dropped, not just that it was.
@@ -294,40 +288,65 @@ _NUM_TOKEN_RE = "^[0-9]+$"
 )
 def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    d = docs.select("doc_id", F.split("text", " ").alias("t")).select(
-        "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.expr(
-            "round(aggregate(t, 0L, (a, x) -> a + length(x)) / cast(greatest(size(t), 1) as double), 4)"
-        ).alias("mean_tok_len"),
-        F.expr(f"size(filter(t, x -> x in ({en})))").alias("stop_hits"),
-        F.expr("round(size(array_distinct(t)) / cast(greatest(size(t), 1) as double), 4)").alias(
-            "uniq_ratio"
-        ),
-        F.expr(
-            f"round(size(filter(t, x -> x rlike '{_NUM_TOKEN_RE}')) / cast(greatest(size(t), 1) as double), 4)"
-        ).alias("num_ratio"),
+    return (
+        apply_quality_rules(docs.select("doc_id", "text"))
+        .select("doc_id", *QUALITY_RULE_COLUMNS)
+        .orderBy("doc_id")
     )
+
+
+QUALITY_RULE_COLUMNS = [
+    "n_tokens",
+    "mean_tok_len",
+    "stop_hits",
+    "uniq_ratio",
+    "num_ratio",
+    "r_word_count",
+    "r_mean_len",
+    "r_stopword",
+    "r_repetition",
+    "r_numeric",
+    "keep",
+]
+
+
+def apply_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the rule metrics/flags/keep columns to any DataFrame with a
+    text column. Stateless per-row projection (pure Catalyst exprs) —
+    works identically on batch DataFrames and streaming sources, which
+    is how a 100 TB ingest applies the gate at document arrival time."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = df.withColumn("__t", F.split(text_col, " "))
+    d = d.withColumns(
+        {
+            "n_tokens": F.size("__t"),
+            "mean_tok_len": F.expr(
+                "round(aggregate(__t, 0L, (a, x) -> a + length(x)) / cast(greatest(size(__t), 1) as double), 4)"
+            ),
+            "stop_hits": F.expr(f"size(filter(__t, x -> x in ({en})))"),
+            "uniq_ratio": F.expr(
+                "round(size(array_distinct(__t)) / cast(greatest(size(__t), 1) as double), 4)"
+            ),
+            "num_ratio": F.expr(
+                f"round(size(filter(__t, x -> x rlike '{_NUM_TOKEN_RE}')) / cast(greatest(size(__t), 1) as double), 4)"
+            ),
+        }
+    ).drop("__t")
     r_wc = F.col("n_tokens").between(QR_MIN_TOKENS, QR_MAX_TOKENS)
     r_ml = F.col("mean_tok_len").between(QR_MIN_MEAN_LEN, QR_MAX_MEAN_LEN)
     r_st = F.col("stop_hits") >= QR_MIN_STOP_HITS
     r_rep = F.col("uniq_ratio") >= QR_MIN_UNIQ
     r_num = F.col("num_ratio") <= QR_MAX_NUM_RATIO
-    return d.select(
-        "doc_id",
-        "n_tokens",
-        "mean_tok_len",
-        "stop_hits",
-        "uniq_ratio",
-        "num_ratio",
-        r_wc.alias("r_word_count"),
-        r_ml.alias("r_mean_len"),
-        r_st.alias("r_stopword"),
-        r_rep.alias("r_repetition"),
-        r_num.alias("r_numeric"),
-        (r_wc & r_ml & r_st & r_rep & r_num).alias("keep"),
-    ).orderBy("doc_id")
+    return d.withColumns(
+        {
+            "r_word_count": r_wc,
+            "r_mean_len": r_ml,
+            "r_stopword": r_st,
+            "r_repetition": r_rep,
+            "r_numeric": r_num,
+            "keep": r_wc & r_ml & r_st & r_rep & r_num,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +542,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: the LM-data counting workload. Top-k by
+# count with a deterministic tie-break; the heavy lifting is one
+# explode + one hash aggregation (map-side partial combine), the
+# canonical shape for counting over a 100 TB corpus.
+# ---------------------------------------------------------------------------
 NGRAM_N = 2
 NGRAM_TOP = 100
 

@@ -207,6 +207,41 @@ def test_contamination_excludes_benchmark_and_bounds(spark):
         assert 0.0 <= r.contamination <= 1.0
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Tables bucketed+sorted on the join key join with NO exchange and
+    NO sort: the shuffle was paid once at write time — the layout
+    contract save_bucketed exists for."""
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.plans.registry import table as _table
+    from duckdb_httpd_log_spark.sinks import save_bucketed
+
+    docs = _table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    for t in ("bkt_docs_a", "bkt_docs_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        save_bucketed(docs, t, ["doc_id"], num_buckets=4, sort_cols=["doc_id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the plan exercises the big-big join
+        # path the bucketing exists for (at real scale neither side fits)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("bkt_docs_a"), spark.table("bkt_docs_b")
+        joined = a.join(b, "doc_id").groupBy(a.lang).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no exchange (and no sort, thanks to sortBy) below the join:
+        # the bucket layout replaces the shuffle
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        join_below = plan.split("Join")[-1]
+        assert "Sort [doc_id" not in join_below or "Bucketed: true" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_docs_a", "bkt_docs_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_partitioned_sink_roundtrip(spark, tmp_path):
     """Date-partitioned parquet sink: partition dirs exist, data round-trips,
     and a date filter prunes partitions."""

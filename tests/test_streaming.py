@@ -113,3 +113,30 @@ def test_error_rate_alerts(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_requests == 10 and rows[0].n_5xx == 8
     assert abs(rows[0].error_rate - 0.8) < 1e-9
+
+
+def test_streaming_quality_rules_match_batch(spark, tmp_path):
+    """The C4/Gopher rule gate is a stateless projection, so it must
+    produce identical rows on a file stream and on the batch table."""
+    from duckdb_httpd_log_spark.operators.textops import (
+        QUALITY_RULE_COLUMNS,
+        apply_quality_rules,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    outdir = tmp_path / "docs_stream"
+    src.write.parquet(str(outdir))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(outdir))
+    flagged = apply_quality_rules(stream).select("doc_id", *QUALITY_RULE_COLUMNS)
+    assert flagged.isStreaming
+    _run_stream(flagged, "stream_quality")
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM stream_quality").collect()}
+    want = {
+        tuple(r)
+        for r in apply_quality_rules(src).select("doc_id", *QUALITY_RULE_COLUMNS).collect()
+    }
+    assert got == want and len(got) == src.count()
