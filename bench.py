@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q19_heavy_hitters",
     "q20_approx_distinct",
     "q21_time_bucketed",
+    "q22_pivot",
+    "q23_exists_semi_anti",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

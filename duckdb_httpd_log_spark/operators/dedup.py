@@ -136,17 +136,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-3-gram Jaccard near-dup pairs at threshold 0.5 with hot-shingle DF cap",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pair-join machinery only needs gram IDENTITY, not content: shuffle
-    # 8-byte xxhash64 keys instead of ~20-byte shingle strings (64-bit
-    # collision odds over ~10^6 distinct shingles are ~10^-7 — far below
-    # the engines' float-rounding agreement threshold). Three consumers
-    # (gc + both sides of the pair join) with alias renames that defeat
-    # exchange reuse — materialize once.
-    grams = (
-        _capped_grams(spark, sf_dir)
-        .select("doc_id", F.xxhash64("g").alias("gh"))
-        .localCheckpoint(eager=False)
-    )
+    # The whole pipeline only needs gram IDENTITY, not content: hash each
+    # shingle to a 64-bit xxhash64 INSIDE the gram-building transform, so
+    # the distinct, the DF-cap aggregate, and the pair join all shuffle
+    # 8-byte longs instead of ~20-byte strings (collision odds over ~10^6
+    # distinct shingles are ~10^-7 — far below the engines' float-
+    # rounding agreement threshold; the oracle's cap-on-string is
+    # identical sans collisions). Three consumers (gc + both sides of
+    # the pair join) with alias renames that defeat exchange reuse —
+    # materialize once.
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
+                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+                f" else array() end"
+            )
+        ).alias("gh"),
+    ).distinct()
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(eager=False)
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gh")

@@ -473,3 +473,64 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (beyond reference): wide-format conditional aggregation. Spark's
+# relational pivot operator compiles to ONE hash aggregation with a
+# conditional-count per pivot value — no per-value scans — the same
+# plan the hand-written FILTER clauses produce in the oracle.
+# ---------------------------------------------------------------------------
+_PIVOT_LANGS = ["de", "en", "es", "fr"]
+
+
+@register(
+    "q22_pivot",
+    f"""
+    SELECT source,
+           {", ".join(f"count(*) FILTER (lang = '{v}') AS {v}" for v in _PIVOT_LANGS)}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "PIVOT: docs per (source x lang) in wide format via one hash agg",
+)
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)  # explicit values: no extra distinct job
+        .count()
+        .na.fill(0, _PIVOT_LANGS)  # absent combos: DuckDB's FILTER count yields 0
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS (beyond reference): left-semi and left-anti hash
+# joins — the decorrelated plan Catalyst produces for both subqueries.
+# ---------------------------------------------------------------------------
+@register(
+    "q23_exists_semi_anti",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 50)
+    ORDER BY p_partkey
+    """,
+    "EXISTS + NOT EXISTS via left-semi and left-anti joins",
+)
+def q23_exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
+    returned = li.filter(F.col("l_quantity") >= 50).select("l_partkey")
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_semi")
+        .join(returned, part.p_partkey == returned.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
