@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q21_time_bucketed",
     "q22_pivot",
     "q23_exists_semi_anti",
+    "q24_latest_per_key",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -61,6 +62,7 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "sample_stratified",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_features",
     "multimodal_resize",

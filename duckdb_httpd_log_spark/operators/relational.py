@@ -534,3 +534,42 @@ def q23_exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-row-per-key (beyond reference): the QUALIFY row_number()=1 idiom
+# every CDC/upsert pipeline uses. One per-key window — shuffle on
+# user_id only, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q24_latest_per_key",
+    """
+    WITH r AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us,
+           event_type AS last_type, round(value, 2) AS last_value
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "latest event per user via row_number()=1 window dedup",
+)
+def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
