@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     IsNull,
     LessThan,
+    SimpleDataSourceStreamReader,
     StringContains,
 )
 
@@ -84,7 +85,7 @@ class HttpdLogDataSource(DataSource):
     def name(cls) -> str:
         return "httpd_log"
 
-    def _bind(self):
+    def _path(self) -> str:
         # .load(path) populates "path"; SQL CREATE TABLE surfaces the
         # location as "location" (and only at schema time also "path")
         path = self.options.get("path") or self.options.get("location")
@@ -97,7 +98,10 @@ class HttpdLogDataSource(DataSource):
 
             parsed_uri = urlparse(path)
             path = unquote(parsed_uri.path)
-        files = expand_paths(path)
+        return path
+
+    def _bind(self, allow_empty: bool = False):
+        files = expand_paths(self._path())
         parsed, _ftype, raw_mode = resolve_format(
             files,
             self.options.get("format_type"),
@@ -105,16 +109,25 @@ class HttpdLogDataSource(DataSource):
             self.options.get("conf"),
             _parse_bool(self.options.get("raw", "false")),
         )
-        if not files:
+        if not files and not allow_empty:
             raise ValueError("No files found for httpd log reading")
         return files, parsed, raw_mode
 
     def schema(self) -> str:
-        files, parsed, raw_mode = self._bind()
+        # streaming may start on an empty directory: schema is derivable
+        # without files whenever the format is explicit (format_str /
+        # format_type) — exactly the cases resolve_format never samples
+        explicit = self.options.get("format_str") or self.options.get("format_type")
+        _files, parsed, raw_mode = self._bind(allow_empty=bool(explicit))
         return _schema_ddl(generate_schema(parsed, raw_mode))
 
     def reader(self, schema) -> "HttpdLogReader":
         return HttpdLogReader(*self._bind())
+
+    def simpleStreamReader(self, schema) -> "HttpdLogStreamReader":
+        explicit = self.options.get("format_str") or self.options.get("format_type")
+        _files, parsed, raw_mode = self._bind(allow_empty=bool(explicit))
+        return HttpdLogStreamReader(self._path(), parsed, raw_mode)
 
 
 _ARROW_BATCH_ROWS = 8192
@@ -218,3 +231,73 @@ class HttpdLogReader(DataSourceReader):
                     yield flush()
         if buf[0]:
             yield flush()
+
+
+class HttpdLogStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming over a log directory/glob:
+    ``spark.readStream.format("httpd_log")`` — the SQL-facing streaming
+    twin of `streaming.log_stream.read_httpd_log_stream`.
+
+    Discovery model mirrors the reference's unit of work (whole files,
+    one reader per file, src/httpd_log_multi_file_info.cpp:236-249): the
+    offset is the sorted set of files already emitted; each micro-batch
+    parses files that appeared since. Files are treated as immutable
+    once they appear (the standard log-rotation contract); offsets are
+    JSON dicts so a restarted query replays deterministically via
+    readBetweenOffsets.
+
+    This simple reader prefetches on the driver — right for control-rate
+    streams (the SQL surface, tailing a host's rotated logs). The
+    executor-parallel path for high-rate firehoses remains
+    `read_httpd_log_stream` (readStream.text + the codegen'd projection).
+    """
+
+    def __init__(self, path: str, parsed, raw_mode: bool):
+        self.path = path
+        self.parsed = parsed
+        self.raw_mode = raw_mode
+        self.convert = build_row_converter(parsed)
+        self.schema_cols = generate_schema(parsed, raw_mode)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows_for(self, fname: str):
+        parsed, raw, convert = self.parsed, self.raw_mode, self.convert
+        compiled = parsed.compiled
+        for line_number, line in iter_log_lines(fname):
+            if not line:
+                continue
+            m = compiled.match(line) if compiled else None
+            if m is not None and m.end() == len(line):
+                row = convert(m.groups())
+                if raw:
+                    yield (*row, fname, line_number, False, line)
+                else:
+                    yield (*row, fname)
+            elif raw:
+                yield (*error_row(parsed), fname, line_number, True, line)
+
+    def _rows_for_files(self, files: list[str]) -> list:
+        # materialized list, not a generator: Spark's simple-reader
+        # wrapper caches the prefetched batch with copy.copy(iterator),
+        # which generators don't support
+        out: list = []
+        for fname in files:
+            out.extend(self._rows_for(fname))
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        current = expand_paths(self.path)
+        new = [f for f in current if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        return iter(self._rows_for_files(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        replay = [f for f in end.get("files", []) if f not in seen]
+        return iter(self._rows_for_files(replay))
+
+    def commit(self, end: dict) -> None:
+        pass

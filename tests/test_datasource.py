@@ -140,3 +140,57 @@ def test_random_format_differential(spark, tmp_path_factory, fmt):
     p = tmp_path_factory.mktemp("ds") / "synthetic.log"
     p.write_text((line + "\n") * 3)
     _compare(spark, str(p), format_str=fmt)
+
+
+def test_streaming_datasource_matches_batch(spark, tmp_path):
+    """readStream.format("httpd_log"): files present at start are parsed
+    in the first micro-batch and rows agree with the batch reader."""
+    import shutil
+
+    logdir = tmp_path / "dslogs"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+    shutil.copy(data("common", "with_errors.log"), logdir / "b.log")
+
+    stream = (
+        spark.readStream.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.sql("SELECT * FROM ds_stream"))
+    want = _rows(read_httpd_log(spark, str(logdir), format_type="common"))
+    assert got == want and len(got) == 9
+
+
+def test_streaming_datasource_empty_start_explicit_format(spark, tmp_path):
+    """An empty directory + explicit format binds a schema and yields an
+    empty first batch instead of failing."""
+    logdir = tmp_path / "dsempty"
+    logdir.mkdir()
+    stream = (
+        spark.readStream.format("httpd_log")
+        .option("path", str(logdir) + "/*.log")
+        .option("format_type", "combined")
+        .load()
+    )
+    assert stream.isStreaming
+    assert "user_agent" in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_stream_empty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM ds_stream_empty").count() == 0
