@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_contamination",
     "text_pack_sequences",
     "sample_stratified",
+    "pipeline_curate",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

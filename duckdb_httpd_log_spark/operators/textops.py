@@ -599,3 +599,77 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(NGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: the corpus-build composition every training-data
+# pipeline runs — rule-based quality gate ∘ exact-dedup keeper ∘
+# deterministic split assignment — as ONE declarative plan, so Catalyst
+# fuses the gates into a single pass over the corpus plus one dedup
+# aggregation (keepers broadcast back as a semi-join).
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_curate",
+    f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE, 4) AS mean_tok_len,
+               len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS stop_hits,
+               round(len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE, 4) AS uniq_ratio,
+               round(len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE, 4) AS num_ratio
+        FROM toks
+    ),
+    keepers AS (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text)),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT m.doc_id, m.n_tokens, CAST(b.bucket AS INTEGER) AS bucket,
+           CASE WHEN b.bucket < 90 THEN 'train'
+                WHEN b.bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM m
+    JOIN keepers k ON k.keeper = m.doc_id
+    JOIN b ON b.doc_id = m.doc_id
+    WHERE m.n_tokens BETWEEN {QR_MIN_TOKENS} AND {QR_MAX_TOKENS}
+      AND m.mean_tok_len BETWEEN {QR_MIN_MEAN_LEN} AND {QR_MAX_MEAN_LEN}
+      AND m.stop_hits >= {QR_MIN_STOP_HITS}
+      AND m.uniq_ratio >= {QR_MIN_UNIQ}
+      AND m.num_ratio <= {QR_MAX_NUM_RATIO}
+    ORDER BY m.doc_id
+    """,
+    "end-to-end curation: quality gate + exact-dedup keeper + split assignment",
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    flagged = apply_quality_rules(docs.select("doc_id", "text")).filter("keep")
+    keepers = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        flagged.join(keepers, flagged.doc_id == keepers.keeper, "left_semi")
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 90, "train").when(F.col("bucket") < 95, "val").otherwise("test"),
+        )
+        .select("doc_id", "n_tokens", "bucket", "split")
+        .orderBy("doc_id")
+    )
