@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "kmeans_update_step",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -262,3 +262,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "cosine")
         .orderBy("q_id", F.col("cosine").desc(), "c_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# One k-means update step (beyond reference): the training primitive the
+# IVF index needs (docstring of `_centroids`). Assignment runs in an
+# Arrow-vectorized numpy kernel against a broadcast centroid matrix; the
+# centroid update is a plain per-(cell, dim) mean — one shuffle keyed on
+# the cell, the shape an iterative driver loops to convergence at scale.
+# Distances are rounded to 6 decimals before the argmin (ties broken by
+# cell index) so Spark's numpy summation and DuckDB's list_sum agree on
+# the assignment exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "kmeans_update_step",
+    f"""
+    WITH cen AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {IVF_NLIST}
+    ),
+    d AS (
+        SELECT e.vec_id, cen.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d)
+        WHERE rn = 1
+    )
+    SELECT CAST(a.cell AS INTEGER) AS cell, CAST(t.i - 1 AS INTEGER) AS j,
+           round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new,
+           count(*) AS n_members
+    FROM assign a
+    JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+    GROUP BY a.cell, t.i
+    ORDER BY cell, j
+    """,
+    "one k-means update: broadcast-centroid assignment + per-(cell,dim) mean",
+)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
+    b_cen = spark.sparkContext.broadcast(cen)
+
+    @F.pandas_udf("int")
+    def assigned_cell(embedding: pd.Series) -> pd.Series:
+        c = b_cen.value
+        mat = np.stack(embedding.values).astype(np.float64)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # round-6 then argmin (first minimum = lowest cell) — the exact
+        # tie/precision contract the oracle's ORDER BY d2, cell encodes
+        return pd.Series(np.round(d2, 6).argmin(axis=1).astype("int32"))
+
+    assigned = emb.select(
+        assigned_cell("embedding").alias("cell"),
+        F.posexplode(F.col("embedding")).alias("j", "x"),
+    )
+    return (
+        assigned.groupBy("cell", "j")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 4).alias("c_new"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cell", F.col("j").cast("int").alias("j"), "c_new", "n_members")
+        .orderBy("cell", "j")
+    )
