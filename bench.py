@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q22_pivot",
     "q23_exists_semi_anti",
     "q24_latest_per_key",
+    "q25_histogram",
+    "q26_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -62,6 +64,7 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "sample_stratified",
     "pipeline_curate",
+    "text_edit_distance",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

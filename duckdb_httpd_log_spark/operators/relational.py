@@ -573,3 +573,73 @@ def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram (beyond reference): width_bucket binning — one hash
+# agg over the bucket id, the standard distribution profile for a
+# numeric column at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q25_histogram",
+    """
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 21
+                ELSE 1 + CAST(floor(value / 5) AS INTEGER) END AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    "20-bin histogram of event values (explicit bin expr, underflow/overflow bins)",
+)
+def q25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 100, 21)
+        .otherwise(1 + F.floor(F.col("value") / 5).cast("int"))
+    ).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (beyond reference): correlation, sample
+# stddev/variance — single-pass partial+final aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+           round(stddev_samp(l_quantity), 4)            AS sd_qty,
+           round(var_samp(l_discount), 6)               AS var_disc,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "corr / stddev_samp / var_samp / covar_samp per return flag",
+)
+def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -673,3 +673,42 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "bucket", "split")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity (beyond reference): Levenshtein over
+# normalized prefixes — the character-level near-dup metric, here over
+# adjacent-id pairs (the shape after any candidate generator; swap the
+# self-join condition for LSH candidates at scale).
+# ---------------------------------------------------------------------------
+EDIT_PREFIX = 64
+
+
+@register(
+    "text_edit_distance",
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(lower(a.text), 1, {EDIT_PREFIX}),
+                       substr(lower(b.text), 1, {EDIT_PREFIX})) AS edit_dist
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_a
+    """,
+    f"Levenshtein distance over lowercased {EDIT_PREFIX}-char prefixes of adjacent docs",
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(
+                F.substring(F.lower("ta"), 1, EDIT_PREFIX),
+                F.substring(F.lower("tb"), 1, EDIT_PREFIX),
+            ).alias("edit_dist"),
+        )
+        .orderBy("doc_a")
+    )
