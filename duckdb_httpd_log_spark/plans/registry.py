@@ -44,6 +44,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
     # rejects; read as long and convert explicitly below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # isAdjustedToUTC=false µs timestamps must surface as TimestampType,
+    # not TIMESTAMP_NTZ: the operators use unix_micros(), and DuckDB reads
+    # the same column as plain TIMESTAMP. Under a UTC session TZ the two
+    # readings are µs-identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,6 +61,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integral division: double math would drift by ~0.25 µs at
             # 2024-era epochs, enough to break µs-exact oracle parity
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif fld.name == "ts" and fld.dataType.simpleString() == "timestamp_ntz":
+            # a schema cached before _ensure_session_confs ran (or a caller
+            # bypassing it) can still surface NTZ; the cast is exact under
+            # the UTC session TZ pinned above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
