@@ -429,18 +429,23 @@ CONTAM_THRESHOLD = 0.5
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    # distinct-per-doc via array_distinct INSIDE the row — no global
+    # (doc_id, g) distinct shuffle; the only shuffles left are the tiny
+    # bench-gram distinct and the per-doc aggregate
     grams = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.expr(
-                f"case when size(t) >= {CONTAM_NGRAM} then"
-                f" transform(sequence(1, size(t) - {CONTAM_NGRAM - 1}),"
-                f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-                f" else array() end"
+            F.array_distinct(
+                F.expr(
+                    f"case when size(t) >= {CONTAM_NGRAM} then"
+                    f" transform(sequence(1, size(t) - {CONTAM_NGRAM - 1}),"
+                    f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                    f" else array() end"
+                )
             )
         ).alias("g"),
-    ).distinct()
+    )
     bench = (
         grams.filter(F.col("source") == CONTAM_BENCH_SOURCE).select(F.col("g").alias("bg")).distinct()
     )
