@@ -47,7 +47,12 @@ BENCH_QUERIES = [
     "q24_latest_per_key",
     "q25_histogram",
     "q26_stats",
+    "q27_transition_matrix",
+    "q28_error_burst",
+    "q29_retention_cohort",
+    "q30_rolling_revenue",
     "dedup_exact",
+    "dedup_cross_split",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -65,6 +70,8 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pipeline_curate",
     "text_edit_distance",
+    "text_repetition",
+    "text_mix_weights",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

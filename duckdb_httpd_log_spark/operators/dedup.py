@@ -479,3 +479,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage check: documents whose 64-char prefix fingerprint
+# (the near-dup routing key from text_fingerprint) lands in BOTH the
+# training split and a heldout split under the deterministic salted-md5
+# split assignment — the train/eval contamination audit every corpus
+# build runs before shipping. One hash aggregate on the fingerprint; the
+# split expression is shared verbatim with text_split_assign.
+# ---------------------------------------------------------------------------
+from .textops import SPLIT_SALT  # noqa: E402  (shared split contract)
+
+
+@register(
+    "dedup_cross_split",
+    f"""
+    WITH s AS (
+        SELECT doc_id, md5(substr(lower(trim(text)), 1, 64)) AS text_hash,
+               CAST(('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    g AS (
+        SELECT text_hash,
+               count(*) FILTER (WHERE bucket < 90)  AS n_train,
+               count(*) FILTER (WHERE bucket >= 90) AS n_heldout,
+               min(doc_id) AS first_doc
+        FROM s GROUP BY text_hash
+    )
+    SELECT text_hash, n_train, n_heldout, first_doc
+    FROM g
+    WHERE n_train > 0 AND n_heldout > 0
+    ORDER BY first_doc
+    """,
+    "train/heldout leakage audit: prefix-fingerprint dups spanning split boundaries",
+)
+def dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    prefix = F.substring(F.lower(F.trim(F.col("text"))), 1, 64)
+    s = docs.select(
+        "doc_id", F.md5(prefix.cast("binary")).alias("text_hash"), bucket.alias("bucket")
+    )
+    g = s.groupBy("text_hash").agg(
+        F.count(F.when(F.col("bucket") < 90, 1)).alias("n_train"),
+        F.count(F.when(F.col("bucket") >= 90, 1)).alias("n_heldout"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        g.filter((F.col("n_train") > 0) & (F.col("n_heldout") > 0))
+        .select("text_hash", "n_train", "n_heldout", "first_doc")
+        .orderBy("first_doc")
+    )

@@ -217,3 +217,158 @@ def q21_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: the
+# "what happens after X" clickstream analysis. One shuffle on user_id
+# for the lag window, then a tiny (|types|²-row) aggregate; the
+# normalizing window runs over that tiny result, never the raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_transition_matrix",
+    """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, next_type, count(*) AS n_trans
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type), 4) AS p_next
+    FROM t
+    ORDER BY prev_type, next_type
+    """,
+    "per-user event-type transition counts + row-normalized probabilities",
+)
+def q27_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("next_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(wp).cast("double"), 4
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Error-burst detection: per-minute error counts compared against the
+# trailing 6-minute average — the alerting idiom over access logs. The
+# window runs over the per-minute AGGREGATE (≤ minutes-in-retention
+# rows), not raw events; at 100 TB partition the frame by day and the
+# plan is unchanged.
+# ---------------------------------------------------------------------------
+BURST_MIN_ERRORS = 3
+BURST_FACTOR = 2.0
+
+
+@register(
+    "q28_error_burst",
+    f"""
+    WITH m AS (
+        SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, count(*) AS n_err
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT minute_us, n_err,
+               avg(n_err) OVER (ORDER BY minute_us ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS avg_prev
+        FROM m
+    )
+    SELECT minute_us, n_err, round(avg_prev, 4) AS avg_prev,
+           CASE WHEN avg_prev IS NULL THEN FALSE
+                ELSE n_err >= {BURST_MIN_ERRORS} AND n_err >= {BURST_FACTOR} * avg_prev END AS burst
+    FROM w
+    ORDER BY minute_us
+    """,
+    "per-minute error counts flagged against the trailing 6-minute average",
+)
+def q28_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.unix_micros(F.date_trunc("minute", "ts")).alias("minute_us"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    w = Window.orderBy("minute_us").rowsBetween(-6, -1)
+    avg_prev = F.avg("n_err").over(w)
+    burst = F.when(avg_prev.isNull(), F.lit(False)).otherwise(
+        (F.col("n_err") >= BURST_MIN_ERRORS) & (F.col("n_err") >= BURST_FACTOR * avg_prev)
+    )
+    return m.select(
+        "minute_us",
+        "n_err",
+        F.round(avg_prev, 4).alias("avg_prev"),
+        burst.alias("burst"),
+    ).orderBy("minute_us")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, re-activity counted
+# at day offsets 0..7 — the standard growth-analytics rollup. Two hash
+# aggregates (first-day per user, distinct user-days) and a broadcast
+# join on the tiny per-cohort base counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_retention_cohort",
+    """
+    WITH first_day AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    counts AS (
+        SELECT epoch_us(f.d0) AS cohort_us,
+               date_diff('day', f.d0, a.d) AS day_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN first_day f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.d0, a.d) BETWEEN 0 AND 7
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_us, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+           round(c.n_users * 1.0 / b.n_users, 4) AS retention
+    FROM counts c
+    JOIN (SELECT cohort_us, n_users FROM counts WHERE day_offset = 0) b
+      ON c.cohort_us = b.cohort_us
+    ORDER BY c.cohort_us, c.day_offset
+    """,
+    "day-0..7 cohort retention: first-seen day x activity-day offsets",
+)
+def q29_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    activity = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    joined = activity.join(first_day, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("d"), F.col("d0"))
+    )
+    counts = (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy(F.unix_micros("d0").alias("cohort_us"), "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    base = counts.filter(F.col("day_offset") == 0).select(
+        "cohort_us", F.col("n_users").alias("base_users")
+    )
+    return (
+        counts.join(F.broadcast(base), "cohort_us")
+        .select(
+            "cohort_us",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+            F.round(F.col("n_users") / F.col("base_users").cast("double"), 4).alias("retention"),
+        )
+        .orderBy("cohort_us", "day_offset")
+    )

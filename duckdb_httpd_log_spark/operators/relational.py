@@ -643,3 +643,48 @@ def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day revenue via a RANGE window frame over day numbers — the
+# time-series smoothing idiom. The window runs over the per-day
+# AGGREGATE (|distinct days| rows, bounded by the retention period),
+# never the raw fact table; at 100 TB partition the frame by month (or
+# customer) and the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_rolling_revenue",
+    """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT CAST(day_num AS BIGINT) AS day_num, n_orders, revenue,
+           round(sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d,
+           CAST(sum(n_orders) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_7d
+    FROM daily
+    ORDER BY day_num
+    """,
+    "per-day order revenue + 7-day RANGE-frame rolling totals",
+)
+def q30_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("day_num").cast("bigint").alias("day_num"),
+        "n_orders",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+        F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
+    ).orderBy("day_num")

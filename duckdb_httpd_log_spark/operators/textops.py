@@ -717,3 +717,103 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: fraction of mass in the single most
+# frequent token, and duplicate-bigram / duplicate-trigram fractions.
+# All within-row array math (no shuffle at all except the final sort):
+# each document's signals are computed from its own token array inside
+# whole-stage codegen, so the operator is embarrassingly parallel and
+# scan-bound at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, t,
+               [t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))] AS big,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, greatest(len(t) - 1, 1))] AS tri
+        FROM toks
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))))
+                 * 1.0 / greatest(len(t), 1), 4) AS top_token_frac,
+           round(1.0 - len(list_distinct(big)) * 1.0 / greatest(len(big), 1), 4) AS dup_bigram_frac,
+           round(1.0 - len(list_distinct(tri)) * 1.0 / greatest(len(tri), 1), 4) AS dup_trigram_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+    "Gopher repetition signals: top-token mass, duplicate bigram/trigram fractions",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "case when size(t) >= 2 then transform(sequence(1, size(t) - 1),"
+            " i -> concat_ws(' ', t[i-1], t[i])) else array() end"
+        ).alias("big"),
+        F.expr(
+            "case when size(t) >= 3 then transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', t[i-1], t[i], t[i+1])) else array() end"
+        ).alias("tri"),
+    )
+    top_frac = F.expr(
+        "round(array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+        " / cast(greatest(size(t), 1) as double), 4)"
+    )
+    dup_frac = lambda c: F.expr(  # noqa: E731
+        f"round(1.0 - size(array_distinct({c})) / cast(greatest(size({c}), 1) as double), 4)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_frac("big").alias("dup_bigram_frac"),
+        dup_frac("tri").alias("dup_trigram_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix resampling weights: per-language corpus share vs a uniform
+# target mix — the knob a data pipeline turns to rebalance training
+# corpora. One hash aggregate over the corpus; the normalizing window
+# runs over the |langs|-row result (bounded, so the single-partition
+# window is safe at any corpus size).
+# ---------------------------------------------------------------------------
+@register(
+    "text_mix_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
+               FROM documents GROUP BY lang)
+    SELECT lang, n_docs, n_tokens,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 4) AS doc_frac,
+           round((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ()), 4) AS resample_weight
+    FROM c
+    ORDER BY lang
+    """,
+    "per-language corpus shares + resampling weights toward a uniform mix",
+)
+def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    doc_frac = F.col("n_docs") / F.sum("n_docs").over(w).cast("double")
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    return c.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(doc_frac, 4).alias("doc_frac"),
+        F.round(target / doc_frac, 4).alias("resample_weight"),
+    ).orderBy("lang")

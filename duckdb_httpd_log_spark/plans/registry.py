@@ -61,11 +61,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integral division: double math would drift by ~0.25 µs at
             # 2024-era epochs, enough to break µs-exact oracle parity
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif fld.name == "ts" and fld.dataType.simpleString() == "timestamp_ntz":
+        elif fld.dataType.simpleString() == "timestamp_ntz":
             # a schema cached before _ensure_session_confs ran (or a caller
             # bypassing it) can still surface NTZ; the cast is exact under
             # the UTC session TZ pinned above
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
