@@ -359,6 +359,10 @@ def q29_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.unix_micros("d0").alias("cohort_us"), "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+    # counts feeds both the result and the offset-0 base; the filter
+    # defeats exchange reuse, so materialize the (tiny, |cohorts|x8-row)
+    # aggregate once instead of re-scanning events for each branch
+    counts = counts.localCheckpoint(eager=False)
     base = counts.filter(F.col("day_offset") == 0).select(
         "cohort_us", F.col("n_users").alias("base_users")
     )
