@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q28_error_burst",
     "q29_retention_cohort",
     "q30_rolling_revenue",
+    "q31_unpivot",
+    "q32_string_agg",
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",

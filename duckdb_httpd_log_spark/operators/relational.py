@@ -688,3 +688,76 @@ def q30_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
         F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
     ).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / stack: wide per-group aggregates melted into (metric, value)
+# rows — the long-format export idiom. The melt is a per-row expression
+# (Spark `stack`), so it adds zero shuffles beyond the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_unpivot",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 4)      AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM (UNPIVOT w ON sum_qty, sum_price, avg_disc INTO NAME metric VALUE value)
+    ORDER BY l_returnflag, metric
+    """,
+    "wide aggregate melted to long (metric, value) rows via UNPIVOT/stack",
+)
+def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return (
+        w.select(
+            "l_returnflag",
+            F.expr(
+                "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+                " 'avg_disc', avg_disc) AS (metric, value)"
+            ),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: deterministic listagg per group — the
+# report/export idiom. Spark has no ORDER BY inside an aggregate, so the
+# deterministic form is sort-the-collected-array-then-join, which is
+# also the scalable shape (the per-group array is bounded by the group's
+# cardinality, and the sort is per-row, not a shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "q32_string_agg",
+    """
+    SELECT r.r_name AS region,
+           count(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    "deterministic ordered string_agg of nation names per region",
+)
+def q32_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+        .orderBy("region")
+    )

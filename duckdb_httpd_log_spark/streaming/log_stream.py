@@ -120,3 +120,44 @@ def error_rate_alerts(
         "n_5xx",
         F.round(F.col("n_5xx") / F.col("n_requests"), 4).alias("error_rate"),
     )
+
+
+def correlate_error_context(
+    errors: DataFrame,
+    requests: DataFrame,
+    lookback: str = "2 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: for each 5xx response, the same
+    client's requests in the preceding `lookback` — incident-context
+    assembly as a watermarked join. Both sides carry watermarks and the
+    join condition bounds event time, so state on BOTH sides is evicted
+    as the watermark advances (bounded memory on an unbounded stream;
+    the scale-critical property of stream-stream joins).
+
+    `errors`/`requests` are two streaming log DataFrames (typically two
+    `read_httpd_log_stream` readers over the same directory)."""
+    errs = (
+        errors.filter(F.col("status") >= 500)
+        .select(
+            F.col("client_host").alias("e_host"),
+            F.col("timestamp").alias("e_ts"),
+            F.col("path").alias("e_path"),
+            F.col("status").alias("e_status"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    reqs = requests.select(
+        F.col("client_host").alias("r_host"),
+        F.col("timestamp").alias("r_ts"),
+        F.col("path").alias("r_path"),
+        F.col("status").alias("r_status"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("r_host") == F.col("e_host"))
+        & (F.col("r_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("e_ts"))
+    )
+    return errs.join(reqs, cond, "inner").select(
+        "e_host", "e_ts", "e_path", "e_status", "r_ts", "r_path", "r_status"
+    )

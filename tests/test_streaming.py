@@ -140,3 +140,36 @@ def test_streaming_quality_rules_match_batch(spark, tmp_path):
         for r in apply_quality_rules(src).select("doc_id", *QUALITY_RULE_COLUMNS).collect()
     }
     assert got == want and len(got) == src.count()
+
+
+def test_stream_stream_error_context_join(spark, tmp_path):
+    from duckdb_httpd_log_spark.streaming.log_stream import correlate_error_context
+
+    logdir = tmp_path / "logs_ss"
+    logdir.mkdir()
+    lines = [
+        # client .1: two requests then a 500 within the 2-minute lookback
+        '10.0.0.1 - u [10/Oct/2000:13:55:00 +0000] "GET /a HTTP/1.0" 200 10',
+        '10.0.0.1 - u [10/Oct/2000:13:56:00 +0000] "GET /b HTTP/1.0" 200 10',
+        '10.0.0.1 - u [10/Oct/2000:13:56:30 +0000] "POST /submit HTTP/1.0" 500 99',
+        # client .2: a request far OUTSIDE any error's lookback window
+        '10.0.0.2 - u [10/Oct/2000:12:00:00 +0000] "GET /c HTTP/1.0" 200 10',
+        # client .2's error has no preceding request within 2 minutes
+        '10.0.0.2 - u [10/Oct/2000:13:59:00 +0000] "GET /d HTTP/1.0" 503 0',
+    ]
+    (logdir / "a.log").write_text("\n".join(lines) + "\n")
+
+    errors = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    requests = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    joined = correlate_error_context(errors, requests, lookback="2 minutes")
+    assert joined.isStreaming
+    _run_stream(joined, "stream_err_ctx")
+    out = spark.sql("SELECT * FROM stream_err_ctx ORDER BY r_ts").collect()
+    # the .1 error matches its two preceding requests plus itself (the
+    # 500 row is also a request at the error's own timestamp); the .2
+    # error matches only itself
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.e_host, []).append(r.r_path)
+    assert by_host["10.0.0.1"] == ["/a", "/b", "/submit"]
+    assert by_host["10.0.0.2"] == ["/d"]
