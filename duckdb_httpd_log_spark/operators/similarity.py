@@ -116,9 +116,54 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, salt: str = ""):
 _hyperplanes = hyperplanes
 
 
+def _lsh_planes_values_sql() -> str:
+    rows = []
+    for pidx, vec in enumerate(hyperplanes()):
+        lst = "[" + ", ".join(repr(x) for x in vec) + "]"
+        rows.append(f"({pidx}, {lst})")
+    return ", ".join(rows)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, {DIM + 1})])"
+    na = f"sqrt(list_sum([{a}[i]::DOUBLE * {a}[i]::DOUBLE for i in range(1, {DIM + 1})]))"
+    nb = f"sqrt(list_sum([{b}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, {DIM + 1})]))"
+    return f"{dot} / ({na} * {nb})"
+
+
 @register(
     "ann_lsh_topk",
-    None,  # Spark-specific physical strategy; driver records rows-only
+    f"""
+    WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
+    sigs AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})]) >= 0
+                             THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+        FROM embeddings, planes
+        GROUP BY vec_id
+    ),
+    c AS (SELECT e.vec_id AS c_id, e.embedding AS ce, s.bucket
+          FROM embeddings e JOIN sigs s USING (vec_id)),
+    probes AS (
+        SELECT e.vec_id AS q_id, e.embedding AS qe,
+               unnest([s.bucket, xor(s.bucket, 1), xor(s.bucket, 2),
+                       xor(s.bucket, 4), xor(s.bucket, 8)]) AS bucket
+        FROM embeddings e JOIN sigs s USING (vec_id)
+        WHERE e.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT DISTINCT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        FROM probes JOIN c USING (bucket)
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    ORDER BY q_id, cosine DESC, c_id
+    """.replace("{PLANES}", _lsh_planes_values_sql()),
     "random-hyperplane LSH buckets + per-bucket exact rerank (the 100 TB path)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +259,48 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
 
 @register(
     "ann_ivf_topk",
-    None,  # Spark-specific physical strategy; driver records rows-only
+    f"""
+    WITH cen AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {IVF_NLIST}
+    ),
+    d AS (
+        SELECT e.vec_id, cen.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d
+    ),
+    c AS (
+        SELECT e.vec_id AS c_id, e.embedding AS ce, r.cell
+        FROM embeddings e JOIN ranked r USING (vec_id)
+        WHERE r.rn = 1
+    ),
+    probes AS (
+        SELECT e.vec_id AS q_id, e.embedding AS qe, r.cell
+        FROM embeddings e JOIN ranked r USING (vec_id)
+        WHERE e.vec_id < {N_QUERIES} AND r.rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        FROM probes JOIN c USING (cell)
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    ORDER BY q_id, cosine DESC, c_id
+    """,
     "IVF coarse quantization: corpus bucketed by nearest centroid, queries probe 6 cells",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,18 +312,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
 
+    # same distance/tie contract as kmeans_update_step (and the oracle):
+    # direct squared distance, rounded to 6 decimals, ties broken by the
+    # lowest cell index. (The -2·v·c + ||c||² expansion is the faster
+    # kernel at scale but carries different float error, which can flip
+    # near-tied cell assignments vs the oracle's list_sum.)
     @F.pandas_udf("int")
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        # ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² is rank-constant
-        d2 = -2.0 * (mat @ cen.T) + (cen * cen).sum(axis=1)
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.round(d2, 6).argmin(axis=1).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = -2.0 * (mat @ cen.T) + (cen * cen).sum(axis=1)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :IVF_NPROBE]
+        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(np.round(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
         return pd.Series(list(order.astype("int32")))
 
     @F.pandas_udf("double")
