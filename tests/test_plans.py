@@ -73,3 +73,31 @@ def test_range_join_is_hash_not_nested_loop(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(REGISTRY["q03_topk"].spark_fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan  # no full sort for ORDER BY+LIMIT
+
+
+def test_string_agg_broadcasts_region(spark):
+    plan = _plan(REGISTRY["q32_string_agg"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_signals_are_shuffle_free(spark):
+    # all within-row array math: a single scan, no exchange before the
+    # final presentation sort
+    plan = _plan(REGISTRY["text_repetition"].spark_fn(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_unpivot_adds_no_extra_shuffle(spark):
+    # the melt is per-row stack(): exactly the aggregate's one exchange
+    plan = _plan(REGISTRY["q31_unpivot"].spark_fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_revenue_windows_over_aggregate(spark):
+    # the RANGE window must consume the per-day aggregate (tiny), with
+    # partial+final agg below it
+    plan = _plan(REGISTRY["q30_rolling_revenue"].spark_fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
