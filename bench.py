@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_edit_distance",
     "text_repetition",
     "text_mix_weights",
+    "text_tfidf_top_terms",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -817,3 +817,74 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(doc_frac, 4).alias("doc_frac"),
         F.round(target / doc_frac, 4).alias("resample_weight"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic retrieval/keyword-
+# extraction primitive. Shape: per-(doc, term) counts (one shuffle on
+# doc_id via the in-row histogram explode), a corpus document-frequency
+# aggregate on term (second shuffle, |vocab|-bounded), broadcast back,
+# rank per doc. idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn form)
+# with every input integral, so both engines compute identical doubles.
+# ---------------------------------------------------------------------------
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (
+        SELECT doc_id, unnest(list_distinct(t)) AS term,
+               len(list_filter(t, x -> x = unnest(list_distinct(t)))) AS tf
+        FROM toks
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= {TFIDF_TOP}
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    "top-3 TF-IDF terms per document (smoothed idf, deterministic ties)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    # per-row histogram: explode (term, tf) pairs directly — no
+    # (doc_id, term) groupBy shuffle; the term count comes from the
+    # document's own array inside codegen
+    tf = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(split(text, ' ')),"
+                " x -> struct(x AS term,"
+                " size(filter(split(text, ' '), y -> y = x)) AS tf))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.term", "e.tf")
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver-side scalar: one tiny count job
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
