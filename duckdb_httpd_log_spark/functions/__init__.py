@@ -22,6 +22,7 @@ __all__ = [
     "status_class",
     "is_error",
     "is_bot",
+    "ua_family",
     "url_path_depth",
     "path_extension",
     "query_param",
@@ -60,6 +61,26 @@ def is_error(status: Column) -> Column:
 def is_bot(user_agent: Column) -> Column:
     """Heuristic crawler detection on a User-Agent column."""
     return user_agent.rlike("(?i)(bot|crawler|spider|slurp|curl|wget)")
+
+
+def ua_family(user_agent: Column) -> Column:
+    """Coarse User-Agent family: bot / browser engine / cli / other.
+
+    First-match-wins CASE chain (bots before browsers: crawler UAs often
+    embed browser tokens). Pure regexps — stays in codegen."""
+    ua = user_agent
+    return (
+        F.when(ua.isNull() | (ua == "-"), "unknown")
+        .when(ua.rlike("(?i)(bot|crawler|spider|slurp)"), "bot")
+        .when(ua.rlike("(?i)(curl|wget|python-requests|httpclient|libwww)"), "cli")
+        .when(ua.rlike("(?i)edg(e|a|ios)?/"), "edge")
+        .when(ua.rlike("(?i)(opr|opera)/"), "opera")
+        .when(ua.rlike("(?i)chrome/"), "chrome")
+        .when(ua.rlike("(?i)firefox/"), "firefox")
+        .when(ua.rlike("(?i)safari/"), "safari")
+        .when(ua.rlike("(?i)msie |trident/"), "ie")
+        .otherwise("other")
+    )
 
 
 def url_path_depth(path: Column) -> Column:

@@ -60,3 +60,25 @@ def test_interval_micros(spark):
         H.interval_micros(F.expr("us * INTERVAL '0.000001' SECOND")).alias("us")
     )
     assert df.collect()[0].us == 1500000
+
+
+def test_ua_family(spark):
+    from duckdb_httpd_log_spark.functions import ua_family
+
+    rows = [
+        ("Mozilla/5.0 (X11) Gecko/20100101 Firefox/118.0", "firefox"),
+        ("Mozilla/5.0 AppleWebKit/537.36 Chrome/118.0 Safari/537.36", "chrome"),
+        ("Mozilla/5.0 AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15", "safari"),
+        ("Mozilla/5.0 Chrome/118.0 Safari/537.36 Edg/118.0", "edge"),
+        ("Googlebot/2.1 (+http://www.google.com/bot.html)", "bot"),
+        ("Mozilla/5.0 (compatible; bingbot/2.0) Chrome/118 Safari/537", "bot"),
+        ("curl/8.1.2", "cli"),
+        ("python-requests/2.31.0", "cli"),
+        ("Mozilla/4.0 (compatible; MSIE 8.0; Trident/4.0)", "ie"),
+        ("-", "unknown"),
+        (None, "unknown"),
+        ("SomethingElse/1.0", "other"),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _ in rows], ["ua"])
+    got = [r.fam for r in df.select(ua_family(F.col("ua")).alias("fam")).collect()]
+    assert got == [want for _, want in rows]
