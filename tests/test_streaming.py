@@ -200,3 +200,28 @@ def test_stream_to_partitioned_parquet_sink(spark, tmp_path):
     # partition pruning works on the sink layout
     assert back.filter(F.col("status_class") == 200).count() == 3
     assert {r.status for r in back.filter(F.col("status_class") == 400).collect()} == {403, 404}
+
+
+def test_stateful_rate_limit_token_bucket(spark, tmp_path):
+    from duckdb_httpd_log_spark.streaming.ratelimit import rate_limit_stream
+
+    logdir = tmp_path / "logs_rl"
+    logdir.mkdir()
+    # client .1 fires 6 requests in 5 seconds against a 3-per-minute
+    # bucket (burst 3): requests 4-6 find an empty bucket (the ~0.05
+    # tokens refilled over seconds never reach 1.0); client .2 is quiet
+    lines = [
+        f'10.0.0.1 - u [10/Oct/2000:13:55:0{i} +0000] "GET /a HTTP/1.0" 200 10'
+        for i in range(6)
+    ] + ['10.0.0.2 - u [10/Oct/2000:13:55:00 +0000] "GET /b HTTP/1.0" 200 10']
+    (logdir / "a.log").write_text("\n".join(lines) + "\n")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    violations = rate_limit_stream(stream, limit=3, period_seconds=60.0)
+    assert violations.isStreaming
+    _run_stream(violations, "stream_rl")
+    out = spark.sql("SELECT * FROM stream_rl ORDER BY ts").collect()
+    assert [r.client_host for r in out] == ["10.0.0.1"] * 3
+    assert [r.n_rejected_so_far for r in out] == [1, 2, 3]
+    # rejected requests at seconds 3, 4, 5
+    assert [r.ts.second for r in out] == [3, 4, 5]
