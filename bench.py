@@ -151,6 +151,20 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_16files_800k"] = round(statistics.median(runs), 4)
 
+        # gzip axis (BASELINE.md bench plan): same 200k-line file,
+        # compressed — unsplittable, one task, decode inline
+        import gzip as _gzip
+
+        gz_path = os.path.join(td, "bench_access.log.gz")
+        with open(log_path, "rb") as fsrc, _gzip.open(gz_path, "wb", compresslevel=1) as fdst:
+            fdst.write(fsrc.read())
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, gz_path, format_type="combined").count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_200k_gz"] = round(statistics.median(runs), 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -31,10 +31,12 @@ def read_httpd_log_stream(
     path: str,
     format_type: Optional[str] = None,
     format_str: Optional[str] = None,
+    **options: str,
 ) -> DataFrame:
     """Streaming httpd log source. `path` is a directory watched for new
     files; format must be given explicitly (no sampling probe on an
-    unbounded source)."""
+    unbounded source). Extra `options` pass through to the file source
+    (e.g. maxFilesPerTrigger to bound micro-batch size)."""
     if format_str is None:
         if format_type == "combined":
             format_str = COMBINED_FORMAT
@@ -44,7 +46,7 @@ def read_httpd_log_stream(
             raise ValueError(f"Invalid format_type '{format_type}' for streaming read")
     parsed = parse_format_string(format_str)
 
-    df = spark.readStream.text(path)
+    df = spark.readStream.options(**options).text(path)
     df = df.filter(F.length("value") > 0)
     # same single-regex-execution shape as the batch fast path
     marked = X.materialization_barrier(

@@ -225,3 +225,45 @@ def test_stateful_rate_limit_token_bucket(spark, tmp_path):
     assert [r.n_rejected_so_far for r in out] == [1, 2, 3]
     # rejected requests at seconds 3, 4, 5
     assert [r.ts.second for r in out] == [3, 4, 5]
+
+
+def test_rate_limit_state_persists_across_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces one micro-batch per file: the bucket
+    drained by batch 1 must still be empty when batch 2 arrives."""
+    from duckdb_httpd_log_spark.streaming.ratelimit import rate_limit_stream
+
+    logdir = tmp_path / "logs_rl2"
+    logdir.mkdir()
+    # file A: 3 requests drain the burst-3 bucket (no violations yet)
+    (logdir / "a.log").write_text(
+        "\n".join(
+            f'10.0.0.9 - u [10/Oct/2000:13:55:0{i} +0000] "GET /a HTTP/1.0" 200 10'
+            for i in range(3)
+        )
+        + "\n"
+    )
+    # file B: 2 more requests seconds later -> both must be rejected,
+    # which can only happen if state survived the batch boundary
+    (logdir / "b.log").write_text(
+        "\n".join(
+            f'10.0.0.9 - u [10/Oct/2000:13:55:1{i} +0000] "GET /b HTTP/1.0" 200 10'
+            for i in range(2)
+        )
+        + "\n"
+    )
+
+    stream = read_httpd_log_stream(
+        spark, str(logdir), format_type="common", maxFilesPerTrigger="1"
+    )
+    violations = rate_limit_stream(stream, limit=3, period_seconds=60.0)
+    q = (
+        violations.writeStream.format("memory")
+        .queryName("stream_rl2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM stream_rl2 ORDER BY ts").collect()
+    assert [r.n_rejected_so_far for r in out] == [1, 2]
+    assert all(r.client_host == "10.0.0.9" for r in out)
