@@ -30,4 +30,21 @@ def register_datasource(spark) -> None:
     spark.dataSource.register(HttpdLogDataSource)
 
 
-__all__ = ["read_httpd_log", "read_httpd_conf", "get_spark", "register_datasource", "register_tables"]
+def register_log_view(spark, name: str, path, **kwargs) -> None:
+    """SQL-first workflow parity with the reference: one call replaces
+    ``SELECT … FROM read_httpd_log('path', …)`` — after
+    ``register_log_view(spark, 'logs', 'access.log*')`` every reference
+    query runs as ``spark.sql("SELECT … FROM logs")``. kwargs are
+    forwarded to read_httpd_log (format_type=, format_str=, conf=,
+    raw=)."""
+    read_httpd_log(spark, path, **kwargs).createOrReplaceTempView(name)
+
+
+__all__ = [
+    "read_httpd_log",
+    "read_httpd_conf",
+    "get_spark",
+    "register_datasource",
+    "register_log_view",
+    "register_tables",
+]

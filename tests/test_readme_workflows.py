@@ -76,3 +76,16 @@ def test_duration_format(spark):
     )
     assert dict(df.dtypes)["duration"] == "interval day to second"
     assert df.filter(F.col("duration").isNotNull()).count() > 0
+
+
+def test_register_log_view_sql_workflow(spark):
+    """The reference's SQL-first idiom, one call away (README.md:97-101
+    in /root/reference: status counts over an access log)."""
+    from duckdb_httpd_log_spark import register_log_view
+
+    register_log_view(spark, "logs_view", data("common", "sample.log"))
+    rows = spark.sql(
+        "SELECT status, COUNT(*) AS n FROM logs_view GROUP BY status ORDER BY n DESC, status"
+    ).collect()
+    assert [(r.status, r.n) for r in rows][0] == (200, 2)
+    assert {r.status for r in rows} == {200, 201, 304, 403, 404}
