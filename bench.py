@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q30_rolling_revenue",
     "q31_unpivot",
     "q32_string_agg",
+    "q33_cube",
+    "q34_zscore_outliers",
+    "q35_pagerank_step",
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",

@@ -761,3 +761,146 @@ def q32_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full CUBE with GROUPING() disambiguation — the OLAP superset of q14's
+# rollup: all 4 aggregation levels of (returnflag, linestatus) in one
+# pass (Spark expands grouping sets before the partial agg, so it is
+# still a single shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "q33_cube",
+    """
+    SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
+           coalesce(l_linestatus, '<all>')  AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grouping_id,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+    "full CUBE over (returnflag, linestatus) with GROUPING() level ids",
+)
+def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "grouping_id",
+            "n",
+            "sum_qty",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flags: per-type mean/stddev as a broadcast-joined
+# aggregate (never a per-row correlated subquery), outliers at |z| >= 3.
+# The aggregate side is |event types| rows — broadcast at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q34_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
+    ORDER BY e.event_id
+    """,
+    "z-score outlier detection vs broadcast per-type mean/stddev",
+)
+def q34_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One PageRank iteration over the event-transition graph — the iterative-
+# algorithm primitive (kmeans_update_step's graph twin): a driver loop
+# repeats exactly this shuffle-on-dst aggregation to convergence; the
+# graph here is the |types|² transition edge list, but the plan shape is
+# the one that scales (edges join ranks on src, aggregate on dst).
+# ---------------------------------------------------------------------------
+PR_DAMPING = 0.85
+
+
+@register(
+    "q35_pagerank_step",
+    f"""
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS w FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    out_w AS (SELECT src, sum(w) AS total_w FROM edges GROUP BY src),
+    contrib AS (
+        SELECT e.dst, sum((1.0 / n.n_nodes) * e.w / o.total_w) AS incoming
+        FROM edges e JOIN out_w o USING (src), n
+        GROUP BY e.dst
+    )
+    SELECT nodes.node,
+           round((1 - {PR_DAMPING}) / (SELECT n_nodes FROM n)
+                 + {PR_DAMPING} * coalesce(c.incoming, 0.0), 6) AS rank
+    FROM nodes
+    LEFT JOIN contrib c ON c.dst = nodes.node
+    ORDER BY node
+    """,
+    "one PageRank iteration over the event-type transition graph (uniform init)",
+)
+def q35_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.count()  # |types|: tiny driver scalar
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
+    contrib = (
+        edges.join(F.broadcast(out_w), "src")
+        .groupBy("dst")
+        .agg(F.sum((1.0 / n_nodes) * F.col("w") / F.col("total_w")).alias("incoming"))
+    )
+    return (
+        nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+        .select(
+            "node",
+            F.round(
+                (1 - PR_DAMPING) / n_nodes + PR_DAMPING * F.coalesce("incoming", F.lit(0.0)), 6
+            ).alias("rank"),
+        )
+        .orderBy("node")
+    )
