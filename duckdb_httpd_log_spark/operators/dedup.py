@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register, table
-from .similarity import hyperplanes
+from .similarity import _round_half_away, hyperplanes
 
 # --- shared shingling parameters (MUST match the SQL oracles below) --------
 NGRAM = 3
@@ -317,7 +317,7 @@ def _emb_planes_values_sql() -> str:
     WITH planes(p, w) AS (SELECT * FROM (VALUES {_emb_planes_values_sql()}) t(p, w)),
     bits AS (
         SELECT vec_id, p,
-               CASE WHEN list_sum([embedding[i]::DOUBLE * w[i] for i in range(1, {EMB_DIM + 1})]) >= 0
+               CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i] for i in range(1, {EMB_DIM + 1})]), 6) >= 0
                     THEN '1' ELSE '0' END AS b
         FROM embeddings, planes
     ),
@@ -354,7 +354,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def signature(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        bits = (mat @ planes_t) >= 0  # n x n_planes
+        bits = _round_half_away(mat @ planes_t, 6) >= 0  # n x n_planes
         weights = 1 << np.arange(EMB_PLANES, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
@@ -382,35 +382,30 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # Exact-cosine verify via a BROADCAST embedding matrix: only the two
-    # 8-byte ids cross the Arrow boundary per candidate pair, instead of
-    # two 64-float arrays shuffled through both joins (~30x less pair
-    # traffic; measured ~1.6x query speedup at sf0.1 where the 4-bit
-    # bands leave ~470k candidate pairs). The matrix is the same
-    # broadcast-a-small-dim-table pattern as an IVF codebook: 1M vectors
-    # x 64 dims = 512 MB would still broadcast on a real cluster; beyond
-    # that, swap this block for the plain cands.join(emb) twice on
-    # vec_id — the banding/candidate semantics are unchanged.
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    sc = spark.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
-
+    # Exact-cosine verify: join the deduped candidate pairs back to the
+    # embeddings twice on the 8-byte vec_id key — no driver-side
+    # materialization anywhere (the round-2 version collect()ed the full
+    # embedding matrix to the driver, the canonical scale-killer). The
+    # broadcast hint turns both lookups into broadcast hash joins
+    # (Spark ships the table executor-side itself; ~512 MB at 1M x 64
+    # still broadcasts); past broadcast size the same plan degrades
+    # gracefully to two shuffle joins on vec_id by dropping the hint —
+    # candidate semantics unchanged either way.
     @F.pandas_udf("double")
-    def cosine_by_id(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ids_, mat_ = b_ids.value, b_mat.value
-        a = mat_[np.searchsorted(ids_, va.values)]
-        b = mat_[np.searchsorted(ids_, vb.values)]
+    def cosine_of(ea_col: pd.Series, eb_col: pd.Series) -> pd.Series:
+        a = np.stack(ea_col.values).astype(np.float64)
+        b = np.stack(eb_col.values).astype(np.float64)
         dot = np.einsum("ij,ij->i", a, b)
         na = np.sqrt(np.einsum("ij,ij->i", a, a))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(np.round(dot / (na * nb), 4))
+        return pd.Series(_round_half_away(dot / (na * nb), 4))
 
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        cands.withColumn("cosine", cosine_by_id("vec_a", "vec_b"))
+        cands.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .withColumn("cosine", cosine_of("ea", "eb"))
         .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -820,7 +820,7 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - s.mu) / s.sigma, 4) AS z
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) >= 3.0
     ORDER BY e.event_id
     """,
     "z-score outlier detection vs broadcast per-type mean/stddev",
@@ -831,9 +831,12 @@ def q34_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # sigma > 0 guard pinned in both engines: a zero-variance group divides
+    # by 0, which DuckDB turns into ±inf (rows pass |z|>=3) while Spark
+    # (ANSI off) yields NULL (rows drop) — exclude identically.
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) >= 3.0)
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 3.0))
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )

@@ -29,6 +29,17 @@ N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
 DIM = 64
 
+
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round half away from zero — DuckDB's round() mode — instead of
+    numpy's round-half-to-even, so a value landing exactly on a decimal
+    boundary rounds the same way in both engines. (The residual parity
+    risk is summation order: np BLAS/einsum vs list_sum's ascending
+    loop can differ in the last ulp; the pre-round to 6 decimals on
+    comparisons canonicalizes everything beyond that.)"""
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
 _DOT = (
     "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -137,8 +148,8 @@ def _cosine_sql(a: str, b: str) -> str:
     WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
     sigs AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN list_sum([embedding[i]::DOUBLE * w[i]
-                                            for i in range(1, {DIM + 1})]) >= 0
+               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})]), 6) >= 0
                              THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         FROM embeddings, planes
         GROUP BY vec_id
@@ -176,7 +187,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("int")
     def bucket_of(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        bits = (mat @ planes_t) >= 0
+        bits = _round_half_away(mat @ planes_t, 6) >= 0
         weights = 1 << np.arange(N_PLANES, dtype=np.int32)
         return pd.Series((bits * weights).sum(axis=1).astype("int32"))
 
@@ -187,7 +198,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = np.einsum("ij,ij->i", a, b)
         na = np.sqrt(np.einsum("ij,ij->i", a, a))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(np.round(dot / (na * nb), 4))
+        return pd.Series(_round_half_away(dot / (na * nb), 4))
 
     corpus = emb.select(
         F.col("vec_id").alias("c_id"),
@@ -321,13 +332,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.round(d2, 6).argmin(axis=1).astype("int32"))
+        return pd.Series(_round_half_away(d2, 6).argmin(axis=1).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(np.round(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
+        order = np.argsort(_round_half_away(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
         return pd.Series(list(order.astype("int32")))
 
     @F.pandas_udf("double")
@@ -337,7 +348,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = np.einsum("ij,ij->i", a, b)
         na = np.sqrt(np.einsum("ij,ij->i", a, a))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(np.round(dot / (na * nb), 4))
+        return pd.Series(_round_half_away(dot / (na * nb), 4))
 
     corpus = emb.select(
         F.col("vec_id").alias("c_id"),
@@ -422,17 +433,28 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         # round-6 then argmin (first minimum = lowest cell) — the exact
         # tie/precision contract the oracle's ORDER BY d2, cell encodes
-        return pd.Series(np.round(d2, 6).argmin(axis=1).astype("int32"))
+        return pd.Series(_round_half_away(d2, 6).argmin(axis=1).astype("int32"))
 
-    assigned = emb.select(
-        assigned_cell("embedding").alias("cell"),
-        F.posexplode(F.col("embedding")).alias("j", "x"),
+    # Partial-aggregate shape: one groupBy(cell) with DIM avg() columns.
+    # Spark's Average runs map-side partial aggregation, so the shuffle
+    # carries nlist x nparts pre-aggregated rows (each DIM doubles + a
+    # count) instead of the posexplode form's DIM rows PER VECTOR —
+    # ~DIM x less shuffle volume, the shape an iterated k-means driver
+    # loop needs at 100 TB. The per-dim explode happens after the
+    # aggregate, on nlist rows.
+    assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
+    grouped = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.round(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
+            for j in range(DIM)
+        ],
     )
     return (
-        assigned.groupBy("cell", "j")
-        .agg(
-            F.round(F.avg(F.col("x").cast("double")), 4).alias("c_new"),
-            F.count(F.lit(1)).alias("n_members"),
+        grouped.select(
+            "cell",
+            F.posexplode(F.array(*[F.col(f"c{j}") for j in range(DIM)])).alias("j", "c_new"),
+            "n_members",
         )
         .select("cell", F.col("j").cast("int").alias("j"), "c_new", "n_members")
         .orderBy("cell", "j")

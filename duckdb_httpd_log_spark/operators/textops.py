@@ -792,8 +792,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
                FROM documents GROUP BY lang)
     SELECT lang, n_docs, n_tokens,
-           round(n_docs * 1.0 / sum(n_docs) OVER (), 4) AS doc_frac,
-           round((1.0 / count(*) OVER ()) / (n_docs * 1.0 / sum(n_docs) OVER ()), 4) AS resample_weight
+           round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS doc_frac,
+           round(CAST(sum(n_docs) OVER () AS DOUBLE)
+                 / CAST(count(*) OVER () * n_docs AS DOUBLE), 4) AS resample_weight
     FROM c
     ORDER BY lang
     """,
@@ -808,14 +809,20 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
     w = Window.partitionBy()
-    doc_frac = F.col("n_docs") / F.sum("n_docs").over(w).cast("double")
-    target = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    # Integer-first single-division form, pinned identically in the oracle
+    # SQL above: every operand stays integral until exactly one DOUBLE
+    # division, so Spark and DuckDB produce bit-identical doubles and
+    # round(x, 4) can't flip on a last-ulp boundary (round-2 ADVICE).
+    total = F.sum("n_docs").over(w)
+    n_langs = F.count(F.lit(1)).over(w)
+    doc_frac = F.col("n_docs").cast("double") / total.cast("double")
+    resample = total.cast("double") / (n_langs * F.col("n_docs")).cast("double")
     return c.select(
         "lang",
         "n_docs",
         "n_tokens",
         F.round(doc_frac, 4).alias("doc_frac"),
-        F.round(target / doc_frac, 4).alias("resample_weight"),
+        F.round(resample, 4).alias("resample_weight"),
     ).orderBy("lang")
 
 

@@ -81,7 +81,10 @@ def rate_limit_stream(
             us = ts.value // 1000  # pandas ns ticks -> µs
             if last_us is not None and us > last_us:
                 tokens = min(cap, tokens + (us - last_us) / 1e6 * rate)
-            last_us = us
+            # Only advance the clock: a late event from a later micro-batch
+            # (us < last_us) must not move it backward, or the next event
+            # would refill over an interval already credited.
+            last_us = us if last_us is None else max(last_us, us)
             if tokens >= 1.0:
                 tokens -= 1.0
             else:
