@@ -20,12 +20,12 @@ Parity notes (src/httpd_conf_reader.cpp):
 
 from __future__ import annotations
 
-import glob as _glob
-import os
 from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import fs
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 
@@ -125,36 +125,42 @@ def _parse_directive_line(
 _DIRECTIVES = ("LogFormat", "CustomLog", "ErrorLogFormat", "ErrorLog")
 
 
-def parse_config_file(path: str) -> list[ConfigEntry]:
+def parse_config_file(path: str, spark: Optional[SparkSession] = None) -> list[ConfigEntry]:
+    """Parse one httpd.conf on any filesystem (local or scheme-qualified;
+    conf files are small, so a whole-file read through fs.read_all is the
+    right granularity)."""
+    text = fs.read_all(spark, path).decode("utf-8", errors="replace")
+    return parse_config_text(text, path)
+
+
+def parse_config_text(text: str, path: str) -> list[ConfigEntry]:
     entries: list[ConfigEntry] = []
-    with open(path, "r", encoding="utf-8", errors="replace") as fh:
-        line_number = 0
+    line_number = 0
+    continued = ""
+    continued_start = 0
+    for line in text.splitlines():
+        line_number += 1
+        if continued:
+            continued += " " + line
+        else:
+            continued = line
+            continued_start = line_number
+        if continued.endswith("\\"):
+            continued = continued[:-1]
+            continue
+
+        trimmed = continued.strip()
         continued = ""
-        continued_start = 0
-        for raw in fh:
-            line = raw.rstrip("\n").rstrip("\r")
-            line_number += 1
-            if continued:
-                continued += " " + line
-            else:
-                continued = line
-                continued_start = line_number
-            if continued.endswith("\\"):
-                continued = continued[:-1]
-                continue
+        if not trimmed or trimmed.startswith("#"):
+            continue
 
-            trimmed = continued.strip()
-            continued = ""
-            if not trimmed or trimmed.startswith("#"):
-                continue
-
-            upper = trimmed.upper()
-            for d in _DIRECTIVES:
-                if upper.startswith(d.upper() + " ") or upper.startswith(d.upper() + "\t"):
-                    entry = _parse_directive_line(trimmed, d, path, continued_start)
-                    if entry is not None:
-                        entries.append(entry)
-                    break
+        upper = trimmed.upper()
+        for d in _DIRECTIVES:
+            if upper.startswith(d.upper() + " ") or upper.startswith(d.upper() + "\t"):
+                entry = _parse_directive_line(trimmed, d, path, continued_start)
+                if entry is not None:
+                    entries.append(entry)
+                break
     return entries
 
 
@@ -172,17 +178,10 @@ CONF_SCHEMA = StructType(
 
 def read_httpd_conf(spark: SparkSession, path: str) -> DataFrame:
     """Extract LogFormat/CustomLog/ErrorLogFormat definitions as a DataFrame."""
-    if any(ch in path for ch in "*?["):
-        files = sorted(_glob.glob(path, recursive=True))
-    elif os.path.isdir(path):
-        files = sorted(
-            os.path.join(root, f) for root, _d, names in os.walk(path) for f in names
-        )
-    else:
-        files = [path] if os.path.exists(path) else []
+    files = fs.expand_paths(path, spark)
     rows = []
     for f in files:
-        for e in parse_config_file(f):
+        for e in parse_config_file(f, spark):
             rows.append(
                 (
                     e.log_type,

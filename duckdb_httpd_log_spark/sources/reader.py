@@ -23,7 +23,6 @@ splittable path is used whenever `raw=False`.
 
 from __future__ import annotations
 
-import glob as _glob
 import gzip as _gzip
 import io
 import os
@@ -33,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import exprs as X
+from . import fs as FS
+from .fs import expand_paths  # re-exported: bind-time path expansion lives in fs.py
 from .conf import parse_config_file
 from .logformat import (
     BOOLEAN,
@@ -55,19 +56,6 @@ SAMPLE_LINES = 10
 # Driver-side sampling (bind-time probe; mirrors ReadSampleLines,
 # src/httpd_log_multi_file_info.cpp:12-29,94-109)
 # ---------------------------------------------------------------------------
-def expand_paths(path: PathLike) -> list[str]:
-    """Expand glob patterns / directories into a sorted list of files."""
-    patterns = [path] if isinstance(path, str) else list(path)
-    files: list[str] = []
-    for p in patterns:
-        if os.path.isdir(p):
-            for root, _dirs, names in os.walk(p):
-                files.extend(os.path.join(root, f) for f in sorted(names))
-        elif any(ch in p for ch in "*?["):
-            files.extend(sorted(_glob.glob(p, recursive=True)))
-        elif os.path.exists(p):
-            files.append(p)
-    return sorted(dict.fromkeys(files))
 
 
 # Extensions Hadoop's compression-codec factory resolves for Spark's text
@@ -79,15 +67,16 @@ def expand_paths(path: PathLike) -> list[str]:
 _CODEC_EXTS = {".gz", ".gzip", ".bz2", ".deflate", ".zst", ".zstd", ".snappy", ".lz4"}
 
 
-def _gzip_by_magic(fname: str) -> bool:
+def _gzip_by_magic(fname: str, spark: Optional[SparkSession] = None) -> bool:
     try:
-        with open(fname, "rb") as fh:
-            return fh.read(2) == b"\x1f\x8b"
+        return FS.read_head(spark, fname, 2) == b"\x1f\x8b"
     except OSError:
         return False
 
 
-def _split_misnamed_gzip(files: list[str]) -> tuple[list[str], list[str]]:
+def _split_misnamed_gzip(
+    files: list[str], spark: Optional[SparkSession] = None
+) -> tuple[list[str], list[str]]:
     """Partition files into (extension-routed, gzip-by-magic-but-misnamed).
 
     The 2-byte magic probe runs only for files whose extension is NOT a
@@ -96,7 +85,7 @@ def _split_misnamed_gzip(files: list[str]) -> tuple[list[str], list[str]]:
     plain, misnamed = [], []
     for f in files:
         ext = os.path.splitext(f)[1].lower()
-        if ext not in _CODEC_EXTS and _gzip_by_magic(f):
+        if ext not in _CODEC_EXTS and _gzip_by_magic(f, spark):
             misnamed.append(f)
         else:
             plain.append(f)
@@ -104,7 +93,7 @@ def _split_misnamed_gzip(files: list[str]) -> tuple[list[str], list[str]]:
 
 
 def _open_text(fname: str) -> io.TextIOBase:
-    """Open a log file for driver-side sampling, sniffing gzip magic."""
+    """Open a local log file for driver-side sampling, sniffing gzip magic."""
     with open(fname, "rb") as fh:
         magic = fh.read(2)
     if magic == b"\x1f\x8b":
@@ -112,17 +101,56 @@ def _open_text(fname: str) -> io.TextIOBase:
     return open(fname, "r", encoding="utf-8", errors="replace")
 
 
-def read_sample_lines(files: list[str], max_lines: int = SAMPLE_LINES) -> list[str]:
+# Bounded head read for remote sampling: one ranged request per file, big
+# enough for 10 lines of any realistic log (the reference's sampler is
+# equally buffered — ReadSampleLines pulls lines through a fixed-size
+# BufferedReader, src/httpd_log_multi_file_info.cpp:12-29).
+_REMOTE_SAMPLE_BYTES = 1 << 20
+
+
+def _sample_lines_remote(
+    spark: Optional[SparkSession], fname: str, budget: int
+) -> list[str]:
+    data = FS.read_head(spark, fname, _REMOTE_SAMPLE_BYTES)
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _gzip.decompress(data)
+        except (OSError, EOFError) as exc:  # truncated member: keep what inflated
+            data = getattr(exc, "partial", b"") or _gzip_head_inflate(data)
+    text = data.decode("utf-8", errors="replace")
+    lines = text.splitlines()
+    if lines and not text.endswith(("\n", "\r")):
+        lines = lines[:-1]  # last line may be cut mid-way by the byte budget
+    return [ln for ln in lines if ln][:budget]
+
+
+def _gzip_head_inflate(data: bytes) -> bytes:
+    import zlib
+
+    try:
+        return zlib.decompressobj(wbits=16 + zlib.MAX_WBITS).decompress(data)
+    except zlib.error:
+        return b""
+
+
+def read_sample_lines(
+    files: list[str],
+    max_lines: int = SAMPLE_LINES,
+    spark: Optional[SparkSession] = None,
+) -> list[str]:
     sample: list[str] = []
     for fname in files:
         try:
-            with _open_text(fname) as fh:
-                for line in fh:
-                    line = line.rstrip("\n").rstrip("\r")
-                    if line:
-                        sample.append(line)
-                    if len(sample) >= max_lines:
-                        break
+            if FS.has_scheme(fname):
+                sample.extend(_sample_lines_remote(spark, fname, max_lines - len(sample)))
+            else:
+                with _open_text(fname) as fh:
+                    for line in fh:
+                        line = line.rstrip("\n").rstrip("\r")
+                        if line:
+                            sample.append(line)
+                        if len(sample) >= max_lines:
+                            break
         except OSError:
             continue
         if len(sample) >= max_lines:
@@ -144,16 +172,17 @@ def resolve_format(
     format_str: Optional[str],
     conf: Optional[str],
     raw: bool,
+    spark: Optional[SparkSession] = None,
 ) -> tuple[ParsedFormat, str, bool]:
     """Return (parsed_format, resolved_format_type, raw_mode)."""
     if format_str:
         return parse_format_string(format_str), format_type or "custom", raw
 
     if conf:
-        entries = sorted(parse_config_file(conf), key=lambda e: e.line_number)
+        entries = sorted(parse_config_file(conf, spark), key=lambda e: e.line_number)
         if not files:
             raise ValueError("No files found for httpd log reading")
-        sample = read_sample_lines(files)
+        sample = read_sample_lines(files, spark=spark)
         half = len(sample) // 2
 
         if format_type:
@@ -189,7 +218,7 @@ def resolve_format(
 
     if not files:
         raise ValueError("No files found for httpd log reading")
-    detected, parsed = detect_format(read_sample_lines(files))
+    detected, parsed = detect_format(read_sample_lines(files, spark=spark))
     if detected == "unknown":
         return parsed, "unknown", True  # force raw mode with minimal schema
     return parsed, detected, raw
@@ -255,6 +284,36 @@ def _projection(parsed: ParsedFormat, ok, parts) -> list:
     return cols
 
 
+def _hive_partition_keys(files: list[str]) -> list[str]:
+    """Ordered `key=value` directory keys shared by every file; raises if
+    files disagree (the host MultiFile layer's hive_partitioning option —
+    `src/httpd_log_multi_file_info.cpp:232-233` — has the same
+    consistent-scheme requirement)."""
+    import re as _re
+
+    def keys_of(f: str) -> list[str]:
+        out = []
+        for seg in f.split("/")[:-1]:
+            m = _re.match(r"([^=]+)=(.*)", seg)
+            if m:
+                out.append(m.group(1))
+        return out
+
+    first = keys_of(files[0])
+    for f in files[1:]:
+        if keys_of(f) != first:
+            raise ValueError(
+                f"hive_partitioning=True but partition keys differ between "
+                f"'{files[0]}' and '{f}'"
+            )
+    if not first:
+        raise ValueError(
+            "hive_partitioning=True but no key=value directory segments found "
+            f"in '{files[0]}'"
+        )
+    return first
+
+
 def read_httpd_log(
     spark: SparkSession,
     path: PathLike,
@@ -262,15 +321,20 @@ def read_httpd_log(
     format_str: Optional[str] = None,
     conf: Optional[str] = None,
     raw: bool = False,
+    hive_partitioning: bool = False,
 ) -> DataFrame:
     """Parse Apache httpd access logs into a typed DataFrame.
 
     Same argument surface and schema contract as the reference's
     ``read_httpd_log`` table function (registration
-    `src/httpd_log_table_function.cpp:893-903`).
-    """
-    files = expand_paths(path)
-    parsed, _ftype, raw_mode = resolve_format(files, format_type, format_str, conf, raw)
+    `src/httpd_log_table_function.cpp:893-903`); ``hive_partitioning``
+    mirrors the MultiFile-layer option the host engine can add
+    (`src/httpd_log_multi_file_info.cpp:232-233`): `key=value` directory
+    segments become trailing string columns. The columns derive from the
+    per-row file path, so Catalyst folds an equality filter on them into
+    a file-path predicate evaluated before parsing."""
+    files = expand_paths(path, spark)
+    parsed, _ftype, raw_mode = resolve_format(files, format_type, format_str, conf, raw, spark)
     if not files:
         raise ValueError("No files found for httpd log reading")
     schema = generate_schema(parsed, raw_mode)
@@ -281,7 +345,19 @@ def read_httpd_log(
         df = _read_fast(spark, files, parsed)
 
     # pin exact column order from the schema contract
-    return df.select(*[name for name, _t in schema])
+    df = df.select(*[name for name, _t in schema])
+
+    if hive_partitioning:
+        import re as _re
+
+        for key in _hive_partition_keys(files):
+            # unescape like Spark's own partition discovery; fall back to
+            # the raw value when the value isn't valid percent-encoding
+            raw_val = F.regexp_extract(
+                F.col("log_file"), f"(?:^|/){_re.escape(key)}=([^/]*)/", 1
+            )
+            df = df.withColumn(key, F.coalesce(F.try_url_decode(raw_val), raw_val))
+    return df
 
 
 def _parse_columns(parsed: ParsedFormat, value):
@@ -327,7 +403,7 @@ def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     """DataFrame[(value, __f)] of raw lines: the splittable text scan for
     extension-routed files, unioned with the gunzip branch for
     content-detected gzip files lacking a codec extension."""
-    plain, misnamed = _split_misnamed_gzip(files)
+    plain, misnamed = _split_misnamed_gzip(files, spark)
     dfs = []
     if plain:
         dfs.append(
@@ -373,7 +449,7 @@ def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> Da
     """Raw mode: per-file line numbers (empty + error lines advance the
     counter; empty lines emit no row; error rows keep parse_error=true and
     the raw text)."""
-    plain, misnamed = _split_misnamed_gzip(files)
+    plain, misnamed = _split_misnamed_gzip(files, spark)
     dfs = []
     if plain:
         dfs.append(

@@ -1,0 +1,224 @@
+"""Remote-filesystem bind path: `read_httpd_log('scheme://…')`.
+
+The reference resolves globs, sampling, and compression sniffing through
+DuckDB's FileSystem abstraction (glob expansion via the MultiFile layer,
+`src/httpd_log_multi_file_info.cpp:90-109`; compression auto-detect in
+the opener, `src/httpd_log_buffered_reader.cpp:6`), so any registered
+filesystem works. Our equivalent routes scheme-qualified paths through
+Hadoop's FileSystem via the JVM gateway (`sources/fs.py`). `file://` is
+a registered Hadoop scheme, so it exercises the exact same code path an
+`s3a://` or `hdfs://` URI takes — minus the network."""
+
+import gzip
+import os
+import shutil
+
+import pytest
+
+from duckdb_httpd_log_spark import read_httpd_conf, read_httpd_log
+from duckdb_httpd_log_spark.sources import fs as FS
+
+from .conftest import data
+
+
+def uri(*parts: str) -> str:
+    return "file://" + data(*parts)
+
+
+# ---------------------------------------------------------------------------
+# scheme routing
+# ---------------------------------------------------------------------------
+def test_scheme_detection():
+    assert FS.scheme_of("s3a://bucket/key.log") == "s3a"
+    assert FS.scheme_of("hdfs://nn:8020/logs") == "hdfs"
+    assert FS.scheme_of("file:///x/y.log") == "file"
+    # Hadoop-canonical single-slash form
+    assert FS.scheme_of("file:/x/y.log") == "file"
+    assert FS.scheme_of("/var/log/access.log") is None
+    assert FS.scheme_of("relative/path.log") is None
+    # a Windows drive letter is not a scheme
+    assert FS.scheme_of("C:/logs/x.log") is None
+
+
+# ---------------------------------------------------------------------------
+# expansion parity: local path vs file:// through Hadoop FS
+# ---------------------------------------------------------------------------
+def test_expand_single_file(spark):
+    files = FS.expand_paths(uri("common", "sample.log"), spark)
+    assert len(files) == 1
+    assert files[0].endswith("common/sample.log")
+
+
+def test_expand_glob_matches_local(spark):
+    local = FS.expand_paths(data("common", "*.log"), spark)
+    remote = FS.expand_paths(uri("common", "*.log"), spark)
+    assert [os.path.basename(f) for f in remote] == [os.path.basename(f) for f in local]
+    assert len(local) >= 2
+
+
+def test_expand_directory_recurses(spark):
+    local = FS.expand_paths(data("multi_file"), spark)
+    remote = FS.expand_paths(uri("multi_file"), spark)
+    assert [os.path.basename(f) for f in remote] == [os.path.basename(f) for f in local]
+
+
+def test_expand_missing_path_empty(spark):
+    assert FS.expand_paths(uri("no_such_dir", "*.log"), spark) == []
+
+
+def test_expand_mixed_local_and_remote(spark):
+    files = FS.expand_paths([data("common", "sample.log"), uri("combined", "combined.log")], spark)
+    assert len(files) == 2
+
+
+# ---------------------------------------------------------------------------
+# bounded head reads (sampling / magic sniffing primitive)
+# ---------------------------------------------------------------------------
+def test_read_head_remote_bounded(spark):
+    head = FS.read_head(spark, uri("common", "sample.log"), 10)
+    with open(data("common", "sample.log"), "rb") as fh:
+        assert head == fh.read(10)
+
+
+def test_read_head_remote_past_eof(spark):
+    head = FS.read_head(spark, uri("common", "sample.log"), 1 << 26)
+    assert head == open(data("common", "sample.log"), "rb").read()
+
+
+def test_read_all_remote(spark):
+    assert FS.read_all(spark, uri("conf", "httpd.conf")) == open(
+        data("conf", "httpd.conf"), "rb"
+    ).read()
+
+
+# ---------------------------------------------------------------------------
+# read_httpd_log end-to-end over file:// (auto-detect samples remotely)
+# ---------------------------------------------------------------------------
+def test_read_remote_single_matches_local(spark):
+    loc = read_httpd_log(spark, data("common", "sample.log"))
+    rem = read_httpd_log(spark, uri("common", "sample.log"))
+    assert sorted(map(tuple, loc.drop("log_file").collect())) == sorted(
+        map(tuple, rem.drop("log_file").collect())
+    )
+
+
+def test_read_remote_glob_matches_local(spark):
+    loc = read_httpd_log(spark, data("common", "*.log"))
+    rem = read_httpd_log(spark, uri("common", "*.log"))
+    assert sorted(map(tuple, loc.drop("log_file").collect())) == sorted(
+        map(tuple, rem.drop("log_file").collect())
+    )
+
+
+def test_read_remote_raw_line_numbers(spark):
+    loc = read_httpd_log(spark, data("common", "with_errors.log"), raw=True)
+    rem = read_httpd_log(spark, uri("common", "with_errors.log"), raw=True)
+    key = ["line_number", "parse_error", "raw_line"]
+    assert sorted(map(tuple, loc.select(*key).collect())) == sorted(
+        map(tuple, rem.select(*key).collect())
+    )
+
+
+def test_read_remote_gzip_extension(spark):
+    loc = read_httpd_log(spark, data("compressed", "access.log.gz"))
+    rem = read_httpd_log(spark, uri("compressed", "access.log.gz"))
+    assert sorted(map(tuple, loc.drop("log_file").collect())) == sorted(
+        map(tuple, rem.drop("log_file").collect())
+    )
+
+
+def test_read_remote_misnamed_gzip(spark, tmp_path):
+    # gzip content behind a .log name: bind-time magic sniff must run
+    # through the Hadoop FS head read, then route to the gunzip branch
+    dst = tmp_path / "misnamed.log"
+    shutil.copy(data("compressed", "access.log.gz"), dst)
+    loc = read_httpd_log(spark, str(dst))
+    rem = read_httpd_log(spark, "file://" + str(dst))
+    assert loc.count() == rem.count() > 0
+
+
+def test_remote_sampling_gzip_head(spark, tmp_path):
+    # auto-detect over a remote gzip file exercises the bounded
+    # head-read + partial-inflate sampling path
+    lines = "\n".join(
+        f'10.0.0.{i} - u [10/Oct/2000:13:55:3{i % 10} -0700] "GET /p{i} HTTP/1.0" 200 {i}'
+        for i in range(50)
+    )
+    dst = tmp_path / "big.log.gz"
+    with gzip.open(dst, "wt") as fh:
+        fh.write(lines + "\n")
+    df = read_httpd_log(spark, "file://" + str(dst))
+    assert df.count() == 50
+    assert "status" in df.columns  # auto-detected common, not raw fallback
+
+
+def test_read_remote_conf_resolution(spark):
+    df = read_httpd_log(
+        spark, uri("common", "sample.log"), conf=uri("conf", "httpd.conf")
+    )
+    assert df.count() == 6
+
+
+def test_read_httpd_conf_remote(spark):
+    loc = read_httpd_conf(spark, data("conf", "httpd.conf"))
+    rem = read_httpd_conf(spark, uri("conf", "httpd.conf"))
+    assert loc.count() == rem.count() == 7
+    # config_file column keeps the URI the caller handed us
+    assert rem.select("config_file").first()[0].startswith("file:")
+
+
+# ---------------------------------------------------------------------------
+# hive partitioning (MultiFile-layer option parity,
+# src/httpd_log_multi_file_info.cpp:232-233)
+# ---------------------------------------------------------------------------
+LINE = '192.168.1.1 - u [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 10'
+
+
+def _mk_partitioned(tmp_path):
+    for d, h, n in [("2024-01-01", "web1", 2), ("2024-01-01", "web2", 3), ("2024-01-02", "web1", 1)]:
+        p = tmp_path / f"date={d}" / f"host={h}"
+        p.mkdir(parents=True)
+        (p / "access.log").write_text("\n".join([LINE] * n) + "\n")
+    return str(tmp_path)
+
+
+def test_hive_partitioning_columns(spark, tmp_path):
+    base = _mk_partitioned(tmp_path)
+    df = read_httpd_log(spark, base + "/*/*/*.log", hive_partitioning=True)
+    assert df.columns[-2:] == ["date", "host"]
+    agg = {(r["date"], r["host"]): r["n"] for r in df.groupBy("date", "host").count().withColumnRenamed("count", "n").collect()}
+    assert agg == {("2024-01-01", "web1"): 2, ("2024-01-01", "web2"): 3, ("2024-01-02", "web1"): 1}
+
+
+def test_hive_partitioning_filter(spark, tmp_path):
+    base = _mk_partitioned(tmp_path)
+    df = read_httpd_log(spark, base, hive_partitioning=True)
+    assert df.filter("date = '2024-01-02'").count() == 1
+
+
+def test_hive_partitioning_remote_uri(spark, tmp_path):
+    base = _mk_partitioned(tmp_path)
+    df = read_httpd_log(spark, "file://" + base, hive_partitioning=True)
+    assert df.filter("host = 'web2'").count() == 3
+
+
+def test_hive_partitioning_url_encoded_value(spark, tmp_path):
+    p = tmp_path / "region=us%20west" / "host=a"
+    p.mkdir(parents=True)
+    (p / "x.log").write_text(LINE + "\n")
+    df = read_httpd_log(spark, str(tmp_path), hive_partitioning=True)
+    assert df.select("region").first()[0] == "us west"
+
+
+def test_hive_partitioning_inconsistent_keys_raises(spark, tmp_path):
+    (tmp_path / "date=1").mkdir()
+    (tmp_path / "host=a").mkdir()
+    (tmp_path / "date=1" / "x.log").write_text(LINE + "\n")
+    (tmp_path / "host=a" / "y.log").write_text(LINE + "\n")
+    with pytest.raises(ValueError, match="partition keys differ"):
+        read_httpd_log(spark, str(tmp_path), hive_partitioning=True)
+
+
+def test_hive_partitioning_no_keys_raises(spark):
+    with pytest.raises(ValueError, match="no key=value"):
+        read_httpd_log(spark, data("common", "sample.log"), hive_partitioning=True)
