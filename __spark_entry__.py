@@ -46,6 +46,13 @@ _PRIORITY = [
     "q33_cube",
     "q34_zscore_outliers",
     "q35_pagerank_step",
+    # new in round 3
+    "dedup_clusters",
+    "token_bigram_pmi",
+    "text_token_entropy",
+    "sample_weighted",
+    "q36_grouping_sets",
+    "q37_gaps_islands",
 ]
 
 

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q33_cube",
     "q34_zscore_outliers",
     "q35_pagerank_step",
+    "q36_grouping_sets",
+    "q37_gaps_islands",
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",
@@ -78,6 +80,10 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_mix_weights",
     "text_tfidf_top_terms",
+    "token_bigram_pmi",
+    "text_token_entropy",
+    "sample_weighted",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

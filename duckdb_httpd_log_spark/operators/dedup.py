@@ -537,3 +537,88 @@ def dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("text_hash", "n_train", "n_heldout", "first_doc")
         .orderBy("first_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph — turns pairwise
+# near-dup hits into dedup CLUSTERS (pick one keeper per component), the
+# step a real corpus dedup runs after candidate verification. Spark side
+# is iterative min-label propagation: per iteration one join + one
+# aggregate, labels localCheckpoint()ed so the plan doesn't grow with
+# iterations — exactly the loop shape an iterative graph algorithm needs
+# at 100 TB (converges in O(component diameter) rounds; near-dup
+# components are quasi-cliques, so a handful). The oracle computes the
+# same fixpoint declaratively with a recursive CTE.
+# ---------------------------------------------------------------------------
+CC_MAX_ITERS = 25
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_GRAMS},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN gc ga ON ga.doc_id = doc_a
+        JOIN gc gb ON gb.doc_id = doc_b
+        WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    ORDER BY doc_id
+    """,
+    "near-dup clusters: connected components over the Jaccard pair graph",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.a, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()  # eager: cuts lineage AND runs this round
+        )
+        # monotone convergence metric: sum of labels strictly decreases
+        # until fixpoint (one tiny aggregate action per round)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )

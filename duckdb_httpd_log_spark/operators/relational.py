@@ -907,3 +907,95 @@ def q35_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond ROLLUP/CUBE): independent grouping
+# clauses in one pass over the data — one shuffle computes all three
+# aggregates (per-flag, per-status, grand total) instead of three scans
+# + a union. Expressed through Spark SQL, which plans the same Expand +
+# hash-aggregate Catalyst uses for rollup/cube.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS grouping_id,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+    "explicit GROUPING SETS: three independent groupings in one Expand pass",
+)
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q36_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS grouping_id,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM q36_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY grouping_id, returnflag, linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: runs of consecutive same-type events per user (the
+# row_number-difference trick). Two window passes, both partitioned on
+# user_id-rooted keys so the heavy sort shuffles once per key family —
+# the classic streak/run-length primitive (distinct from q15's
+# timeout-based sessionization).
+# ---------------------------------------------------------------------------
+ISLAND_MIN_LEN = 3
+
+
+@register(
+    "q37_gaps_islands",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, event_type, rn - rn_t AS grp,
+               count(*) AS island_len, min(event_id) AS first_event
+        FROM seq GROUP BY user_id, event_type, rn - rn_t
+    )
+    SELECT user_id, event_type, island_len, first_event
+    FROM isl
+    WHERE island_len >= {ISLAND_MIN_LEN}
+    ORDER BY user_id, first_event
+    """,
+    "gaps-and-islands: same-type event streaks per user (rn-difference trick)",
+)
+def q37_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("island_len"),
+            F.min("event_id").alias("first_event"),
+        )
+        .filter(F.col("island_len") >= ISLAND_MIN_LEN)
+        .select("user_id", "event_type", "island_len", "first_event")
+        .orderBy("user_id", "first_event")
+    )

@@ -887,3 +887,177 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI (pointwise mutual information) — the collocation/phrase-
+# mining primitive (tokenizer vocab construction, stop-phrase lists).
+# Shape: one explode+hash-agg for bigram counts, one for unigram counts,
+# both shuffled on the token key; corpus totals derive from the two
+# aggregates (sums, no extra scan). PMI's log argument is built as the
+# same parenthesized double product/division chain in both engines.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@register(
+    "token_bigram_pmi",
+    f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+        FROM toks
+    ),
+    bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+    uc AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS c_w FROM uc GROUP BY w),
+    tot AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bi, (SELECT sum(c_w) FROM ucnt) AS n_uni)
+    SELECT b.bigram, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+           round(ln(((CAST(b.c_ab AS DOUBLE) * t.n_uni) * t.n_uni)
+                    / ((CAST(t.n_bi AS DOUBLE) * ua.c_w) * ub.c_w)), 4) AS pmi
+    FROM bc b
+    CROSS JOIN tot t
+    JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1]
+    JOIN ucnt ub ON ub.w = string_split(b.bigram, ' ')[2]
+    WHERE b.c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram
+    LIMIT {PMI_TOP}
+    """,
+    "top-50 bigram collocations by PMI (min count 5, deterministic ties)",
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    # sequence(1, 0) counts DOWN in Spark — guard docs shorter than 2 tokens
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"
+                " else array() end"
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    ucnt = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = bc.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+        ucnt.agg(F.sum("c_w").alias("n_uni"))
+    )
+    ua = ucnt.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = ucnt.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    scored = (
+        bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            ((F.col("c_ab").cast("double") * F.col("n_uni")) * F.col("n_uni"))
+            / ((F.col("n_bi").cast("double") * F.col("c_a")) * F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        scored.select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy — the repetitiveness/diversity quality
+# signal (low entropy = TOC/boilerplate/keyword-stuffed docs). Shape:
+# explode -> (doc, token) hash agg -> per-doc agg; H = ln(n) - Σc·ln(c)/n
+# keeps every aggregate input integral except the final ln terms.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_entropy",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(CAST(c AS DOUBLE))) AS s
+            FROM tc GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+           round(ln(CAST(n AS DOUBLE)) - s / n, 4) AS token_entropy
+    FROM agg
+    ORDER BY doc_id
+    """,
+    "per-doc Shannon entropy over the token distribution (repetitiveness signal)",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), 4).alias(
+            "token_entropy"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ExpJ
+# keys): priority = -ln(u)/w with u derived from md5(doc_id) — fully
+# deterministic and engine-independent, so both engines draw the SAME
+# sample. The distributed shape is a top-k under a total order
+# (TakeOrderedAndProject), no global sort. Weight = n_chars: longer
+# docs proportionally likelier — the "sample by quality/length score"
+# step of a data pipeline.
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 20
+WSAMPLE_SALT = "wsample:"
+
+
+@register(
+    "sample_weighted",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5('{WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars,
+           round(-ln(CAST(v + 1 AS DOUBLE) / 4294967296.0) / n_chars, 8) AS priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    "deterministic weighted sampling (Efraimidis–Spirakis keys, weight = n_chars)",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(WSAMPLE_SALT), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    priority = F.round(-F.log(u) / F.col("n_chars"), 8)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WSAMPLE_K)
+    )

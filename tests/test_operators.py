@@ -259,3 +259,103 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(log_date" in plan or "log_date" in plan
     assert pruned.count() > 0
+
+
+def test_clusters_are_transitive_closures(spark):
+    """Every pair in the jaccard pair list must land in one cluster, and
+    cluster_id must be the component minimum."""
+    from duckdb_httpd_log_spark.operators.dedup import dedup_clusters, dedup_ngram_jaccard
+
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_DIR).collect()
+    }
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()]
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    # label is the minimum doc_id of its component
+    comp: dict = {}
+    for d, c in labels.items():
+        comp.setdefault(c, []).append(d)
+    for c, members in comp.items():
+        assert c == min(members)
+
+
+def test_bigram_pmi_values(spark):
+    """PMI of a bigram recomputed from its own counts matches."""
+    import math
+
+    from duckdb_httpd_log_spark.operators.textops import token_bigram_pmi
+
+    rows = token_bigram_pmi(spark, SF_DIR).collect()
+    assert rows, "no bigrams above min count"
+    # totals are corpus-wide; recompute from an independent scan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = [t for r in docs.select("text").collect() for t in r["text"].split(" ")]
+    n_uni = len(toks)
+    n_bi = sum(max(len(r["text"].split(" ")) - 1, 0) for r in docs.select("text").collect())
+    for r in rows[:5]:
+        pmi = math.log(((r["c_ab"] * n_uni) * n_uni) / ((n_bi * r["c_a"]) * r["c_b"]))
+        assert abs(pmi - r["pmi"]) < 1e-3, r
+
+
+def test_token_entropy_bounds(spark):
+    """0 <= H <= ln(n_tokens); a doc of all-identical tokens has H=0."""
+    import math
+
+    from duckdb_httpd_log_spark.operators.textops import text_token_entropy
+
+    for r in text_token_entropy(spark, SF_DIR).collect():
+        # +5e-5: the column is rounded to 4 decimals, which can nudge an
+        # exactly-uniform doc's H just past ln(n)
+        assert -5e-5 <= r["token_entropy"] <= math.log(r["n_tokens"]) + 5e-5, r
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """The weighted sample's mean n_chars should exceed the corpus mean
+    (weight = n_chars), and the draw must be deterministic."""
+    from duckdb_httpd_log_spark.operators.textops import sample_weighted
+
+    s1 = sample_weighted(spark, SF_DIR).collect()
+    s2 = sample_weighted(spark, SF_DIR).collect()
+    assert s1 == s2
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_mean = docs.agg({"n_chars": "avg"}).first()[0]
+    sample_mean = sum(r["n_chars"] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean * 0.9  # weighted draw skews heavy
+
+
+def test_grouping_sets_totals_consistent(spark):
+    from duckdb_httpd_log_spark.operators.relational import q36_grouping_sets
+
+    rows = q36_grouping_sets(spark, SF_DIR).collect()
+    grand = [r for r in rows if r["grouping_id"] == 3]
+    assert len(grand) == 1
+    per_flag = sum(r["n"] for r in rows if r["grouping_id"] == 1)
+    per_status = sum(r["n"] for r in rows if r["grouping_id"] == 2)
+    assert per_flag == per_status == grand[0]["n"]
+
+
+def test_islands_are_maximal_runs(spark):
+    """Recompute islands for one user in Python and compare."""
+    from duckdb_httpd_log_spark.operators.relational import ISLAND_MIN_LEN, q37_gaps_islands
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    uid = ev.select("user_id").first()[0]
+    seq = [
+        r["event_type"]
+        for r in ev.filter(ev.user_id == uid).orderBy("ts", "event_id").collect()
+    ]
+    runs = []
+    i = 0
+    while i < len(seq):
+        j = i
+        while j < len(seq) and seq[j] == seq[i]:
+            j += 1
+        if j - i >= ISLAND_MIN_LEN:
+            runs.append((seq[i], j - i))
+        i = j
+    got = [
+        (r["event_type"], r["island_len"])
+        for r in q37_gaps_islands(spark, SF_DIR).filter(f"user_id = {uid}").collect()
+    ]
+    assert sorted(got) == sorted(runs)
