@@ -53,6 +53,9 @@ _PRIORITY = [
     "sample_weighted",
     "q36_grouping_sets",
     "q37_gaps_islands",
+    "text_lm_score",
+    "text_length_stats",
+    "q38_correlated_subquery",
 ]
 
 

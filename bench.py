@@ -2,7 +2,8 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Per query: one warm-up-free timed loop of N_RUNS runs, median reported.
+Per query: one untimed warm-up run (codegen/JIT/regex compile), then a
+timed loop of N_RUNS runs, median reported.
 Also benchmarks the log-scan path (parse throughput) over a synthetic
 Apache log generated deterministically into a temp dir.
 """
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "q35_pagerank_step",
     "q36_grouping_sets",
     "q37_gaps_islands",
+    "q38_correlated_subquery",
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",
@@ -84,6 +86,8 @@ BENCH_QUERIES = [
     "text_token_entropy",
     "sample_weighted",
     "dedup_clusters",
+    "text_lm_score",
+    "text_length_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -129,6 +133,7 @@ def main() -> None:
         qd = REGISTRY.get(name)
         if qd is None:
             continue
+        qd.spark_fn(spark, sf_dir).count()  # warm-up (untimed)
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -142,6 +147,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         log_path = os.path.join(td, "bench_access.log")
         gen_log(log_path)
+        read_httpd_log(spark, log_path, format_type="combined").count()  # warm-up
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -153,6 +159,7 @@ def main() -> None:
         os.makedirs(multi)
         for i in range(16):
             gen_log(os.path.join(multi, f"server{i:02d}.log"), n_lines=50_000)
+        read_httpd_log(spark, os.path.join(multi, "server*.log"), format_type="combined").count()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -167,6 +174,7 @@ def main() -> None:
         gz_path = os.path.join(td, "bench_access.log.gz")
         with open(log_path, "rb") as fsrc, _gzip.open(gz_path, "wb", compresslevel=1) as fdst:
             fdst.write(fsrc.read())
+        read_httpd_log(spark, gz_path, format_type="combined").count()  # warm-up
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()

@@ -999,3 +999,35 @@ def q37_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "island_len", "first_event")
         .orderBy("user_id", "first_event")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — Catalyst DECORRELATES it into an
+# aggregate + join (never a per-row re-execution), which is the whole
+# reason it scales: the subquery side becomes one hash agg on
+# o_custkey, broadcast back. The oracle runs the same correlated form.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+    "correlated scalar subquery, decorrelated by Catalyst into agg + join",
+)
+def q38_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q38_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price
+        FROM q38_orders o
+        WHERE o.o_totalprice > (
+            SELECT 2 * avg(o2.o_totalprice) FROM q38_orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )

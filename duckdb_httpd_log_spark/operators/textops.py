@@ -1061,3 +1061,117 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(WSAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the perplexity-filter proxy (score
+# each doc under corpus bigram MLE statistics; low-probability docs are
+# gibberish/boilerplate candidates). Shape: the corpus counts are two
+# hash aggregates; scoring joins each doc bigram to its count — all
+# shuffles on token keys; per-doc reduce at the end. At 100 TB the
+# count tables are exactly the "LM stats" artifact a pipeline would
+# snapshot and broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "text_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+        FROM toks
+    ),
+    bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+    uc AS (SELECT w, count(*) AS c_w
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    scored AS (
+        SELECT g.doc_id, ln(CAST(c.c_ab AS DOUBLE) / u.c_w) AS lp
+        FROM bg g
+        JOIN bc c USING (bigram)
+        JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(sum(lp) / count(*), 4) AS avg_logprob,
+           round(exp(-(sum(lp) / count(*))), 4) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "per-doc bigram-LM score + perplexity proxy under corpus MLE counts",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"
+                " else array() end"
+            )
+        ).alias("bigram"),
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .withColumnRenamed("w", "w1")
+    )
+    scored = (
+        bg.join(bc, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(uc, "w1")
+        .select("doc_id", F.log(F.col("c_ab").cast("double") / F.col("c_w")).alias("lp"))
+    )
+    avg_lp = F.sum("lp") / F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(avg_lp, 4).alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus descriptive stats — the "corpus card" numbers a
+# data pipeline reports per ingest source: doc counts, token totals,
+# exact length quantiles (Spark `percentile` == DuckDB `quantile_cont`,
+# same linear interpolation — see sketches.q18). One hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "text_length_stats",
+    """
+    WITH d AS (SELECT source, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS mean_chars,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    "per-source corpus card: doc/token counts, mean chars, exact length quantiles",
+)
+def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

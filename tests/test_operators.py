@@ -359,3 +359,48 @@ def test_islands_are_maximal_runs(spark):
         for r in q37_gaps_islands(spark, SF_DIR).filter(f"user_id = {uid}").collect()
     ]
     assert sorted(got) == sorted(runs)
+
+
+def test_lm_score_identifies_low_probability_docs(spark):
+    """avg_logprob <= 0 (MLE probabilities <= 1) and ppl = exp(-avg)."""
+    import math
+
+    from duckdb_httpd_log_spark.operators.textops import text_lm_score
+
+    rows = text_lm_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["avg_logprob"] <= 1e-9, r
+        assert abs(r["ppl"] - round(math.exp(-r["avg_logprob"]), 2)) < 0.5 * max(r["ppl"], 1), r
+
+
+def test_length_stats_consistency(spark):
+    from duckdb_httpd_log_spark.operators.textops import text_length_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = text_length_stats(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["p50_tokens"] <= r["p90_tokens"] <= r["max_tokens"]
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Plan must contain a join (decorrelation), and every surviving row
+    must beat 2x its customer's average."""
+    from duckdb_httpd_log_spark.operators.relational import q38_correlated_subquery
+
+    df = q38_correlated_subquery(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # decorrelated, not re-executed per row
+    rows = df.collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    import collections
+
+    sums = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for r in orders.select("o_custkey", "o_totalprice").collect():
+        sums[r["o_custkey"]] += r["o_totalprice"]
+        counts[r["o_custkey"]] += 1
+    for r in rows[:100]:
+        avg = sums[r["o_custkey"]] / counts[r["o_custkey"]]
+        assert r["total_price"] > 2 * avg - 0.01, r
