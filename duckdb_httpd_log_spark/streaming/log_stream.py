@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -162,4 +164,89 @@ def correlate_error_context(
     )
     return errs.join(reqs, cond, "inner").select(
         "e_host", "e_ts", "e_path", "e_status", "r_ts", "r_path", "r_status"
+    )
+
+
+def flag_contaminated_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming ingest decontamination (the streaming twin of
+    `text_contamination`): score each arriving document's distinct
+    word-n-gram overlap against a STATIC benchmark gram set.
+
+    Completely STATELESS: the benchmark grams (eval suites are small)
+    are collected once at plan time and shipped as a Spark broadcast;
+    each micro-batch computes the overlap per row in an Arrow-batched
+    pandas UDF. No shuffle, no streaming state, unbounded runtime —
+    a per-doc_id streaming aggregation would instead keep one state row
+    per document forever, which is exactly the unbounded-state mistake
+    this shape avoids. `benchmark` is a batch DataFrame with a `text`
+    column.
+
+    Output: (doc_id, n_grams, n_hit, contamination, contaminated).
+    """
+    gram_expr = (
+        f"case when size(t) >= {ngram} then"
+        f" transform(sequence(1, size(t) - {ngram - 1}),"
+        f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+        f" else array() end"
+    )
+    bench_rows = (
+        benchmark.select(F.split("text", " ").alias("t"))
+        .select(F.explode(F.array_distinct(F.expr(gram_expr))).alias("g"))
+        .distinct()
+        .collect()
+    )
+    spark = docs_stream.sparkSession
+    b_grams = spark.sparkContext.broadcast(frozenset(r["g"] for r in bench_rows))
+
+    @F.pandas_udf("struct<n_grams: bigint, n_hit: bigint>")
+    def overlap(s: pd.Series) -> pd.DataFrame:
+        bench = b_grams.value
+        n_grams, n_hit = [], []
+        for text in s:
+            toks = text.split(" ")
+            grams = {
+                " ".join(toks[i : i + ngram]) for i in range(max(len(toks) - ngram + 1, 0))
+            }
+            n_grams.append(len(grams))
+            n_hit.append(sum(1 for g in grams if g in bench))
+        return pd.DataFrame({"n_grams": n_grams, "n_hit": n_hit})
+
+    scored = docs_stream.select("doc_id", overlap("text").alias("o")).select(
+        "doc_id", F.col("o.n_grams").alias("n_grams"), F.col("o.n_hit").alias("n_hit")
+    )
+    contamination = F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(contamination, 4).alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )
+
+
+def hot_paths_stream(
+    logs: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    min_hits: int = 10,
+) -> DataFrame:
+    """Watermarked per-(window, path) request counter emitting only hot
+    resources (>= min_hits in the window) — the per-resource twin of the
+    per-client token bucket in `ratelimit.py`. Bounded state: one count
+    per (window, path), dropped when the watermark passes the window."""
+    return (
+        logs.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"), "path")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "path",
+            "n_hits",
+        )
     )

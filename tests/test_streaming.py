@@ -267,3 +267,71 @@ def test_rate_limit_state_persists_across_batches(spark, tmp_path):
     out = spark.sql("SELECT * FROM stream_rl2 ORDER BY ts").collect()
     assert [r.n_rejected_so_far for r in out] == [1, 2]
     assert all(r.client_host == "10.0.0.9" for r in out)
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """The stateless streaming decontaminator must score docs exactly
+    like the batch text_contamination formula, with zero state rows."""
+    import json
+
+    from duckdb_httpd_log_spark.streaming.log_stream import flag_contaminated_stream
+
+    # static benchmark: two docs; stream: four docs, one fully contaminated
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("one two three four five",)], ["text"]
+    )
+    docs = [
+        (1, "alpha beta gamma delta"),          # 100% overlap
+        (2, "alpha beta gamma nine ten"),       # partial
+        (3, "totally clean document here now"), # 0%
+        (4, "x y"),                             # shorter than the n-gram
+    ]
+    srcdir = tmp_path / "docs"
+    srcdir.mkdir()
+    with open(srcdir / "batch0.json", "w") as fh:
+        for doc_id, text in docs:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string").json(str(srcdir))
+    )
+    flagged = flag_contaminated_stream(stream, bench, ngram=3, threshold=0.5)
+    assert flagged.isStreaming
+    _run_stream(flagged, "contam_stream")
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM contam_stream").collect()}
+    assert rows[1]["contaminated"] and rows[1]["contamination"] == 1.0
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_hit"] == 2
+    assert not rows[3]["contaminated"] and rows[3]["n_hit"] == 0
+    assert rows[4]["n_grams"] == 0 and not rows[4]["contaminated"]
+    # partial doc: grams = {a b g, b g n, g n t}; 1 hit of 3
+    assert rows[2]["n_hit"] == 1 and rows[2]["n_grams"] == 3
+    assert rows[2]["contamination"] == round(1 / 3, 4)
+
+
+def test_hot_paths_stream(spark, tmp_path):
+    from duckdb_httpd_log_spark.streaming.log_stream import (
+        hot_paths_stream,
+        read_httpd_log_stream,
+    )
+
+    logdir = tmp_path / "hotlogs"
+    logdir.mkdir()
+    line = '10.0.0.{i} - u [10/Oct/2024:13:55:{s:02d} +0000] "GET {p} HTTP/1.1" 200 10'
+    with open(logdir / "a.log", "w") as fh:
+        for i in range(12):  # /hot gets 12 hits in one minute
+            fh.write(line.format(i=i, s=i % 60, p="/hot") + "\n")
+        for i in range(3):  # /cold only 3
+            fh.write(line.format(i=i, s=i % 60, p="/cold") + "\n")
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    hot = hot_paths_stream(stream, window="1 minute", min_hits=10)
+    # complete mode: append would hold windows until the watermark passes
+    q = (
+        hot.writeStream.format("memory")
+        .queryName("hot_paths")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hot_paths").collect()
+    paths = {r["path"]: r["n_hits"] for r in rows}
+    assert paths == {"/hot": 12}
