@@ -14,8 +14,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..sources.exprs import APACHE_TS_PATTERN, micros_to_interval, translate_strftime
+from .udtf import ExplodePathSegments, ExplodeQueryParams, register_udtfs
 
 __all__ = [
+    "ExplodeQueryParams",
+    "ExplodePathSegments",
+    "register_udtfs",
     "apache_timestamp",
     "strftime_timestamp",
     "micros_to_interval",

@@ -4,6 +4,8 @@ from pyspark.sql import functions as F
 
 from duckdb_httpd_log_spark import functions as H
 
+from .conftest import data
+
 
 def test_status_class_and_is_error(spark):
     df = spark.createDataFrame([(200,), (301,), (404,), (503,), (None,)], "status int")
@@ -82,3 +84,50 @@ def test_ua_family(spark):
     df = spark.createDataFrame([(ua,) for ua, _ in rows], ["ua"])
     got = [r.fam for r in df.select(ua_family(F.col("ua")).alias("fam")).collect()]
     assert got == [want for _, want in rows]
+
+
+# ---------------------------------------------------------------------------
+# Python UDTFs (Spark 4 row-expanding SQL surface)
+# ---------------------------------------------------------------------------
+def test_udtf_explode_query_params(spark):
+    from duckdb_httpd_log_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM explode_query_params('?a=1&b=hello%20world&flag')"
+    ).collect()
+    assert [(r.param_key, r.param_value) for r in rows] == [
+        ("a", "1"),
+        ("b", "hello world"),
+        ("flag", None),
+    ]
+
+
+def test_udtf_lateral_join_over_logs(spark):
+    from duckdb_httpd_log_spark import read_httpd_log
+    from duckdb_httpd_log_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    logs = read_httpd_log(spark, data("common", "sample.log"))
+    logs.createOrReplaceTempView("udtf_logs")
+    rows = spark.sql(
+        """
+        SELECT l.path, s.segment, s.depth
+        FROM udtf_logs l, LATERAL explode_path_segments(l.path) s
+        ORDER BY l.path, s.depth
+        """
+    ).collect()
+    assert ("images", 1) in {(r.segment, r.depth) for r in rows}
+    assert ("logo.png", 2) in {(r.segment, r.depth) for r in rows}
+    # every segment row reassembles into a prefix of its path
+    for r in rows:
+        assert r.segment in r.path
+
+
+def test_udtf_empty_and_none_inputs(spark):
+    from duckdb_httpd_log_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    assert spark.sql("SELECT * FROM explode_query_params('')").count() == 0
+    assert spark.sql("SELECT * FROM explode_query_params(CAST(NULL AS STRING))").count() == 0
+    assert spark.sql("SELECT * FROM explode_path_segments('/')").count() == 0
