@@ -56,6 +56,7 @@ _PRIORITY = [
     "text_lm_score",
     "text_length_stats",
     "q38_correlated_subquery",
+    "kmeans_train",
 ]
 
 

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "kmeans_update_step",
+    "kmeans_train",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -459,3 +459,132 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", F.col("j").cast("int").alias("j"), "c_new", "n_members")
         .orderBy("cell", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-iteration k-means training loop — the full iterate-to-convergence
+# shape, oracle-checked end-to-end. Parity holds across iterations
+# because each update's centroids are rounded to 4 decimals in BOTH
+# engines: the rounded decimals parse to bit-identical doubles, so
+# iteration 2 starts from the exact same model state. Spark side: the
+# per-iteration driver fetch is the 16 x 64 centroid MODEL (1024 tiny
+# rows — the artifact an ML loop checkpoints each round), never data;
+# assignment + update stay fully distributed (broadcast centroids,
+# partial-aggregate means — see kmeans_update_step).
+# ---------------------------------------------------------------------------
+KMEANS_ITERS = 2
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """groupBy(cell) with DIM avg() columns (map-side partial agg), then
+    per-dim posexplode of the nlist result rows."""
+    grouped = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.round(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
+            for j in range(DIM)
+        ],
+    )
+    return (
+        grouped.select(
+            "cell",
+            F.posexplode(F.array(*[F.col(f"c{j}") for j in range(DIM)])).alias("j", "c_new"),
+            "n_members",
+        )
+        .select("cell", F.col("j").cast("int").alias("j"), "c_new", "n_members")
+        .orderBy("cell", "j")
+    )
+
+
+@register(
+    "kmeans_train",
+    f"""
+    WITH cen AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {IVF_NLIST}
+    ),
+    d1 AS (
+        SELECT e.vec_id, cen.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
+        FROM a1 a
+        JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+        GROUP BY a.cell, t.i
+    ),
+    cen2 AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m1 GROUP BY cell),
+    d2_ AS (
+        SELECT e.vec_id, cen2.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen2
+    ),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d2_)
+        WHERE rn = 1
+    )
+    SELECT CAST(a.cell AS INTEGER) AS cell, CAST(t.i - 1 AS INTEGER) AS j,
+           round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new,
+           count(*) AS n_members
+    FROM a2 a
+    JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+    GROUP BY a.cell, t.i
+    ORDER BY cell, j
+    """,
+    "two full k-means iterations (assign + update, twice) — the training loop, oracle-checked",
+)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+
+    emb = table(spark, sf_dir, "embeddings")
+    cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)
+    cell_ids = np.arange(cen.shape[0], dtype=np.int32)
+
+    for _ in range(KMEANS_ITERS - 1):
+        b = spark.sparkContext.broadcast((cell_ids, cen))
+
+        @F.pandas_udf("int")
+        def assigned_cell(embedding: pd.Series) -> pd.Series:
+            ids, c = b.value
+            mat = np.stack(embedding.values).astype(np.float64)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
+
+        assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
+        model = _cell_means(assigned).collect()  # nlist x DIM model rows
+        by_cell: dict = collections.defaultdict(dict)
+        for r in model:
+            by_cell[r["cell"]][r["j"]] = r["c_new"]
+        cells = sorted(by_cell)
+        cen = np.array([[by_cell[c][j] for j in range(DIM)] for c in cells], dtype=np.float64)
+        cell_ids = np.array(cells, dtype=np.int32)
+
+    b_fin = spark.sparkContext.broadcast((cell_ids, cen))
+
+    @F.pandas_udf("int")
+    def final_cell(embedding: pd.Series) -> pd.Series:
+        ids, c = b_fin.value
+        mat = np.stack(embedding.values).astype(np.float64)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
+
+    assigned = emb.select(final_cell("embedding").alias("cell"), "embedding")
+    return _cell_means(assigned)

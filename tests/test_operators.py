@@ -404,3 +404,26 @@ def test_correlated_subquery_decorrelates(spark):
     for r in rows[:100]:
         avg = sums[r["o_custkey"]] / counts[r["o_custkey"]]
         assert r["total_price"] > 2 * avg - 0.01, r
+
+
+def test_kmeans_train_reduces_inertia(spark):
+    """Iteration-2 centroids must fit the data at least as well as
+    iteration-1 centroids (k-means is monotone in inertia)."""
+    import numpy as np
+
+    from duckdb_httpd_log_spark.operators.similarity import kmeans_train, kmeans_update_step
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+
+    def inertia(rows):
+        cen = {}
+        for r in rows:
+            cen.setdefault(r["cell"], [0.0] * 64)[r["j"]] = r["c_new"]
+        c = np.array(list(cen.values()))
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    i1 = inertia(kmeans_update_step(spark, SF_DIR).collect())
+    i2 = inertia(kmeans_train(spark, SF_DIR).collect())
+    assert i2 <= i1 * 1.0001, (i1, i2)
