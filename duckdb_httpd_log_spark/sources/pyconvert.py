@@ -343,9 +343,47 @@ def error_row(parsed: ParsedFormat) -> list:
     return out
 
 
+# pyarrow URI schemes differ from Hadoop's for two filesystems
+_PA_SCHEME_MAP = {"s3a": "s3", "gs": "gcs"}
+
+
+def _read_remote_bytes(fname: str) -> bytes:
+    """Whole-file bytes via pyarrow.fs — usable on EXECUTORS (Python
+    DataSource workers have no JVM gateway, so the Hadoop FileSystem
+    route used at bind time is not available here). One whole-file read
+    per partition matches this source's one-partition-per-file
+    granularity."""
+    import re as _re
+
+    import pyarrow.fs as pafs
+
+    uri = _re.sub(
+        r"^([A-Za-z][A-Za-z0-9+.\-]+):",
+        lambda m: _PA_SCHEME_MAP.get(m.group(1).lower(), m.group(1)) + ":",
+        fname,
+    )
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    with fs.open_input_stream(rel) as stream:
+        return stream.read()
+
+
 def iter_log_lines(fname: str) -> Iterator[tuple[int, str]]:
-    """(1-based line_number, \\r-stripped line) pairs; gzip sniffed by
-    magic bytes like the reference's AUTO_DETECT compression."""
+    """(1-based line_number, CR-stripped line) pairs; gzip sniffed by
+    magic bytes like the reference's AUTO_DETECT compression. Paths with
+    a URI scheme read through pyarrow.fs (file/s3/hdfs/gcs); local paths
+    stream lazily."""
+    from .fs import has_scheme
+
+    if has_scheme(fname):
+        data = _read_remote_bytes(fname)
+        if data[:2] == b"\x1f\x8b":
+            data = _gzip.decompress(data)
+        lines = data.decode("utf-8", errors="replace").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for i, line in enumerate(lines, start=1):
+            yield i, line.rstrip("\r")
+        return
     with open(fname, "rb") as fh:
         magic = fh.read(2)
     if magic == b"\x1f\x8b":

@@ -222,3 +222,28 @@ def test_hive_partitioning_inconsistent_keys_raises(spark, tmp_path):
 def test_hive_partitioning_no_keys_raises(spark):
     with pytest.raises(ValueError, match="no key=value"):
         read_httpd_log(spark, data("common", "sample.log"), hive_partitioning=True)
+
+
+# ---------------------------------------------------------------------------
+# executor-side reads (Python DataSource path) go through pyarrow.fs
+# ---------------------------------------------------------------------------
+def test_iter_log_lines_remote_parity():
+    from duckdb_httpd_log_spark.sources.pyconvert import iter_log_lines
+
+    loc = list(iter_log_lines(data("common", "with_errors.log")))
+    rem = list(iter_log_lines(uri("common", "with_errors.log")))
+    assert loc == rem
+
+
+def test_iter_log_lines_remote_gzip():
+    from duckdb_httpd_log_spark.sources.pyconvert import iter_log_lines
+
+    loc = list(iter_log_lines(data("compressed", "access.log.gz")))
+    rem = list(iter_log_lines(uri("compressed", "access.log.gz")))
+    assert loc == rem and len(rem) > 0
+
+
+def test_pa_scheme_translation():
+    from duckdb_httpd_log_spark.sources.pyconvert import _PA_SCHEME_MAP
+
+    assert _PA_SCHEME_MAP["s3a"] == "s3"  # Hadoop scheme -> pyarrow scheme
