@@ -427,3 +427,26 @@ def test_kmeans_train_reduces_inertia(spark):
     i1 = inertia(kmeans_update_step(spark, SF_DIR).collect())
     i2 = inertia(kmeans_train(spark, SF_DIR).collect())
     assert i2 <= i1 * 1.0001, (i1, i2)
+
+
+def test_partitioned_sink_rowgroups_sorted(spark, tmp_path):
+    """save_logs_partitioned must produce parquet files whose timestamp
+    column is sorted (tight row-group min/max stats => row-group skipping
+    on time-range reads)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_httpd_log_spark import read_httpd_log
+    from duckdb_httpd_log_spark.sinks import save_logs_partitioned
+
+    from .conftest import data
+
+    logs = read_httpd_log(spark, data("common", "sample.log"))
+    out = str(tmp_path / "sorted_sink")
+    save_logs_partitioned(logs, out, files_per_partition=2)
+    files = _glob.glob(f"{out}/log_date=*/*.parquet")
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["timestamp"])["timestamp"].to_pylist()
+        assert ts == sorted(ts), f
