@@ -57,6 +57,7 @@ _PRIORITY = [
     "text_length_stats",
     "q38_correlated_subquery",
     "kmeans_train",
+    "ann_radius_search",
 ]
 
 

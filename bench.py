@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_radius_search",
     "kmeans_update_step",
     "kmeans_train",
     "multimodal_features",
