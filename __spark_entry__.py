@@ -58,6 +58,8 @@ _PRIORITY = [
     "q38_correlated_subquery",
     "kmeans_train",
     "ann_radius_search",
+    "multimodal_chunk_audio",
+    "q39_mad_outliers",
 ]
 
 

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q36_grouping_sets",
     "q37_gaps_islands",
     "q38_correlated_subquery",
+    "q39_mad_outliers",
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",
@@ -97,6 +98,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_chunk_audio",
 ]
 
 

@@ -253,3 +253,71 @@ def sample_frames(df: DataFrame) -> DataFrame:
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(binary_table(spark, sf_dir)).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Audio chunking: overlapping fixed-size windows at a hop stride — the
+# spectrogram/ASR pre-processing shape (window > hop ⇒ overlap), with
+# the sample decode stubbed to deterministic byte windows. Same Arrow
+# mapInPandas plumbing as frames: payload bytes stay executor-side, the
+# 1:N expansion is embarrassingly parallel, no shuffle.
+# ---------------------------------------------------------------------------
+CHUNK_BYTES = 96
+CHUNK_HOP = 64  # < CHUNK_BYTES: consecutive chunks overlap
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_offset", LongType()),
+        StructField("chunk_bytes", LongType()),
+        StructField("chunk_digest", StringType()),
+    ]
+)
+
+
+def chunk_audio(df: DataFrame) -> DataFrame:
+    """Arrow-batched 1:N overlapping-window chunking over audio payloads."""
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            rows = {k: [] for k in ("doc_id", "chunk_idx", "chunk_offset", "chunk_bytes", "chunk_digest")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(range(0, max(len(payload) - CHUNK_BYTES + CHUNK_HOP, 1), CHUNK_HOP)):
+                    chunk = payload[off : off + CHUNK_BYTES]
+                    if not chunk:
+                        break
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(idx)
+                    rows["chunk_offset"].append(off)
+                    rows["chunk_bytes"].append(len(chunk))
+                    rows["chunk_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_chunks, CHUNK_SCHEMA)
+
+
+@register(
+    "multimodal_chunk_audio",
+    f"""
+    WITH aud AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER)               AS chunk_idx,
+               CAST(i * {CHUNK_HOP} AS BIGINT)  AS chunk_offset,
+               CAST(least({CHUNK_BYTES}, n - i * {CHUNK_HOP}) AS BIGINT) AS chunk_bytes,
+               md5(substr(text, CAST(i * {CHUNK_HOP} + 1 AS INTEGER), {CHUNK_BYTES})) AS chunk_digest
+        FROM aud, LATERAL unnest(range(0, greatest((n - {CHUNK_BYTES} + {CHUNK_HOP}
+                                                    + {CHUNK_HOP - 1}) // {CHUNK_HOP}, 1))) t(i)
+        WHERE i * {CHUNK_HOP} < n
+    )
+    SELECT * FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    "1:N overlapping audio chunking via Arrow-batched mapInPandas (stubbed decode)",
+)
+def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_audio(binary_table(spark, sf_dir)).orderBy("doc_id", "chunk_idx")

@@ -1031,3 +1031,56 @@ def q38_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD (median absolute deviation) — the
+# heavy-tail-safe twin of q34's z-score: median and MAD are computed
+# per type as two grouped exact quantiles (percentile == quantile_cont
+# interpolation in both engines, see q18) and broadcast-joined back;
+# never a per-row subquery. Zero-MAD groups excluded identically in
+# both engines (q34's sigma=0 lesson).
+# ---------------------------------------------------------------------------
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+MAD_CUT = 3.5
+
+
+@register(
+    "q39_mad_outliers",
+    f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(abs(e.value - med.m) / (mad.mad * {MAD_K}), 4) AS robust_z
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND abs(e.value - med.m) / (mad.mad * {MAD_K}) >= {MAD_CUT}
+    ORDER BY e.event_id
+    """,
+    "robust MAD-based outliers per event type (median/MAD broadcast back)",
+)
+def q39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - m), 0.5)").alias("mad"))
+    )
+    z = F.abs(F.col("value") - F.col("m")) / (F.col("mad") * F.lit(MAD_K))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (z >= MAD_CUT))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
+        .orderBy("event_id")
+    )

@@ -450,3 +450,46 @@ def test_partitioned_sink_rowgroups_sorted(spark, tmp_path):
     for f in files:
         ts = pq.read_table(f, columns=["timestamp"])["timestamp"].to_pylist()
         assert ts == sorted(ts), f
+
+
+def test_audio_chunks_overlap_and_cover(spark):
+    """Chunks step by hop (< window): consecutive offsets differ by
+    CHUNK_HOP and every audio payload byte is covered."""
+    from duckdb_httpd_log_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        CHUNK_HOP,
+        multimodal_chunk_audio,
+    )
+
+    rows = multimodal_chunk_audio(spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        offs = [c["chunk_offset"] for c in chunks]
+        assert offs == [i * CHUNK_HOP for i in range(len(offs))]
+        # full coverage: last chunk reaches payload end; all but last full-size
+        for c in chunks[:-1]:
+            assert c["chunk_bytes"] == CHUNK_BYTES or len(chunks) == 1
+        assert CHUNK_HOP < CHUNK_BYTES  # overlap is the point
+
+
+def test_mad_outliers_subset_semantics(spark):
+    """Every flagged row really deviates from its type median by
+    >= 3.5 * (MAD * 1.4826)."""
+    import statistics
+
+    from duckdb_httpd_log_spark.operators.relational import MAD_CUT, MAD_K, q39_mad_outliers
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    med = {t: statistics.median(vs) for t, vs in by_type.items()}
+    mad = {t: statistics.median([abs(v - med[t]) for v in vs]) for t, vs in by_type.items()}
+    for r in q39_mad_outliers(spark, SF_DIR).collect():
+        t = r["event_type"]
+        assert mad[t] > 0
+        assert abs(r["value"] - med[t]) / (mad[t] * MAD_K) >= MAD_CUT - 1e-6
