@@ -60,6 +60,7 @@ _PRIORITY = [
     "ann_radius_search",
     "multimodal_chunk_audio",
     "q39_mad_outliers",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_cross_split",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",

@@ -622,3 +622,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join (PPJoin-style): a LOSSLESS candidate
+# pruning — order every doc's shingles by a global (document-frequency,
+# hash) total order; if J(A,B) >= t, the globally-smallest common
+# shingle must sit within the first |A| - ceil(t*|A|) + 1 shingles of A
+# (and symmetrically of B), so joining only on those prefix shingles
+# finds EVERY qualifying pair while shrinking the pair join's input by
+# ~the threshold factor. Rare-shingle-first ordering makes the
+# surviving keys the most selective ones. Output is identical to
+# dedup_ngram_jaccard — same oracle SQL, which is itself the proof the
+# pruning is lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SQL_GRAMS},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+    FROM inter
+    JOIN gc ga ON ga.doc_id = doc_a
+    JOIN gc gb ON gb.doc_id = doc_b
+    WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    "prefix-filtered (PPJoin-style) Jaccard near-dup join — lossless pruning, same result as the plain pair join",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = JACCARD_THRESHOLD
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.split("text", " ").alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(tk) >= {NGRAM} then"
+                f" transform(sequence(1, size(tk) - {NGRAM - 1}),"
+                f"  i -> xxhash64(concat_ws(' ', tk[i-1], tk[i], tk[i+1])))"
+                f" else array() end"
+            )
+        ).alias("gh"),
+    ).distinct()
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+    # global total order: (document frequency asc, hash) — rare first
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(freq, "gh").localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "gh")
+    per_doc = ranked.select(
+        "doc_id",
+        "gh",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    # prefix length |d| - ceil(t|d|) + 1: any pair with J >= t shares a
+    # prefix shingle on BOTH sides (smallest-common-element argument)
+    prefix = per_doc.filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "gh")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "gh")
+    cands = (
+        pa.join(pb, "gh").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    # exact verify via per-doc gram sets (same shape as minhash verify)
+    sets_ = ranked.groupBy("doc_id").agg(
+        F.collect_list("gh").alias("gs"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"), F.col("n").alias("na"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"), F.col("n").alias("nb"))
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")))
+    )
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -493,3 +493,13 @@ def test_mad_outliers_subset_semantics(spark):
         t = r["event_type"]
         assert mad[t] > 0
         assert abs(r["value"] - med[t]) / (mad[t] * MAD_K) >= MAD_CUT - 1e-6
+
+
+def test_prefix_join_equals_plain_pair_join(spark):
+    """The PPJoin-style prefix filter is lossless: identical pairs and
+    jaccard values to the exhaustive shingle pair join."""
+    from duckdb_httpd_log_spark.operators.dedup import dedup_jaccard_prefix, dedup_ngram_jaccard
+
+    plain = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
+    pref = sorted(map(tuple, dedup_jaccard_prefix(spark, SF_DIR).collect()))
+    assert plain == pref and len(plain) > 0
