@@ -596,6 +596,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -614,8 +615,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # until fixpoint (one tiny aggregate action per round)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning partial labels would silently split real clusters (and
+        # diverge from the oracle's recursive-CTE fixpoint) — fail loudly;
+        # near-dup components are quasi-cliques, so hitting this means the
+        # input graph is pathological, not that more iterations are fine
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{CC_MAX_ITERS} iterations (component diameter > {CC_MAX_ITERS})"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -658,21 +669,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = JACCARD_THRESHOLD
-    docs_t = table(spark, sf_dir, "documents")
-    toks = docs_t.select("doc_id", F.split("text", " ").alias("tk"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"case when size(tk) >= {NGRAM} then"
-                f" transform(sequence(1, size(tk) - {NGRAM - 1}),"
-                f"  i -> xxhash64(concat_ws(' ', tk[i-1], tk[i], tk[i+1])))"
-                f" else array() end"
-            )
-        ).alias("gh"),
-    ).distinct()
-    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
-    grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+    # the one shared shingle pipeline (same DF-cap semantics as the plain
+    # pair join and the oracle); 8-byte gram identity for every shuffle
+    grams = _capped_grams(spark, sf_dir).select("doc_id", F.xxhash64("g").alias("gh"))
     # global total order: (document frequency asc, hash) — rare first
     freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     ranked = grams.join(freq, "gh").localCheckpoint(eager=False)
@@ -686,8 +685,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
     )
     # prefix length |d| - ceil(t|d|) + 1: any pair with J >= t shares a
-    # prefix shingle on BOTH sides (smallest-common-element argument)
-    prefix = per_doc.filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    # prefix shingle on BOTH sides (smallest-common-element argument).
+    # The 1e-9 guard keeps float ceil exact: 0.7*10 evaluates to
+    # 7.000000000000001, whose unguarded ceil (8) would shorten the
+    # prefix and silently break losslessness.
+    prefix = per_doc.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + 1
+    )
     pa = prefix.select(F.col("doc_id").alias("doc_a"), "gh")
     pb = prefix.select(F.col("doc_id").alias("doc_b"), "gh")
     cands = (

@@ -440,25 +440,9 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries nlist x nparts pre-aggregated rows (each DIM doubles + a
     # count) instead of the posexplode form's DIM rows PER VECTOR —
     # ~DIM x less shuffle volume, the shape an iterated k-means driver
-    # loop needs at 100 TB. The per-dim explode happens after the
-    # aggregate, on nlist rows.
+    # loop needs at 100 TB (shared with kmeans_train via _cell_means).
     assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
-    grouped = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        *[
-            F.round(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
-            for j in range(DIM)
-        ],
-    )
-    return (
-        grouped.select(
-            "cell",
-            F.posexplode(F.array(*[F.col(f"c{j}") for j in range(DIM)])).alias("j", "c_new"),
-            "n_members",
-        )
-        .select("cell", F.col("j").cast("int").alias("j"), "c_new", "n_members")
-        .orderBy("cell", "j")
-    )
+    return _cell_means(assigned)
 
 
 # ---------------------------------------------------------------------------

@@ -49,15 +49,76 @@ def has_scheme(path: str) -> bool:
     return scheme_of(path) is not None
 
 
-def _require_spark(spark: Optional[SparkSession], path: str) -> SparkSession:
-    spark = spark or SparkSession.getActiveSession()
-    if spark is None:
-        raise ValueError(
-            f"Path '{path}' has a filesystem scheme, which needs an active "
-            "SparkSession at bind time to resolve through Hadoop's FileSystem "
-            "API (pass the session to read_httpd_log / start one first)."
-        )
-    return spark
+def _session_or_none(spark: Optional[SparkSession]) -> Optional[SparkSession]:
+    return spark or SparkSession.getActiveSession()
+
+
+# pyarrow URI schemes differ from Hadoop's for two filesystems
+_PA_SCHEME_MAP = {"s3a": "s3", "gs": "gcs"}
+
+
+def _pyarrow_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path, original scheme) — the
+    session-less fallback used where no JVM gateway exists (Python
+    DataSource planning, streaming python workers)."""
+    import pyarrow.fs as pafs
+
+    scheme = scheme_of(path)
+    uri = re.sub(
+        r"^([A-Za-z][A-Za-z0-9+.\-]+):",
+        lambda m: _PA_SCHEME_MAP.get(m.group(1).lower(), m.group(1)) + ":",
+        path,
+    )
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    return fs, rel, scheme
+
+
+def _pa_uri(scheme: str, fs_path: str) -> str:
+    """Rebuild a scheme-qualified URI from a pyarrow fs-relative path
+    (local paths are absolute: file:///...; object stores are
+    bucket-relative: s3a://bucket/key)."""
+    return f"{scheme}://{fs_path}"
+
+
+def _expand_remote_pyarrow(pattern: str) -> list[str]:
+    """Glob/dir/file expansion through pyarrow.fs. Globs are resolved by
+    recursively listing the deepest non-glob directory prefix and
+    fnmatch-ing each path — fnmatch's `*` spans path separators (unlike
+    Hadoop's), which is harmless for the log-glob shapes this serves."""
+    import fnmatch
+
+    import pyarrow.fs as pafs
+
+    scheme = scheme_of(pattern)
+    if not any(ch in pattern for ch in _GLOB_CHARS):
+        fs, rel, _ = _pyarrow_fs(pattern)
+        info = fs.get_file_info(rel)
+        if info.type == pafs.FileType.NotFound:
+            return []
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(rel, recursive=True)
+            return [
+                _pa_uri(scheme, i.path)
+                for i in fs.get_file_info(sel)
+                if i.type == pafs.FileType.File
+            ]
+        return [_pa_uri(scheme, info.path)]
+    # base = everything up to the last '/' before the first glob char
+    first_glob = min(pattern.index(c) for c in _GLOB_CHARS if c in pattern)
+    base = pattern[:first_glob].rsplit("/", 1)[0]
+    fs, rel, _ = _pyarrow_fs(base)
+    info = fs.get_file_info(rel)
+    if info.type != pafs.FileType.Directory:
+        return []
+    sel = pafs.FileSelector(rel, recursive=True)
+    # compare fs-relative paths (leading slashes normalized away so the
+    # same fnmatch works for local absolute and bucket-relative paths)
+    rel_pattern = _SCHEME_RE.sub("", pattern).lstrip("/")
+    out = []
+    for i in fs.get_file_info(sel):
+        if i.type == pafs.FileType.File and fnmatch.fnmatch(i.path.lstrip("/"), rel_pattern):
+            out.append(_pa_uri(scheme, i.path))
+    return out
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -81,8 +142,12 @@ def expand_remote(spark: Optional[SparkSession], pattern: str) -> list[str]:
     """Expand one scheme-qualified pattern (glob / directory / file) into
     full URIs, mirroring the local `expand_paths` semantics: directories
     recurse, globs expand (glob hits that are directories recurse too),
-    missing paths yield []."""
-    spark = _require_spark(spark, pattern)
+    missing paths yield []. With no SparkSession in reach (Python
+    DataSource planning / streaming workers have no JVM gateway) the
+    expansion falls back to pyarrow.fs."""
+    spark = _session_or_none(spark)
+    if spark is None:
+        return _expand_remote_pyarrow(pattern)
     _jvm, fs, jpath = _fs_for(spark, pattern)
     files: list[str] = []
     if any(ch in pattern for ch in _GLOB_CHARS):
@@ -135,7 +200,11 @@ def read_head(spark: Optional[SparkSession], path: str, n: int) -> bytes:
     if not has_scheme(path):
         with open(path, "rb") as fh:
             return fh.read(n)
-    spark = _require_spark(spark, path)
+    spark = _session_or_none(spark)
+    if spark is None:
+        fs, rel, _ = _pyarrow_fs(path)
+        with fs.open_input_stream(rel) as stream:
+            return stream.read(n)
     jvm, fs, jpath = _fs_for(spark, path)
     stream = fs.open(jpath)
     try:
@@ -154,7 +223,11 @@ def read_all(spark: Optional[SparkSession], path: str) -> bytes:
     if not has_scheme(path):
         with open(path, "rb") as fh:
             return fh.read()
-    spark = _require_spark(spark, path)
+    spark = _session_or_none(spark)
+    if spark is None:
+        fs, rel, _ = _pyarrow_fs(path)
+        with fs.open_input_stream(rel) as stream:
+            return stream.read()
     jvm, fs, jpath = _fs_for(spark, path)
     stream = fs.open(jpath)
     try:

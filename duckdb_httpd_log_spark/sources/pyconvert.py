@@ -343,26 +343,15 @@ def error_row(parsed: ParsedFormat) -> list:
     return out
 
 
-# pyarrow URI schemes differ from Hadoop's for two filesystems
-_PA_SCHEME_MAP = {"s3a": "s3", "gs": "gcs"}
-
-
 def _read_remote_bytes(fname: str) -> bytes:
     """Whole-file bytes via pyarrow.fs — usable on EXECUTORS (Python
     DataSource workers have no JVM gateway, so the Hadoop FileSystem
     route used at bind time is not available here). One whole-file read
     per partition matches this source's one-partition-per-file
     granularity."""
-    import re as _re
+    from .fs import _pyarrow_fs
 
-    import pyarrow.fs as pafs
-
-    uri = _re.sub(
-        r"^([A-Za-z][A-Za-z0-9+.\-]+):",
-        lambda m: _PA_SCHEME_MAP.get(m.group(1).lower(), m.group(1)) + ":",
-        fname,
-    )
-    fs, rel = pafs.FileSystem.from_uri(uri)
+    fs, rel, _ = _pyarrow_fs(fname)
     with fs.open_input_stream(rel) as stream:
         return stream.read()
 

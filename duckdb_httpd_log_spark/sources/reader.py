@@ -117,9 +117,10 @@ def _sample_lines_remote(
             data = _gzip.decompress(data)
         except (OSError, EOFError) as exc:  # truncated member: keep what inflated
             data = getattr(exc, "partial", b"") or _gzip_head_inflate(data)
+    truncated = len(data) == _REMOTE_SAMPLE_BYTES
     text = data.decode("utf-8", errors="replace")
     lines = text.splitlines()
-    if lines and not text.endswith(("\n", "\r")):
+    if truncated and lines and not text.endswith(("\n", "\r")):
         lines = lines[:-1]  # last line may be cut mid-way by the byte budget
     return [ln for ln in lines if ln][:budget]
 
@@ -238,7 +239,12 @@ _SPARK_TYPES = {
 
 
 def _normalize_file_uri(col):
-    return F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
+    """file:-URI -> plain path with %XX unescaped. `input_file_name()`
+    percent-encodes special characters, but a literal '+' in a path is a
+    plain character — shield it so url_decode (which would turn it into
+    a space, form-urlencoding style) leaves it intact."""
+    stripped = F.regexp_replace(col, "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _error_fill(typ: str):
@@ -350,13 +356,22 @@ def read_httpd_log(
     if hive_partitioning:
         import re as _re
 
+        schema_cols = set(df.columns)
         for key in _hive_partition_keys(files):
-            # unescape like Spark's own partition discovery; fall back to
-            # the raw value when the value isn't valid percent-encoding
+            if key in schema_cols:
+                raise ValueError(
+                    f"hive_partitioning=True but partition key '{key}' collides "
+                    "with a log schema column"
+                )
             raw_val = F.regexp_extract(
                 F.col("log_file"), f"(?:^|/){_re.escape(key)}=([^/]*)/", 1
             )
-            df = df.withColumn(key, F.coalesce(F.try_url_decode(raw_val), raw_val))
+            # unescape %XX like Spark's unescapePathName; '+' is a literal
+            # character in partition paths (url_decode would eat it), so
+            # shield it before decoding; fall back to the raw value on
+            # invalid escapes
+            shielded = F.regexp_replace(raw_val, r"\+", "%2B")
+            df = df.withColumn(key, F.coalesce(F.try_url_decode(shielded), raw_val))
     return df
 
 

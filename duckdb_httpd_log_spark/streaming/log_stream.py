@@ -188,30 +188,26 @@ def flag_contaminated_stream(
 
     Output: (doc_id, n_grams, n_hit, contamination, contaminated).
     """
-    gram_expr = (
-        f"case when size(t) >= {ngram} then"
-        f" transform(sequence(1, size(t) - {ngram - 1}),"
-        f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-        f" else array() end"
-    )
-    bench_rows = (
-        benchmark.select(F.split("text", " ").alias("t"))
-        .select(F.explode(F.array_distinct(F.expr(gram_expr))).alias("g"))
-        .distinct()
-        .collect()
+    def grams_of(text: str) -> set:
+        toks = text.split(" ") if isinstance(text, str) else []
+        return {
+            " ".join(toks[i : i + ngram]) for i in range(max(len(toks) - ngram + 1, 0))
+        }
+
+    # benchmark grams built with the SAME python shingler the per-doc UDF
+    # uses, so any `ngram` stays consistent on both sides
+    bench_grams = frozenset(
+        g for (text,) in benchmark.select("text").collect() for g in grams_of(text)
     )
     spark = docs_stream.sparkSession
-    b_grams = spark.sparkContext.broadcast(frozenset(r["g"] for r in bench_rows))
+    b_grams = spark.sparkContext.broadcast(bench_grams)
 
     @F.pandas_udf("struct<n_grams: bigint, n_hit: bigint>")
     def overlap(s: pd.Series) -> pd.DataFrame:
         bench = b_grams.value
         n_grams, n_hit = [], []
         for text in s:
-            toks = text.split(" ")
-            grams = {
-                " ".join(toks[i : i + ngram]) for i in range(max(len(toks) - ngram + 1, 0))
-            }
+            grams = grams_of(text)  # None-safe: NULL text scores 0 grams
             n_grams.append(len(grams))
             n_hit.append(sum(1 for g in grams if g in bench))
         return pd.DataFrame({"n_grams": n_grams, "n_hit": n_hit})

@@ -244,6 +244,47 @@ def test_iter_log_lines_remote_gzip():
 
 
 def test_pa_scheme_translation():
-    from duckdb_httpd_log_spark.sources.pyconvert import _PA_SCHEME_MAP
+    from duckdb_httpd_log_spark.sources.fs import _PA_SCHEME_MAP
 
     assert _PA_SCHEME_MAP["s3a"] == "s3"  # Hadoop scheme -> pyarrow scheme
+
+
+def test_sessionless_pyarrow_expansion():
+    """The Python-DataSource planning path has no JVM gateway: expansion
+    must work through pyarrow.fs alone."""
+    from duckdb_httpd_log_spark.sources.fs import _expand_remote_pyarrow
+
+    got = _expand_remote_pyarrow(uri("common", "*.log"))
+    import os as _os
+
+    names = sorted(_os.path.basename(f) for f in got)
+    assert "sample.log" in names and "with_errors.log" in names
+
+
+def test_remote_sample_keeps_complete_last_line(spark, tmp_path):
+    """A small remote file without a trailing newline must not lose its
+    last (complete) line from the bind-time sample."""
+    from duckdb_httpd_log_spark.sources.reader import read_sample_lines
+
+    f = tmp_path / "no_trailing.log"
+    f.write_text(LINE)  # single line, no trailing newline
+    sample = read_sample_lines(["file://" + str(f)], spark=spark)
+    assert sample == [LINE]
+
+
+def test_hive_partitioning_literal_plus_preserved(spark, tmp_path):
+    """'+' is a literal character in partition paths (Spark's
+    unescapePathName never treats it as space)."""
+    p = tmp_path / "tz=UTC+2"
+    p.mkdir()
+    (p / "x.log").write_text(LINE + "\n")
+    df = read_httpd_log(spark, str(tmp_path), hive_partitioning=True)
+    assert df.select("tz").first()[0] == "UTC+2"
+
+
+def test_hive_partitioning_schema_collision_raises(spark, tmp_path):
+    p = tmp_path / "status=archived"
+    p.mkdir()
+    (p / "x.log").write_text(LINE + "\n")
+    with pytest.raises(ValueError, match="collides"):
+        read_httpd_log(spark, str(tmp_path), hive_partitioning=True)

@@ -307,6 +307,28 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
     assert rows[2]["contamination"] == round(1 / 3, 4)
 
 
+def test_stream_contamination_ngram_and_null_safety(spark, tmp_path):
+    """Custom ngram must apply to BOTH the benchmark grams and the doc
+    grams (they were inconsistent once), and NULL text must score 0."""
+    import json
+
+    from duckdb_httpd_log_spark.streaming.log_stream import flag_contaminated_stream
+
+    bench = spark.createDataFrame([("alpha beta",)], ["text"])
+    srcdir = tmp_path / "docs2"
+    srcdir.mkdir()
+    with open(srcdir / "b.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": "alpha beta gamma"}) + "\n")
+        fh.write(json.dumps({"doc_id": 2, "text": None}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(srcdir))
+    flagged = flag_contaminated_stream(stream, bench, ngram=2, threshold=0.5)
+    _run_stream(flagged, "contam_ngram2")
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM contam_ngram2").collect()}
+    # doc 1 bigrams: {alpha beta, beta gamma}; bench bigrams: {alpha beta}
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_hit"] == 1
+    assert rows[2]["n_grams"] == 0 and not rows[2]["contaminated"]
+
+
 def test_hot_paths_stream(spark, tmp_path):
     from duckdb_httpd_log_spark.streaming.log_stream import (
         hot_paths_stream,
