@@ -27,40 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return qd.spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-2 driver gate did not sample (its check capped at 50
-# of the then-64 registry entries, taken in dict order) plus anything
-# newly added this round: surfaced first so every operator accumulates a
-# driver-verified CORRECTNESS record across rounds.
+# Front-loads the driver's 50-query CORRECTNESS sample (taken in dict
+# order) so every operator accumulates a driver-verified record across
+# rounds. Round-4 ordering: queries whose most-recent record is red or
+# missing come first (text_token_entropy red in r3; text_mix_weights
+# red in r2, fixed, never re-sampled), then queries whose parity shape
+# changed this round, then anything newly added.
 _PRIORITY = [
-    "q18_quantiles",
-    "q19_heavy_hitters",
-    "q20_approx_distinct",
-    "q22_pivot",
-    "q23_exists_semi_anti",
-    "q24_latest_per_key",
-    "q25_histogram",
-    "q26_stats",
-    "q30_rolling_revenue",
-    "q31_unpivot",
-    "q32_string_agg",
-    "q33_cube",
-    "q34_zscore_outliers",
-    "q35_pagerank_step",
-    # new in round 3
-    "dedup_clusters",
-    "token_bigram_pmi",
+    # red/unverified — must get a green row this round
     "text_token_entropy",
-    "sample_weighted",
-    "q36_grouping_sets",
-    "q37_gaps_islands",
+    "text_mix_weights",
+    # parity shape changed this round (proactive lm_score canonicalization)
     "text_lm_score",
-    "text_length_stats",
-    "q38_correlated_subquery",
-    "kmeans_train",
-    "ann_radius_search",
-    "multimodal_chunk_audio",
-    "q39_mad_outliers",
-    "dedup_jaccard_prefix",
+    # new in round 4 (appended as they land)
 ]
 
 

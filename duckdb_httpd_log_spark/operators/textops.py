@@ -975,18 +975,26 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-document token entropy — the repetitiveness/diversity quality
 # signal (low entropy = TOC/boilerplate/keyword-stuffed docs). Shape:
-# explode -> (doc, token) hash agg -> per-doc agg; H = ln(n) - Σc·ln(c)/n
-# keeps every aggregate input integral except the final ln terms.
+# explode -> (doc, token) hash agg -> per-doc agg; H = ln(n) - Σc·ln(c)/n.
+# Parity: the Σc·ln(c) term is quantized per (doc, token) to a scaled
+# BIGINT — round(c·ln(c)·1e6) — so the aggregate SUM is an integer sum
+# (order-independent across engines); one final double division, pinned
+# with identical parentheses in both engines. A double-SUM here differs
+# in the last ulp between Spark and DuckDB (accumulation order) and
+# flips round(,4) on boundary docs — the CORRECTNESS_r03 red row.
 # ---------------------------------------------------------------------------
 @register(
     "text_token_entropy",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-    agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(CAST(c AS DOUBLE))) AS s
+    agg AS (SELECT doc_id, sum(c) AS n,
+                   sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                            AS BIGINT)) AS s6
             FROM tc GROUP BY doc_id)
     SELECT doc_id, n AS n_tokens,
-           round(ln(CAST(n AS DOUBLE)) - s / n, 4) AS token_entropy
+           round(ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n, 4)
+               AS token_entropy
     FROM agg
     ORDER BY doc_id
     """,
@@ -999,16 +1007,19 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    cd = F.col("c").cast("double")
+    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("s"),
+        F.sum(term6).alias("s6"),
     )
+    entropy = F.log(F.col("n").cast("double")) - (
+        F.col("s6").cast("double") / F.lit(1000000.0)
+    ) / F.col("n")
     return agg.select(
         "doc_id",
         F.col("n").alias("n_tokens"),
-        F.round(F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), 4).alias(
-            "token_entropy"
-        ),
+        F.round(entropy, 4).alias("token_entropy"),
     ).orderBy("doc_id")
 
 
@@ -1085,14 +1096,15 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc AS (SELECT w, count(*) AS c_w
            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
     scored AS (
-        SELECT g.doc_id, ln(CAST(c.c_ab AS DOUBLE) / u.c_w) AS lp
+        SELECT g.doc_id,
+               CAST(round(ln(CAST(c.c_ab AS DOUBLE) / u.c_w) * 1000000.0) AS BIGINT) AS lp6
         FROM bg g
         JOIN bc c USING (bigram)
         JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]
     )
     SELECT doc_id, count(*) AS n_bigrams,
-           round(sum(lp) / count(*), 4) AS avg_logprob,
-           round(exp(-(sum(lp) / count(*))), 4) AS ppl
+           round((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*), 4) AS avg_logprob,
+           round(exp(-((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*))), 4) AS ppl
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1119,13 +1131,21 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_w"))
         .withColumnRenamed("w", "w1")
     )
+    # Parity: per-bigram log-prob quantized to a scaled BIGINT so the
+    # per-doc SUM is integral (order-independent); one final double
+    # division pinned identically in the oracle SQL (same discipline as
+    # text_token_entropy — a double sum(lp) flips round(,4) on boundary
+    # docs between engines).
+    lp6 = F.round(
+        F.log(F.col("c_ab").cast("double") / F.col("c_w")) * F.lit(1000000.0)
+    ).cast("long")
     scored = (
         bg.join(bc, "bigram")
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .join(uc, "w1")
-        .select("doc_id", F.log(F.col("c_ab").cast("double") / F.col("c_w")).alias("lp"))
+        .select("doc_id", lp6.alias("lp6"))
     )
-    avg_lp = F.sum("lp") / F.count(F.lit(1))
+    avg_lp = (F.sum("lp6").cast("double") / F.lit(1000000.0)) / F.count(F.lit(1))
     return (
         scored.groupBy("doc_id")
         .agg(

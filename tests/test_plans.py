@@ -95,6 +95,18 @@ def test_unpivot_adds_no_extra_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_dedup_embedding_verify_broadcasts_by_stats_not_hint(spark):
+    # The exact-cosine verify joins carry NO broadcast hint (a forced
+    # hint would build the full corpus table on every executor at any
+    # scale); at test scale Catalyst must still choose broadcast on its
+    # own from the parquet size stats, proving the plan degrades to a
+    # shuffle join — rather than falling over — once the table outgrows
+    # spark.sql.autoBroadcastJoinThreshold.
+    df = REGISTRY["dedup_embedding"].spark_fn(spark, SF_DIR)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
 def test_rolling_revenue_windows_over_aggregate(spark):
     # the RANGE window must consume the per-day aggregate (tiny), with
     # partial+final agg below it
