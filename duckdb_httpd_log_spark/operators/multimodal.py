@@ -298,6 +298,16 @@ def chunk_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_chunks, CHUNK_SCHEMA)
 
 
+# Oracle convention (applies to features/resize/frame_sample too): the
+# synthetic payload is encode(text), and this DuckDB build cannot slice
+# BLOBs (no substr(BLOB)/[..] on BLOB), so the oracle slices the VARCHAR
+# by character offsets and md5s characters while Spark slices payload
+# BYTES. The two agree exactly iff the text is pure ASCII — which the
+# testdata generator guarantees (verified: 0 docs with octet_length <>
+# length at sf0.001/0.01/0.1). If the generator ever emits multi-byte
+# UTF-8, chunk boundaries and digests diverge: switch the oracle to a
+# byte-slicing shape then (DuckDB gains substr-on-BLOB) or pre-filter to
+# ASCII docs in BOTH engines.
 @register(
     "multimodal_chunk_audio",
     f"""

@@ -27,6 +27,7 @@ import glob as _glob
 import os
 import re
 from typing import Optional, Sequence, Union
+from urllib.parse import urlsplit
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,84 @@ def has_scheme(path: str) -> bool:
     return scheme_of(path) is not None
 
 
+def _glob_to_regex(pattern: str, match_descendants: bool = False) -> re.Pattern:
+    """Translate a glob into a regex with directory-aware semantics —
+    the semantics the reference's multi-file layer and local
+    `glob.glob(recursive=True)` share: `*` / `?` / `[...]` never cross
+    `/`, a whole `**` segment matches any number of segments (including
+    zero, so `data/**/*.log` also hits `data/x.log` — pinned by
+    reference `test/sql/multi_file/glob_patterns.test:39-49`), and
+    Hadoop-style `{a,b}` alternation is honored. With
+    `match_descendants`, a path under a matched directory also matches
+    (mirrors the Hadoop branch where glob-hit directories recurse)."""
+    i, n = 0, len(pattern)
+    out: list[str] = []
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            whole_segment = (i == 0 or pattern[i - 1] == "/") and (
+                i + 2 == n or pattern[i + 2 : i + 3] == "/"
+            )
+            if pattern[i : i + 2] == "**" and whole_segment:
+                if i + 2 == n:
+                    out.append(".*")
+                    i += 2
+                else:  # '**/' -> zero or more whole segments
+                    out.append("(?:[^/]*/)*")
+                    i += 3
+            else:
+                out.append("[^/]*")
+                i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        elif c == "[":
+            j = i + 1
+            if j < n and pattern[j] in "!^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:  # unterminated class: literal '['
+                out.append(re.escape(c))
+                i += 1
+            else:
+                inner = pattern[i + 1 : j].replace("\\", "\\\\")
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                out.append(f"[{inner}]")
+                i = j + 1
+        elif c == "{":
+            j = pattern.find("}", i)
+            if j < 0:
+                out.append(re.escape(c))
+                i += 1
+            else:
+                alts = pattern[i + 1 : j].split(",")
+                out.append("(?:" + "|".join(re.escape(a) for a in alts) + ")")
+                i = j + 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    suffix = r"(?:/.*)?\Z" if match_descendants else r"\Z"
+    return re.compile("".join(out) + suffix)
+
+
+def _uri_path(uri: str) -> str:
+    """The path component of a URI, canonicalization-insensitive
+    (`file:///x`, `file:/x`, and `s3a://bucket/x` all compare on the
+    part after scheme+authority). Hand-rolled rather than urlsplit so
+    glob metacharacters (`?`, `#`) survive — urlsplit would treat them
+    as query/fragment separators."""
+    rest = _SCHEME_RE.sub("", uri, count=1)
+    if rest.startswith("//"):
+        rest = rest[2:]
+        slash = rest.find("/")
+        rest = rest[slash:] if slash >= 0 else "/"
+    return rest
+
+
 def _session_or_none(spark: Optional[SparkSession]) -> Optional[SparkSession]:
     return spark or SparkSession.getActiveSession()
 
@@ -58,9 +137,9 @@ _PA_SCHEME_MAP = {"s3a": "s3", "gs": "gcs"}
 
 
 def _pyarrow_fs(path: str):
-    """(pyarrow FileSystem, fs-relative path, original scheme) — the
-    session-less fallback used where no JVM gateway exists (Python
-    DataSource planning, streaming python workers)."""
+    """(pyarrow FileSystem, fs-relative path, original scheme, URI
+    authority) — the session-less fallback used where no JVM gateway
+    exists (Python DataSource planning, streaming python workers)."""
     import pyarrow.fs as pafs
 
     scheme = scheme_of(path)
@@ -70,54 +149,56 @@ def _pyarrow_fs(path: str):
         path,
     )
     fs, rel = pafs.FileSystem.from_uri(uri)
-    return fs, rel, scheme
+    netloc = urlsplit(path).netloc
+    return fs, rel, scheme, netloc
 
 
-def _pa_uri(scheme: str, fs_path: str) -> str:
-    """Rebuild a scheme-qualified URI from a pyarrow fs-relative path
-    (local paths are absolute: file:///...; object stores are
-    bucket-relative: s3a://bucket/key)."""
+def _pa_uri(scheme: str, netloc: str, fs_path: str) -> str:
+    """Rebuild a scheme-qualified URI from a pyarrow fs-relative path.
+    Object stores keep the bucket inside the fs path (s3a://bucket/key),
+    local paths are absolute (file:///...), but host-addressed
+    filesystems (hdfs://host:port/...) lose the authority in pyarrow's
+    relative path — re-attach it so the URIs round-trip."""
+    if netloc and not (fs_path == netloc or fs_path.startswith(netloc + "/")):
+        return f"{scheme}://{netloc}{'' if fs_path.startswith('/') else '/'}{fs_path}"
     return f"{scheme}://{fs_path}"
 
 
 def _expand_remote_pyarrow(pattern: str) -> list[str]:
-    """Glob/dir/file expansion through pyarrow.fs. Globs are resolved by
-    recursively listing the deepest non-glob directory prefix and
-    fnmatch-ing each path — fnmatch's `*` spans path separators (unlike
-    Hadoop's), which is harmless for the log-glob shapes this serves."""
-    import fnmatch
-
+    """Glob/dir/file expansion through pyarrow.fs: recursively list the
+    deepest non-glob directory prefix and match each path with the same
+    separator-aware `_glob_to_regex` the Hadoop route uses, so the file
+    set cannot depend on whether a SparkSession was reachable."""
     import pyarrow.fs as pafs
 
-    scheme = scheme_of(pattern)
     if not any(ch in pattern for ch in _GLOB_CHARS):
-        fs, rel, _ = _pyarrow_fs(pattern)
+        fs, rel, scheme, netloc = _pyarrow_fs(pattern)
         info = fs.get_file_info(rel)
         if info.type == pafs.FileType.NotFound:
             return []
         if info.type == pafs.FileType.Directory:
             sel = pafs.FileSelector(rel, recursive=True)
             return [
-                _pa_uri(scheme, i.path)
+                _pa_uri(scheme, netloc, i.path)
                 for i in fs.get_file_info(sel)
                 if i.type == pafs.FileType.File
             ]
-        return [_pa_uri(scheme, info.path)]
-    # base = everything up to the last '/' before the first glob char
-    first_glob = min(pattern.index(c) for c in _GLOB_CHARS if c in pattern)
-    base = pattern[:first_glob].rsplit("/", 1)[0]
-    fs, rel, _ = _pyarrow_fs(base)
+        return [_pa_uri(scheme, netloc, info.path)]
+    fs, rel, scheme, netloc = _pyarrow_fs(_glob_base_dir(pattern))
     info = fs.get_file_info(rel)
     if info.type != pafs.FileType.Directory:
         return []
     sel = pafs.FileSelector(rel, recursive=True)
-    # compare fs-relative paths (leading slashes normalized away so the
-    # same fnmatch works for local absolute and bucket-relative paths)
-    rel_pattern = _SCHEME_RE.sub("", pattern).lstrip("/")
+    # match on the URI path component so local-absolute and
+    # bucket-relative listings compare against the same pattern shape
+    rx = _glob_to_regex(_uri_path(pattern), match_descendants=True)
     out = []
     for i in fs.get_file_info(sel):
-        if i.type == pafs.FileType.File and fnmatch.fnmatch(i.path.lstrip("/"), rel_pattern):
-            out.append(_pa_uri(scheme, i.path))
+        if i.type != pafs.FileType.File:
+            continue
+        uri = _pa_uri(scheme, netloc, i.path)
+        if rx.match(_uri_path(uri)):
+            out.append(uri)
     return out
 
 
@@ -138,19 +219,40 @@ def _list_files_recursive(fs, jpath) -> list[str]:
     return out
 
 
+def _glob_base_dir(pattern: str) -> str:
+    """Deepest directory prefix of a pattern that contains no glob
+    metacharacter (`s3a://b/data/**/*.log` -> `s3a://b/data`)."""
+    first_glob = min(pattern.index(c) for c in _GLOB_CHARS if c in pattern)
+    return pattern[:first_glob].rsplit("/", 1)[0]
+
+
 def expand_remote(spark: Optional[SparkSession], pattern: str) -> list[str]:
     """Expand one scheme-qualified pattern (glob / directory / file) into
     full URIs, mirroring the local `expand_paths` semantics: directories
     recurse, globs expand (glob hits that are directories recurse too),
     missing paths yield []. With no SparkSession in reach (Python
     DataSource planning / streaming workers have no JVM gateway) the
-    expansion falls back to pyarrow.fs."""
+    expansion falls back to pyarrow.fs — same glob semantics either way
+    (`_glob_to_regex`)."""
     spark = _session_or_none(spark)
     if spark is None:
         return _expand_remote_pyarrow(pattern)
-    _jvm, fs, jpath = _fs_for(spark, pattern)
+    jvm, fs, jpath = _fs_for(spark, pattern)
     files: list[str] = []
-    if any(ch in pattern for ch in _GLOB_CHARS):
+    if "**" in pattern:
+        # Hadoop's globStatus has no recursive '**' (a `**` there is
+        # just `*`, one directory level) while the local path recurses
+        # — route through one recursive listing of the deepest non-glob
+        # prefix + separator-aware regex so every backend agrees.
+        base = jvm.org.apache.hadoop.fs.Path(_glob_base_dir(pattern))
+        if fs.exists(base):
+            rx = _glob_to_regex(_uri_path(pattern), match_descendants=True)
+            files.extend(
+                uri
+                for uri in _list_files_recursive(fs, base)
+                if rx.match(_uri_path(uri))
+            )
+    elif any(ch in pattern for ch in _GLOB_CHARS):
         statuses = fs.globStatus(jpath)
         if statuses is not None:
             for st in statuses:
@@ -202,7 +304,7 @@ def read_head(spark: Optional[SparkSession], path: str, n: int) -> bytes:
             return fh.read(n)
     spark = _session_or_none(spark)
     if spark is None:
-        fs, rel, _ = _pyarrow_fs(path)
+        fs, rel, _, _ = _pyarrow_fs(path)
         with fs.open_input_stream(rel) as stream:
             return stream.read(n)
     jvm, fs, jpath = _fs_for(spark, path)
@@ -225,7 +327,7 @@ def read_all(spark: Optional[SparkSession], path: str) -> bytes:
             return fh.read()
     spark = _session_or_none(spark)
     if spark is None:
-        fs, rel, _ = _pyarrow_fs(path)
+        fs, rel, _, _ = _pyarrow_fs(path)
         with fs.open_input_stream(rel) as stream:
             return stream.read()
     jvm, fs, jpath = _fs_for(spark, path)

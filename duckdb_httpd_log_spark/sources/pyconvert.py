@@ -351,7 +351,7 @@ def _read_remote_bytes(fname: str) -> bytes:
     granularity."""
     from .fs import _pyarrow_fs
 
-    fs, rel, _ = _pyarrow_fs(fname)
+    fs, rel, _, _ = _pyarrow_fs(fname)
     with fs.open_input_stream(rel) as stream:
         return stream.read()
 

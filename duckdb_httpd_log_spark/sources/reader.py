@@ -112,12 +112,17 @@ def _sample_lines_remote(
     spark: Optional[SparkSession], fname: str, budget: int
 ) -> list[str]:
     data = FS.read_head(spark, fname, _REMOTE_SAMPLE_BYTES)
+    # Judge truncation on the RAW head, before gzip inflation replaces
+    # `data`: a partially-fetched .gz member inflates to an arbitrary
+    # length (so comparing the inflated size to the byte budget is
+    # meaningless), yet its tail line is still cut mid-way.
+    truncated = len(data) == _REMOTE_SAMPLE_BYTES
     if data[:2] == b"\x1f\x8b":
         try:
             data = _gzip.decompress(data)
         except (OSError, EOFError) as exc:  # truncated member: keep what inflated
             data = getattr(exc, "partial", b"") or _gzip_head_inflate(data)
-    truncated = len(data) == _REMOTE_SAMPLE_BYTES
+            truncated = True  # the inflate itself stopped mid-stream
     text = data.decode("utf-8", errors="replace")
     lines = text.splitlines()
     if truncated and lines and not text.endswith(("\n", "\r")):

@@ -288,3 +288,128 @@ def test_hive_partitioning_schema_collision_raises(spark, tmp_path):
     (p / "x.log").write_text(LINE + "\n")
     with pytest.raises(ValueError, match="collides"):
         read_httpd_log(spark, str(tmp_path), hive_partitioning=True)
+
+
+# ---------------------------------------------------------------------------
+# recursive '**' glob parity across all three bind backends (the
+# reference's glob surface recurses with '**' at any depth, including
+# zero directories: test/sql/multi_file/glob_patterns.test:39-49,95-98;
+# Hadoop's native globStatus treats '**' as one level, so the remote
+# route must not silently diverge from the local one)
+# ---------------------------------------------------------------------------
+def _nested_tree(tmp_path):
+    (tmp_path / "logs").mkdir()
+    (tmp_path / "logs" / "top.log").write_text(LINE + "\n")
+    (tmp_path / "logs" / "a").mkdir()
+    (tmp_path / "logs" / "a" / "mid.log").write_text(LINE + "\n")
+    (tmp_path / "logs" / "a" / "deep").mkdir()
+    (tmp_path / "logs" / "a" / "deep" / "bottom.log").write_text(LINE + "\n")
+    (tmp_path / "logs" / "a" / "skip.txt").write_text("x\n")
+    return str(tmp_path / "logs")
+
+
+def _names(paths):
+    return sorted(p.rsplit("/", 1)[1] for p in paths)
+
+
+def test_doublestar_parity_three_backends(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.fs import _expand_remote_pyarrow
+
+    root = _nested_tree(tmp_path)
+    pattern = "/**/*.log"
+    expect = ["bottom.log", "mid.log", "top.log"]  # '**' spans 0..n dirs
+    assert _names(FS.expand_paths(root + pattern)) == expect
+    assert _names(FS.expand_paths("file://" + root + pattern, spark)) == expect
+    assert _names(_expand_remote_pyarrow("file://" + root + pattern)) == expect
+
+
+def test_doublestar_fixture_corpus_matches_local(spark):
+    """Same file set for tests/data/**/*.log whether bound scheme-less,
+    via Hadoop file://, or via the session-less pyarrow fallback
+    (mirrors the reference counting 53 distinct files over test/data)."""
+    from duckdb_httpd_log_spark.sources.fs import _expand_remote_pyarrow, _uri_path
+
+    root = data()
+    local = FS.expand_paths(os.path.join(root, "**", "*.log"))
+    remote = FS.expand_paths("file://" + root + "/**/*.log", spark)
+    fallback = _expand_remote_pyarrow("file://" + root + "/**/*.log")
+    assert len(local) > 0
+    assert sorted(_uri_path(p) for p in remote) == local
+    assert sorted(_uri_path(p) for p in fallback) == local
+
+
+def test_single_star_does_not_cross_separators(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.fs import _expand_remote_pyarrow
+
+    root = _nested_tree(tmp_path)
+    pattern = "/*.log"  # only the top level
+    assert _names(FS.expand_paths(root + pattern)) == ["top.log"]
+    assert _names(FS.expand_paths("file://" + root + pattern, spark)) == ["top.log"]
+    assert _names(_expand_remote_pyarrow("file://" + root + pattern)) == ["top.log"]
+
+
+def test_glob_regex_semantics():
+    from duckdb_httpd_log_spark.sources.fs import _glob_to_regex
+
+    rx = _glob_to_regex("/d/**/*.log")
+    assert rx.match("/d/a.log") and rx.match("/d/x/y/a.log")
+    assert not rx.match("/d/a.txt")
+    rx = _glob_to_regex("/d/*.log")
+    assert rx.match("/d/a.log") and not rx.match("/d/x/a.log")
+    rx = _glob_to_regex("/d/server?.log")
+    assert rx.match("/d/server1.log") and not rx.match("/d/server12.log")
+    rx = _glob_to_regex("/d/{access,error}.log")
+    assert rx.match("/d/access.log") and rx.match("/d/error.log")
+    assert not rx.match("/d/other.log")
+    rx = _glob_to_regex("/d/server[12].log")
+    assert rx.match("/d/server1.log") and not rx.match("/d/server3.log")
+    # descendant mode: files under a glob-matched directory match too
+    rx = _glob_to_regex("/d/sub*", match_descendants=True)
+    assert rx.match("/d/subdir/deep/file.log")
+
+
+def test_uri_path_strips_scheme_and_authority():
+    from duckdb_httpd_log_spark.sources.fs import _uri_path
+
+    assert _uri_path("file:///a/b.log") == "/a/b.log"
+    assert _uri_path("file:/a/b.log") == "/a/b.log"
+    assert _uri_path("s3a://bucket/a/b.log") == "/a/b.log"
+    assert _uri_path("hdfs://nn:8020/a/b.log") == "/a/b.log"
+    # glob metacharacters survive (urlsplit would eat '?' as a query)
+    assert _uri_path("file:///d/file?.log") == "/d/file?.log"
+
+
+def test_pa_uri_preserves_hdfs_authority():
+    from duckdb_httpd_log_spark.sources.fs import _pa_uri
+
+    # host-addressed fs: authority re-attached around the absolute path
+    assert _pa_uri("hdfs", "nn:8020", "/a/b.log") == "hdfs://nn:8020/a/b.log"
+    # bucket-style fs: bucket already leads the fs path
+    assert _pa_uri("s3a", "bucket", "bucket/a/b.log") == "s3a://bucket/a/b.log"
+    # local fs: no authority
+    assert _pa_uri("file", "", "/a/b.log") == "file:///a/b.log"
+
+
+def test_remote_gzip_sample_drops_cut_line_when_raw_head_truncated(spark, tmp_path, monkeypatch):
+    """Truncation must be judged on the RAW byte head, not the inflated
+    bytes: a budget-limited read of a large .gz inflates to an arbitrary
+    length, but its final sampled line is still cut mid-way and must not
+    feed format detection."""
+    from duckdb_httpd_log_spark.sources import reader as R
+
+    lines = [
+        f'10.0.0.{i} - u [10/Oct/2000:13:55:36 -0700] "GET /page{i} HTTP/1.0" 200 {i}'
+        for i in range(60)
+    ]
+    dst = tmp_path / "big.log.gz"
+    with gzip.open(dst, "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+    raw_size = os.path.getsize(dst)
+    monkeypatch.setattr(R, "_REMOTE_SAMPLE_BYTES", raw_size // 2)
+    sample = R._sample_lines_remote(spark, "file://" + str(dst), 1000)
+    assert sample  # the head still yields whole lines
+    # every sampled line is one of the complete source lines — the
+    # mid-cut tail (whatever prefix the partial inflate stopped at) is
+    # dropped rather than surfacing as a bogus truncated record
+    assert all(s in set(lines) for s in sample)
+    assert sample == lines[: len(sample)]
