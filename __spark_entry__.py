@@ -37,8 +37,11 @@ _PRIORITY = [
     # red/unverified — must get a green row this round
     "text_token_entropy",
     "text_mix_weights",
-    # parity shape changed this round (proactive lm_score canonicalization)
+    # parity shape changed this round (proactive lm_score
+    # canonicalization; ann_ivf_topk now seeds from the trained
+    # kmeans_train model and its oracle embeds the training chain)
     "text_lm_score",
+    "ann_ivf_topk",
     # new in round 4 (appended as they land)
 ]
 

@@ -240,6 +240,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NLIST = 16  # coarse cells
 IVF_NPROBE = 6  # cells each query visits
 
+# The KMEANS_ITERS=2 training loop unrolled as oracle CTEs — seed sample
+# -> assign (round-6 distances, cell tie-break) -> per-(cell,dim) means
+# rounded to 4 decimals -> re-assign. The round(,4) at each step is the
+# iteration-parity trick: the rounded decimals parse to identical
+# doubles in both engines, so the second assignment agrees exactly.
+# kmeans_train's oracle finishes this chain with the n_members select;
+# ann_ivf_topk's continues it to the trained centroid lists (cen_t).
+_KMEANS_CHAIN_SQL = f"""cen AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {IVF_NLIST}
+    ),
+    d1 AS (
+        SELECT e.vec_id, cen.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
+        FROM a1 a
+        JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+        GROUP BY a.cell, t.i
+    ),
+    cen2 AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m1 GROUP BY cell),
+    d2_ AS (
+        SELECT e.vec_id, cen2.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})]), 6) AS d2
+        FROM embeddings e, cen2
+    ),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d2_)
+        WHERE rn = 1
+    )"""
+
 
 _CENTROID_CACHE: dict[str, list] = {}
 
@@ -268,22 +318,48 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
     return _CENTROID_CACHE[sf_dir]
 
 
+_TRAINED_CACHE: dict[str, tuple] = {}
+
+
+def _trained_model(spark: SparkSession, sf_dir: str):
+    """(cell_ids, centroid matrix) from the full kmeans_train loop — the
+    trained IVF index artifact (vs `_centroids`' raw md5-sample seed).
+    Only the nlist x DIM model (~1k rows) ever reaches the driver; the
+    training passes stay distributed inside kmeans_train. Memoized per
+    sf_dir like a real index: trained once, probed by every query.
+    Deterministic (seed, distances, and per-step round(,4) are all
+    pinned), so the cache never changes results."""
+    if sf_dir in _TRAINED_CACHE:
+        return _TRAINED_CACHE[sf_dir]
+    import collections
+
+    by_cell: dict = collections.defaultdict(dict)
+    for r in kmeans_train(spark, sf_dir).collect():
+        by_cell[r["cell"]][r["j"]] = r["c_new"]
+    cells = sorted(by_cell)
+    cen = np.array([[by_cell[c][j] for j in range(DIM)] for c in cells], dtype=np.float64)
+    ids = np.array(cells, dtype=np.int32)
+    _TRAINED_CACHE[sf_dir] = (ids, cen)
+    return _TRAINED_CACHE[sf_dir]
+
+
 @register(
     "ann_ivf_topk",
     f"""
-    WITH cen AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-               embedding AS c
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {IVF_NLIST}
+    WITH {{KMEANS_CHAIN}},
+    m2 AS (
+        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
+        FROM a2 a
+        JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+        GROUP BY a.cell, t.i
     ),
+    cen_t AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m2 GROUP BY cell),
     d AS (
-        SELECT e.vec_id, cen.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
-                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+        SELECT e.vec_id, cen_t.cell,
+               round(list_sum([ (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
                                 for i in range(1, {DIM + 1})]), 6) AS d2
-        FROM embeddings e, cen
+        FROM embeddings e, cen_t
     ),
     ranked AS (
         SELECT vec_id, cell,
@@ -311,8 +387,8 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
           FROM scored)
     WHERE rn <= {TOP_K}
     ORDER BY q_id, cosine DESC, c_id
-    """,
-    "IVF coarse quantization: corpus bucketed by nearest centroid, queries probe 6 cells",
+    """.replace("{KMEANS_CHAIN}", _KMEANS_CHAIN_SQL),
+    "IVF over TRAINED coarse centroids (kmeans_train model): corpus bucketed by nearest cell, queries probe 6",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cell assignment and scoring run in Arrow-vectorized pandas UDFs
@@ -321,7 +397,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix stays out of the expression tree (literal-heavy plans are
     # slow to analyze/codegen).
     emb = table(spark, sf_dir, "embeddings")
-    cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
+    # trained index (kmeans_train's 2-iteration model), not the raw md5
+    # sample seed: recall vs brute force 0.68 -> 0.74 (sf0.001) and
+    # 0.66 -> 0.72 (sf0.01) at the same probe budget. ids maps matrix
+    # row -> surviving cell id (a cell emptied during training drops
+    # out of the model).
+    ids, cen = _trained_model(spark, sf_dir)
 
     # same distance/tie contract as kmeans_update_step (and the oracle):
     # direct squared distance, rounded to 6 decimals, ties broken by the
@@ -332,14 +413,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(_round_half_away(d2, 6).argmin(axis=1).astype("int32"))
+        return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
         order = np.argsort(_round_half_away(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
-        return pd.Series(list(order.astype("int32")))
+        return pd.Series(list(ids[order]))
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
@@ -483,48 +564,7 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
 @register(
     "kmeans_train",
     f"""
-    WITH cen AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-               embedding AS c
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT {IVF_NLIST}
-    ),
-    d1 AS (
-        SELECT e.vec_id, cen.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
-                                * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
-        FROM embeddings e, cen
-    ),
-    a1 AS (
-        SELECT vec_id, cell FROM (
-            SELECT vec_id, cell,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-            FROM d1)
-        WHERE rn = 1
-    ),
-    m1 AS (
-        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
-        FROM a1 a
-        JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
-        GROUP BY a.cell, t.i
-    ),
-    cen2 AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m1 GROUP BY cell),
-    d2_ AS (
-        SELECT e.vec_id, cen2.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
-                                * (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
-        FROM embeddings e, cen2
-    ),
-    a2 AS (
-        SELECT vec_id, cell FROM (
-            SELECT vec_id, cell,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-            FROM d2_)
-        WHERE rn = 1
-    )
+    WITH {{KMEANS_CHAIN}}
     SELECT CAST(a.cell AS INTEGER) AS cell, CAST(t.i - 1 AS INTEGER) AS j,
            round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new,
            count(*) AS n_members
@@ -532,7 +572,7 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
     GROUP BY a.cell, t.i
     ORDER BY cell, j
-    """,
+    """.replace("{KMEANS_CHAIN}", _KMEANS_CHAIN_SQL),
     "two full k-means iterations (assign + update, twice) — the training loop, oracle-checked",
 )
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,14 +104,17 @@ def test_multimodal_plumbing(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF probing 6/16 cells must still recover most of the exact top-k."""
+    """IVF probing 6/16 TRAINED cells must beat the sampled-seed index:
+    the kmeans_train-seeded index measured 0.74 here vs 0.68 for the
+    md5-sample seed — the bar sits between the two so a regression to
+    untrained centroids fails while normal jitter does not."""
     exact = REGISTRY["ann_cosine_topk"].spark_fn(spark, SF_DIR)
     ivf = REGISTRY["ann_ivf_topk"].spark_fn(spark, SF_DIR)
     e = {(r.q_id, r.c_id) for r in exact.collect()}
     i = {(r.q_id, r.c_id) for r in ivf.collect()}
     assert len(e) > 0
     recall = len(e & i) / len(e)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
 def test_embedding_dedup_pairs_verified(spark):
