@@ -189,17 +189,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "sum_median_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "sum_median_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver's BENCH_r{N}.json keeps only a tail of stdout, which has
+    # truncated the front of the per-query dict before (round 3 lost
+    # q01-q09) — persist the complete record next to the repo so every
+    # round's numbers stay diffable. git history carries the per-round
+    # versions.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -172,6 +172,7 @@ def flag_contaminated_stream(
     benchmark: DataFrame,
     ngram: int = 3,
     threshold: float = 0.5,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Streaming ingest decontamination (the streaming twin of
     `text_contamination`): score each arriving document's distinct
@@ -186,7 +187,9 @@ def flag_contaminated_stream(
     this shape avoids. `benchmark` is a batch DataFrame with a `text`
     column.
 
-    Output: (doc_id, n_grams, n_hit, contamination, contaminated).
+    Output: (doc_id, n_grams, n_hit, contamination, contaminated), plus
+    any `passthrough` columns carried from the input unchanged (so a
+    downstream sink can still partition on e.g. the event date).
     """
     def grams_of(text: str) -> set:
         toks = text.split(" ") if isinstance(text, str) else []
@@ -212,12 +215,14 @@ def flag_contaminated_stream(
             n_hit.append(sum(1 for g in grams if g in bench))
         return pd.DataFrame({"n_grams": n_grams, "n_hit": n_hit})
 
-    scored = docs_stream.select("doc_id", overlap("text").alias("o")).select(
-        "doc_id", F.col("o.n_grams").alias("n_grams"), F.col("o.n_hit").alias("n_hit")
+    extra = list(passthrough)
+    scored = docs_stream.select("doc_id", *extra, overlap("text").alias("o")).select(
+        "doc_id", *extra, F.col("o.n_grams").alias("n_grams"), F.col("o.n_hit").alias("n_hit")
     )
     contamination = F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
     return scored.select(
         "doc_id",
+        *extra,
         "n_grams",
         "n_hit",
         F.round(contamination, 4).alias("contamination"),

@@ -357,3 +357,124 @@ def test_hot_paths_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM hot_paths").collect()
     paths = {r["path"]: r["n_hits"] for r in rows}
     assert paths == {"/hot": 12}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline: readStream httpd_log -> quality gate ->
+# decontamination -> date-partitioned parquet sink, with the query
+# KILLED after batch 1 and RESUMED from its checkpoint (the
+# exactly-once recovery contract a 100 TB ingest depends on)
+# ---------------------------------------------------------------------------
+_CLEAN_WORDS = [
+    "the", "quick", "engine", "reads", "arriving", "log", "files", "and",
+    "turns", "them", "into", "training", "data", "with", "a", "quality",
+    "gate", "plus", "benchmark", "decontamination", "before", "every",
+    "partitioned", "write",
+]
+_BENCH_WORDS = [
+    "of", "known", "evaluation", "suite", "sentences", "that", "must",
+    "never", "leak", "into", "corpus", "shards", "because", "metrics",
+    "would", "be", "contaminated", "forever", "across", "all", "future",
+    "model", "training", "runs",
+]
+
+
+def _pipeline_lines(day, start, n_clean, n_contam, n_lowq=0):
+    lines = []
+    i = start
+    for k in range(n_clean):
+        segs = _CLEAN_WORDS[k % 4 :] + _CLEAN_WORDS[: k % 4]  # rotate: distinct paths
+        lines.append(
+            f'10.0.0.{i} - u [{day}/Oct/2024:10:00:{i:02d} +0000] '
+            f'"GET /{"/".join(segs)} HTTP/1.1" 200 {100 + i}'
+        )
+        i += 1
+    for _ in range(n_contam):
+        lines.append(
+            f'10.0.0.{i} - u [{day}/Oct/2024:10:00:{i:02d} +0000] '
+            f'"GET /{"/".join(_BENCH_WORDS)} HTTP/1.1" 200 {100 + i}'
+        )
+        i += 1
+    for _ in range(n_lowq):
+        lines.append(
+            f'10.0.0.{i} - u [{day}/Oct/2024:10:00:{i:02d} +0000] '
+            f'"GET /too/short/path HTTP/1.1" 200 {100 + i}'
+        )
+        i += 1
+    return "".join(ln + "\n" for ln in lines)
+
+
+def test_streaming_pipeline_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-resume over one checkpoint: batch 1 flows a.log through
+    the full pipeline, the query stops (process death equivalent), b.log
+    arrives, and the restarted query must process ONLY b.log — no
+    duplicated a.log rows in the sink (exactly-once), new date partition
+    appended."""
+    from duckdb_httpd_log_spark.operators.textops import apply_quality_rules
+    from duckdb_httpd_log_spark.streaming.log_stream import (
+        flag_contaminated_stream,
+        read_httpd_log_stream,
+    )
+
+    logdir = tmp_path / "arriving"
+    logdir.mkdir()
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    bench = spark.createDataFrame([(" ".join(_BENCH_WORDS),)], "text string")
+
+    def run_once():
+        logs = read_httpd_log_stream(spark, str(logdir), format_type="common")
+        docs = logs.select(
+            F.xxhash64("log_file", "client_host", "path").alias("doc_id"),
+            F.expr("trim(translate(path, '/', ' '))").alias("text"),
+            "timestamp",
+            "status",
+        )
+        gated = apply_quality_rules(docs).filter("keep")
+        decon = flag_contaminated_stream(
+            gated.select("doc_id", "text", "timestamp", "status"),
+            bench,
+            passthrough=("timestamp", "status"),
+        )
+        curated = decon.filter(~F.col("contaminated")).withColumn(
+            "log_date", F.to_date("timestamp")
+        )
+        q = (
+            curated.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("log_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # ---- batch 1: 5 clean + 1 contaminated + 1 low-quality ----
+    (logdir / "a.log").write_text(_pipeline_lines(10, 0, 5, 1, 1))
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 5  # gate dropped 1, decontamination dropped 1
+    assert {str(r.log_date) for r in first.select("log_date").distinct().collect()} == {
+        "2024-10-10"
+    }
+
+    # ---- kill happened (query stopped); new day's file arrives ----
+    (logdir / "b.log").write_text(_pipeline_lines(11, 20, 4, 1))
+    run_once()
+    final = spark.read.parquet(sink)
+    # 5 + 4 exactly: a.log rows NOT reprocessed on resume
+    assert final.count() == 9
+    assert {str(r.log_date) for r in final.select("log_date").distinct().collect()} == {
+        "2024-10-10",
+        "2024-10-11",
+    }
+    # pipeline columns survived to the sink; nothing contaminated got in
+    assert final.filter(F.col("contaminated")).count() == 0
+    assert final.filter(F.col("n_grams") <= 0).count() == 0
+    # hive-partition layout on disk: one directory per log_date
+    import os as _os
+
+    assert sorted(
+        d for d in _os.listdir(sink) if d.startswith("log_date=")
+    ) == ["log_date=2024-10-10", "log_date=2024-10-11"]
