@@ -42,7 +42,13 @@ _PRIORITY = [
     # kmeans_train model and its oracle embeds the training chain)
     "text_lm_score",
     "ann_ivf_topk",
-    # new in round 4 (appended as they land)
+    # new in round 4
+    "dedup_containment",
+    "shard_assign",
+    "curriculum_bins",
+    "text_span_contamination",
+    "multimodal_dedup",
+    "q40_transitive_closure",
 ]
 
 

@@ -100,6 +100,12 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_chunk_audio",
+    "dedup_containment",
+    "shard_assign",
+    "curriculum_bins",
+    "text_span_contamination",
+    "multimodal_dedup",
+    "q40_transitive_closure",
 ]
 
 

@@ -732,3 +732,67 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric): |A ∩ B| / min(|A|, |B|) — catches
+# the "one document quotes/embeds the other" cases Jaccard misses (a
+# short doc fully contained in a long one has tiny Jaccard but
+# containment 1.0). Same capped-shingle pair join as the Jaccard ops;
+# the only new math is the denominator, computed as a single division
+# over integer aggregates (parity discipline). At 100 TB this inherits
+# dedup_ngram_jaccard's scale story: DF-capped shingles bound the join
+# fan-out, everything shuffles on gram/doc keys.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {{_SQL_GRAMS}},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(least(ga.n, gb.n) AS BIGINT) AS n_smaller,
+           round(n_shared * 1.0 / least(ga.n, gb.n), 4) AS containment
+    FROM inter
+    JOIN gc ga ON ga.doc_id = doc_a
+    JOIN gc gb ON gb.doc_id = doc_b
+    WHERE n_shared * 1.0 / least(ga.n, gb.n) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """.replace("{_SQL_GRAMS}", _SQL_GRAMS),
+    "asymmetric containment dedup: shared shingles / smaller set, catches quote/embed pairs",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _capped_grams(spark, sf_dir)
+    gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_smaller = F.least(F.col("na"), F.col("nb"))
+    containment = F.col("n_shared") / n_smaller
+    return (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            n_smaller.cast("bigint").alias("n_smaller"),
+            F.round(containment, 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -331,3 +331,44 @@ def chunk_audio(df: DataFrame) -> DataFrame:
 )
 def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(binary_table(spark, sf_dir)).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup over OPAQUE binary payloads — the multimodal twin of
+# dedup_exact: identical media files (re-uploads, mirrors) collapse on
+# their content digest without ever decoding them. Digest + hash-agg
+# only: the payload bytes never shuffle (md5 projects them down to 32
+# chars before the groupBy), which is what makes this viable when the
+# payload column is images/video at 100 TB. Oracle derives the same
+# digests from the text column (payload = text bytes; ASCII convention
+# documented at multimodal_chunk_audio).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup",
+    """
+    WITH bt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               md5(text) AS payload_digest
+        FROM documents
+    )
+    SELECT kind, payload_digest,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM bt
+    GROUP BY kind, payload_digest
+    ORDER BY kind, keeper_id
+    """,
+    "exact multimodal dedup: per-kind content-digest groupBy, payload bytes never shuffle",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = binary_table(spark, sf_dir)
+    return (
+        bt.select("doc_id", "kind", F.md5("payload").alias("payload_digest"))
+        .groupBy("kind", "payload_digest")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("kind", "payload_digest", "keeper_id", "n_copies")
+        .orderBy("kind", "keeper_id")
+    )

@@ -1084,3 +1084,54 @@ def q39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE) — graph reachability in pure SQL, a
+# DuckDB surface Spark only gained in 4.x (UnionLoop execution). The
+# edge set is the above-average event-type transitions (integer
+# comparison cnt * N_NODES^2 > total, no float threshold parity risk);
+# the recursion walks min-hop distances from 'signup' with a depth
+# bound. Spark executes the recursion natively — each iteration is a
+# distributed join against the (tiny, broadcast) edge list, so the same
+# SQL scales to an edge table that doesn't fit one node.
+# ---------------------------------------------------------------------------
+TC_SEED = "signup"
+TC_MAX_HOPS = 4
+_TC_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM {events}
+    ),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, count(*) AS cnt
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM trans),
+    edges AS (SELECT src, dst FROM trans, tot WHERE cnt * 25 > n),
+    reach(node, hops) AS (
+        SELECT '{seed}', 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < {max_hops}
+    )
+    SELECT node, CAST(min(hops) AS INTEGER) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node
+"""
+
+
+@register(
+    "q40_transitive_closure",
+    _TC_SQL.format(events="events", seed=TC_SEED, max_hops=TC_MAX_HOPS),
+    "WITH RECURSIVE reachability: min hops from 'signup' over above-average transition edges",
+)
+def q40_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recursion is not expressible in the DataFrame API; register the
+    # input and hand Catalyst the same recursive SQL the oracle runs
+    table(spark, sf_dir, "events").createOrReplaceTempView("__tc_events")
+    return spark.sql(_TC_SQL.format(events="__tc_events", seed=TC_SEED, max_hops=TC_MAX_HOPS))

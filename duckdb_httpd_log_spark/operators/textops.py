@@ -1195,3 +1195,187 @@ def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle for training order — the LAST step of
+# every training-data pipeline: assign each doc a (shard, position) from
+# a salted content-independent hash so the order is reproducible across
+# engines, runs, and cluster sizes. Distributed shape: the shard key is
+# a pure projection; positions are a per-shard window (each shard sorts
+# independently — no global sort, scales with executors exactly like a
+# real shuffle-to-shards job writing N output files).
+# ---------------------------------------------------------------------------
+SHARD_SALT = "shard-v1:"
+N_SHARDS = 16
+
+
+@register(
+    "shard_assign",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(k, 1, 8))::BIGINT % {N_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(k, 1, 8))::BIGINT % {N_SHARDS}
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+    f"deterministic training-order shuffle: salted-hash shard ({N_SHARDS}) + within-shard position",
+)
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")).cast("binary"))
+    keyed = docs.select("doc_id", "lang", k.alias("k"))
+    shard = (F.conv(F.substring("k", 1, 8), 16, 10).cast("long") % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum binning: quartile docs per language by length (the classic
+# short-to-long curriculum), report each bin's bounds and mass. NTILE
+# semantics agree between engines (equal buckets, earlier buckets take
+# the remainder); everything else is integer aggregates + one rounded
+# average. Window is per-lang — no global sort.
+# ---------------------------------------------------------------------------
+CURRICULUM_BINS = 4
+
+
+@register(
+    "curriculum_bins",
+    f"""
+    WITH binned AS (
+        SELECT lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               ntile({CURRICULUM_BINS}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+        FROM documents
+    )
+    SELECT lang, CAST(bin AS INTEGER) AS bin,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens
+    FROM binned
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+    f"per-lang length curriculum: ntile({CURRICULUM_BINS}) bins with bounds and token mass",
+)
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    binned = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("mean_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level contamination (the Lee-et-al-style refinement of the
+# doc-level score): where doc-level contamination asks "what fraction of
+# this doc's grams appear in the benchmark", this finds CONSECUTIVE runs
+# of benchmark-matching trigram positions — a long verbatim quote is a
+# far stronger leak signal than the same hits scattered. Gaps-islands
+# over hit positions (pos - row_number is constant within a run); every
+# output column is an integer, so there is no float parity surface at
+# all. Benchmark grams broadcast, one window per doc — scales.
+# ---------------------------------------------------------------------------
+@register(
+    "text_span_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+        SELECT doc_id, source, u.i AS i, u.g AS g
+        FROM toks,
+             unnest([{{'i': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}}
+                     for i in range(1, greatest(len(t) - {CONTAM_NGRAM - 2}, 1))]) AS t2(u)
+        WHERE len(t) >= {CONTAM_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT g FROM pos WHERE source = '{CONTAM_BENCH_SOURCE}'),
+    hits AS (
+        SELECT p.doc_id, p.i,
+               p.i - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i) AS grp
+        FROM pos p JOIN bench b ON p.g = b.g
+        WHERE p.source <> '{CONTAM_BENCH_SOURCE}'
+    ),
+    spans AS (
+        SELECT doc_id, grp, count(*) AS span_len
+        FROM hits GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS max_span,
+           CAST(sum(span_len) AS BIGINT) AS n_hits
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "span-level contamination: consecutive benchmark-gram runs per doc (gaps-islands, all-integer)",
+)
+def text_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    # positional trigrams: posexplode keeps the 0-based offset; +1 to
+    # match the oracle's 1-based list index (the value never surfaces,
+    # only differences do, but keeping them identical costs nothing)
+    pos = toks.filter(F.size("t") >= CONTAM_NGRAM).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {CONTAM_NGRAM - 1}),"
+                f" i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("p", "g"),
+    ).select("doc_id", "source", (F.col("p") + 1).alias("i"), "g")
+    bench = (
+        pos.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+        .select(F.col("g").alias("bg"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    hits = (
+        pos.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+        .join(F.broadcast(bench), F.col("g") == F.col("bg"))
+        .select("doc_id", "i")
+        .withColumn("grp", F.col("i") - F.row_number().over(w))
+    )
+    spans = hits.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("span_len"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_len").cast("bigint").alias("max_span"),
+            F.sum("span_len").cast("bigint").alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
