@@ -49,6 +49,10 @@ _PRIORITY = [
     "text_span_contamination",
     "multimodal_dedup",
     "q40_transitive_closure",
+    "q41_mode",
+    "q42_market_share",
+    "q43_interval_window",
+    "emb_norm_stats",
 ]
 
 

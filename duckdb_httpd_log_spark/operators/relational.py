@@ -1135,3 +1135,175 @@ def q40_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input and hand Catalyst the same recursive SQL the oracle runs
     table(spark, sf_dir, "events").createOrReplaceTempView("__tc_events")
     return spark.sql(_TC_SQL.format(events="__tc_events", seed=TC_SEED, max_hops=TC_MAX_HOPS))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE per group. Spark's built-in mode() picks an
+# arbitrary value on ties (non-deterministic across partitionings, so
+# it can never pass a hash-parity gate); the portable shape is
+# count + row_number with a pinned tie-break — same plan DuckDB's
+# mode() would need for determinism anyway.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_mode",
+    """
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt AS n_orders
+    FROM r WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    "deterministic per-group mode: count + row_number with pinned tie-break",
+)
+def q41_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), F.col("cnt").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-flavored market share: five-table join (lineitem -> orders ->
+# customer -> nation -> region) + each nation's revenue share within its
+# region. The Catalyst evidence this exists for: all four dimension
+# joins must broadcast (no fact-side shuffle until the group-by), and
+# join reordering keeps lineitem at the bottom. Float discipline:
+# price/discount have 2 decimals, so the revenue term
+# round(price*100) * round((1-disc)*100) is an exact BIGINT — integer
+# sums, one double division per output row, no summation-order surface.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_market_share",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round((CAST(rev_e4 AS DOUBLE) / 10000.0) / 1.0, 2) AS revenue,
+           round(CAST(rev_e4 AS DOUBLE) / sum(rev_e4) OVER (PARTITION BY region), 4) AS share
+    FROM rev
+    ORDER BY region, share DESC, nation
+    """,
+    "five-table broadcast join + per-region revenue share (exact integer revenue terms)",
+)
+def q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    term = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(term).alias("rev_e4"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round((F.col("rev_e4").cast("double") / F.lit(10000.0)) / F.lit(1.0), 2).alias("revenue"),
+        F.round(F.col("rev_e4").cast("double") / F.sum("rev_e4").over(w), 4).alias("share"),
+    ).orderBy("region", F.col("share").desc(), "nation")
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window: per event, the trailing-1-hour average of
+# `value` within its event_type — the "rolling sensor average" shape.
+# Both engines order by epoch microseconds and use an identical RANGE
+# frame (range frames include all peers, so timestamp ties cannot
+# diverge); the frame sum runs over scaled-BIGINT values. The 4-decimal
+# rounding happens in INTEGER arithmetic — (s6 + 50n) div (100n) —
+# because round(s6/1e6/n, 4) hits the engines' half-boundary divergence
+# (Spark rounds the shortest decimal repr via BigDecimal.valueOf,
+# DuckDB rounds the binary double; 51.19875 split them in testing).
+# Valid for the non-negative `value` domain.
+# ---------------------------------------------------------------------------
+TIW_MICROS = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q43_interval_window",
+    f"""
+    WITH v AS (
+        SELECT event_id, event_type, ts, epoch_us(ts) AS us,
+               CAST(round(value * 1000000.0) AS BIGINT) AS v6
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type, ts,
+               count(*) OVER fr AS n_window,
+               sum(v6) OVER fr AS s6
+        FROM v
+        WINDOW fr AS (PARTITION BY event_type ORDER BY us
+                      RANGE BETWEEN {TIW_MICROS} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts, CAST(n_window AS BIGINT) AS n_window,
+           CAST((s6 + 50 * n_window) // (100 * n_window) AS DOUBLE) / 10000.0 AS avg_1h
+    FROM w
+    ORDER BY event_id
+    """,
+    "trailing-1h RANGE window per event_type (epoch-microsecond frame, scaled-integer sum)",
+)
+def q43_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-TIW_MICROS, Window.currentRow)
+    )
+    w = v.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n_window"),
+        F.sum("v6").over(fr).alias("s6"),
+    )
+    avg4 = F.expr("(s6 + 50 * n_window) div (100 * n_window)")
+    return w.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "n_window",
+        (avg4.cast("double") / F.lit(10000.0)).alias("avg_1h"),
+    ).orderBy("event_id")

@@ -701,3 +701,62 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RADIUS_THRESHOLD)
         .orderBy("q_id", F.col("cosine").desc(), "c_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm corpus card: per label, L2-norm distribution stats —
+# the standard sanity diagnostic before ANN/dedup over a new embedding
+# drop (unnormalized or collapsed vectors show up here immediately).
+# Parity: the per-row norm is an in-row ascending-order JVM aggregate
+# rounded to 6 (same contract as cosine); the MEAN is a scaled-BIGINT
+# sum with one final division; quantiles interpolate over the same
+# round-6 doubles in both engines (q18 contract).
+# ---------------------------------------------------------------------------
+_NORM_SELF = (
+    "round(sqrt(aggregate(embedding, cast(0.0 as double),"
+    " (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"
+)
+
+
+@register(
+    "emb_norm_stats",
+    f"""
+    WITH n AS (
+        SELECT label,
+               round(sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                    for i in range(1, {DIM + 1})])), 6) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round((CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                 / count(*), 4) AS mean_norm,
+           round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+           round(quantile_cont(nrm, 0.9), 4) AS p90_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """,
+    "per-label L2-norm distribution: mean (scaled-int sum), exact quantiles, extrema",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select("label", F.expr(_NORM_SELF).alias("nrm"))
+    mean_norm = (
+        F.sum(F.round(F.col("nrm") * F.lit(1000000.0)).cast("long")).cast("double")
+        / F.lit(1000000.0)
+    ) / F.count(F.lit(1))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(mean_norm, 4).alias("mean_norm"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+            F.round(F.expr("percentile(nrm, 0.9)"), 4).alias("p90_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

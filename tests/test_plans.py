@@ -113,3 +113,12 @@ def test_rolling_revenue_windows_over_aggregate(spark):
     plan = _plan(REGISTRY["q30_rolling_revenue"].spark_fn(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    # five-table star join: every dimension hop (orders->customer->
+    # nation->region) must broadcast; the lineitem fact side shuffles
+    # only for the final group-by
+    plan = _plan(REGISTRY["q42_market_share"].spark_fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
