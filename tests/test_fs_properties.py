@@ -61,3 +61,77 @@ def test_hive_keys_none_raises():
 
     with pytest.raises(ValueError, match="no key=value"):
         _hive_partition_keys(["/plain/dir/x.log"])
+
+
+# ---------------------------------------------------------------------------
+# glob -> regex translator: property-checked against Python's
+# glob.glob(recursive=True) ground truth over generated trees (the
+# local backend IS the semantics contract the remote backends must
+# match; see test_remote_fs.py for the three-backend integration runs)
+# ---------------------------------------------------------------------------
+_NAMES = ["a", "b", "ab", "a1", "log", "x.log", "y.log", "x.txt", "data"]
+
+
+@st.composite
+def _tree_and_pattern(draw):
+    # a small random tree: list of relative file paths (depth <= 3)
+    n = draw(st.integers(min_value=1, max_value=6))
+    files = set()
+    for _ in range(n):
+        depth = draw(st.integers(min_value=1, max_value=3))
+        parts = [draw(st.sampled_from(_NAMES)) for _ in range(depth)]
+        files.add("/".join(parts))
+    # a pattern built from glob atoms
+    pdepth = draw(st.integers(min_value=1, max_value=3))
+    atoms = []
+    for _ in range(pdepth):
+        atoms.append(
+            draw(
+                st.sampled_from(
+                    ["*", "**", "?", "a*", "*.log", "x?log", "[ab]", "a", "log", "data"]
+                )
+            )
+        )
+    return sorted(files), "/".join(atoms)
+
+
+@given(_tree_and_pattern())
+def test_glob_regex_matches_python_glob(tp):
+    import glob as pyglob
+    import os
+    import tempfile
+
+    files, pattern = tp
+    with tempfile.TemporaryDirectory() as td:
+        for f in files:
+            p = os.path.join(td, f)
+            # a name may appear as both a file and a directory across
+            # generated paths — skip the conflicting ones, the surviving
+            # tree is still a valid fixture
+            try:
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                if not os.path.isdir(p):
+                    with open(p, "w") as fh:
+                        fh.write("x")
+            except OSError:
+                continue
+        # set: pyglob can report the same file twice for patterns like
+        # '**/**' (overlapping recursive expansions)
+        expected = sorted(
+            {
+                os.path.relpath(m, td)
+                for m in pyglob.glob(os.path.join(td, pattern), recursive=True)
+                if os.path.isfile(m)
+            }
+        )
+        rx = FS._glob_to_regex(pattern)
+        got = sorted(
+            f
+            for f in (
+                os.path.relpath(os.path.join(dp, fn), td)
+                for dp, _dn, fns in os.walk(td)
+                for fn in fns
+            )
+            if rx.match(f)
+        )
+        assert got == expected, (files, pattern)
