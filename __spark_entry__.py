@@ -53,6 +53,9 @@ _PRIORITY = [
     "q42_market_share",
     "q43_interval_window",
     "emb_norm_stats",
+    "pipeline_mix_sample",
+    "q44_rfm",
+    "ann_knn_graph",
 ]
 
 

@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "q42_market_share",
     "q43_interval_window",
     "emb_norm_stats",
+    "pipeline_mix_sample",
+    "q44_rfm",
+    "ann_knn_graph",
 ]
 
 

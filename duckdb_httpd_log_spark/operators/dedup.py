@@ -769,14 +769,34 @@ CONTAINMENT_THRESHOLD = 0.8
     "asymmetric containment dedup: shared shingles / smaller set, catches quote/embed pairs",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _capped_grams(spark, sf_dir)
+    # same execution shape as dedup_ngram_jaccard: 64-bit in-row gram
+    # hashes (8-byte shuffles; collision bound documented at
+    # dedup_jaccard_prefix) and ONE materialization feeding the three
+    # consumers (gc + both pair-join sides) whose alias renames defeat
+    # exchange reuse — without it the explode pipeline runs 3x
+    # (measured 3.4 s vs 1.8 s at sf0.1).
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
+                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+                f" else array() end"
+            )
+        ).alias("gh"),
+    ).distinct()
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(eager=False)
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
     inter = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

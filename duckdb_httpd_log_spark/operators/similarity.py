@@ -760,3 +760,104 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (top-1 neighbor per vector) — the build step
+# for graph ANN indexes and the input to embedding-cluster dedup. Same
+# LSH bucket + Hamming-1 multiprobe machinery as ann_lsh_topk, but with
+# EVERY label-0 vector as a query (a per-class slice keeps the oracle's
+# quadratic verify tractable; the Spark side is shape-identical with
+# the filter removed). Scale: candidates come only from the probed
+# buckets — never all-pairs — and ranking is a per-query window.
+# ---------------------------------------------------------------------------
+KNN_LABEL = 0
+
+
+@register(
+    "ann_knn_graph",
+    f"""
+    WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
+    sigs AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})]), 6) >= 0
+                             THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+        FROM embeddings, planes
+        GROUP BY vec_id
+    ),
+    c AS (SELECT e.vec_id AS c_id, e.embedding AS ce, s.bucket
+          FROM embeddings e JOIN sigs s USING (vec_id)),
+    probes AS (
+        SELECT e.vec_id AS q_id, e.embedding AS qe,
+               unnest([s.bucket, xor(s.bucket, 1), xor(s.bucket, 2),
+                       xor(s.bucket, 4), xor(s.bucket, 8)]) AS bucket
+        FROM embeddings e JOIN sigs s USING (vec_id)
+        WHERE e.label = {KNN_LABEL}
+    ),
+    scored AS (
+        SELECT DISTINCT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        FROM probes JOIN c USING (bucket)
+        WHERE q_id <> c_id
+    )
+    SELECT q_id AS vec_id, c_id AS nn_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """.replace("{PLANES}", _lsh_planes_values_sql()),
+    "kNN-graph build: top-1 LSH-bucketed neighbor for every label-0 vector",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes_t = np.array(_hyperplanes(), dtype=np.float64).T
+
+    @F.pandas_udf("int")
+    def bucket_of(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        bits = _round_half_away(mat @ planes_t, 6) >= 0
+        weights = 1 << np.arange(N_PLANES, dtype=np.int32)
+        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+
+    @F.pandas_udf("double")
+    def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        a = np.stack(qe.values).astype(np.float64)
+        b = np.stack(ce.values).astype(np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(_round_half_away(dot / (na * nb), 4))
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        bucket_of("embedding").alias("bucket"),
+    )
+    q = emb.filter(F.col("label") == KNN_LABEL).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        bucket_of("embedding").alias("qbucket"),
+    )
+    probes = q.select(
+        "q_id",
+        "qe",
+        F.explode(
+            F.array(
+                F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(N_PLANES)]
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("q_id").alias("vec_id"), F.col("c_id").alias("nn_id"), "cosine")
+        .orderBy("vec_id")
+    )

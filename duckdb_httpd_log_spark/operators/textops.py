@@ -1379,3 +1379,54 @@ def text_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Apply the domain-mix plan (the executable half of text_mix_weights):
+# rebalance the corpus toward a uniform per-lang share under a total
+# budget. Two-phase distributed shape: a tiny per-lang stats aggregate
+# decides the quotas, broadcasts back, and a salted-hash rank filter
+# applies them — no global sort, no driver round-trip, determinism from
+# the same md5 ranking contract as sample_stratified.
+# ---------------------------------------------------------------------------
+MIX_BUDGET = 200
+MIX_SALT = "mix-v1"
+
+
+@register(
+    "pipeline_mix_sample",
+    f"""
+    WITH langs AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk,
+           CAST({MIX_BUDGET} // n_langs AS BIGINT) AS quota
+    FROM ranked, langs
+    WHERE rk <= {MIX_BUDGET} // n_langs
+    ORDER BY lang, rk
+    """,
+    f"apply the domain-mix plan: uniform per-lang quota under a {MIX_BUDGET}-doc budget, salted-hash rank",
+)
+def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    langs = docs.agg(F.countDistinct("lang").alias("n_langs"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+    quota = F.expr(f"{MIX_BUDGET} div n_langs")
+    return (
+        ranked.crossJoin(F.broadcast(langs))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "lang", "rk", quota.cast("bigint").alias("quota"))
+        .orderBy("lang", "rk")
+    )
