@@ -56,6 +56,8 @@ _PRIORITY = [
     "pipeline_mix_sample",
     "q44_rfm",
     "ann_knn_graph",
+    "events_top_paths",
+    "text_ngram_novelty",
 ]
 
 

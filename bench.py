@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "pipeline_mix_sample",
     "q44_rfm",
     "ann_knn_graph",
+    "events_top_paths",
+    "text_ngram_novelty",
 ]
 
 

@@ -376,3 +376,51 @@ def q29_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_us", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (lite): the most frequent 3-step user paths
+# — what funnels/transition matrices aggregate away. Two stacked leads
+# per user, hash-agg count, top-k under a total order
+# (TakeOrderedAndProject, no global sort). All integers.
+# ---------------------------------------------------------------------------
+TOP_PATHS = 20
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT {TOP_PATHS}
+    """,
+    f"top-{TOP_PATHS} 3-step user paths: stacked leads + hash agg + top-k",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(TOP_PATHS)
+    )

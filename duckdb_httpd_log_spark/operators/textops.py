@@ -1430,3 +1430,69 @@ def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk", quota.cast("bigint").alias("quota"))
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring — the dedup-aware curation metric: what
+# fraction of a doc's distinct trigrams first appear in THIS doc
+# (owner = min doc_id per gram, the deterministic proxy for ingestion
+# order)? Low novelty = mostly-seen content even when no single pair
+# crosses a near-dup threshold. Shape: gram -> min(doc_id) hash agg,
+# join back on the gram, one integer division per doc.
+# ---------------------------------------------------------------------------
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, greatest(len(t) - {CONTAM_NGRAM - 2}, 1))]) AS g
+        FROM toks
+    ),
+    first_owner AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT gr.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN fo.owner = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM grams gr JOIN first_owner fo USING (g)
+        GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           round(n_novel * 1.0 / n_grams, 4) AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    "per-doc trigram novelty vs earlier docs (first-owner join, integer counts, one division)",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"case when size(t) >= {CONTAM_NGRAM} then"
+                    f" transform(sequence(1, size(t) - {CONTAM_NGRAM - 1}),"
+                    f"  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                    f" else array() end"
+                )
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=False)  # feeds the owner agg AND the join probe
+    first_owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        grams.join(first_owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+    ).orderBy("doc_id")
