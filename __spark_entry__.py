@@ -39,9 +39,12 @@ _PRIORITY = [
     "text_mix_weights",
     # parity shape changed this round (proactive lm_score
     # canonicalization; ann_ivf_topk now seeds from the trained
-    # kmeans_train model and its oracle embeds the training chain)
+    # kmeans_train model and its oracle embeds the training chain;
+    # text_edit_distance gained ASCII folding after the edge-corpus
+    # test exposed DuckDB's byte-based levenshtein vs Spark's chars)
     "text_lm_score",
     "ann_ivf_topk",
+    "text_edit_distance",
     # new in round 4
     "dedup_containment",
     "shard_assign",

@@ -689,20 +689,34 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDIT_PREFIX = 64
 
 
+# Parity note: DuckDB's levenshtein counts BYTES while Spark's counts
+# CHARACTERS, so any multi-byte UTF-8 character shifts the distance
+# (caught by tests/test_edge_oracle.py on an accented doc). Both sides
+# therefore ASCII-fold first — every non-ASCII char becomes '?' BEFORE
+# the prefix cut (pinned order) — making byte and character edits
+# identical by construction.
 @register(
     "text_edit_distance",
     f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(lower(a.text), 1, {EDIT_PREFIX}),
-                       substr(lower(b.text), 1, {EDIT_PREFIX})) AS edit_dist
+           levenshtein(
+               substr(regexp_replace(lower(a.text), '[^\\x00-\\x7f]', '?', 'g'), 1, {EDIT_PREFIX}),
+               substr(regexp_replace(lower(b.text), '[^\\x00-\\x7f]', '?', 'g'), 1, {EDIT_PREFIX})
+           ) AS edit_dist
     FROM documents a
     JOIN documents b ON b.doc_id = a.doc_id + 1
     ORDER BY doc_a
     """,
-    f"Levenshtein distance over lowercased {EDIT_PREFIX}-char prefixes of adjacent docs",
+    f"Levenshtein distance over ASCII-folded lowercased {EDIT_PREFIX}-char prefixes of adjacent docs",
 )
 def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+
+    def folded(col: str):
+        return F.substring(
+            F.regexp_replace(F.lower(col), "[^\\x00-\\x7f]", "?"), 1, EDIT_PREFIX
+        )
+
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     return (
@@ -710,10 +724,7 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(
-                F.substring(F.lower("ta"), 1, EDIT_PREFIX),
-                F.substring(F.lower("tb"), 1, EDIT_PREFIX),
-            ).alias("edit_dist"),
+            F.levenshtein(folded("ta"), folded("tb")).alias("edit_dist"),
         )
         .orderBy("doc_a")
     )
