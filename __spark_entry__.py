@@ -61,6 +61,16 @@ _PRIORITY = [
     "ann_knn_graph",
     "events_top_paths",
     "text_ngram_novelty",
+    # new in round 4, second batch (operators/corpus.py)
+    "bpe_merge_step",
+    "dedup_keep_best",
+    "embedding_quantize",
+    "source_overlap_matrix",
+    "text_zipf_slope",
+    "token_hapax_rate",
+    "dedup_incremental",
+    "q45_date_fill",
+    "events_json_extract",
 ]
 
 

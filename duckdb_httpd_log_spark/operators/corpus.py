@@ -1,0 +1,564 @@
+"""Corpus-forensics and training-prep operators (round 4).
+
+The reference engine (a DuckDB scan extension, see
+``/root/reference/src/httpd_log_table_function.cpp``) delegates all
+analytics to its host; this module keeps widening the host-surface
+equivalents a 100 TB training-data pipeline needs beyond the earlier
+dedup/ANN/text modules: tokenizer training (BPE pair counting),
+duplicate-cluster canonicalization, embedding quantization, cross-source
+duplicate forensics, vocabulary-health diagnostics (Zipf slope, hapax
+rate), incremental-batch dedup, calendar gap-fill, and JSON prop
+extraction.
+
+Scale discipline (same as the sibling modules):
+- every aggregation is a hash agg on a bounded key domain — no
+  cartesian products, no driver-side collects;
+- float aggregates follow the repo's integer-first parity rule: any
+  order-dependent double SUM is quantized per-row to a scaled BIGINT
+  (round(x * 10^k)) so the cross-engine SUM is an integer sum, with one
+  final double division pinned identically in both engines;
+- duplicate keys are md5/xxhash fingerprints, never raw text, so every
+  shuffle moves fixed-width keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import REGISTRY, register, table
+from . import dedup as _dedup
+
+# ---------------------------------------------------------------------------
+# One BPE merge iteration — the inner loop of tokenizer training.
+# Count adjacent CHARACTER pairs inside each distinct word, weighted by
+# the word's corpus frequency; the top pair is the next merge rule.
+# Shape: the word-count agg collapses the corpus to its vocabulary
+# (tiny vs the token stream), so the expensive explode runs over
+# DISTINCT words only — at 100 TB the vocab is ~10^7 rows while the
+# stream is ~10^11, a 10^4× reduction before the per-char explode.
+# Integer counts end-to-end: no float parity surface.
+# ---------------------------------------------------------------------------
+BPE_TOP = 30
+
+
+@register(
+    "bpe_merge_step",
+    f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n_w FROM words WHERE len(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n_w
+        FROM wc, LATERAL unnest(range(1, len(w))) t(i)
+    ),
+    pc AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+    SELECT pair, pair_count FROM pc ORDER BY pair_count DESC, pair LIMIT {BPE_TOP}
+    """,
+    "one BPE merge step: corpus-frequency-weighted adjacent char-pair counts over the vocabulary",
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n_w",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster canonicalization — the step AFTER clustering: pick
+# one representative per near-dup cluster (longest doc wins, doc_id
+# tiebreak) and account for what gets dropped. Composes on
+# dedup_clusters' connected components; the oracle nests the clusters
+# SQL verbatim (single source of truth for the component semantics).
+# Shape: clusters are tiny vs the corpus (only docs with >= 1 near-dup
+# edge), so the join back to `documents` broadcasts under AQE and the
+# window runs over cluster-sized partitions. Integer outputs only.
+# ---------------------------------------------------------------------------
+def _clusters_oracle_subquery() -> str:
+    # dedup_clusters registers before this module imports (operators/
+    # __init__ imports dedup first); reuse its oracle text so the
+    # component definition can never drift between the two operators.
+    return REGISTRY["dedup_clusters"].oracle_sql
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH mem AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM ({{CLUSTERS}}) c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+        FROM mem
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped,
+           CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS chars_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """.replace("{CLUSTERS}", _clusters_oracle_subquery()),
+    "pick one representative per near-dup cluster (longest doc wins) and account dropped volume",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = _dedup.dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mem = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = mem.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+            (F.sum("n_chars") - F.max(F.when(F.col("rk") == 1, F.col("n_chars"))))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization card — the storage/serving compression audit
+# for an embedding corpus: per dimension, the [min, max] range, the
+# int8 step size, and the mean absolute reconstruction error of
+# round-trip quantization. Shape: one posexplode + per-dim hash agg
+# (DIM groups), then a broadcast-sized dim-stats join back; the error
+# aggregate is a scaled-integer SUM (round(|err|·1e9) per element) so
+# the cross-engine sum is order-independent. The per-element doubles
+# (v, vmin, scale, q, recon) are IEEE-identical in both engines because
+# every input is exact (float widened to double) and the expression
+# shapes are pinned identical.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize",
+    """
+    WITH vals AS (
+        SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    stats AS (
+        SELECT pos, min(v) AS vmin, max(v) AS vmax,
+               (max(v) - min(v)) / 255.0 AS scale
+        FROM vals GROUP BY pos
+    ),
+    err AS (
+        SELECT v.pos,
+               CAST(round(abs(v.v - (s.vmin + round((v.v - s.vmin) / s.scale) * s.scale))
+                          * 1000000000.0) AS BIGINT) AS e9
+        FROM vals v JOIN stats s ON v.pos = s.pos
+        WHERE s.scale > 0
+    )
+    SELECT s.pos,
+           round(s.vmin, 6) AS vmin,
+           round(s.vmax, 6) AS vmax,
+           round(s.scale, 8) AS step,
+           round((CAST(sum(e.e9) AS DOUBLE) / 1000000000.0) / count(*), 8) AS mean_abs_err
+    FROM err e JOIN stats s ON e.pos = s.pos
+    GROUP BY s.pos, s.vmin, s.vmax, s.scale
+    ORDER BY s.pos
+    """,
+    "per-dimension int8 quantization card: range, step, mean abs reconstruction error",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+    stats = vals.groupBy("pos").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("scale"),
+    )
+    joined = vals.join(F.broadcast(stats), "pos").filter(F.col("scale") > 0)
+    recon = F.col("vmin") + F.round((F.col("v") - F.col("vmin")) / F.col("scale")) * F.col(
+        "scale"
+    )
+    e9 = F.round(F.abs(F.col("v") - recon) * F.lit(1000000000.0)).cast("long")
+    return (
+        joined.select("pos", "vmin", "vmax", "scale", e9.alias("e9"))
+        .groupBy("pos", "vmin", "vmax", "scale")
+        .agg(F.sum("e9").alias("s9"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "pos",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("vmax", 6).alias("vmax"),
+            F.round("scale", 8).alias("step"),
+            F.round((F.col("s9").cast("double") / F.lit(1000000000.0)) / F.col("n"), 8).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate forensics — which ingest sources copy from
+# each other? Key = md5 of the first-8-token prefix (the boilerplate
+# fingerprint; full-text md5 finds nothing on a corpus with no exact
+# dups — measured 500/500 distinct at sf0.01). Shape: distinct
+# (fingerprint, source) pairs collapse the corpus before the self-join,
+# and the join key is an md5 — fixed-width shuffles; the source
+# dimension is tiny so output is at most |sources|² rows.
+# ---------------------------------------------------------------------------
+PREFIX_K = 8
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+               md5(array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' ')) AS fp,
+               source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "cross-source duplicate overlap matrix over 8-token boilerplate-prefix fingerprints",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, PREFIX_K)).cast("binary")
+        ).alias("fp"),
+        "source",
+    ).distinct()
+    a = h.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = h.select(F.col("fp"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope fit — the vocabulary-health diagnostic: OLS slope of
+# ln(freq) on ln(rank) over each source's top-ranked tokens (a healthy
+# natural-language corpus sits near -1; scraped boilerplate flattens
+# it). Shape: token hash agg -> per-source rank window -> 4 scaled-
+# integer sums -> closed-form slope. Parity: x = ln(rank) and
+# y = ln(c) are identical doubles in both engines (integer inputs), and
+# each OLS term is quantized per-row to a BIGINT before summing so the
+# aggregate is order-independent; the final slope expression divides
+# identically-shaped reconstructed doubles.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_RANKS = 500
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+        FROM tc
+    ),
+    terms AS (
+        SELECT source,
+               CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6,
+               CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS xy6,
+               CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS xx6
+        FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}
+    )
+    SELECT source, count(*) AS n_ranks,
+           round((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
+                  - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(y6) AS DOUBLE) / 1000000.0))
+                 / (count(*) * (CAST(sum(xx6) AS DOUBLE) / 1000000.0)
+                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0)),
+                 4) AS zipf_slope
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    "per-source Zipf exponent: OLS slope of ln(freq) vs ln(rank) over top token ranks",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    ranked = tc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= ZIPF_TOP_RANKS
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    m = F.lit(1000000.0)
+    terms = ranked.select(
+        "source",
+        F.round(x * m).cast("long").alias("x6"),
+        F.round(y * m).cast("long").alias("y6"),
+        F.round(x * y * m).cast("long").alias("xy6"),
+        F.round(x * x * m).cast("long").alias("xx6"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x6").cast("double") / m
+    sy = F.sum("y6").cast("double") / m
+    sxy = F.sum("xy6").cast("double") / m
+    sxx = F.sum("xx6").cast("double") / m
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        terms.groupBy("source")
+        .agg(n.alias("n_ranks"), F.round(slope, 4).alias("zipf_slope"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hapax / type-token vocabulary stats — per-source lexical-diversity
+# card: distinct tokens, hapax legomena (freq 1) rate, type-token
+# ratio. Keyword-stuffed or templated sources show depressed hapax
+# rates. One token hash agg + one per-source agg; integer counts with
+# two pinned final divisions.
+# ---------------------------------------------------------------------------
+@register(
+    "token_hapax_rate",
+    """
+    WITH tc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS hapax_rate,
+           round(count(*) * 1.0 / sum(c), 4) AS type_token_ratio
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+    "per-source lexical diversity: hapax rate and type-token ratio",
+)
+def token_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    n_types = F.count(F.lit(1))
+    n_tokens = F.sum("c")
+    return (
+        tc.groupBy("source")
+        .agg(
+            n_tokens.cast("long").alias("n_tokens"),
+            n_types.alias("n_types"),
+            hapax.cast("long").alias("n_hapax"),
+            F.round(hapax.cast("double") / n_types, 4).alias("hapax_rate"),
+            F.round(n_types.cast("double") / n_tokens, 4).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-batch dedup — the daily-increment shape: a new shard
+# (doc_id % 7 = 3) deduped against the standing corpus, classifying
+# each batch doc as dup-vs-corpus, dup-within-batch (earliest doc_id
+# wins), or novel. Key = the 8-token prefix fingerprint (same rationale
+# as source_overlap_matrix). Shape: the corpus side collapses to
+# DISTINCT fingerprints before the join (at 100 TB that's the
+# persisted dedup index a pipeline maintains); the within-batch winner
+# is a min() window over fingerprint — all fixed-width md5 shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' ')) AS fp
+        FROM documents
+    ),
+    batch AS (SELECT * FROM fp WHERE doc_id % 7 = 3),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 <> 3),
+    cls AS (
+        SELECT b.source,
+               CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                    WHEN b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp) THEN 'dup_batch'
+                    ELSE 'novel' END AS status
+        FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    )
+    SELECT source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+           CAST(sum(CASE WHEN status = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+           CAST(sum(CASE WHEN status = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM cls
+    GROUP BY source
+    ORDER BY source
+    """,
+    "incremental dedup: classify a new shard vs the standing corpus fingerprint index",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, PREFIX_K)).cast("binary")
+        ).alias("fp"),
+    )
+    batch = fp.filter(F.col("doc_id") % 7 == 3)
+    corpus = fp.filter(F.col("doc_id") % 7 != 3).select("fp").distinct()
+    w = Window.partitionBy("fp")
+    cls = (
+        batch.join(corpus.withColumn("in_corpus", F.lit(1)), "fp", "left")
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .select(
+            "source",
+            F.when(F.col("in_corpus").isNotNull(), "dup_corpus")
+            .when(F.col("doc_id") != F.col("min_id"), "dup_batch")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+    cnt = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long")
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            cnt("dup_corpus").alias("n_dup_corpus"),
+            cnt("dup_batch").alias("n_dup_batch"),
+            cnt("novel").alias("n_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill — zero-fill missing days in the daily order series
+# (time-series feeds break on absent rows, not on zero rows). Shape:
+# the day spine is sequence(min_day, max_day) exploded from ONE
+# aggregate row — no driver round-trip, no generate_series UDF; the
+# left join back to the daily agg broadcasts the spine under AQE.
+# Revenue sums are quantized to integer cents so the cross-engine SUM
+# is order-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_date_fill",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    )
+    SELECT CAST(s.d AS VARCHAR) AS day,
+           coalesce(a.n_orders, 0) AS n_orders,
+           round(coalesce(a.cents, 0) / 100.0, 2) AS revenue
+    FROM spine s LEFT JOIN daily a ON s.d = a.d
+    ORDER BY s.d
+    """,
+    "calendar gap-fill: zero-filled daily order counts and revenue over the full date span",
+)
+def q45_date_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+    )
+    spine = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("cents", F.lit(0)) / F.lit(100.0), 2).alias("revenue"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction — the semi-structured sidecar every event
+# pipeline carries: pull a typed value out of the JSON `props` column
+# and aggregate it per event type. Extraction is a per-row JVM/core
+# expression in both engines (get_json_object / json_extract), so it
+# whole-stage-codegens; the aggregate keeps the sum integral and does
+# one pinned division for the mean.
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+           CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT json_extract(props, '$.k')::BIGINT) AS BIGINT) AS distinct_k,
+           round(sum(json_extract(props, '$.k')::BIGINT) * 1.0 / count(*), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "typed JSON extraction from event props + per-type aggregate card",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = events.select("event_type", k.alias("k"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,113 @@
+"""Behavioral invariants for the round-4 corpus-forensics operators
+(duckdb_httpd_log_spark/operators/corpus.py) at sf0.001. Oracle value
+parity for the same operators runs in tests/oracle_check.py at sf0.01."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_httpd_log_spark.operators  # noqa: F401
+from duckdb_httpd_log_spark.operators import corpus
+from duckdb_httpd_log_spark.plans.registry import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bpe_pairs_are_char_bigrams_with_consistent_mass(spark):
+    rows = corpus.bpe_merge_step(spark, SF_DIR).collect()
+    assert len(rows) == corpus.BPE_TOP
+    # every pair is exactly two chars and counts are positive, descending
+    counts = [r["pair_count"] for r in rows]
+    assert all(len(r["pair"]) == 2 for r in rows)
+    assert counts == sorted(counts, reverse=True)
+    # the winning pair's count can't exceed the total char-pair mass
+    docs = table(spark, SF_DIR, "documents")
+    total_pairs = docs.select(
+        F.sum(
+            F.expr(
+                "aggregate(transform(split(text, ' '), w -> greatest(length(w) - 1, 0)),"
+                " 0L, (a, x) -> a + x)"
+            )
+        )
+    ).first()[0]
+    assert 0 < counts[0] <= total_pairs
+
+
+def test_keep_best_picks_longest_member(spark):
+    from duckdb_httpd_log_spark.operators.dedup import dedup_clusters
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_DIR).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in corpus.dedup_keep_best(spark, SF_DIR).collect():
+        members = [d for d, c in clusters.items() if c == r["cluster_id"]]
+        assert r["n_members"] == len(members)
+        assert r["n_dropped"] == len(members) - 1
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r["keep_doc_id"] == best
+        assert r["chars_dropped"] == sum(chars[d] for d in members) - chars[best]
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    rows = corpus.embedding_quantize(spark, SF_DIR).collect()
+    dim = len(table(spark, SF_DIR, "embeddings").first()["embedding"])
+    assert len(rows) == dim
+    for r in rows:
+        assert r["vmin"] <= r["vmax"]
+        assert r["step"] == pytest.approx((r["vmax"] - r["vmin"]) / 255.0, rel=1e-4)
+        # nearest-level rounding: |err| <= step/2 (+ quantization slack)
+        assert 0.0 <= r["mean_abs_err"] <= r["step"] / 2 + 1e-6
+
+
+def test_source_overlap_is_upper_triangle(spark):
+    rows = corpus.source_overlap_matrix(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared"] >= 1
+
+
+def test_zipf_slope_negative_and_hapax_rates_bounded(spark):
+    zipf = corpus.text_zipf_slope(spark, SF_DIR).collect()
+    assert zipf
+    for r in zipf:
+        # frequency decreases with rank, so the fitted slope is negative
+        assert r["zipf_slope"] < 0
+    for r in corpus.token_hapax_rate(spark, SF_DIR).collect():
+        assert 0.0 <= r["hapax_rate"] <= 1.0
+        assert 0.0 < r["type_token_ratio"] <= 1.0
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+
+
+def test_incremental_statuses_partition_the_batch(spark):
+    docs = table(spark, SF_DIR, "documents")
+    n_batch_total = docs.filter(F.col("doc_id") % 7 == 3).count()
+    rows = corpus.dedup_incremental(spark, SF_DIR).collect()
+    assert sum(r["n_batch"] for r in rows) == n_batch_total
+    for r in rows:
+        assert r["n_dup_corpus"] + r["n_dup_batch"] + r["n_novel"] == r["n_batch"]
+
+
+def test_date_fill_spine_is_contiguous_and_conserves_totals(spark):
+    import datetime
+
+    rows = corpus.q45_date_fill(spark, SF_DIR).collect()
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days)  # no gaps, no dups
+    orders = table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    total = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()[0]
+    assert sum(round(r["revenue"] * 100) for r in rows) == total
+
+
+def test_json_extract_covers_all_events(spark):
+    events = table(spark, SF_DIR, "events")
+    rows = corpus.events_json_extract(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == events.count()
+    for r in rows:
+        assert r["min_k"] <= r["max_k"]
+        assert 1 <= r["distinct_k"] <= r["n"]
