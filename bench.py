@@ -115,6 +115,15 @@ BENCH_QUERIES = [
     "ann_knn_graph",
     "events_top_paths",
     "text_ngram_novelty",
+    "bpe_merge_step",
+    "dedup_keep_best",
+    "embedding_quantize",
+    "source_overlap_matrix",
+    "text_zipf_slope",
+    "token_hapax_rate",
+    "dedup_incremental",
+    "q45_date_fill",
+    "events_json_extract",
 ]
 
 

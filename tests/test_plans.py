@@ -122,3 +122,33 @@ def test_market_share_broadcasts_all_dims(spark):
     plan = _plan(REGISTRY["q42_market_share"].spark_fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_bpe_explodes_vocabulary_not_token_stream(spark):
+    # the char-pair Generate must sit ABOVE the word-count aggregate
+    # (vocab-sized input), not over the raw token stream: at corpus
+    # scale the vocab is orders of magnitude smaller than the stream
+    plan = _plan(REGISTRY["bpe_merge_step"].spark_fn(spark, SF_DIR))
+    gen_positions = [i for i, l in enumerate(plan.splitlines()) if "Generate" in l]
+    agg_positions = [i for i, l in enumerate(plan.splitlines()) if "HashAggregate" in l]
+    # two Generates (token split, char pairs); the char-pair one must be
+    # downstream (printed above) at least one aggregate
+    assert len(gen_positions) == 2
+    assert min(gen_positions) < max(agg_positions)
+    assert "TakeOrderedAndProject" in plan  # top-30 never global-sorts
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    # the per-dim stats table (DIM rows) must broadcast back onto the
+    # exploded values — a shuffle join here would move the full corpus
+    plan = _plan(REGISTRY["embedding_quantize"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_date_fill_spine_from_single_aggregate(spark):
+    # the day spine is sequence() exploded from ONE aggregate row —
+    # no driver round-trip — and joins the daily agg via broadcast
+    plan = _plan(REGISTRY["q45_date_fill"].spark_fn(spark, SF_DIR))
+    assert "explode(sequence(" in plan
+    assert "BroadcastHashJoin" in plan
