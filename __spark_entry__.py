@@ -71,6 +71,11 @@ _PRIORITY = [
     "dedup_incremental",
     "q45_date_fill",
     "events_json_extract",
+    "q46_percentile_disc",
+    "emb_pca_power_step",
+    "text_ccnet_bucket",
+    "tokenizer_vocab_coverage",
+    "dp_noisy_counts",
 ]
 
 

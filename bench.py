@@ -124,6 +124,11 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "q45_date_fill",
     "events_json_extract",
+    "q46_percentile_disc",
+    "emb_pca_power_step",
+    "text_ccnet_bucket",
+    "tokenizer_vocab_coverage",
+    "dp_noisy_counts",
 ]
 
 

@@ -562,3 +562,268 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# One power-iteration step toward the top principal direction of the
+# (uncentered) embedding Gram matrix X'X — the building block of
+# distributed PCA/SVD (subspace tracking, whitening, spectral dedup).
+# Start vector v0 = 1/sqrt(DIM) per component (1/8 for DIM=64: exactly
+# representable, so both engines hold the identical double). The two
+# matrix products round-trip NOTHING to the driver:
+#   w = X v0   — per-row in-row ascending-index fold (identical IEEE
+#               doubles in both engines);
+#   u = X' w   — the order-dependent cross-row SUM, quantized per
+#               element to round(x·w·1e6) BIGINT so the aggregate is an
+#               integer sum;
+#   v1 = u/‖u‖ — the norm reduces the DIM-row result with the same
+#               scaled-integer trick, then one pinned division.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_pca_power_step",
+    """
+    WITH vals AS (
+        SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    w AS (
+        SELECT vec_id,
+               list_sum([embedding[i]::DOUBLE * 0.125
+                         for i in range(1, len(embedding) + 1)]) AS wv
+        FROM embeddings
+    ),
+    u AS (
+        SELECT pos,
+               CAST(sum(CAST(round(v.x * w.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS uv
+        FROM vals v JOIN w ON v.vec_id = w.vec_id
+        GROUP BY pos
+    ),
+    nrm AS (
+        SELECT sqrt(CAST(sum(CAST(round(uv * uv * 1000000.0) AS BIGINT)) AS DOUBLE)
+                    / 1000000.0) AS nn
+        FROM u
+    )
+    SELECT u.pos, round(u.uv / nrm.nn, 6) AS loading, round(nrm.nn, 4) AS eigval_est
+    FROM u, nrm
+    ORDER BY u.pos
+    """,
+    "one PCA power-iteration step: v1 = normalize(X'Xv0), scaled-integer cross-row sums",
+)
+def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    )
+    w = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding, cast(0.0 as double),"
+            " (acc, e) -> acc + cast(e as double) * 0.125)"
+        ).alias("wv"),
+    )
+    u = (
+        vals.join(w, "vec_id")
+        .select("pos", F.round(F.col("x") * F.col("wv") * F.lit(1000000.0)).cast("long").alias("t6"))
+        .groupBy("pos")
+        .agg((F.sum("t6").cast("double") / F.lit(1000000.0)).alias("uv"))
+    )
+    nrm = u.select(
+        F.round(F.col("uv") * F.col("uv") * F.lit(1000000.0)).cast("long").alias("q6")
+    ).agg(F.sqrt(F.sum("q6").cast("double") / F.lit(1000000.0)).alias("nn"))
+    return (
+        u.crossJoin(F.broadcast(nrm))
+        .select(
+            "pos",
+            F.round(F.col("uv") / F.col("nn"), 6).alias("loading"),
+            F.round("nn", 4).alias("eigval_est"),
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing — partition each language's docs
+# into head/middle/tail terciles by LM-score perplexity (the classic
+# quality-partition step before sampling). Composes text_lm_score (the
+# oracle nests its SQL — single source of truth); the ppl input is
+# already rounded to 4, so scaling by 1e4 gives an exact integer and
+# the per-bucket mean is an integer sum + one pinned division.
+# ---------------------------------------------------------------------------
+def _lm_score_oracle_subquery() -> str:
+    from . import textops as _textops  # registered before corpus in __init__
+
+    return REGISTRY["text_lm_score"].oracle_sql
+
+
+@register(
+    "text_ccnet_bucket",
+    """
+    WITH scored AS ({LM_SCORE}),
+    langd AS (
+        SELECT s.doc_id, d.lang, s.ppl FROM scored s JOIN documents d USING (doc_id)
+    ),
+    bucketed AS (
+        SELECT lang, ppl,
+               ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS tier
+        FROM langd
+    )
+    SELECT lang,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round((CAST(sum(CAST(round(ppl * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                 / count(*), 4) AS mean_ppl
+    FROM bucketed
+    GROUP BY lang, tier
+    ORDER BY lang, bucket
+    """.replace("{LM_SCORE}", REGISTRY["text_lm_score"].oracle_sql),
+    "CCNet-style head/middle/tail perplexity terciles per language",
+)
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import textops as _textops
+
+    scored = _textops.text_lm_score(spark, sf_dir).select("doc_id", "ppl")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langd = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucketed = langd.withColumn("tier", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tier") == 1, "head")
+        .when(F.col("tier") == 2, "middle")
+        .otherwise("tail")
+    )
+    p4 = F.round(F.col("ppl") * F.lit(10000.0)).cast("long")
+    return (
+        bucketed.select("lang", "tier", p4.alias("p4"))
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (F.sum("p4").cast("double") / F.lit(10000.0)) / F.count(F.lit(1)), 4
+            ).alias("mean_ppl"),
+        )
+        .select("lang", bucket.alias("bucket"), "n_docs", "mean_ppl")
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage — with a fixed top-K corpus vocabulary,
+# what fraction of each source's token stream is out-of-vocabulary?
+# (The go/no-go check before freezing a tokenizer on new data.) Shape:
+# the vocab is a TakeOrderedAndProject top-K (never a global sort) that
+# broadcasts back onto the exploded stream; counts are integers
+# end-to-end with one pinned division.
+# ---------------------------------------------------------------------------
+VOCAB_K = 1000
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+            ORDER BY c DESC, w LIMIT {VOCAB_K}
+        )
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY source
+    ORDER BY source
+    """,
+    "per-source OOV rate under a frozen top-K corpus vocabulary",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 4).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private stats release — per-source doc counts with
+# Laplace(b = 1/epsilon) noise, the shape of a privacy-preserving
+# corpus card. The noise is DETERMINISTIC for oracle parity: the
+# uniform draw comes from md5(source) (same md5-to-uniform trick as
+# sample_weighted), so both engines add the identical perturbation; in
+# production the md5 salt would be a secret per-release nonce. Per-row
+# scalar double math only — no float aggregates at all.
+# ---------------------------------------------------------------------------
+DP_EPSILON = 1.0
+DP_SALT = "dp-release-1:"
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+    WITH base AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source
+    ),
+    drawn AS (
+        SELECT source, n_docs, n_chars_total,
+               (('0x' || substr(md5('{DP_SALT}' || source), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS u
+        FROM base
+    )
+    SELECT source,
+           round(n_docs + CASE WHEN u < 0.5
+                               THEN ln(2.0 * u) / {DP_EPSILON}
+                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END, 4)
+               AS noisy_n_docs,
+           round(n_chars_total + CASE WHEN u < 0.5
+                               THEN ln(2.0 * u) / {DP_EPSILON}
+                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END, 4)
+               AS noisy_n_chars
+    FROM drawn
+    ORDER BY source
+    """,
+    "DP-style noisy per-source counts: deterministic md5-seeded Laplace(1/epsilon) noise",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(DP_SALT), F.col("source")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = (
+        F.when(u < 0.5, F.log(F.lit(2.0) * u) / F.lit(DP_EPSILON))
+        .otherwise(-F.log(F.lit(2.0) * (F.lit(1.0) - u)) / F.lit(DP_EPSILON))
+    )
+    return base.select(
+        "source",
+        F.round(F.col("n_docs") + noise, 4).alias("noisy_n_docs"),
+        F.round(F.col("n_chars_total") + noise, 4).alias("noisy_n_chars"),
+    ).orderBy("source")

@@ -1424,3 +1424,62 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles (inverse-CDF, no interpolation) per group.
+# Engines disagree on built-in discrete-quantile tie semantics, so both
+# sides compute the SAME window formula: the value at ordered position
+# ceil(p * n) (ties broken by value order — positional pick, so
+# duplicate values are harmless). Complements q18's continuous
+# `percentile`/`quantile_cont` parity. Shape: one window per group +
+# one hash agg; group count is tiny (order priorities).
+# ---------------------------------------------------------------------------
+@register(
+    "q46_percentile_disc",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           max(n) AS n_orders,
+           min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           min(CASE WHEN rn >= CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           min(CASE WHEN rn >= CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "exact discrete (inverse-CDF) percentiles per group via a pinned positional window",
+)
+def q46_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("rn") >= pos, F.col("o_totalprice")))
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

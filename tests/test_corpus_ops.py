@@ -111,3 +111,73 @@ def test_json_extract_covers_all_events(spark):
     for r in rows:
         assert r["min_k"] <= r["max_k"]
         assert 1 <= r["distinct_k"] <= r["n"]
+
+
+def test_pca_power_step_is_unit_and_dominant(spark):
+    import math
+
+    rows = corpus.emb_pca_power_step(spark, SF_DIR).collect()
+    # unit norm after normalization
+    norm = math.sqrt(sum(r["loading"] ** 2 for r in rows))
+    assert norm == pytest.approx(1.0, abs=1e-4)
+    # all rows carry the same eigenvalue estimate, and it's positive
+    eigs = {r["eigval_est"] for r in rows}
+    assert len(eigs) == 1 and eigs.pop() > 0
+    # one full power step must beat the uniform start vector as a
+    # Rayleigh direction: lambda(v1) >= lambda(v0) (power iteration is
+    # monotone in the Rayleigh quotient)
+    import numpy as np
+
+    emb = np.array(
+        [r["embedding"] for r in table(spark, SF_DIR, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    v0 = np.full(emb.shape[1], 1 / math.sqrt(emb.shape[1]))
+    v1 = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["pos"])])
+    ray = lambda v: float(v @ (emb.T @ (emb @ v)))
+    assert ray(v1) >= ray(v0) * 0.999
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    rows = corpus.text_ccnet_bucket(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        # head (low perplexity) <= middle <= tail by construction
+        assert b["head"]["mean_ppl"] <= b["middle"]["mean_ppl"] <= b["tail"]["mean_ppl"]
+        # ntile balance: sizes differ by at most 1
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_vocab_coverage_bounds_and_conservation(spark):
+    docs = table(spark, SF_DIR, "documents")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    rows = corpus.tokenizer_vocab_coverage(spark, SF_DIR).collect()
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_dp_noise_is_bounded_and_deterministic(spark):
+    a = {r["source"]: r for r in corpus.dp_noisy_counts(spark, SF_DIR).collect()}
+    b = {r["source"]: r for r in corpus.dp_noisy_counts(spark, SF_DIR).collect()}
+    assert a.keys() == b.keys()
+    true_counts = {
+        r["source"]: (r["n"], r["c"])
+        for r in table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    for s in a:
+        # deterministic release: identical on re-run
+        assert a[s]["noisy_n_docs"] == b[s]["noisy_n_docs"]
+        # Laplace(b=1) noise beyond 12 absolute is ~e^-12 improbable; the
+        # md5 draws are fixed, so this is a hard bound for this dataset
+        n, c = true_counts[s]
+        assert abs(a[s]["noisy_n_docs"] - n) < 12
+        assert abs(a[s]["noisy_n_chars"] - c) < 12
