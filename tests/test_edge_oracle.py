@@ -61,6 +61,16 @@ _DOC_QUERIES = [
     "pipeline_mix_sample",
     "sample_stratified",
     "multimodal_dedup",
+    # round-4 corpus-forensics ops (documents-only subset)
+    "bpe_merge_step",
+    "source_overlap_matrix",
+    "text_zipf_slope",
+    "token_hapax_rate",
+    "dedup_incremental",
+    "tokenizer_vocab_coverage",
+    "dp_noisy_counts",
+    "text_ccnet_bucket",
+    "dedup_keep_best",
 ]
 
 
