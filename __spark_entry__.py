@@ -76,6 +76,7 @@ _PRIORITY = [
     "text_ccnet_bucket",
     "tokenizer_vocab_coverage",
     "dp_noisy_counts",
+    "dedup_minhash_eval",
 ]
 
 

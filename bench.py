@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_ccnet_bucket",
     "tokenizer_vocab_coverage",
     "dp_noisy_counts",
+    "dedup_minhash_eval",
 ]
 
 

@@ -827,3 +827,53 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") + noise, 4).alias("noisy_n_docs"),
         F.round(F.col("n_chars_total") + noise, 4).alias("noisy_n_chars"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# MinHash index evaluation — the tuning readout for the LSH
+# band/row configuration: candidate-level recall and precision of the
+# banded MinHash candidates against the exact DF-capped Jaccard ground
+# truth. Both sides reuse the EXISTING definitions verbatim — the
+# candidate CTE chain is dedup.py's _SQL_MINHASH_CANDS and the ground
+# truth nests dedup_ngram_jaccard's oracle — so this op can never
+# drift from the operators it evaluates. All counts are integers with
+# two pinned final divisions; output is one row (the index report).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_eval",
+    """
+    WITH mh AS (
+        SELECT doc_a, doc_b FROM (WITH {CANDS} SELECT doc_a, doc_b FROM cands)
+    ),
+    exact AS (SELECT doc_a, doc_b FROM ({EXACT})),
+    counts AS (
+        SELECT (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM mh) AS n_candidates,
+               (SELECT count(*) FROM exact JOIN mh USING (doc_a, doc_b)) AS n_hit
+    )
+    SELECT n_exact, n_candidates, n_hit,
+           round(n_hit * 1.0 / greatest(n_exact, 1), 4) AS recall,
+           round(n_hit * 1.0 / greatest(n_candidates, 1), 4) AS precision_cand
+    FROM counts
+    """
+    .replace("{CANDS}", _dedup._SQL_MINHASH_CANDS)
+    .replace("{EXACT}", REGISTRY["dedup_ngram_jaccard"].oracle_sql),
+    "LSH index tuning report: candidate recall/precision vs exact Jaccard ground truth",
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs, cands = _dedup._minhash_docs_and_cands(spark, sf_dir)
+    exact = _dedup.dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = exact.join(cands, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return ne.crossJoin(nc).crossJoin(nh).select(
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1)), 4).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
+        ).alias("precision_cand"),
+    )

@@ -184,10 +184,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SQL_GRAMS},
+# the grams -> signatures -> bands -> candidate-pairs CTE chain, shared
+# verbatim by dedup_minhash_lsh and corpus.dedup_minhash_eval so the
+# candidate definition can never drift between the operator and its
+# recall evaluation
+_SQL_MINHASH_CANDS = f"""{_SQL_GRAMS},
     perms AS (SELECT unnest(range(0, {MINHASH_K})) AS i),
     sigs AS (
         SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
@@ -203,26 +204,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-    inter AS (
-        SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, count(*) AS n_shared
-        FROM grams g1
-        JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
-        JOIN cands c ON c.doc_a = g1.doc_id AND c.doc_b = g2.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
-    FROM inter i
-    JOIN gc ga ON ga.doc_id = i.doc_a
-    JOIN gc gb ON gb.doc_id = i.doc_b
-    WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
-    ORDER BY i.doc_a, i.doc_b
-    """,
-    "MinHash(12) + LSH(3 bands × 4) candidate generation, exact-Jaccard verify",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _minhash_docs_and_cands(spark: SparkSession, sf_dir: str):
+    """The per-doc signature/gram-set table (lineage-checkpointed) and
+    the banded candidate pairs — shared by dedup_minhash_lsh and
+    corpus.dedup_minhash_eval so both see the identical candidate set."""
     # Single groupBy computes all K min-hashes at once (K aggregate
     # expressions — no K-fold row explosion) together with the gram set
     # and count used for candidate verification. One shuffle on doc_id.
@@ -258,6 +246,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         ba.join(bb, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
     )
+    return docs, cands
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_MINHASH_CANDS},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams g1
+        JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+        JOIN cands c ON c.doc_a = g1.doc_id AND c.doc_b = g2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+    FROM inter i
+    JOIN gc ga ON ga.doc_id = i.doc_a
+    JOIN gc gb ON gb.doc_id = i.doc_b
+    WHERE n_shared * 1.0 / (ga.n + gb.n - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    "MinHash(12) + LSH(3 bands × 4) candidate generation, exact-Jaccard verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, cands = _minhash_docs_and_cands(spark, sf_dir)
     # exact-Jaccard verification: join the (few) candidates back to the
     # per-doc gram sets — set intersection instead of a second gram-gram
     # self-join. (For huge documents swap the set intersect back to a

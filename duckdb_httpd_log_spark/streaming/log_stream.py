@@ -251,3 +251,58 @@ def hot_paths_stream(
             "n_hits",
         )
     )
+
+
+def dedup_against_index_stream(
+    docs_stream: DataFrame,
+    corpus_index: DataFrame,
+    prefix_k: int = 8,
+    watermark_col: str = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming incremental dedup (the streaming twin of batch
+    `dedup_incremental`): classify each arriving document against a
+    STATIC corpus fingerprint index as `dup_corpus` (fingerprint already
+    in the index), `dup_batch` (seen earlier in this stream), or
+    `novel`.
+
+    The fingerprint is the md5 of the first `prefix_k` tokens — the same
+    boilerplate-prefix key the batch operator uses, so a doc the batch
+    pipeline would drop is dropped here too. Shapes:
+
+    - the corpus side is a stream-static LEFT join against the DISTINCT
+      fingerprints of `corpus_index` (at 100 TB that's the persisted
+      dedup index, loaded once per micro-batch and broadcast when small
+      — Catalyst decides from its size stats, same as the batch op);
+    - within-stream first-wins dedup is `dropDuplicatesWithinWatermark`
+      when `watermark_col` is given (bounded state: a fingerprint's
+      state row is dropped once the watermark passes it) or plain
+      `dropDuplicates` for bounded replays/backfills.
+
+    Output: every input column plus `fp` and `status`; rows classified
+    `dup_batch` are the within-stream duplicates that got DROPPED on the
+    dedup path, so this function returns only `dup_corpus`/`novel` rows
+    — the survivors a sink would persist, tagged with why they survived.
+    """
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
+    )
+    tagged = docs_stream.withColumn("fp", fp)
+    if watermark_col is not None:
+        tagged = tagged.withWatermark(watermark_col, watermark)
+        deduped = tagged.dropDuplicatesWithinWatermark(["fp"])
+    else:
+        deduped = tagged.dropDuplicates(["fp"])
+    index = (
+        corpus_index.select(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
+            ).alias("fp")
+        )
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    return deduped.join(index, "fp", "left").withColumn(
+        "status",
+        F.when(F.col("in_corpus").isNotNull(), "dup_corpus").otherwise("novel"),
+    ).drop("in_corpus")

@@ -181,3 +181,15 @@ def test_dp_noise_is_bounded_and_deterministic(spark):
         n, c = true_counts[s]
         assert abs(a[s]["noisy_n_docs"] - n) < 12
         assert abs(a[s]["noisy_n_chars"] - c) < 12
+
+
+def test_minhash_eval_counts_are_consistent(spark):
+    r = corpus.dedup_minhash_eval(spark, SF_DIR).first()
+    assert r["n_hit"] <= min(r["n_exact"], r["n_candidates"])
+    assert 0.0 <= r["recall"] <= 1.0
+    assert 0.0 <= r["precision_cand"] <= 1.0
+    # the verified LSH output equals exact ∩ candidates, so the hit
+    # count must equal dedup_minhash_lsh's row count
+    from duckdb_httpd_log_spark.operators.dedup import dedup_minhash_lsh
+
+    assert r["n_hit"] == dedup_minhash_lsh(spark, SF_DIR).count()

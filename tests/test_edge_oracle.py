@@ -71,6 +71,7 @@ _DOC_QUERIES = [
     "dp_noisy_counts",
     "text_ccnet_bucket",
     "dedup_keep_best",
+    "dedup_minhash_eval",
 ]
 
 

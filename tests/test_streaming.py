@@ -478,3 +478,48 @@ def test_streaming_pipeline_checkpoint_recovery(spark, tmp_path):
     assert sorted(
         d for d in _os.listdir(sink) if d.startswith("log_date=")
     ) == ["log_date=2024-10-10", "log_date=2024-10-11"]
+
+
+def test_stream_incremental_dedup_against_static_index(spark, tmp_path):
+    """Stream-static incremental dedup: corpus-known fingerprints tag as
+    dup_corpus, within-stream repeats collapse to one row, fresh docs
+    pass through as novel — mirroring batch dedup_incremental."""
+    import json
+
+    from duckdb_httpd_log_spark.streaming.log_stream import dedup_against_index_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta trailing stuff")],
+        ["doc_id", "text"],
+    )
+    docs = [
+        # same 8-token prefix as the corpus doc -> dup_corpus
+        (1, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT tail"),
+        (2, "a fresh document nobody has ever seen before now"),
+        (3, "a fresh document nobody has ever seen before now"),  # stream repeat of 2
+        (4, "another genuinely new piece of content arriving late here"),
+    ]
+    srcdir = tmp_path / "docs_inc"
+    srcdir.mkdir()
+    with open(srcdir / "batch0.json", "w") as fh:
+        for doc_id, text in docs:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(srcdir))
+    out = dedup_against_index_stream(stream, corpus)
+    assert out.isStreaming
+    _run_stream(out, "inc_dedup_stream")
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM inc_dedup_stream").collect()}
+    # stream repeat collapsed: exactly one of doc 2/3 survives
+    assert len({2, 3} & rows.keys()) == 1
+    assert rows[1]["status"] == "dup_corpus"
+    assert rows[4]["status"] == "novel"
+    surviving_2or3 = rows.get(2) or rows.get(3)
+    assert surviving_2or3["status"] == "novel"
+    # batch twin agreement: the corpus-dup fingerprint matches what
+    # dedup_incremental's key would compute for the same text
+    from pyspark.sql import functions as F
+
+    fp_batch = corpus.select(
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).cast("binary")).alias("fp")
+    ).first()["fp"]
+    assert rows[1]["fp"] == fp_batch
