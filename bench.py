@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "tokenizer_vocab_coverage",
     "dp_noisy_counts",
     "dedup_minhash_eval",
+    "basket_part_pairs",
+    "emb_outlier_filter",
+    "events_time_weighted_avg",
 ]
 
 

@@ -877,3 +877,200 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
         ).alias("precision_cand"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence mining — top part pairs ordered together
+# (association-rule support counting, the classic retail/recсo prep
+# step). Shape: the within-order self-join is bounded by basket size
+# (≤ 13 items/order in this data → ≤ 78 pairs), so the pair explosion
+# is linear in orders, never quadratic in parts; support counting is a
+# hash agg on (part_a, part_b) and the top-k is TakeOrderedAndProject.
+# Integer counts end-to-end.
+# ---------------------------------------------------------------------------
+BASKET_TOP = 25
+
+
+@register(
+    "basket_part_pairs",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+    "market-basket mining: top co-ordered part pairs by support (bounded basket fan-out)",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier filter — flag vectors far from their label's
+# centroid (the "drop mislabeled/garbage embeddings" curation step).
+# Distances use the same scaled-integer discipline as the kmeans loop:
+# the per-dim centroid mean and the per-vector squared-distance sum are
+# both integer SUMs of quantized terms, so no cross-row double
+# aggregate exists; the 1.5×mean-distance threshold is a pinned
+# scalar comparison. Shape: one posexplode + (label,pos) hash agg for
+# centroids (tiny), broadcast back, per-vector integer agg — the whole
+# corpus shuffles once on vec_id.
+# ---------------------------------------------------------------------------
+OUTLIER_FACTOR = 1.5
+
+
+@register(
+    "emb_outlier_filter",
+    """
+    WITH vals AS (
+        SELECT vec_id, label, CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    cen AS (
+        SELECT label, pos,
+               (CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                   / count(*) AS c
+        FROM vals GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT v.vec_id, v.label,
+               CAST(sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000000.0 AS dist2
+        FROM vals v JOIN cen c ON v.label = c.label AND v.pos = c.pos
+        GROUP BY v.vec_id, v.label
+    ),
+    dist AS (SELECT vec_id, label, sqrt(dist2) AS d FROM d2),
+    md AS (
+        SELECT label,
+               (CAST(sum(CAST(round(d * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                   / count(*) AS mean_d
+        FROM dist GROUP BY label
+    )
+    SELECT dist.label,
+           count(*) AS n_vecs,
+           round(max(md.mean_d), 6) AS mean_dist,
+           CAST(sum(CASE WHEN dist.d > 1.5 * md.mean_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dist JOIN md ON dist.label = md.label
+    GROUP BY dist.label
+    ORDER BY dist.label
+    """,
+    "embedding outlier filter: per-label centroid distance vs 1.5x mean-distance threshold",
+)
+def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    m6 = F.lit(1000000.0)
+    cen = vals.groupBy("label", "pos").agg(
+        ((F.sum(F.round(F.col("x") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
+            "c"
+        )
+    )
+    diff2 = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    d2 = (
+        vals.join(F.broadcast(cen), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(diff2 * F.lit(1000000000.0)).cast("long").alias("q9"),
+        )
+        .groupBy("vec_id", "label")
+        .agg((F.sum("q9").cast("double") / F.lit(1000000000.0)).alias("dist2"))
+    )
+    dist = d2.select("vec_id", "label", F.sqrt("dist2").alias("d"))
+    md = dist.groupBy("label").agg(
+        ((F.sum(F.round(F.col("d") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
+            "mean_d"
+        )
+    )
+    return (
+        dist.join(F.broadcast(md), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("mean_d"), 6).alias("mean_dist"),
+            F.sum(F.when(F.col("d") > F.lit(OUTLIER_FACTOR) * F.col("mean_d"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular samples — the correct mean for
+# unevenly-spaced telemetry (each value holds until the next sample;
+# an arithmetic mean over-weights bursts). Weight = gap to the next
+# event in INTEGER microseconds (lead over a per-type window); the
+# value×gap products are quantized to BIGINT before the cross-row sum,
+# and the final TWA is one pinned division by the total covered span.
+# ---------------------------------------------------------------------------
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT event_type, value,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, value, t_next - t_us AS gap_us
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_segments,
+           CAST(sum(gap_us) AS BIGINT) AS span_us,
+           round(CAST(sum(CAST(round(value * gap_us) AS BIGINT)) AS DOUBLE)
+                 / sum(gap_us), 4) AS twa_value
+    FROM seg
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "time-weighted average of event values over irregular sampling gaps (integer-µs weights)",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    seg = seq.filter(F.col("t_next").isNotNull()).select(
+        "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
+    )
+    term = F.round(F.col("value") * F.col("gap_us")).cast("long")
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("gap_us").cast("long").alias("span_us"),
+            F.round(F.sum(term).cast("double") / F.sum("gap_us"), 4).alias("twa_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -193,3 +193,41 @@ def test_minhash_eval_counts_are_consistent(spark):
     from duckdb_httpd_log_spark.operators.dedup import dedup_minhash_lsh
 
     assert r["n_hit"] == dedup_minhash_lsh(spark, SF_DIR).count()
+
+
+def test_basket_pairs_bounded_by_order_sizes(spark):
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sizes = li.groupBy("l_orderkey").count().collect()
+    max_possible = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    rows = corpus.basket_part_pairs(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= corpus.BASKET_TOP
+    supports = [r["support"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    assert sum(supports) <= max_possible
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+
+
+def test_emb_outliers_minority_and_positive_spread(spark):
+    rows = corpus.emb_outlier_filter(spark, SF_DIR).collect()
+    emb_n = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_n
+    for r in rows:
+        assert r["mean_dist"] > 0
+        # at factor 1.5 the flagged tail must be a strict minority
+        assert r["n_outliers"] < r["n_vecs"] / 2
+
+
+def test_time_weighted_avg_within_value_range(spark):
+    stats = {
+        r["event_type"]: r
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in corpus.events_time_weighted_avg(spark, SF_DIR).collect():
+        s = stats[r["event_type"]]
+        # a weighted mean is inside the convex hull of the values
+        assert s["lo"] - 1e-6 <= r["twa_value"] <= s["hi"] + 1e-6
+        assert r["span_us"] > 0 and r["n_segments"] > 0
