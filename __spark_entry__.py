@@ -80,6 +80,8 @@ _PRIORITY = [
     "basket_part_pairs",
     "emb_outlier_filter",
     "events_time_weighted_avg",
+    "events_sliding_distinct",
+    "drift_ks_length",
 ]
 
 

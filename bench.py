@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "basket_part_pairs",
     "emb_outlier_filter",
     "events_time_weighted_avg",
+    "events_sliding_distinct",
+    "drift_ks_length",
 ]
 
 

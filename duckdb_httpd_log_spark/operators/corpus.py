@@ -1074,3 +1074,149 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct counting — exact distinct users per 7-day
+# window stepping daily. Distinct counts don't merge across windows
+# (unlike sums), so the correct distributed shape is the bounded
+# explode: each event replicates into exactly the 7 windows containing
+# it (fan-out = window/step, a constant), then one (window, user) hash
+# agg — never a quadratic self-join, never a driver loop. Integer
+# counts only.
+# ---------------------------------------------------------------------------
+SLIDE_WINDOW_DAYS = 7
+
+
+@register(
+    "events_sliding_distinct",
+    f"""
+    WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ),
+    bounds AS (SELECT min(d) AS d_min FROM ev),
+    exploded AS (
+        SELECT CAST(w AS DATE) AS window_start, user_id
+        FROM ev, bounds,
+             LATERAL unnest(generate_series(d - INTERVAL {SLIDE_WINDOW_DAYS - 1} DAY,
+                                            d, INTERVAL 1 DAY)) t(w)
+        WHERE CAST(w AS DATE) >= d_min
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM exploded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    "exact distinct users per 7-day sliding window via bounded event replication",
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    ev = events.select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+    bounds = ev.agg(F.min("d").alias("d_min"))
+    exploded = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.expr(f"sequence(date_sub(d, {SLIDE_WINDOW_DAYS - 1}), d, interval 1 day)")
+            ).alias("window_start"),
+            "user_id",
+            "d_min",
+        )
+        .filter(F.col("window_start") >= F.col("d_min"))
+    )
+    return (
+        exploded.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift detection (two-sample Kolmogorov–Smirnov) — is the
+# incoming batch's length distribution drifting from the standing
+# corpus? The KS statistic is computed ENTIRELY in integers: the max
+# CDF gap is maximized as |cum_a·n_b − cum_b·n_a| (cross-multiplied
+# counts — no float compare decides the argmax), with a single final
+# division. The cumulative window runs over the DISTINCT value domain
+# (hundreds of lengths), not the corpus — a deliberate single-partition
+# window over a provably tiny input, same rationale as q18's quantile
+# spine.
+# ---------------------------------------------------------------------------
+@register(
+    "drift_ks_length",
+    """
+    WITH tagged AS (
+        SELECT n_chars AS x,
+               CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS in_a
+        FROM documents
+    ),
+    tot AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+                   CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM tagged),
+    per_x AS (
+        SELECT x, CAST(sum(in_a) AS BIGINT) AS ca, CAST(sum(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               sum(ca) OVER (ORDER BY x) AS cum_a,
+               sum(cb) OVER (ORDER BY x) AS cum_b
+        FROM per_x
+    ),
+    gaps AS (
+        SELECT x, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+        FROM cum, tot
+    )
+    SELECT n_a, n_b, x AS at_value,
+           round(CAST(gap AS DOUBLE) / (n_a * n_b), 6) AS ks_stat
+    FROM gaps
+    ORDER BY gap DESC, x
+    LIMIT 1
+    """,
+    "two-sample KS drift test on length distributions, integer cross-multiplied CDF argmax",
+)
+def drift_ks_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("doc_id") % 7 == 3, 1).otherwise(0).alias("in_a"),
+    )
+    tot = tagged.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    per_x = tagged.groupBy("x").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_x.select(
+        "x", F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias("gap"),
+        "n_a",
+        "n_b",
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), "x")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("x").alias("at_value"),
+            F.round(F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "ks_stat"
+            ),
+        )
+    )

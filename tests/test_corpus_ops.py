@@ -231,3 +231,42 @@ def test_time_weighted_avg_within_value_range(spark):
         # a weighted mean is inside the convex hull of the values
         assert s["lo"] - 1e-6 <= r["twa_value"] <= s["hi"] + 1e-6
         assert r["span_us"] > 0 and r["n_segments"] > 0
+
+
+def test_sliding_distinct_matches_naive_per_window(spark):
+    import datetime
+
+    ev = [
+        (r["d"], r["user_id"])
+        for r in table(spark, SF_DIR, "events")
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .collect()
+    ]
+    d_min = min(d for d, _ in ev)
+    rows = corpus.events_sliding_distinct(spark, SF_DIR).collect()
+    for r in rows[:5] + rows[-5:]:
+        start = datetime.date.fromisoformat(r["window_start"])
+        end = start + datetime.timedelta(days=corpus.SLIDE_WINDOW_DAYS - 1)
+        in_win = [(d, u) for d, u in ev if start <= d <= end]
+        assert r["n_events"] == len(in_win)
+        assert r["n_users"] == len({u for _, u in in_win})
+        assert start >= d_min
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    vals = [
+        (r["n_chars"], r["doc_id"] % 7 == 3)
+        for r in table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    ]
+    a = sorted(x for x, in_a in vals if in_a)
+    b = sorted(x for x, in_a in vals if not in_a)
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    d_star = max(
+        abs(bisect.bisect_right(a, x) * len(b) - bisect.bisect_right(b, x) * len(a))
+        for x in xs
+    )
+    r = corpus.drift_ks_length(spark, SF_DIR).first()
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["ks_stat"] == pytest.approx(d_star / (len(a) * len(b)), abs=1e-6)

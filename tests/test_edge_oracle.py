@@ -72,6 +72,7 @@ _DOC_QUERIES = [
     "text_ccnet_bucket",
     "dedup_keep_best",
     "dedup_minhash_eval",
+    "drift_ks_length",
 ]
 
 
