@@ -82,6 +82,7 @@ _PRIORITY = [
     "events_time_weighted_avg",
     "events_sliding_distinct",
     "drift_ks_length",
+    "emb_pq_codes",
 ]
 
 

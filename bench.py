@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "events_time_weighted_avg",
     "events_sliding_distinct",
     "drift_ks_length",
+    "emb_pq_codes",
 ]
 
 

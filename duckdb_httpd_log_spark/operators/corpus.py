@@ -1220,3 +1220,118 @@ def drift_ks_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization code assignment — the memory-compression sibling
+# of IVF: split each vector into PQ_SUBS subvectors, assign each
+# subvector to its nearest of PQ_CODES per-subspace centroids, and
+# report codebook utilization + quantization error. Complements
+# embedding_quantize (scalar) and ann_ivf_topk (full-vector cells).
+# Determinism/parity: centroids come from the PQ_CODES corpus vectors
+# with the smallest md5('pq:'||vec_id) (the same seedless sample trick
+# as the IVF seed); every distance is an INTEGER sum of per-element
+# quantized squared diffs, so the argmin compares integers — no float
+# tie can diverge between engines. Shape: one posexplode, a broadcast
+# 256-row centroid table, hash aggs on (vec_id, sub[, code]); the
+# ×PQ_CODES fan-out is a constant.
+# ---------------------------------------------------------------------------
+PQ_SUBS = 4
+PQ_SUBDIM = 16  # DIM 64 / 4 subspaces
+PQ_CODES = 4
+PQ_SALT = "pq:"
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5('{PQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+        QUALIFY rn <= {PQ_CODES}
+    ),
+    cen AS (
+        SELECT (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+               rn - 1 AS code,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS c
+        FROM seeds, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    vals AS (
+        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    d AS (
+        SELECT v.vec_id, v.sub, c.code,
+               sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
+        FROM vals v JOIN cen c ON v.pos = c.pos
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    assigned AS (
+        SELECT vec_id, sub, code, q9,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY q9, code) AS rk
+        FROM d
+    )
+    SELECT sub, code,
+           count(*) AS n_assigned,
+           round((CAST(sum(q9) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_dist2
+    FROM assigned
+    WHERE rk = 1
+    GROUP BY sub, code
+    ORDER BY sub, code
+    """,
+    "product-quantization assignment: per-subspace nearest-centroid codes, integer-distance argmin",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # seed pick is TakeOrderedAndProject (top-4 under the md5 total
+    # order), NOT a global row_number window — a full-table
+    # single-partition window would funnel the whole corpus through one
+    # task at scale; the rank window below runs over 4 rows only
+    md5key = F.md5(F.concat(F.lit(PQ_SALT), F.col("vec_id").cast("string")).cast("binary"))
+    seeds4 = (
+        emb.select("vec_id", "embedding", md5key.alias("mk"))
+        .orderBy("mk", "vec_id")
+        .limit(PQ_CODES)
+    )
+    seeds = seeds4.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mk", "vec_id"))
+    )
+    cen = seeds.select(
+        (F.col("rn") - 1).alias("code"), F.posexplode("embedding").alias("pos", "cf")
+    ).select(
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        "code",
+        "pos",
+        F.col("cf").cast("double").alias("c"),
+    )
+    vals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        "pos",
+        F.col("xf").cast("double").alias("x"),
+    )
+    q9 = F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)).cast(
+        "long"
+    )
+    d = (
+        vals.join(F.broadcast(cen.drop("sub")), "pos")
+        .select("vec_id", "sub", "code", q9.alias("t9"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum("t9").alias("q9"))
+    )
+    rk_w = Window.partitionBy("vec_id", "sub").orderBy("q9", "code")
+    assigned = d.withColumn("rk", F.row_number().over(rk_w)).filter(F.col("rk") == 1)
+    return (
+        assigned.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round((F.sum("q9").cast("double") / F.lit(1000000000.0)) / F.count(F.lit(1)), 6).alias(
+                "mean_dist2"
+            ),
+        )
+        .orderBy("sub", "code")
+    )

@@ -270,3 +270,17 @@ def test_ks_drift_matches_scipy_style_reference(spark):
     r = corpus.drift_ks_length(spark, SF_DIR).first()
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
     assert r["ks_stat"] == pytest.approx(d_star / (len(a) * len(b)), abs=1e-6)
+
+
+def test_pq_codes_cover_corpus_and_use_codebook(spark):
+    rows = corpus.emb_pq_codes(spark, SF_DIR).collect()
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    per_sub = {}
+    for r in rows:
+        assert 0 <= r["sub"] < corpus.PQ_SUBS and 0 <= r["code"] < corpus.PQ_CODES
+        assert r["mean_dist2"] >= 0
+        per_sub.setdefault(r["sub"], 0)
+        per_sub[r["sub"]] += r["n_assigned"]
+    # every vector gets exactly one code per subspace
+    assert set(per_sub) == set(range(corpus.PQ_SUBS))
+    assert all(v == n_vecs for v in per_sub.values())
