@@ -83,6 +83,7 @@ _PRIORITY = [
     "events_sliding_distinct",
     "drift_ks_length",
     "emb_pq_codes",
+    "graph_triangle_count",
 ]
 
 

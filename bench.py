@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "events_sliding_distinct",
     "drift_ks_length",
     "emb_pq_codes",
+    "graph_triangle_count",
 ]
 
 

@@ -1335,3 +1335,93 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient over the co-purchase
+# graph — the canonical distributed graph metric (community density,
+# recommendation quality). Edges = part pairs co-ordered >= 2 times
+# (the support floor keeps the graph meaningful); triangles come from
+# the ORIENTED wedge join (a<b<c), which counts each triangle exactly
+# once and bounds the wedge fan-out — at scale the orientation would be
+# by degree (lowest-degree vertex first), which caps the join blow-up
+# on power-law graphs; id order is the same mechanism and matches the
+# oracle literally. All counts integral; one pinned division for the
+# clustering coefficient.
+# ---------------------------------------------------------------------------
+TRIANGLE_MIN_SUPPORT = 2
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS va, b.l_partkey AS vb
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    deg AS (
+        SELECT v, count(*) AS d
+        FROM (SELECT va AS v FROM edges UNION ALL SELECT vb FROM edges)
+        GROUP BY v
+    ),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.vb = e2.va
+        JOIN edges e3 ON e3.va = e1.va AND e3.vb = e2.vb
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM deg) AS n_vertices,
+           w.n_wedges,
+           t.n_triangles,
+           round(3.0 * t.n_triangles / greatest(w.n_wedges, 1), 6) AS clustering_coeff
+    FROM wedges w, tri t
+    """,
+    "triangle count + global clustering coefficient via oriented wedge join on the co-order graph",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("va"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("vb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= TRIANGLE_MIN_SUPPORT)
+        .select("va", "vb")
+        .localCheckpoint(eager=False)  # feeds deg + three join sides
+    )
+    deg = (
+        edges.select(F.col("va").alias("v"))
+        .unionAll(edges.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("va").alias("x"), F.col("vb").alias("y"))
+    e2 = edges.select(F.col("va").alias("y"), F.col("vb").alias("z"))
+    e3 = edges.select(F.col("va").alias("x"), F.col("vb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        ne.crossJoin(nv)
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)), 6
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -284,3 +284,35 @@ def test_pq_codes_cover_corpus_and_use_codebook(spark):
     # every vector gets exactly one code per subspace
     assert set(per_sub) == set(range(corpus.PQ_SUBS))
     assert all(v == n_vecs for v in per_sub.values())
+
+
+def test_triangle_count_matches_naive(spark):
+    from itertools import combinations
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    support = Counter()
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            support[(x, y)] += 1
+    edges = {e for e, s in support.items() if s >= corpus.TRIANGLE_MIN_SUPPORT}
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = sum(
+        1
+        for x, y in edges
+        for z in adj[x] & adj[y]
+        if x < y < z
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    r = corpus.graph_triangle_count(spark, SF_DIR).first()
+    assert r["n_edges"] == len(edges)
+    assert r["n_vertices"] == len(adj)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tri
