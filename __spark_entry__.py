@@ -84,6 +84,8 @@ _PRIORITY = [
     "drift_ks_length",
     "emb_pq_codes",
     "graph_triangle_count",
+    "events_seasonal_baseline",
+    "orders_pareto",
 ]
 
 

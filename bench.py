@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "drift_ks_length",
     "emb_pq_codes",
     "graph_triangle_count",
+    "events_seasonal_baseline",
+    "orders_pareto",
 ]
 
 

@@ -1425,3 +1425,143 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection — score each day's event volume
+# against its day-of-week baseline (weekday seasonality is the
+# first-order pattern in traffic data; a global mean flags every
+# weekend) and surface the most deviant (type, day) cells. Variance
+# comes from INTEGER sums (Σx, Σx²) via the computational formula, so
+# the σ² numerator n·Σx² − (Σx)² is an exact integer in both engines;
+# z is derived from those identical integers with pinned float ops and
+# pre-rounded before the top-k cutoff so the LIMIT boundary can't flip
+# on a last-ulp disagreement.
+# ---------------------------------------------------------------------------
+SEASONAL_TOP = 10
+
+
+@register(
+    "events_seasonal_baseline",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (SELECT event_type, d, dayofweek(d) AS dow, n FROM daily),
+    base AS (
+        SELECT event_type, dow,
+               count(*) AS n_days,
+               CAST(sum(n) AS BIGINT) AS sx,
+               CAST(sum(n * n) AS BIGINT) AS sxx
+        FROM keyed GROUP BY event_type, dow
+    ),
+    scored AS (
+        SELECT k.event_type, CAST(k.d AS VARCHAR) AS day, k.n,
+               round(CAST(b.sx AS DOUBLE) / b.n_days, 4) AS dow_mean,
+               round(abs(k.n * b.n_days - b.sx)
+                     / sqrt(CAST(b.n_days * b.sxx - b.sx * b.sx AS DOUBLE)), 4) AS z
+        FROM keyed k JOIN base b ON k.event_type = b.event_type AND k.dow = b.dow
+        WHERE b.n_days >= 3 AND b.n_days * b.sxx > b.sx * b.sx
+    )
+    SELECT event_type, day, n, dow_mean, z
+    FROM scored
+    ORDER BY z DESC, event_type, day
+    LIMIT {SEASONAL_TOP}
+    """,
+    "day-of-week seasonal baseline: top-k most deviant (type, day) cells by integer-derived z",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = daily.select("event_type", "d", F.dayofweek("d").alias("dow"), "n")
+    base = keyed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+    )
+    j = keyed.join(F.broadcast(base), ["event_type", "dow"])
+    var_num = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # z = |n·n_days − Σx| / sqrt(n_days·Σx² − (Σx)²): the numerator is an
+    # exact integer (n_days cancels out of the usual σ form)
+    z = F.round(
+        F.abs(F.col("n") * F.col("n_days") - F.col("sx")) / F.sqrt(var_num), 4
+    )
+    return (
+        j.filter((F.col("n_days") >= 3) & (var_num > 0))
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.round(F.col("sx").cast("double") / F.col("n_days"), 4).alias("dow_mean"),
+            z.alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "event_type", "day")
+        .limit(SEASONAL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration — how many top customers make up 80% of
+# revenue? Revenue is exact integer cents; the cumulative share runs as
+# a window over the CUSTOMER dimension (already 1/400th of the fact
+# table after the per-customer agg — documented domain-sized window,
+# same rationale as drift_ks_length; at extreme cardinality swap in the
+# two-phase prefix-sum of text_pack_sequences). The 80% crossing is
+# decided on integers: 5·cum_cents >= 4·total_cents.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_pareto",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n_customers FROM cust),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum_cents
+        FROM cust
+    )
+    SELECT t.n_customers,
+           min(r.rk) AS n_top_80,
+           round(min(r.rk) * 1.0 / t.n_customers, 4) AS top_share_of_customers
+    FROM ranked r, tot t
+    WHERE 5 * r.cum_cents >= 4 * t.total_cents
+    GROUP BY t.n_customers
+    """,
+    "Pareto concentration: smallest top-customer set holding 80% of revenue (integer-cents crossing)",
+)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+    )
+    tot = cust.agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "cum_cents"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.lit(5) * F.col("cum_cents") >= F.lit(4) * F.col("total_cents"))
+        .groupBy("n_customers")
+        .agg(
+            F.min("rk").alias("n_top_80"),
+            F.round(F.min("rk").cast("double") / F.max("n_customers"), 4).alias(
+                "top_share_of_customers"
+            ),
+        )
+        .select("n_customers", "n_top_80", "top_share_of_customers")
+    )

@@ -316,3 +316,52 @@ def test_triangle_count_matches_naive(spark):
     assert r["n_vertices"] == len(adj)
     assert r["n_wedges"] == wedges
     assert r["n_triangles"] == tri
+
+
+def test_seasonal_baseline_top_deviants_are_sound(spark):
+    rows = corpus.events_seasonal_baseline(spark, SF_DIR).collect()
+    assert len(rows) == corpus.SEASONAL_TOP
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    # recompute z for the top row from raw data
+    import datetime
+
+    top = rows[0]
+    daily = {}
+    for r in table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).collect():
+        daily[(r["event_type"], r["d"])] = daily.get((r["event_type"], r["d"]), 0) + 1
+    d0 = datetime.date.fromisoformat(top["day"])
+    dow = d0.isoweekday() % 7 + 1  # Spark dayofweek: Sunday=1
+    sib = [
+        n for (et, d), n in daily.items()
+        if et == top["event_type"] and d.isoweekday() % 7 + 1 == dow
+    ]
+    n_days, sx, sxx = len(sib), sum(sib), sum(x * x for x in sib)
+    z = abs(daily[(top["event_type"], d0)] * n_days - sx) / (n_days * sxx - sx * sx) ** 0.5
+    assert top["z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_pareto_crossing_is_minimal(spark):
+    r = corpus.orders_pareto(spark, SF_DIR).first()
+    cents = sorted(
+        (
+        x["cents"]
+        for x in table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(cents)
+    cum, k = 0, 0
+    for c in cents:
+        cum += c
+        k += 1
+        if 5 * cum >= 4 * total:
+            break
+    assert r["n_customers"] == len(cents)
+    assert r["n_top_80"] == k
+    assert r["top_share_of_customers"] == pytest.approx(k / len(cents), abs=1e-4)
