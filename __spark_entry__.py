@@ -86,6 +86,7 @@ _PRIORITY = [
     "graph_triangle_count",
     "events_seasonal_baseline",
     "orders_pareto",
+    "q47_set_ops_all",
 ]
 
 

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "graph_triangle_count",
     "events_seasonal_baseline",
     "orders_pareto",
+    "q47_set_ops_all",
 ]
 
 

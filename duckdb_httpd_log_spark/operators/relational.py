@@ -1483,3 +1483,50 @@ def q46_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+# duplicate multiplicity (q13 covers the distinct variants). Spark and
+# DuckDB both implement the ANSI bag semantics natively; the query
+# compares nation-key multiplicity between the customer and supplier
+# tables, tagging each side so one result set carries both ops.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_set_ops_all",
+    """
+    SELECT 'intersect_all' AS op, k, count(*) AS multiplicity
+    FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS k FROM supplier
+    )
+    GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, count(*) AS multiplicity
+    FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier
+    )
+    GROUP BY k
+    ORDER BY op, k
+    """,
+    "INTERSECT ALL / EXCEPT ALL multiset semantics with per-key multiplicity",
+)
+def q47_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supplier = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = (
+        customer.intersectAll(supplier)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "k", "multiplicity")
+    )
+    ea = (
+        customer.exceptAll(supplier)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "k", "multiplicity")
+    )
+    return ia.unionAll(ea).orderBy("op", "k")
