@@ -91,3 +91,23 @@ def save_logs_single(
         writer.json(path)
     else:
         writer.parquet(path)
+
+
+def save_fingerprint_index(
+    docs: DataFrame, path: str, prefix_k: int = 8, mode: str = "error"
+) -> None:
+    """Persist the dedup fingerprint index the incremental pipelines
+    consume (batch `dedup_incremental`'s corpus side; streaming
+    `dedup_against_index_stream`): one DISTINCT md5-of-first-k-tokens
+    row per unique prefix. The index is the artifact a 100 TB pipeline
+    maintains between runs — updating it is an idempotent distinct
+    union, and it is orders of magnitude smaller than the corpus (one
+    16-byte-hex row per unique prefix), so the stream side's per-batch
+    reload stays cheap.
+    """
+    from pyspark.sql import functions as F
+
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
+    )
+    docs.select(fp.alias("fp")).distinct().write.mode(mode).parquet(path)

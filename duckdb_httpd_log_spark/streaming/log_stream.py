@@ -293,15 +293,19 @@ def dedup_against_index_stream(
         deduped = tagged.dropDuplicatesWithinWatermark(["fp"])
     else:
         deduped = tagged.dropDuplicates(["fp"])
-    index = (
-        corpus_index.select(
-            F.md5(
-                F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
-            ).alias("fp")
+    if "fp" in corpus_index.columns:
+        # prebuilt index (sinks.save_fingerprint_index artifact): use as-is
+        index = corpus_index.select("fp").distinct().withColumn("in_corpus", F.lit(1))
+    else:
+        index = (
+            corpus_index.select(
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
+                ).alias("fp")
+            )
+            .distinct()
+            .withColumn("in_corpus", F.lit(1))
         )
-        .distinct()
-        .withColumn("in_corpus", F.lit(1))
-    )
     return deduped.join(index, "fp", "left").withColumn(
         "status",
         F.when(F.col("in_corpus").isNotNull(), "dup_corpus").otherwise("novel"),

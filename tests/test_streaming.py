@@ -523,3 +523,38 @@ def test_stream_incremental_dedup_against_static_index(spark, tmp_path):
         F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).cast("binary")).alias("fp")
     ).first()["fp"]
     assert rows[1]["fp"] == fp_batch
+
+
+def test_fingerprint_index_roundtrip_batch_to_stream(spark, tmp_path):
+    """The persisted fingerprint index (batch artifact) drives the
+    streaming dedup to the same classifications as passing the raw
+    corpus — the batch-maintains / stream-consumes contract."""
+    import json
+
+    from duckdb_httpd_log_spark.sinks import save_fingerprint_index
+    from duckdb_httpd_log_spark.streaming.log_stream import dedup_against_index_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta trailing stuff")],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "fp_index")
+    save_fingerprint_index(corpus, idx_path)
+    index = spark.read.parquet(idx_path)
+    assert index.columns == ["fp"] and index.count() == 1
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta NEW tail"),
+        (2, "some novel content that is not in the corpus index"),
+    ]
+    srcdir = tmp_path / "docs_idx"
+    srcdir.mkdir()
+    with open(srcdir / "b0.json", "w") as fh:
+        for doc_id, text in docs:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(srcdir))
+    out = dedup_against_index_stream(stream, index)
+    _run_stream(out, "idx_dedup_stream")
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM idx_dedup_stream").collect()}
+    assert rows[1]["status"] == "dup_corpus"
+    assert rows[2]["status"] == "novel"
