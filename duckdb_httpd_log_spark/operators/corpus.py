@@ -571,27 +571,39 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Start vector v0 = 1/sqrt(DIM) per component (1/8 for DIM=64: exactly
 # representable, so both engines hold the identical double). The two
 # matrix products round-trip NOTHING to the driver:
-#   w = X v0   — per-row in-row ascending-index fold (identical IEEE
+#   x' = x/m0  — MAGNITUDE NORMALIZATION by the global max-abs element
+#               (max is an exact, order-independent aggregate), so the
+#               scaled-integer quantization below can never overflow
+#               BIGINT no matter the input scale (the edge-embeddings
+#               suite feeds 1e6-magnitude vectors; unnormalized, DuckDB
+#               raises on the cast while Spark's non-ANSI cast silently
+#               clamps — a silent-divergence trap);
+#   w = X'v0   — per-row in-row ascending-index fold (identical IEEE
 #               doubles in both engines);
-#   u = X' w   — the order-dependent cross-row SUM, quantized per
-#               element to round(x·w·1e6) BIGINT so the aggregate is an
-#               integer sum;
-#   v1 = u/‖u‖ — the norm reduces the DIM-row result with the same
-#               scaled-integer trick, then one pinned division.
+#   u' = X''w  — the order-dependent cross-row SUM, quantized per
+#               element to round(x'·w·1e6) BIGINT (|x'| <= 1, |w| <= 8:
+#               bounded terms) so the aggregate is an integer sum;
+#   v1 = u/‖u‖ — scale-invariant, so it equals u'/‖u'‖; the norm
+#               re-normalizes u' by ITS max-abs (same trick) before
+#               quantizing at 1e12, then one pinned division. The
+#               eigenvalue estimate un-scales as m0²·‖u'‖.
 # ---------------------------------------------------------------------------
 @register(
     "emb_pca_power_step",
     """
-    WITH vals AS (
+    WITH raw AS (
         SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
         FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
     ),
+    m AS (SELECT max(abs(x0)) AS m0 FROM raw),
+    vals AS (SELECT vec_id, pos, x0 / m0 AS x FROM raw, m WHERE m0 > 0),
     w AS (
         SELECT vec_id,
-               list_sum([embedding[i]::DOUBLE * 0.125
+               list_sum([embedding[i]::DOUBLE / m.m0 * 0.125
                          for i in range(1, len(embedding) + 1)]) AS wv
-        FROM embeddings
+        FROM embeddings, m
+        WHERE m.m0 > 0
     ),
     u AS (
         SELECT pos,
@@ -600,28 +612,42 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals v JOIN w ON v.vec_id = w.vec_id
         GROUP BY pos
     ),
+    mu AS (SELECT max(abs(uv)) AS m1 FROM u),
     nrm AS (
-        SELECT sqrt(CAST(sum(CAST(round(uv * uv * 1000000.0) AS BIGINT)) AS DOUBLE)
-                    / 1000000.0) AS nn
-        FROM u
+        SELECT m1 * sqrt(CAST(sum(CAST(round((uv / m1) * (uv / m1) * 1000000000000.0)
+                                       AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
+        FROM u, mu
+        WHERE m1 > 0
+        GROUP BY m1
     )
-    SELECT u.pos, round(u.uv / nrm.nn, 6) AS loading, round(nrm.nn, 4) AS eigval_est
-    FROM u, nrm
+    SELECT u.pos, round(u.uv / nrm.nn, 6) AS loading,
+           round(m.m0 * m.m0 * nrm.nn, 4) AS eigval_est
+    FROM u, nrm, m
     ORDER BY u.pos
     """,
     "one PCA power-iteration step: v1 = normalize(X'Xv0), scaled-integer cross-row sums",
 )
 def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    vals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
-        "vec_id", "pos", F.col("xf").cast("double").alias("x")
+    raw = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x0")
     )
-    w = emb.select(
-        "vec_id",
-        F.expr(
-            "aggregate(embedding, cast(0.0 as double),"
-            " (acc, e) -> acc + cast(e as double) * 0.125)"
-        ).alias("wv"),
+    m = raw.agg(F.max(F.abs("x0")).alias("m0"))
+    vals = (
+        raw.crossJoin(F.broadcast(m))
+        .filter(F.col("m0") > 0)
+        .select("vec_id", "pos", (F.col("x0") / F.col("m0")).alias("x"))
+    )
+    w = (
+        emb.crossJoin(F.broadcast(m))
+        .filter(F.col("m0") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, e) -> acc + cast(e as double) / m0 * 0.125)"
+            ).alias("wv"),
+        )
     )
     u = (
         vals.join(w, "vec_id")
@@ -629,15 +655,27 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg((F.sum("t6").cast("double") / F.lit(1000000.0)).alias("uv"))
     )
-    nrm = u.select(
-        F.round(F.col("uv") * F.col("uv") * F.lit(1000000.0)).cast("long").alias("q6")
-    ).agg(F.sqrt(F.sum("q6").cast("double") / F.lit(1000000.0)).alias("nn"))
+    mu = u.agg(F.max(F.abs("uv")).alias("m1"))
+    r2 = (F.col("uv") / F.col("m1")) * (F.col("uv") / F.col("m1"))
+    nrm = (
+        u.crossJoin(F.broadcast(mu))
+        .filter(F.col("m1") > 0)
+        .select("m1", F.round(r2 * F.lit(1000000000000.0)).cast("long").alias("q12"))
+        .groupBy("m1")
+        .agg(
+            (F.col("m1") * F.sqrt(F.sum("q12").cast("double") / F.lit(1000000000000.0))).alias(
+                "nn"
+            )
+        )
+        .select("nn")
+    )
     return (
         u.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(m))
         .select(
             "pos",
             F.round(F.col("uv") / F.col("nn"), 6).alias("loading"),
-            F.round("nn", 4).alias("eigval_est"),
+            F.round(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
         )
         .orderBy("pos")
     )
@@ -941,11 +979,13 @@ OUTLIER_FACTOR = 1.5
 @register(
     "emb_outlier_filter",
     """
-    WITH vals AS (
+    WITH raw AS (
         SELECT vec_id, label, CAST(i AS INTEGER) - 1 AS pos,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
         FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
     ),
+    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM raw),
+    vals AS (SELECT vec_id, label, pos, x0 / m0 AS x FROM raw, m),
     cen AS (
         SELECT label, pos,
                (CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
@@ -968,20 +1008,30 @@ OUTLIER_FACTOR = 1.5
     )
     SELECT dist.label,
            count(*) AS n_vecs,
-           round(max(md.mean_d), 6) AS mean_dist,
+           round(m.m0 * max(md.mean_d), 6) AS mean_dist,
            CAST(sum(CASE WHEN dist.d > 1.5 * md.mean_d THEN 1 ELSE 0 END) AS BIGINT)
                AS n_outliers
-    FROM dist JOIN md ON dist.label = md.label
-    GROUP BY dist.label
+    FROM dist
+    JOIN md ON dist.label = md.label, m
+    GROUP BY dist.label, m.m0
     ORDER BY dist.label
     """,
     "embedding outlier filter: per-label centroid distance vs 1.5x mean-distance threshold",
 )
 def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    vals = emb.select(
+    raw = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
-    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x0"))
+    # magnitude normalization (exact max aggregate) so the quantized
+    # distance terms can never overflow BIGINT at any input scale; the
+    # reported mean_dist un-scales by m0, and both the assignment and
+    # the 1.5x-mean outlier test are scale-invariant. The 1e-300 floor
+    # makes an all-zero corpus yield zero distances instead of NULLs.
+    m = raw.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    vals = raw.crossJoin(F.broadcast(m)).select(
+        "vec_id", "label", "pos", (F.col("x0") / F.col("m0")).alias("x")
+    )
     m6 = F.lit(1000000.0)
     cen = vals.groupBy("label", "pos").agg(
         ((F.sum(F.round(F.col("x") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
@@ -1007,14 +1057,16 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dist.join(F.broadcast(md), "label")
-        .groupBy("label")
+        .crossJoin(F.broadcast(m))
+        .groupBy("label", "m0")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.max("mean_d"), 6).alias("mean_dist"),
+            F.round(F.max("m0") * F.max("mean_d"), 6).alias("mean_dist"),
             F.sum(F.when(F.col("d") > F.lit(OUTLIER_FACTOR) * F.col("mean_d"), 1).otherwise(0))
             .cast("long")
             .alias("n_outliers"),
         )
+        .select("label", "n_vecs", "mean_dist", "n_outliers")
         .orderBy("label")
     )
 
@@ -1251,19 +1303,21 @@ PQ_SALT = "pq:"
         FROM embeddings
         QUALIFY rn <= {PQ_CODES}
     ),
+    rawvals AS (
+        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM rawvals),
     cen AS (
         SELECT (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
                rn - 1 AS code,
                CAST(i AS INTEGER) - 1 AS pos,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS c
-        FROM seeds, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) / m.m0 AS c
+        FROM seeds, m, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
     ),
-    vals AS (
-        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
-               CAST(i AS INTEGER) - 1 AS pos,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
-        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
-    ),
+    vals AS (SELECT vec_id, sub, pos, x0 / m0 AS x FROM rawvals, m),
     d AS (
         SELECT v.vec_id, v.sub, c.code,
                sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
@@ -1275,13 +1329,14 @@ PQ_SALT = "pq:"
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY q9, code) AS rk
         FROM d
     )
-    SELECT sub, code,
+    SELECT a.sub, a.code,
            count(*) AS n_assigned,
-           round((CAST(sum(q9) AS DOUBLE) / 1000000000.0) / count(*), 6) AS mean_dist2
-    FROM assigned
-    WHERE rk = 1
-    GROUP BY sub, code
-    ORDER BY sub, code
+           round(m.m0 * m.m0 * (CAST(sum(a.q9) AS DOUBLE) / 1000000000.0) / count(*), 6)
+               AS mean_dist2
+    FROM assigned a, m
+    WHERE a.rk = 1
+    GROUP BY a.sub, a.code, m.m0
+    ORDER BY a.sub, a.code
     """,
     "product-quantization assignment: per-subspace nearest-centroid codes, integer-distance argmin",
 )
@@ -1300,19 +1355,30 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = seeds4.withColumn(
         "rn", F.row_number().over(Window.orderBy("mk", "vec_id"))
     )
-    cen = seeds.select(
-        (F.col("rn") - 1).alias("code"), F.posexplode("embedding").alias("pos", "cf")
-    ).select(
-        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
-        "code",
-        "pos",
-        F.col("cf").cast("double").alias("c"),
-    )
-    vals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+    rawvals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id",
         (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
         "pos",
-        F.col("xf").cast("double").alias("x"),
+        F.col("xf").cast("double").alias("x0"),
+    )
+    # magnitude normalization (exact max aggregate): bounded quantized
+    # distance terms at any input scale; assignment is scale-invariant
+    # and mean_dist2 un-scales by m0^2 (see emb_pca_power_step)
+    m = rawvals.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    cen = (
+        seeds.select(
+            (F.col("rn") - 1).alias("code"), F.posexplode("embedding").alias("pos", "cf")
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+            "code",
+            "pos",
+            (F.col("cf").cast("double") / F.col("m0")).alias("c"),
+        )
+    )
+    vals = rawvals.crossJoin(F.broadcast(m)).select(
+        "vec_id", "sub", "pos", (F.col("x0") / F.col("m0")).alias("x")
     )
     q9 = F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)).cast(
         "long"
@@ -1326,13 +1392,19 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk_w = Window.partitionBy("vec_id", "sub").orderBy("q9", "code")
     assigned = d.withColumn("rk", F.row_number().over(rk_w)).filter(F.col("rk") == 1)
     return (
-        assigned.groupBy("sub", "code")
+        assigned.crossJoin(F.broadcast(m))
+        .groupBy("sub", "code", "m0")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            F.round((F.sum("q9").cast("double") / F.lit(1000000000.0)) / F.count(F.lit(1)), 6).alias(
-                "mean_dist2"
-            ),
+            F.round(
+                F.max("m0")
+                * F.max("m0")
+                * (F.sum("q9").cast("double") / F.lit(1000000000.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist2"),
         )
+        .select("sub", "code", "n_assigned", "mean_dist2")
         .orderBy("sub", "code")
     )
 
