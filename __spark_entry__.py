@@ -87,6 +87,7 @@ _PRIORITY = [
     "events_seasonal_baseline",
     "orders_pareto",
     "q47_set_ops_all",
+    "events_cusum_daily",
 ]
 
 

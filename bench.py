@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "events_seasonal_baseline",
     "orders_pareto",
     "q47_set_ops_all",
+    "events_cusum_daily",
 ]
 
 

@@ -1637,3 +1637,113 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_customers", "n_top_80", "top_share_of_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch CUSUM over daily volumes — the backfill twin of the streaming
+# detector (streaming/cusum.py): per event type, fold the restart-
+# after-signal CUSUM recurrence s ← max(0, s + (x − μ) ∓ k) over the
+# DAILY count series and emit the alarm days. The recurrence is not
+# window-expressible (non-linear prefix dependence), so this is the
+# (b)-tier custom-operator case: the heavy part (events → daily counts)
+# is a distributed hash agg; the inherently-sequential fold then runs
+# per key over the TINY daily series inside an Arrow applyInPandas
+# (at 100 TB the per-key series is still only one row per day; for
+# long horizons the max(0, s+δ) recurrence composes associatively —
+# f_seq(s) = max(M, s + T) — so a two-phase scan exists if ever
+# needed). The oracle replays the identical fold as a recursive CTE.
+# Parity: μ, slack, and threshold derive from integer sums with pinned
+# expressions; the fold applies identical double ops in identical
+# (day) order, so every s value matches bit-for-bit.
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_FRAC = 0.02  # k = 2% of the mean
+CUSUM_H_FRAC = 0.1  # alarm at 10% of the mean
+
+
+@register(
+    "events_cusum_daily",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, d, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    params AS (
+        SELECT event_type,
+               CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+               {CUSUM_SLACK_FRAC} * (CAST(sum(n) AS DOUBLE) / count(*)) AS k,
+               {CUSUM_H_FRAC} * (CAST(sum(n) AS DOUBLE) / count(*)) AS h,
+               count(*) AS n_days
+        FROM seq GROUP BY event_type
+    ),
+    walk(event_type, rn, s_pos, s_neg, alarm, d, n) AS (
+        SELECT p.event_type, CAST(0 AS BIGINT),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DATE), CAST(NULL AS BIGINT)
+        FROM params p
+        UNION ALL
+        SELECT w.event_type, w.rn + 1,
+               CASE WHEN greatest(0.0, w.s_pos + (s.n - p.mu) - p.k) > p.h
+                      OR greatest(0.0, w.s_neg + (p.mu - s.n) - p.k) > p.h
+                    THEN 0.0 ELSE greatest(0.0, w.s_pos + (s.n - p.mu) - p.k) END,
+               CASE WHEN greatest(0.0, w.s_pos + (s.n - p.mu) - p.k) > p.h
+                      OR greatest(0.0, w.s_neg + (p.mu - s.n) - p.k) > p.h
+                    THEN 0.0 ELSE greatest(0.0, w.s_neg + (p.mu - s.n) - p.k) END,
+               CASE WHEN greatest(0.0, w.s_pos + (s.n - p.mu) - p.k) > p.h THEN 'up'
+                    WHEN greatest(0.0, w.s_neg + (p.mu - s.n) - p.k) > p.h THEN 'down'
+                    ELSE NULL END,
+               s.d, s.n
+        FROM walk w
+        JOIN params p ON p.event_type = w.event_type
+        JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1
+        WHERE w.rn < p.n_days
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n, alarm AS direction
+    FROM walk
+    WHERE alarm IS NOT NULL
+    ORDER BY event_type, day
+    """,
+    "batch CUSUM over daily event volumes: restart-after-signal alarms, recursive-CTE oracle",
+)
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    params = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    joined = daily.join(F.broadcast(params), "event_type")
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d", kind="stable")
+        mu = float(pdf["mu"].iloc[0])
+        k = CUSUM_SLACK_FRAC * mu
+        h = CUSUM_H_FRAC * mu
+        s_pos = s_neg = 0.0
+        out = {"event_type": [], "day": [], "n": [], "direction": []}
+        for _, row in pdf.iterrows():
+            n = float(row["n"])
+            cand_pos = max(0.0, s_pos + (n - mu) - k)
+            cand_neg = max(0.0, s_neg + (mu - n) - k)
+            if cand_pos > h or cand_neg > h:
+                out["event_type"].append(row["event_type"])
+                out["day"].append(str(row["d"]))
+                out["n"].append(int(row["n"]))
+                out["direction"].append("up" if cand_pos > h else "down")
+                s_pos = s_neg = 0.0
+            else:
+                s_pos, s_neg = cand_pos, cand_neg
+        return pd.DataFrame(out)
+
+    return (
+        joined.groupBy("event_type")
+        .applyInPandas(fold, "event_type string, day string, n bigint, direction string")
+        .orderBy("event_type", "day")
+    )

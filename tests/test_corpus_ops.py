@@ -365,3 +365,36 @@ def test_pareto_crossing_is_minimal(spark):
     assert r["n_customers"] == len(cents)
     assert r["n_top_80"] == k
     assert r["top_share_of_customers"] == pytest.approx(k / len(cents), abs=1e-4)
+
+
+def test_batch_cusum_agrees_with_streaming_replay(spark):
+    """The batch fold must equal the streaming operator's reference
+    recurrence applied to the same daily series (shared semantics
+    across the batch/stream pair)."""
+    from duckdb_httpd_log_spark.streaming.cusum import cusum_replay
+
+    daily = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["n"]))
+    got = [
+        (r["event_type"], r["day"], r["direction"])
+        for r in corpus.events_cusum_daily(spark, SF_DIR).collect()
+    ]
+    expected = []
+    for et, rows in sorted(series.items()):
+        rows.sort()
+        mu = sum(n for _, n in rows) / len(rows)
+        k, h = corpus.CUSUM_SLACK_FRAC * mu, corpus.CUSUM_H_FRAC * mu
+        alerts = cusum_replay(
+            [(et, n) for _, n in rows], target_mean=mu, slack=k, threshold=h
+        )
+        # map alert positions (n_seen) back to days
+        for _, n_seen, _, _, _, direction in alerts:
+            expected.append((et, str(rows[n_seen - 1][0]), direction))
+    assert sorted(got) == sorted(expected)
