@@ -88,6 +88,7 @@ _PRIORITY = [
     "orders_pareto",
     "q47_set_ops_all",
     "events_cusum_daily",
+    "emb_pca_power_train",
 ]
 
 

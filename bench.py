@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "orders_pareto",
     "q47_set_ops_all",
     "events_cusum_daily",
+    "emb_pca_power_train",
 ]
 
 

@@ -1747,3 +1747,150 @@ def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "event_type string, day string, n bigint, direction string")
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-iteration PCA power training — the trained sibling of
+# emb_pca_power_step, completing the iterative triad (kmeans_train,
+# dedup_clusters, this): v2 = normalize(X'X · normalize(X'X v0)).
+# Iteration 2's row projection w2 = X'v1 can no longer use an in-row
+# fold (v1 is a computed 64-row table, not a constant), so it is a
+# pos-join + per-row integer sum of quantized products — the same
+# shape the update uses, keeping every cross-row aggregate integral.
+# All magnitude handling follows emb_pca_power_step: inputs normalize
+# by the global max-abs m0; each intermediate vector re-normalizes by
+# its own max-abs before its norm is quantized; the eigenvalue
+# estimate un-scales as m0²·‖u2‖. The oracle replays the full chain
+# as chained CTEs (the kmeans_train pattern). Only 64-row model state
+# flows between iterations — the corpus never revisits the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_pca_power_train",
+    """
+    WITH raw AS (
+        SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    m AS (SELECT max(abs(x0)) AS m0 FROM raw),
+    vals AS (SELECT vec_id, pos, x0 / m0 AS x FROM raw, m WHERE m0 > 0),
+    w1 AS (
+        SELECT vec_id,
+               list_sum([embedding[i]::DOUBLE / m.m0 * 0.125
+                         for i in range(1, len(embedding) + 1)]) AS wv
+        FROM embeddings, m
+        WHERE m.m0 > 0
+    ),
+    u1 AS (
+        SELECT pos,
+               CAST(sum(CAST(round(v.x * w1.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS uv
+        FROM vals v JOIN w1 ON v.vec_id = w1.vec_id
+        GROUP BY pos
+    ),
+    mu1 AS (SELECT max(abs(uv)) AS m1 FROM u1),
+    nrm1 AS (
+        SELECT m1 * sqrt(CAST(sum(CAST(round((uv / m1) * (uv / m1) * 1000000000000.0)
+                                       AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
+        FROM u1, mu1 WHERE m1 > 0 GROUP BY m1
+    ),
+    v1 AS (SELECT u1.pos, u1.uv / nrm1.nn AS v FROM u1, nrm1),
+    w2 AS (
+        SELECT v.vec_id,
+               CAST(sum(CAST(round(v.x * v1.v * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 AS wv
+        FROM vals v JOIN v1 ON v.pos = v1.pos
+        GROUP BY v.vec_id
+    ),
+    u2 AS (
+        SELECT pos,
+               CAST(sum(CAST(round(v.x * w2.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS uv
+        FROM vals v JOIN w2 ON v.vec_id = w2.vec_id
+        GROUP BY pos
+    ),
+    mu2 AS (SELECT max(abs(uv)) AS m2 FROM u2),
+    nrm2 AS (
+        SELECT m2 * sqrt(CAST(sum(CAST(round((uv / m2) * (uv / m2) * 1000000000000.0)
+                                       AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
+        FROM u2, mu2 WHERE m2 > 0 GROUP BY m2
+    )
+    SELECT u2.pos, round(u2.uv / nrm2.nn, 6) AS loading,
+           round(m.m0 * m.m0 * nrm2.nn, 4) AS eigval_est
+    FROM u2, nrm2, m
+    ORDER BY u2.pos
+    """,
+    "two-iteration PCA power training: v2 = normalize(X'X normalize(X'X v0)), chained-CTE oracle",
+)
+def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "pos", F.col("xf").cast("double").alias("x0")
+    )
+    m = raw.agg(F.max(F.abs("x0")).alias("m0"))
+    vals = (
+        raw.crossJoin(F.broadcast(m))
+        .filter(F.col("m0") > 0)
+        .select("vec_id", "pos", (F.col("x0") / F.col("m0")).alias("x"))
+        .localCheckpoint(eager=False)  # feeds w1, u1, w2, u2
+    )
+    w1 = (
+        emb.crossJoin(F.broadcast(m))
+        .filter(F.col("m0") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, e) -> acc + cast(e as double) / m0 * 0.125)"
+            ).alias("wv"),
+        )
+    )
+
+    def matvec(w, scale):
+        return (
+            vals.join(w, "vec_id")
+            .select(
+                "pos",
+                F.round(F.col("x") * F.col("wv") * F.lit(scale)).cast("long").alias("t"),
+            )
+            .groupBy("pos")
+            .agg((F.sum("t").cast("double") / F.lit(scale)).alias("uv"))
+        )
+
+    def normed(u):
+        mu = u.agg(F.max(F.abs("uv")).alias("mx"))
+        r2 = (F.col("uv") / F.col("mx")) * (F.col("uv") / F.col("mx"))
+        return (
+            u.crossJoin(F.broadcast(mu))
+            .filter(F.col("mx") > 0)
+            .select("mx", F.round(r2 * F.lit(1e12)).cast("long").alias("q12"))
+            .groupBy("mx")
+            .agg((F.col("mx") * F.sqrt(F.sum("q12").cast("double") / F.lit(1e12))).alias("nn"))
+            .select("nn")
+        )
+
+    u1 = matvec(w1, 1000000.0)
+    v1 = u1.crossJoin(F.broadcast(normed(u1))).select(
+        "pos", (F.col("uv") / F.col("nn")).alias("v")
+    )
+    w2 = (
+        vals.join(F.broadcast(v1), "pos")
+        .select(
+            "vec_id",
+            F.round(F.col("x") * F.col("v") * F.lit(1000000000.0)).cast("long").alias("t9"),
+        )
+        .groupBy("vec_id")
+        .agg((F.sum("t9").cast("double") / F.lit(1000000000.0)).alias("wv"))
+    )
+    u2 = matvec(w2, 1000000.0)
+    nrm2 = normed(u2)
+    return (
+        u2.crossJoin(F.broadcast(nrm2))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "pos",
+            F.round(F.col("uv") / F.col("nn"), 6).alias("loading"),
+            F.round(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
+        )
+        .orderBy("pos")
+    )

@@ -398,3 +398,14 @@ def test_batch_cusum_agrees_with_streaming_replay(spark):
         for _, n_seen, _, _, _, direction in alerts:
             expected.append((et, str(rows[n_seen - 1][0]), direction))
     assert sorted(got) == sorted(expected)
+
+
+def test_pca_train_improves_on_single_step(spark):
+    import math
+
+    step = corpus.emb_pca_power_step(spark, SF_DIR).collect()
+    train = corpus.emb_pca_power_train(spark, SF_DIR).collect()
+    norm = math.sqrt(sum(r["loading"] ** 2 for r in train))
+    assert norm == pytest.approx(1.0, abs=1e-4)
+    # power iteration's eigenvalue estimate is monotone nondecreasing
+    assert train[0]["eigval_est"] >= step[0]["eigval_est"] * 0.999

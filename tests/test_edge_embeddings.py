@@ -44,6 +44,7 @@ _EMB_QUERIES = [
     "emb_outlier_filter",
     "emb_pq_codes",
     "emb_norm_stats",
+    "emb_pca_power_train",
 ]
 
 
