@@ -89,6 +89,7 @@ _PRIORITY = [
     "q47_set_ops_all",
     "events_cusum_daily",
     "emb_pca_power_train",
+    "q48_rank_distributions",
 ]
 
 

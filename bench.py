@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q47_set_ops_all",
     "events_cusum_daily",
     "emb_pca_power_train",
+    "q48_rank_distributions",
 ]
 
 

@@ -1530,3 +1530,71 @@ def q47_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "multiplicity")
     )
     return ia.unionAll(ea).orderBy("op", "k")
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution window functions — percent_rank, cume_dist, and
+# nth_value complete the ANSI window surface (row_number/rank/ntile/
+# lead/lag/frames live in q12/q24/q30/q43/q44). Parity subtlety: the
+# builtins' (rank−1)/(n−1) ratio rounds differently between engines at
+# 6-decimal boundaries (Spark's round is BigDecimal-exact on the
+# double; DuckDB's multiplies by 10^k in floats first — found by the
+# sf0.1 sweep), so both sides derive the ratios from INTEGER
+# row_number/count and quantize through the identical float path:
+# round(i·10^6/n) as an integer, then one division. Under the total
+# (c_acctbal, c_custkey) order percent_rank == (row_number−1)/(n−1)
+# and cume_dist == row_number/n exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_rank_distributions",
+    """
+    WITH ranked AS (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER w AS rk,
+               count(*) OVER (PARTITION BY c_nationkey) AS n,
+               nth_value(c_acctbal, 3) OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS third_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_nationkey, c_custkey,
+           CAST(round((rk - 1) * 1000000.0 / greatest(n - 1, 1)) AS BIGINT) / 1000000.0
+               AS pct_rank,
+           CAST(round(rk * 1000000.0 / n) AS BIGINT) / 1000000.0 AS cume,
+           round(third_bal, 2) AS third_lowest_bal
+    FROM ranked
+    ORDER BY c_nationkey, c_custkey
+    """,
+    "percent_rank / cume_dist / nth_value semantics from integer rank ratios",
+)
+def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+    )
+    m6 = F.lit(1000000.0)
+    return (
+        ranked.select(
+            "c_nationkey",
+            "c_custkey",
+            (
+                F.round((F.col("rk") - 1) * m6 / F.greatest(F.col("n") - 1, F.lit(1)))
+                .cast("long")
+                / m6
+            ).alias("pct_rank"),
+            (F.round(F.col("rk") * m6 / F.col("n")).cast("long") / m6).alias("cume"),
+            F.round("third_bal", 2).alias("third_lowest_bal"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )

@@ -9,6 +9,12 @@ Contract requirements (driver correctness gate):
 - deterministic result sets (LIMIT only under a total order);
 - floating aggregates rounded identically on both sides so the
   order-insensitive value hash is stable across engines;
+- round(x, k) itself is NOT engine-portable on boundary decimals:
+  Spark rounds the double's exact BigDecimal value, DuckDB multiplies
+  by 10^k in floats first (q48 flipped at sf0.1 on exact 6-decimal
+  ratios). Where a ratio of integers can land on a boundary, quantize
+  through the identical float path instead — round(i·10^k/n) to an
+  integer, then one division;
 - timestamps/intervals projected as text/epoch numerics, never raw, to
   dodge engine-specific rendering.
 """
