@@ -90,6 +90,9 @@ _PRIORITY = [
     "events_cusum_daily",
     "emb_pca_power_train",
     "q48_rank_distributions",
+    "text_burstiness",
+    "q49_equidepth_histogram",
+    "events_forecast_backtest",
 ]
 
 

@@ -1917,3 +1917,210 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness — the variance-to-mean ratio (dispersion index) of a
+# term's per-document counts: content words cluster in few docs
+# (VMR ≫ 1) while function words spread evenly (VMR ≈ 1) — the
+# Church–Gale burstiness diagnostic used to spot topical/boilerplate
+# vocabulary. Per-doc counts are integers, so Σx and Σx² are exact
+# integer sums and VMR = (n·Σx² − (Σx)²) / (n·Σx) divides two exact
+# integers once (n = corpus doc count, including the term's zero
+# docs). Top-k by scaled-integer VMR — no float enters the ordering.
+# ---------------------------------------------------------------------------
+BURSTY_TOP = 25
+BURSTY_MIN_DOCS = 5
+
+
+@register(
+    "text_burstiness",
+    f"""
+    WITH tc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    stats AS (
+        SELECT w, count(*) AS n_docs,
+               CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(c * c) AS BIGINT) AS sxx
+        FROM tc GROUP BY w HAVING count(*) >= {BURSTY_MIN_DOCS}
+    )
+    SELECT w, n_docs, sx AS total_count,
+           CAST(round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n AS DOUBLE) * sx) * 10000.0) AS BIGINT) / 10000.0 AS vmr
+    FROM stats, nd
+    ORDER BY CAST(round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n AS DOUBLE) * sx) * 10000.0) AS BIGINT) DESC, w
+    LIMIT {BURSTY_TOP}
+    """,
+    "Church-Gale burstiness: top terms by variance-to-mean ratio of per-doc counts",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    stats = (
+        tc.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n_docs") >= BURSTY_MIN_DOCS)
+    )
+    nn = F.col("n").cast("double")
+    vmr4 = F.round(
+        (nn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) / (nn * F.col("sx"))
+        * F.lit(10000.0)
+    ).cast("long")
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            "n_docs",
+            F.col("sx").alias("total_count"),
+            vmr4.alias("vmr4"),
+        )
+        .orderBy(F.col("vmr4").desc(), "w")
+        .limit(BURSTY_TOP)
+        .select("w", "n_docs", "total_count", (F.col("vmr4") / F.lit(10000.0)).alias("vmr"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — bucket BOUNDARIES holding equal row counts
+# (the optimizer-statistics histogram; q25 is the equi-width twin).
+# ntile(8) assigns integer buckets under a pinned total order; the
+# per-bucket min/max/count are then exact values — no float math at
+# all beyond the stored doubles themselves.
+# ---------------------------------------------------------------------------
+EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "q49_equidepth_histogram",
+    f"""
+    WITH bucketed AS (
+        SELECT o_totalprice,
+               ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "equi-depth histogram boundaries via ntile under a pinned total order",
+)
+def q49_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — predict each type's final-week
+# daily volumes from its day-of-week means over the TRAINING window
+# (all earlier days), then score the forecast: the standard sanity
+# baseline every real forecasting pipeline is measured against.
+# Integer discipline: per-dow training means keep (Σx, n) integral;
+# the absolute-percentage errors quantize per day to scaled BIGINTs
+# (|a·n_train − Σx|·10^4 / (a·n_train) — integer numerator) before the
+# cross-day MAPE mean.
+# ---------------------------------------------------------------------------
+@register(
+    "events_forecast_backtest",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    split AS (
+        SELECT event_type, max(d) - 6 AS test_start FROM daily GROUP BY event_type
+    ),
+    train AS (
+        SELECT d.event_type, dayofweek(d.d) AS dow,
+               count(*) AS n_days, CAST(sum(d.n) AS BIGINT) AS sx
+        FROM daily d JOIN split s ON d.event_type = s.event_type
+        WHERE d.d < s.test_start
+        GROUP BY d.event_type, dayofweek(d.d)
+    ),
+    test AS (
+        SELECT d.event_type, d.d, dayofweek(d.d) AS dow, d.n
+        FROM daily d JOIN split s ON d.event_type = s.event_type
+        WHERE d.d >= s.test_start
+    ),
+    scored AS (
+        SELECT t.event_type,
+               CAST(round(abs(t.n * tr.n_days - tr.sx) * 10000.0
+                          / (t.n * tr.n_days)) AS BIGINT) AS ape4
+        FROM test t
+        JOIN train tr ON tr.event_type = t.event_type AND tr.dow = t.dow
+        WHERE t.n > 0
+    )
+    SELECT event_type, count(*) AS n_days_scored,
+           round((CAST(sum(ape4) AS DOUBLE) / 10000.0) / count(*) * 100.0, 2)
+               AS mape_pct
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "seasonal-naive forecast backtest: final-week MAPE against day-of-week training means",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    split = daily.groupBy("event_type").agg(F.date_sub(F.max("d"), 6).alias("test_start"))
+    j = daily.join(F.broadcast(split), "event_type")
+    train = (
+        j.filter(F.col("d") < F.col("test_start"))
+        .groupBy("event_type", F.dayofweek("d").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum("n").cast("long").alias("sx"))
+    )
+    test = j.filter(F.col("d") >= F.col("test_start")).select(
+        "event_type", "d", F.dayofweek("d").alias("dow"), "n"
+    )
+    ape4 = F.round(
+        F.abs(F.col("n") * F.col("n_days") - F.col("sx"))
+        * F.lit(10000.0)
+        / (F.col("n") * F.col("n_days"))
+    ).cast("long")
+    scored = (
+        test.join(F.broadcast(train), ["event_type", "dow"])
+        .filter(F.col("n") > 0)
+        .select("event_type", ape4.alias("ape4"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.round(
+                (F.sum("ape4").cast("double") / F.lit(10000.0)) / F.count(F.lit(1)) * 100.0, 2
+            ).alias("mape_pct"),
+        )
+        .orderBy("event_type")
+    )

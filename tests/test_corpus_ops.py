@@ -409,3 +409,30 @@ def test_pca_train_improves_on_single_step(spark):
     assert norm == pytest.approx(1.0, abs=1e-4)
     # power iteration's eigenvalue estimate is monotone nondecreasing
     assert train[0]["eigval_est"] >= step[0]["eigval_est"] * 0.999
+
+
+def test_burstiness_tops_exceed_uniform(spark):
+    rows = corpus.text_burstiness(spark, SF_DIR).collect()
+    assert len(rows) == corpus.BURSTY_TOP
+    vmrs = [r["vmr"] for r in rows]
+    assert vmrs == sorted(vmrs, reverse=True)
+    # bursty terms disperse worse than Poisson (VMR > 1)
+    assert vmrs[0] > 1.0
+    for r in rows:
+        assert r["n_docs"] >= corpus.BURSTY_MIN_DOCS
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    rows = corpus.q49_equidepth_histogram(spark, SF_DIR).collect()
+    assert len(rows) == corpus.EQUIDEPTH_BUCKETS
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]  # boundaries ascend
+
+
+def test_forecast_backtest_scores_final_week_only(spark):
+    rows = corpus.events_forecast_backtest(spark, SF_DIR).collect()
+    for r in rows:
+        assert 1 <= r["n_days_scored"] <= 7
+        assert r["mape_pct"] >= 0

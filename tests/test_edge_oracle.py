@@ -73,6 +73,7 @@ _DOC_QUERIES = [
     "dedup_keep_best",
     "dedup_minhash_eval",
     "drift_ks_length",
+    "text_burstiness",
 ]
 
 
