@@ -111,3 +111,42 @@ def save_fingerprint_index(
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_k)).cast("binary")
     )
     docs.select(fp.alias("fp")).distinct().write.mode(mode).parquet(path)
+
+
+def compact_partition(
+    spark, path: str, target_mb: int = 128, fmt: str = "parquet"
+) -> int:
+    """Rewrite a directory of many small files into ~target_mb outputs —
+    the standing answer to the small-files problem a long-running
+    partitioned sink accumulates (every micro-batch writes at least one
+    file per partition; a year of 5-minute triggers is 10^5 files whose
+    per-file open/footer overhead dominates scans).
+
+    Sizing comes from the actual on-disk bytes (not row counts), read
+    through the same Hadoop FileSystem the executors use, so it works
+    on any scheme. Returns the number of output files written. The
+    rewrite goes through a temp dir + rename so a crash mid-compaction
+    never leaves the partition half-replaced.
+    """
+    import math
+    import uuid
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return n_out

@@ -506,3 +506,26 @@ def test_prefix_join_equals_plain_pair_join(spark):
     plain = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
     pref = sorted(map(tuple, dedup_jaccard_prefix(spark, SF_DIR).collect()))
     assert plain == pref and len(plain) > 0
+
+
+def test_compact_partition_preserves_rows_and_reduces_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.sinks import compact_partition
+
+    path = str(tmp_path / "many_small")
+    df = spark.range(0, 10000).withColumn("v", (F.col("id") * 7) % 13)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) >= 30
+    before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    n_out = compact_partition(spark, path, target_mb=128)
+    assert n_out == 1  # 10k rows is far below one 128 MB target file
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    assert dict(after.dtypes) == dict(df.dtypes)
