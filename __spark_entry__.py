@@ -93,6 +93,7 @@ _PRIORITY = [
     "text_burstiness",
     "q49_equidepth_histogram",
     "events_forecast_backtest",
+    "vocab_coverage_curve",
 ]
 
 

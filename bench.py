@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "text_burstiness",
     "q49_equidepth_histogram",
     "events_forecast_backtest",
+    "vocab_coverage_curve",
 ]
 
 

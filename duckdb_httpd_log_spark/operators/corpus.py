@@ -2124,3 +2124,80 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — what fraction of the token stream do the
+# top-K vocabulary entries cover, for a ladder of K? The sizing curve
+# behind every tokenizer-vocab decision (tokenizer_vocab_coverage is
+# the per-source audit at one fixed K; this is the corpus-level
+# K-sweep). Shape: one token hash agg, ONE global rank window over the
+# DISTINCT vocabulary (value-domain-sized, same rationale as
+# drift_ks_length), a cumulative integer sum, then one probe row per
+# rung — coverage ratios quantize through the identical float path per
+# the q48 round() lesson.
+# ---------------------------------------------------------------------------
+COVERAGE_KS = [100, 500, 1000, 5000, 20000]
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH tc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_stream, count(*) AS n_vocab FROM tc),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+               sum(c) OVER (ORDER BY c DESC, w) AS cum
+        FROM tc
+    ),
+    rungs AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+    SELECT r.k,
+           t.n_vocab,
+           CAST(max(CASE WHEN ranked.rk <= r.k THEN ranked.cum ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(round(max(CASE WHEN ranked.rk <= r.k THEN ranked.cum ELSE 0 END)
+                      * 1000000.0 / t.n_stream) AS BIGINT) / 1000000.0 AS coverage
+    FROM rungs r, ranked, tot t
+    GROUP BY r.k, t.n_vocab, t.n_stream
+    ORDER BY r.k
+    """,
+    "tokenizer vocabulary sizing curve: stream coverage of the top-K vocab per rung",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("n_stream"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")
+    ranked = tc.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    rungs = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    probe = ranked.crossJoin(F.broadcast(rungs)).crossJoin(F.broadcast(tot))
+    covered = F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0))
+    return (
+        probe.groupBy("k", "n_vocab", "n_stream")
+        .agg(covered.cast("long").alias("covered_tokens"))
+        .select(
+            "k",
+            "n_vocab",
+            "covered_tokens",
+            (
+                F.round(F.col("covered_tokens") * F.lit(1000000.0) / F.col("n_stream"))
+                .cast("long")
+                / F.lit(1000000.0)
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -436,3 +436,15 @@ def test_forecast_backtest_scores_final_week_only(spark):
     for r in rows:
         assert 1 <= r["n_days_scored"] <= 7
         assert r["mape_pct"] >= 0
+
+
+def test_coverage_curve_monotone_and_bounded(spark):
+    rows = corpus.vocab_coverage_curve(spark, SF_DIR).collect()
+    assert [r["k"] for r in rows] == corpus.COVERAGE_KS
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)  # monotone in K
+    assert all(0.0 <= c <= 1.0 for c in covs)
+    # once K >= |vocab|, coverage is exactly total
+    for r in rows:
+        if r["k"] >= r["n_vocab"]:
+            assert r["coverage"] == 1.0

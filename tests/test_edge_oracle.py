@@ -74,6 +74,7 @@ _DOC_QUERIES = [
     "dedup_minhash_eval",
     "drift_ks_length",
     "text_burstiness",
+    "vocab_coverage_curve",
 ]
 
 
