@@ -94,6 +94,8 @@ _PRIORITY = [
     "q49_equidepth_histogram",
     "events_forecast_backtest",
     "vocab_coverage_curve",
+    "orders_ltv_curve",
+    "ann_recall_eval",
 ]
 
 

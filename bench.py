@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "q49_equidepth_histogram",
     "events_forecast_backtest",
     "vocab_coverage_curve",
+    "orders_ltv_curve",
+    "ann_recall_eval",
 ]
 
 

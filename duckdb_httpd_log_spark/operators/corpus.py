@@ -2201,3 +2201,144 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue per customer by months since
+# first order, per signup cohort (q29's retention twin, but money: the
+# lifetime-value curves a growth model trains on). Revenue is integer
+# cents end-to-end; the cumulative runs over (cohort, month_idx) —
+# a months×months domain, not the fact table; the per-customer
+# denominator is the cohort's customer count (integers, one pinned
+# division).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_ltv_curve",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS (SELECT cohort, count(*) AS n_customers FROM firsts GROUP BY cohort),
+    rev AS (
+        SELECT f.cohort,
+               (year(o.o_orderdate) - year(f.cohort)) * 12
+                 + (month(o.o_orderdate) - month(f.cohort)) AS month_idx,
+               CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, month_idx,
+               sum(cents) OVER (PARTITION BY cohort ORDER BY month_idx) AS cum_cents
+        FROM rev
+    )
+    SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.month_idx, s.n_customers,
+           CAST(round(c.cum_cents * 1.0 / s.n_customers) AS BIGINT) AS ltv_cents_per_cust
+    FROM cum c JOIN cohort_size s ON c.cohort = s.cohort
+    WHERE c.month_idx <= 24
+    ORDER BY cohort, month_idx
+    """,
+    "cohort LTV curve: cumulative cents per customer by months since first order",
+)
+def orders_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias("cohort")
+    )
+    cohort_size = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("month_idx"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort")
+        .filter(F.col("month_idx") <= 24)
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "month_idx",
+            "n_customers",
+            F.round(F.col("cum_cents") / F.col("n_customers")).cast("long").alias(
+                "ltv_cents_per_cust"
+            ),
+        )
+        .orderBy("cohort", "month_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN index recall evaluation — recall@k of the LSH-bucketed index
+# against the exact brute-force top-k ground truth, per query and
+# overall (dedup_minhash_eval's sibling for the similarity family).
+# Both sides nest the operators' own oracle SQL verbatim, so the eval
+# can never drift from the indexes it measures. Integer counts, two
+# pinned divisions.
+# ---------------------------------------------------------------------------
+def _ann_eval_sql() -> str:
+    exact = REGISTRY["ann_cosine_topk"].oracle_sql
+    lsh = REGISTRY["ann_lsh_topk"].oracle_sql
+    return (
+        """
+    WITH exact AS (SELECT q_id, c_id FROM ({EXACT})),
+    approx AS (SELECT q_id, c_id FROM ({LSH})),
+    per_q AS (
+        SELECT e.q_id,
+               count(*) AS n_exact,
+               CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM exact e
+        LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+        GROUP BY e.q_id
+    )
+    SELECT q_id, n_exact, n_hit,
+           CAST(round(n_hit * 1000000.0 / n_exact) AS BIGINT) / 1000000.0 AS recall
+    FROM per_q
+    ORDER BY q_id
+    """
+        .replace("{EXACT}", exact)
+        .replace("{LSH}", lsh)
+    )
+
+
+@register(
+    "ann_recall_eval",
+    _ann_eval_sql(),
+    "per-query recall@k of the LSH index vs exact brute-force ground truth",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity as _similarity
+
+    exact = _similarity.ann_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = (
+        _similarity.ann_lsh_topk(spark, sf_dir)
+        .select("q_id", "c_id")
+        .withColumn("hit", F.lit(1))
+    )
+    per_q = (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        "n_exact",
+        "n_hit",
+        (
+            F.round(F.col("n_hit") * F.lit(1000000.0) / F.col("n_exact")).cast("long")
+            / F.lit(1000000.0)
+        ).alias("recall"),
+    ).orderBy("q_id")

@@ -448,3 +448,26 @@ def test_coverage_curve_monotone_and_bounded(spark):
     for r in rows:
         if r["k"] >= r["n_vocab"]:
             assert r["coverage"] == 1.0
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark):
+    rows = corpus.orders_ltv_curve(spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["month_idx"], r["ltv_cents_per_cust"]))
+    assert by_cohort
+    for cohort, seq in by_cohort.items():
+        seq.sort()
+        vals = [v for _, v in seq]
+        assert vals == sorted(vals)  # cumulative LTV never decreases
+
+
+def test_ann_recall_eval_consistent_with_outputs(spark):
+    from duckdb_httpd_log_spark.operators.similarity import TOP_K
+
+    rows = corpus.ann_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] <= TOP_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert 0.0 <= r["recall"] <= 1.0
