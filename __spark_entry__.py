@@ -86,13 +86,13 @@ _PRIORITY = [
     "graph_triangle_count",
     "events_seasonal_baseline",
     "orders_pareto",
-    "q47_set_ops_all",
     "events_cusum_daily",
     "emb_pca_power_train",
     "q48_rank_distributions",
     "text_burstiness",
     "q49_equidepth_histogram",
     "events_forecast_backtest",
+    "q47_set_ops_all",
     "vocab_coverage_curve",
     "orders_ltv_curve",
     "ann_recall_eval",
