@@ -530,18 +530,27 @@ def q45_date_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and aggregate it per event type. Extraction is a per-row JVM/core
 # expression in both engines (get_json_object / json_extract), so it
 # whole-stage-codegens; the aggregate keeps the sum integral and does
-# one pinned division for the mean.
+# one pinned division for the mean. Malformed/NULL props must yield
+# NULL k on BOTH sides: Spark's get_json_object is lenient but
+# DuckDB's json_extract raises, so the oracle guards with json_valid
+# (found by the adversarial events suite).
 # ---------------------------------------------------------------------------
 @register(
     "events_json_extract",
     """
+    WITH ex AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract(props, '$.k')::BIGINT END AS k
+        FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
-           CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
-           CAST(count(DISTINCT json_extract(props, '$.k')::BIGINT) AS BIGINT) AS distinct_k,
-           round(sum(json_extract(props, '$.k')::BIGINT) * 1.0 / count(*), 4) AS avg_k
-    FROM events
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
+           round(sum(k) * 1.0 / count(*), 4) AS avg_k
+    FROM ex
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -1098,9 +1107,14 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-weighted average over irregular samples — the correct mean for
 # unevenly-spaced telemetry (each value holds until the next sample;
 # an arithmetic mean over-weights bursts). Weight = gap to the next
-# event in INTEGER microseconds (lead over a per-type window); the
-# value×gap products are quantized to BIGINT before the cross-row sum,
-# and the final TWA is one pinned division by the total covered span.
+# event in INTEGER microseconds (lead over a per-type window). The
+# quantized term is SPAN-NORMALIZED — round(v · gap·10⁴ / span) — so
+# each term is bounded by |v|·10⁴ regardless of gap magnitude and the
+# integer sum can never overflow BIGINT on extreme values (a raw
+# round(v·gap_µs) hits 5e19 on the adversarial corpus: DuckDB raises,
+# Spark's cast clamps silently — same trap the vector ops had); the
+# normalized terms already sum to twa·10⁴, so the finish is one
+# division.
 # ---------------------------------------------------------------------------
 @register(
     "events_time_weighted_avg",
@@ -1115,15 +1129,19 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
         SELECT event_type, value, t_next - t_us AS gap_us
         FROM seq WHERE t_next IS NOT NULL
+    ),
+    spans AS (
+        SELECT event_type, CAST(sum(gap_us) AS BIGINT) AS span_us
+        FROM seg GROUP BY event_type
     )
-    SELECT event_type,
+    SELECT s.event_type,
            count(*) AS n_segments,
-           CAST(sum(gap_us) AS BIGINT) AS span_us,
-           round(CAST(sum(CAST(round(value * gap_us) AS BIGINT)) AS DOUBLE)
-                 / sum(gap_us), 4) AS twa_value
-    FROM seg
-    GROUP BY event_type
-    ORDER BY event_type
+           max(sp.span_us) AS span_us,
+           round(CAST(sum(CAST(round(s.value * s.gap_us * 10000.0 / sp.span_us)
+                               AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS twa_value
+    FROM seg s JOIN spans sp ON s.event_type = sp.event_type
+    GROUP BY s.event_type
+    ORDER BY s.event_type
     """,
     "time-weighted average of event values over irregular sampling gaps (integer-µs weights)",
 )
@@ -1139,13 +1157,17 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = seq.filter(F.col("t_next").isNotNull()).select(
         "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
     )
-    term = F.round(F.col("value") * F.col("gap_us")).cast("long")
+    spans = seg.groupBy("event_type").agg(F.sum("gap_us").cast("long").alias("span_us"))
+    term = F.round(
+        F.col("value") * F.col("gap_us") * F.lit(10000.0) / F.col("span_us")
+    ).cast("long")
     return (
-        seg.groupBy("event_type")
+        seg.join(F.broadcast(spans), "event_type")
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum("gap_us").cast("long").alias("span_us"),
-            F.round(F.sum(term).cast("double") / F.sum("gap_us"), 4).alias("twa_value"),
+            F.max("span_us").alias("span_us"),
+            F.round(F.sum(term).cast("double") / F.lit(10000.0), 4).alias("twa_value"),
         )
         .orderBy("event_type")
     )

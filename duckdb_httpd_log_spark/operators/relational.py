@@ -363,7 +363,8 @@ def q10_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(event_type)                                AS type_upper,
            CAST(epoch_us(ts) // 1000000 AS BIGINT)          AS epoch_sec,
            strftime(ts, '%Y-%m-%d')                         AS day_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+           CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS INTEGER) AS prop_k
     FROM events
     WHERE event_id < 200
     ORDER BY event_id
