@@ -333,6 +333,7 @@ def read_httpd_log(
     conf: Optional[str] = None,
     raw: bool = False,
     hive_partitioning: bool = False,
+    line_filter: Optional[str] = None,
 ) -> DataFrame:
     """Parse Apache httpd access logs into a typed DataFrame.
 
@@ -343,7 +344,20 @@ def read_httpd_log(
     (`src/httpd_log_multi_file_info.cpp:232-233`): `key=value` directory
     segments become trailing string columns. The columns derive from the
     per-row file path, so Catalyst folds an equality filter on them into
-    a file-path predicate evaluated before parsing."""
+    a file-path predicate evaluated before parsing.
+
+    ``line_filter`` (beyond-reference, fast path only) is a SUBSTRING
+    pre-filter applied to the raw line BEFORE the parse regex runs:
+    Catalyst cannot push a post-parse predicate below the single-pass
+    regexp projection, so a needle-in-haystack scan ("only lines
+    mentioning /api/") otherwise pays full parse cost for every line.
+    `Contains` is a cheap vectorized byte scan; selective needles cut
+    scan time several-fold at log scale. Semantically equal to parsing
+    everything then filtering rows whose RAW LINE contains the needle
+    (a typed-column filter may differ: e.g. a needle matching the
+    user-agent also keeps rows whose path doesn't match). Raw mode
+    ignores it — raw mode's per-file line numbers must count every
+    line."""
     files = expand_paths(path, spark)
     parsed, _ftype, raw_mode = resolve_format(files, format_type, format_str, conf, raw, spark)
     if not files:
@@ -353,7 +367,7 @@ def read_httpd_log(
     if raw_mode:
         df = _read_raw(spark, files, parsed)
     else:
-        df = _read_fast(spark, files, parsed)
+        df = _read_fast(spark, files, parsed, line_filter=line_filter)
 
     # pin exact column order from the schema contract
     df = df.select(*[name for name, _t in schema])
@@ -444,7 +458,12 @@ def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     return df
 
 
-def _read_fast(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> DataFrame:
+def _read_fast(
+    spark: SparkSession,
+    files: list[str],
+    parsed: ParsedFormat,
+    line_filter: Optional[str] = None,
+) -> DataFrame:
     """Splittable fast path (raw=False): drops unparseable/empty lines.
 
     The match result is materialized once behind a barrier so the
@@ -453,6 +472,9 @@ def _read_fast(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> D
     regexp into both operators — measured ~15% slower)."""
     df = _fast_lines_df(spark, files)
     df = df.filter(F.length("value") > 0)
+    if line_filter:
+        # byte-scan pre-filter BEFORE the parse regex (see read_httpd_log)
+        df = df.filter(F.col("value").contains(line_filter))
     if not parsed.fields:
         return df.filter(F.lit(False)).select(F.col("__f").alias("log_file"))
     marked = X.materialization_barrier(

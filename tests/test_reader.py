@@ -489,3 +489,23 @@ def test_request_individual_directives_override(spark, tmp_path):
     r = df.first()
     # individual directives win over %r decomposition
     assert (r.method, r.path, r.query_string, r.protocol) == ("HEAD", "/b", "?y=2", "HTTP/2")
+
+
+def test_line_filter_prefilters_before_parse(spark):
+    from duckdb_httpd_log_spark import read_httpd_log
+
+    from .conftest import data
+
+    full = read_httpd_log(spark, data("common", "sample.log"))
+    filtered = read_httpd_log(spark, data("common", "sample.log"), line_filter="GET")
+    # semantics: identical to keeping rows whose raw line contains the needle
+    assert filtered.count() == sum(
+        1
+        for line in open(data("common", "sample.log"))
+        if line.strip() and "GET" in line
+    )
+    assert filtered.columns == full.columns
+    # plan: the Contains filter must sit BELOW the parse projection
+    # (no second regexp execution, no post-parse contains)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Contains(value" in plan.replace(" ", "") or "Contains" in plan
