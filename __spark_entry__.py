@@ -96,6 +96,8 @@ _PRIORITY = [
     "vocab_coverage_curve",
     "orders_ltv_curve",
     "ann_recall_eval",
+    "events_user_growth",
+    "events_dau_mau",
 ]
 
 

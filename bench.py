@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "vocab_coverage_curve",
     "orders_ltv_curve",
     "ann_recall_eval",
+    "events_user_growth",
+    "events_dau_mau",
 ]
 
 

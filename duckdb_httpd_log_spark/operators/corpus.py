@@ -2364,3 +2364,93 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("recall"),
     ).orderBy("q_id")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative user growth — distinct users ever seen, by day. The
+# distributed trick: cumulative distinct does NOT decompose over days,
+# but each user contributes exactly once at their FIRST day — so the
+# curve is a per-user min (hash agg), a per-day count of first-sights,
+# and a cumulative integer sum over the day domain (value-domain-sized
+# window, same rationale as drift_ks_length). Never a per-day distinct
+# over growing prefixes.
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_growth",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (SELECT first_day AS d, count(*) AS n_new FROM firsts GROUP BY first_day)
+    SELECT CAST(d AS VARCHAR) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM per_day
+    ORDER BY d
+    """,
+    "cumulative distinct-user growth via first-sight days (no per-day prefix distinct)",
+)
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("d").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness — the standard engagement ratio: daily active
+# users over their calendar month's active users. Two distinct hash
+# aggs ((day,user) and (month,user)) joined on month; the ratio
+# quantizes through the identical float path per the q48 round()
+# lesson. events_sliding_distinct is the rolling-window sibling; this
+# is the calendar-bucketed product-metric shape.
+# ---------------------------------------------------------------------------
+@register(
+    "events_dau_mau",
+    """
+    WITH dau AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    mau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.d AS VARCHAR) AS day, d.dau, mm.mau,
+           CAST(round(d.dau * 1000000.0 / mm.mau) AS BIGINT) / 1000000.0 AS stickiness
+    FROM dau d JOIN mau mm ON CAST(date_trunc('month', d.d) AS DATE) = mm.m
+    ORDER BY d.d
+    """,
+    "DAU/MAU stickiness per day against the calendar month's actives",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    dau = events.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = events.groupBy(F.to_date(F.date_trunc("month", "ts")).alias("m")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    joined = dau.join(
+        F.broadcast(mau), F.to_date(F.date_trunc("month", "d")) == F.col("m")
+    )
+    return joined.select(
+        F.col("d").cast("string").alias("day"),
+        "dau",
+        "mau",
+        (
+            F.round(F.col("dau") * F.lit(1000000.0) / F.col("mau")).cast("long")
+            / F.lit(1000000.0)
+        ).alias("stickiness"),
+    ).orderBy("d")

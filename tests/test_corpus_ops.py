@@ -471,3 +471,19 @@ def test_ann_recall_eval_consistent_with_outputs(spark):
         assert r["n_exact"] <= TOP_K
         assert 0 <= r["n_hit"] <= r["n_exact"]
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_user_growth_reaches_total_distinct(spark):
+    events = table(spark, SF_DIR, "events")
+    total = events.select("user_id").distinct().count()
+    rows = corpus.events_user_growth(spark, SF_DIR).collect()
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == total
+    assert sum(r["n_new"] for r in rows) == total
+
+
+def test_stickiness_bounded_by_one(spark):
+    for r in corpus.events_dau_mau(spark, SF_DIR).collect():
+        assert 0 < r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
