@@ -98,6 +98,8 @@ _PRIORITY = [
     "ann_recall_eval",
     "events_user_growth",
     "events_dau_mau",
+    "events_attribution",
+    "events_activity_gini",
 ]
 
 

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "events_user_growth",
     "events_dau_mau",
+    "events_attribution",
+    "events_activity_gini",
 ]
 
 

@@ -2454,3 +2454,127 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("stickiness"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — credit each purchase to the user's most
+# recent PRECEDING non-purchase event within a 24 h window (the
+# classic marketing-attribution join). Shape: a per-user window max
+# over prior events (the as-of pattern of q16, not an inequality
+# join), then a channel hash agg; integer cents for revenue credit.
+# Deterministic tie-break: at equal timestamps the higher event_id is
+# the later touch.
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_H = 24
+
+
+@register(
+    "events_attribution",
+    f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               max(CASE WHEN event_type <> 'purchase' THEN
+                     {{'t_us': epoch_us(ts), 'eid': event_id, 'etype': event_type}}
+                   END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    ),
+    credited AS (
+        SELECT last_touch.etype AS channel,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM seq
+        WHERE event_type = 'purchase'
+          AND last_touch IS NOT NULL
+          AND epoch_us(ts) - last_touch.t_us <= {ATTRIB_WINDOW_H * 3600 * 1000000}
+    )
+    SELECT channel, count(*) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS credited_cents
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "last-touch attribution: purchases credited to the nearest preceding touch within 24h",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(
+            F.unix_micros("ts").alias("t_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.max(touch).over(w).alias("last_touch"),
+    )
+    credited = seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_touch").isNotNull()
+        & (
+            F.unix_micros("ts") - F.col("last_touch.t_us")
+            <= F.lit(ATTRIB_WINDOW_H * 3600 * 1000000)
+        )
+    ).select(
+        F.col("last_touch.etype").alias("channel"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("credited_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Gini coefficient) — how unequal is per-user
+# event volume? Fully INTEGER Lorenz math: with per-user counts x_i
+# sorted ascending (rank i by (x, user_id)), Gini·n·Σx = 2·Σ(i·x_i)
+# − (n+1)·Σx — every term an exact integer; one final division. The
+# rank window runs over the USER dimension (domain-sized).
+# ---------------------------------------------------------------------------
+@register(
+    "events_activity_gini",
+    """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per_user
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(x) AS BIGINT) AS n_events,
+           CAST(round((2.0 * sum(i * x) - (count(*) + 1.0) * sum(x))
+                      * 1000000.0 / (count(*) * sum(x))) AS BIGINT) / 1000000.0 AS gini
+    FROM ranked
+    """,
+    "Gini coefficient of per-user activity via integer Lorenz sums",
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select("x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    six = F.sum(F.col("i") * F.col("x"))
+    gini6 = F.round(
+        (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) * F.lit(1000000.0) / (n * sx)
+    ).cast("long")
+    return ranked.agg(
+        n.alias("n_users"),
+        sx.cast("long").alias("n_events"),
+        (gini6 / F.lit(1000000.0)).alias("gini"),
+    )

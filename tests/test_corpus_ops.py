@@ -487,3 +487,48 @@ def test_stickiness_bounded_by_one(spark):
     for r in corpus.events_dau_mau(spark, SF_DIR).collect():
         assert 0 < r["dau"] <= r["mau"]
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_attribution_credits_only_windowed_preceding_touches(spark):
+    import datetime
+
+    ev = sorted(
+        table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    expected = {}
+    last = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            t = last.get(r["user_id"])
+            if t and (r["ts"] - t[0]) <= datetime.timedelta(hours=corpus.ATTRIB_WINDOW_H):
+                ch = t[1]
+                n, c = expected.get(ch, (0, 0))
+                expected[ch] = (n + 1, c + round(r["value"] * 100))
+        else:
+            last[r["user_id"]] = (r["ts"], r["event_type"])
+    got = {
+        r["channel"]: (r["n_purchases"], r["credited_cents"])
+        for r in corpus.events_attribution(spark, SF_DIR).collect()
+    }
+    assert got == expected and expected
+
+
+def test_gini_matches_reference_formula(spark):
+    xs = sorted(
+        (r["x"], r["user_id"])
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    six = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+    gini = (2.0 * six - (n + 1.0) * sx) / (n * sx)
+    r = corpus.events_activity_gini(spark, SF_DIR).first()
+    assert r["n_users"] == n and r["n_events"] == sx
+    assert r["gini"] == pytest.approx(gini, abs=1e-6)
+    assert 0.0 <= r["gini"] < 1.0
