@@ -100,6 +100,7 @@ _PRIORITY = [
     "events_dau_mau",
     "events_attribution",
     "events_activity_gini",
+    "dq_expectations",
 ]
 
 

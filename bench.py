@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "events_dau_mau",
     "events_attribution",
     "events_activity_gini",
+    "dq_expectations",
 ]
 
 

@@ -2578,3 +2578,67 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.cast("long").alias("n_events"),
         (gini6 / F.lit(1000000.0)).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations — the declarative table-contract report
+# every production pipeline gates ingestion on (null rates, key
+# uniqueness, value bounds, referential integrity). Each rule is one
+# distributed aggregate; the FK check is a left anti-join (never a
+# driver-side set). Output: one row per rule with its violation count
+# — all integers.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectations",
+    """
+    SELECT 'orderkey_unique' AS rule,
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+               AS n_violations
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'custkey_fk_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_nonnegative',
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2030-01-01') AS BIGINT)
+    ORDER BY rule
+    """,
+    "data-quality expectations report: uniqueness, null, FK, range rules as one scan each",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    def one(rule: str, cnt_df):
+        return cnt_df.select(F.lit(rule).alias("rule"), F.col("n").cast("long").alias("n_violations"))
+
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n")
+    )
+    nn = orders.filter(F.col("o_custkey").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    fk = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pos = orders.filter(F.col("o_totalprice") < 0).agg(F.count(F.lit(1)).alias("n"))
+    rng = orders.filter(
+        (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        one("orderkey_unique", uniq)
+        .unionAll(one("custkey_not_null", nn))
+        .unionAll(one("custkey_fk_customer", fk))
+        .unionAll(one("totalprice_nonnegative", pos))
+        .unionAll(one("orderdate_in_range", rng))
+        .orderBy("rule")
+    )

@@ -310,3 +310,31 @@ def dedup_against_index_stream(
         "status",
         F.when(F.col("in_corpus").isNotNull(), "dup_corpus").otherwise("novel"),
     ).drop("in_corpus")
+
+
+def dau_stream(
+    events_stream: DataFrame,
+    ts_col: str = "timestamp",
+    user_col: str = "client_host",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming daily-active-users rollup (the streaming twin of the
+    batch events_dau_mau numerator): tumbling 1-day event-time windows
+    with approximate distinct counting.
+
+    Exact streaming distinct would keep one state row per (day, user)
+    — linear state growth in actives; `approx_count_distinct` keeps one
+    HLL sketch per day (~KBs) regardless of cardinality, and the
+    watermark expires each day's sketch once its window closes. This is
+    the standard accuracy-for-boundedness trade every metrics pipeline
+    makes (same trade as batch q20's HLL).
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("day"))
+        .agg(F.approx_count_distinct(user_col).alias("dau_approx"))
+        .select(
+            F.col("day.start").cast("date").cast("string").alias("day"),
+            "dau_approx",
+        )
+    )

@@ -619,3 +619,40 @@ def test_cusum_stream_matches_reference_replay(spark, tmp_path):
     exp = per_key([(k, n, v, d) for k, n, v, _, _, d in expected_full])
     assert per_key(got) == exp
     assert exp  # the scenario actually produces alerts
+
+
+def test_dau_stream_counts_daily_actives(spark, tmp_path):
+    import json
+
+    from duckdb_httpd_log_spark.streaming.log_stream import dau_stream
+
+    rows = [
+        ("2024-04-01 10:00:00", "u1"),
+        ("2024-04-01 11:00:00", "u1"),  # repeat, same day
+        ("2024-04-01 12:00:00", "u2"),
+        ("2024-04-02 09:00:00", "u1"),
+        ("2024-04-02 10:00:00", "u3"),
+    ]
+    srcdir = tmp_path / "dau_src"
+    srcdir.mkdir()
+    with open(srcdir / "b0.json", "w") as fh:
+        for ts, u in rows:
+            fh.write(json.dumps({"ts_s": ts, "client_host": u}) + "\n")
+    stream = (
+        spark.readStream.schema("ts_s string, client_host string")
+        .json(str(srcdir))
+        .selectExpr("cast(ts_s as timestamp) as timestamp", "client_host")
+    )
+    out = dau_stream(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dau_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["day"]: r["dau_approx"] for r in spark.sql("SELECT * FROM dau_rollup").collect()}
+    # HLL at these cardinalities is exact
+    assert got == {"2024-04-01": 2, "2024-04-02": 2}
