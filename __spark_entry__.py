@@ -101,6 +101,9 @@ _PRIORITY = [
     "events_attribution",
     "events_activity_gini",
     "dq_expectations",
+    "text_kl_divergence",
+    "dedup_threshold_curve",
+    "orders_seasonality_index",
 ]
 
 

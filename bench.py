@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "events_attribution",
     "events_activity_gini",
     "dq_expectations",
+    "text_kl_divergence",
+    "dedup_threshold_curve",
+    "orders_seasonality_index",
 ]
 
 

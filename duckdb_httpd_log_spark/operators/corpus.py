@@ -2642,3 +2642,214 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orderdate_in_range", rng))
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus token distribution — the
+# domain-shift score: sources whose unigram distribution diverges from
+# the pooled corpus are out-of-domain (or contaminated) candidates.
+# Restricted to the corpus top-K vocabulary with add-one smoothing so
+# every source has mass on every vocab token (KL stays finite without
+# per-pair vocabulary alignment). Each KL term quantizes to a scaled
+# BIGINT before the cross-token sum; the probability ratios divide
+# integer counts through identically-shaped float paths.
+# ---------------------------------------------------------------------------
+KL_VOCAB_K = 1000
+
+
+@register(
+    "text_kl_divergence",
+    f"""
+    WITH tc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    ),
+    vocab AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS c_all FROM tc GROUP BY w
+        ORDER BY sum(c) DESC, w LIMIT {KL_VOCAB_K}
+    ),
+    nv AS (SELECT count(*) AS k, CAST(sum(c_all) AS BIGINT) AS n_all FROM vocab),
+    src AS (
+        SELECT t.source, v.w, CAST(sum(t.c) AS BIGINT) AS c_src
+        FROM tc t JOIN vocab v ON t.w = v.w
+        GROUP BY t.source, v.w
+    ),
+    src_tot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM src GROUP BY source),
+    terms AS (
+        SELECT s.source,
+               CAST(round(
+                 ((v.c_all + 1.0) / (nv.n_all + nv.k))
+                 * ln(((v.c_all + 1.0) / (nv.n_all + nv.k))
+                      / ((coalesce(s2.c_src, 0) + 1.0) / (st.n_src + nv.k)))
+                 * 1000000000.0) AS BIGINT) AS t9
+        FROM src_tot st
+        CROSS JOIN vocab v
+        CROSS JOIN nv
+        JOIN (SELECT DISTINCT source FROM src) s ON s.source = st.source
+        LEFT JOIN src s2 ON s2.source = st.source AND s2.w = v.w
+    )
+    SELECT source,
+           CAST(sum(t9) AS BIGINT) / 1000000000.0 AS kl_corpus_vs_source
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    "domain-shift score: smoothed KL(corpus || source) over the top-K vocabulary",
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        tc.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("c_all"))
+        .orderBy(F.col("c_all").desc(), "w")
+        .limit(KL_VOCAB_K)
+        .localCheckpoint(eager=False)  # feeds nv + the per-source join
+    )
+    nv = vocab.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("c_all").cast("long").alias("n_all")
+    )
+    src = (
+        tc.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.sum("c").cast("long").alias("c_src"))
+    )
+    src_tot = src.groupBy("source").agg(F.sum("c_src").cast("long").alias("n_src"))
+    grid = src_tot.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(nv))
+    joined = grid.join(src, ["source", "w"], "left")
+    p = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("k"))
+    q = (F.coalesce(F.col("c_src"), F.lit(0)) + F.lit(1.0)) / (F.col("n_src") + F.col("k"))
+    t9 = F.round(p * F.log(p / q) * F.lit(1000000000.0)).cast("long")
+    return (
+        joined.select("source", t9.alias("t9"))
+        .groupBy("source")
+        .agg((F.sum("t9").cast("long") / F.lit(1000000000.0)).alias("kl_corpus_vs_source"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold-sweep curve — how many near-dup pairs survive at
+# each candidate threshold? The tuning readout for picking the dedup
+# cut (too low = dropping distinct docs, too high = keeping dups). ONE
+# shared-shingle pair join (the dedup_ngram_jaccard shape) feeds every
+# rung: thresholds are counted with conditional sums over the same
+# pair table — the join never re-runs per rung. Threshold compares are
+# integer cross-multiplications (n_shared·20 >= t20·union — no float
+# enters the decision).
+# ---------------------------------------------------------------------------
+DEDUP_CURVE_T20 = [8, 10, 12, 14, 16, 18]  # thresholds x20 (0.4 .. 0.9)
+
+
+@register(
+    "dedup_threshold_curve",
+    f"""
+    WITH {{_SQL_GRAMS}},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT n_shared, ga.n + gb.n - n_shared AS n_union
+        FROM inter
+        JOIN gc ga ON ga.doc_id = doc_a
+        JOIN gc gb ON gb.doc_id = doc_b
+    ),
+    rungs AS (SELECT unnest([{", ".join(str(t) for t in DEDUP_CURVE_T20)}]) AS t20)
+    SELECT round(r.t20 / 20.0, 2) AS threshold,
+           CAST(sum(CASE WHEN p.n_shared * 20 >= r.t20 * p.n_union THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM rungs r, pairs p
+    GROUP BY r.t20
+    ORDER BY threshold
+    """.replace("{_SQL_GRAMS}", _dedup._SQL_GRAMS),
+    "near-dup pair counts per Jaccard threshold rung — one pair join, integer compares",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, _cands = _dedup._minhash_docs_and_cands(spark, sf_dir)
+    # reuse the checkpointed per-doc gram sets (same trick as
+    # dedup_minhash_eval): one corpus shingle pipeline for the pair join
+    grams = docs.select("doc_id", F.explode("gs").alias("gh"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("n_shared", (F.col("na") + F.col("nb") - F.col("n_shared")).alias("n_union"))
+    )
+    rungs = spark.createDataFrame([(t,) for t in DEDUP_CURVE_T20], "t20 int")
+    hit = F.sum(
+        F.when(F.col("n_shared") * 20 >= F.col("t20") * F.col("n_union"), 1).otherwise(0)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(rungs))
+        .groupBy("t20")
+        .agg(hit.cast("long").alias("n_pairs"))
+        .select(F.round(F.col("t20") / 20.0, 2).alias("threshold"), "n_pairs")
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonality indices — each calendar month's revenue relative
+# to the overall monthly mean (the demand-planning normalization
+# table). Integer cents throughout; the index divides two exact
+# integers through identically-shaped float paths (q48 lesson).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_seasonality_index",
+    """
+    WITH monthly AS (
+        SELECT month(o_orderdate) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS all_cents, count(*) AS n_months FROM monthly)
+    SELECT m AS month, n_orders, cents,
+           CAST(round(cents * n_months * 10000.0 / all_cents) AS BIGINT) / 10000.0
+               AS seasonality_index
+    FROM monthly, tot
+    ORDER BY m
+    """,
+    "monthly revenue seasonality indices vs the all-months mean, integer cents",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.month("o_orderdate").alias("m")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tot = monthly.agg(
+        F.sum("cents").cast("long").alias("all_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m").alias("month"),
+            "n_orders",
+            "cents",
+            (
+                F.round(F.col("cents") * F.col("n_months") * F.lit(10000.0) / F.col("all_cents"))
+                .cast("long")
+                / F.lit(10000.0)
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )

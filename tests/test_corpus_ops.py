@@ -532,3 +532,30 @@ def test_gini_matches_reference_formula(spark):
     assert r["n_users"] == n and r["n_events"] == sx
     assert r["gini"] == pytest.approx(gini, abs=1e-6)
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_kl_divergence_nonnegative(spark):
+    rows = corpus.text_kl_divergence(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        # KL >= 0 up to the 1e-9 quantization grid
+        assert r["kl_corpus_vs_source"] >= -1e-6
+
+
+def test_threshold_curve_is_antitone(spark):
+    rows = corpus.dedup_threshold_curve(spark, SF_DIR).collect()
+    assert [r["threshold"] for r in rows] == [t / 20 for t in corpus.DEDUP_CURVE_T20]
+    counts = [r["n_pairs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # higher bar, fewer pairs
+    # the 0.5 rung must agree with dedup_ngram_jaccard's pair count
+    from duckdb_httpd_log_spark.operators.dedup import dedup_ngram_jaccard
+
+    at_half = next(r["n_pairs"] for r in rows if r["threshold"] == 0.5)
+    assert at_half == dedup_ngram_jaccard(spark, SF_DIR).count()
+
+
+def test_seasonality_indices_average_to_one(spark):
+    rows = corpus.orders_seasonality_index(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r["seasonality_index"] for r in rows) / len(rows)
+    assert mean_idx == pytest.approx(1.0, abs=1e-3)

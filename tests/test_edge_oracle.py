@@ -75,6 +75,8 @@ _DOC_QUERIES = [
     "drift_ks_length",
     "text_burstiness",
     "vocab_coverage_curve",
+    "text_kl_divergence",
+    "dedup_threshold_curve",
 ]
 
 
