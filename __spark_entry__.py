@@ -104,6 +104,7 @@ _PRIORITY = [
     "text_kl_divergence",
     "dedup_threshold_curve",
     "orders_seasonality_index",
+    "events_attribution_linear",
 ]
 
 

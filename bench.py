@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "text_kl_divergence",
     "dedup_threshold_curve",
     "orders_seasonality_index",
+    "events_attribution_linear",
 ]
 
 

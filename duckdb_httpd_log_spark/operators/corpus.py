@@ -2853,3 +2853,116 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution — every touch in the 24 h window
+# before a purchase shares the credit equally (the fairness-spread
+# sibling of last-touch events_attribution). The purchase×touch
+# inequality join uses the q09 bin-bucket shape: both sides key on
+# (user, 24 h time bin), purchases probe their own and the previous
+# bin, then the exact window predicate applies — a shuffle-hash join
+# that survives scale where a broadcast nested loop dies. Credit
+# fractions kc/k quantize at 1e6 per (purchase, channel) before the
+# cross-purchase sum; cents credits round to integers per term.
+# Touch ordering is strict event time (ties at identical timestamps
+# are all "before" iff their t_us is smaller; equal-t_us touches are
+# NOT credited — documented, and both engines share the predicate).
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_linear",
+    f"""
+    WITH touches AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_type,
+               epoch_us(ts) // {ATTRIB_WINDOW_H * 3600 * 1000000} AS bin
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS p_us,
+               CAST(round(value * 100.0) AS BIGINT) AS cents,
+               event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    probe AS (
+        SELECT p.*, t.bin
+        FROM purchases p,
+             LATERAL unnest([p.p_us // {ATTRIB_WINDOW_H * 3600 * 1000000},
+                             p.p_us // {ATTRIB_WINDOW_H * 3600 * 1000000} - 1]) t(bin)
+    ),
+    matched AS (
+        SELECT pr.user_id, pr.event_id, pr.cents, t.event_type AS channel
+        FROM probe pr
+        JOIN touches t ON t.user_id = pr.user_id AND t.bin = pr.bin
+        WHERE t.t_us < pr.p_us AND pr.p_us - t.t_us <= {ATTRIB_WINDOW_H * 3600 * 1000000}
+    ),
+    per_purchase AS (
+        SELECT user_id, event_id, cents, channel, count(*) AS kc,
+               sum(count(*)) OVER (PARTITION BY user_id, event_id) AS k
+        FROM matched
+        GROUP BY user_id, event_id, cents, channel
+    ),
+    credited AS (
+        SELECT channel,
+               CAST(round(kc * 1000000.0 / k) AS BIGINT) AS share6,
+               CAST(round(cents * kc * 1.0 / k) AS BIGINT) AS cents_part
+        FROM per_purchase
+    )
+    SELECT channel,
+           round(CAST(sum(share6) AS BIGINT) / 1000000.0, 4) AS credited_purchases,
+           CAST(sum(cents_part) AS BIGINT) AS credited_cents
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "linear multi-touch attribution: equal credit across 24h preceding touches, bin-bucketed join",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = ATTRIB_WINDOW_H * 3600 * 1000000
+    events = table(spark, sf_dir, "events")
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type",
+        (F.unix_micros("ts") / W).cast("long").alias("bin"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        "event_id",
+    )
+    probe = purchases.select(
+        "*",
+        F.explode(
+            F.array((F.col("p_us") / W).cast("long"), (F.col("p_us") / W).cast("long") - 1)
+        ).alias("bin"),
+    )
+    matched = (
+        probe.join(touches, ["user_id", "bin"])
+        .filter(
+            (F.col("t_us") < F.col("p_us")) & (F.col("p_us") - F.col("t_us") <= F.lit(W))
+        )
+        .select("user_id", "event_id", "cents", F.col("event_type").alias("channel"))
+    )
+    per_pc = matched.groupBy("user_id", "event_id", "cents", "channel").agg(
+        F.count(F.lit(1)).alias("kc")
+    )
+    wk = Window.partitionBy("user_id", "event_id")
+    per_purchase = per_pc.withColumn("k", F.sum("kc").over(wk))
+    credited = per_purchase.select(
+        "channel",
+        F.round(F.col("kc") * F.lit(1000000.0) / F.col("k")).cast("long").alias("share6"),
+        F.round(F.col("cents") * F.col("kc") * F.lit(1.0) / F.col("k")).cast("long").alias(
+            "cents_part"
+        ),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.round(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
+                "credited_purchases"
+            ),
+            F.sum("cents_part").cast("long").alias("credited_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -559,3 +559,23 @@ def test_seasonality_indices_average_to_one(spark):
     assert len(rows) == 12
     mean_idx = sum(r["seasonality_index"] for r in rows) / len(rows)
     assert mean_idx == pytest.approx(1.0, abs=1e-3)
+
+
+def test_linear_attribution_conserves_credit(spark):
+    import datetime
+
+    rows = corpus.events_attribution_linear(spark, SF_DIR).collect()
+    # total fractional credit equals the number of attributed purchases
+    ev = table(spark, SF_DIR, "events").collect()
+    touches = [
+        (r["user_id"], r["ts"]) for r in ev if r["event_type"] != "purchase"
+    ]
+    window = datetime.timedelta(hours=corpus.ATTRIB_WINDOW_H)
+    n_attributed = sum(
+        1
+        for r in ev
+        if r["event_type"] == "purchase"
+        and any(u == r["user_id"] and t < r["ts"] <= t + window for u, t in touches)
+    )
+    total_credit = sum(r["credited_purchases"] for r in rows)
+    assert total_credit == pytest.approx(n_attributed, abs=0.01)
