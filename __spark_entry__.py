@@ -105,6 +105,7 @@ _PRIORITY = [
     "dedup_threshold_curve",
     "orders_seasonality_index",
     "events_attribution_linear",
+    "emb_threshold_curve",
 ]
 
 

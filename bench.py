@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "dedup_threshold_curve",
     "orders_seasonality_index",
     "events_attribution_linear",
+    "emb_threshold_curve",
 ]
 
 

@@ -2966,3 +2966,45 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine threshold-sweep curve — the embedding-side twin of
+# dedup_threshold_curve: near-dup pair counts per cosine rung, computed
+# off dedup_embedding's verified candidate pairs (its banded-LSH
+# candidates + exact verify run ONCE; the rungs are conditional counts
+# over the already-rounded cosine, rescaled to integers so no float
+# decides a bucket). The oracle nests the live dedup_embedding SQL, so
+# the curve can never drift from the operator it tunes.
+# ---------------------------------------------------------------------------
+EMB_CURVE_C100 = [40, 42, 44, 46, 48, 50]  # cosine thresholds x100
+
+
+@register(
+    "emb_threshold_curve",
+    """
+    WITH pairs AS (SELECT cosine FROM ({EMB})),
+    rungs AS (SELECT unnest([{RUNGS}]) AS c100)
+    SELECT round(r.c100 / 100.0, 2) AS threshold,
+           CAST(sum(CASE WHEN CAST(round(p.cosine * 10000.0) AS BIGINT) >= r.c100 * 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM rungs r, pairs p
+    GROUP BY r.c100
+    ORDER BY threshold
+    """
+    .replace("{EMB}", REGISTRY["dedup_embedding"].oracle_sql)
+    .replace("{RUNGS}", ", ".join(str(c) for c in EMB_CURVE_C100)),
+    "embedding near-dup pair counts per cosine rung off one LSH+verify pass",
+)
+def emb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _dedup.dedup_embedding(spark, sf_dir).select("cosine")
+    rungs = spark.createDataFrame([(c,) for c in EMB_CURVE_C100], "c100 int")
+    c4 = F.round(F.col("cosine") * F.lit(10000.0)).cast("long")
+    hit = F.sum(F.when(c4 >= F.col("c100") * 100, 1).otherwise(0))
+    return (
+        pairs.crossJoin(F.broadcast(rungs))
+        .groupBy("c100")
+        .agg(hit.cast("long").alias("n_pairs"))
+        .select(F.round(F.col("c100") / 100.0, 2).alias("threshold"), "n_pairs")
+        .orderBy("threshold")
+    )

@@ -579,3 +579,13 @@ def test_linear_attribution_conserves_credit(spark):
     )
     total_credit = sum(r["credited_purchases"] for r in rows)
     assert total_credit == pytest.approx(n_attributed, abs=0.01)
+
+
+def test_emb_curve_antitone_and_anchored(spark):
+    from duckdb_httpd_log_spark.operators.dedup import dedup_embedding
+
+    rows = corpus.emb_threshold_curve(spark, SF_DIR).collect()
+    counts = [r["n_pairs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # the lowest rung equals the operator's own output size
+    assert counts[0] == dedup_embedding(spark, SF_DIR).count()
