@@ -106,6 +106,8 @@ _PRIORITY = [
     "orders_seasonality_index",
     "events_attribution_linear",
     "emb_threshold_curve",
+    "q50_array_agg",
+    "events_chi_square",
 ]
 
 

@@ -3008,3 +3008,72 @@ def emb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.round(F.col("c100") / 100.0, 2).alias("threshold"), "n_pairs")
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — is event type independent of day of
+# week? (The traffic-mix-shift significance test behind the seasonal
+# diagnostics.) Contingency counts O, row/col totals R, C, and N are
+# exact integers; each cell's term uses the pinned double shape
+# d = O − R·C/N, term = d²·N/(R·C) — (O·N − R·C)² would overflow
+# exact-integer doubles at corpus scale — quantized to a scaled BIGINT
+# before the cross-cell sum. One row out: the statistic and its
+# degrees of freedom.
+# ---------------------------------------------------------------------------
+@register(
+    "events_chi_square",
+    """
+    WITH cells AS (
+        SELECT event_type, dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+    cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(round(
+                 (ce.o - r.r * cs.c * 1.0 / t.n) * (ce.o - r.r * cs.c * 1.0 / t.n)
+                 * t.n / (r.r * cs.c) * 1000000.0) AS BIGINT) AS t6
+        FROM cells ce
+        JOIN rows_ r ON r.event_type = ce.event_type
+        JOIN cols_ cs ON cs.dow = ce.dow
+        CROSS JOIN tot t
+    )
+    SELECT (SELECT count(*) FROM rows_) AS n_types,
+           (SELECT count(*) FROM cols_) AS n_dows,
+           ((SELECT count(*) FROM rows_) - 1) * ((SELECT count(*) FROM cols_) - 1) AS dof,
+           round(CAST(sum(t6) AS BIGINT) / 1000000.0, 4) AS chi_square
+    FROM terms
+    """,
+    "chi-square independence of event type vs day of week, quantized cell terms",
+)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.dayofweek(F.to_date(F.date_trunc("day", "ts"))).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    d = F.col("o") - F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
+    t6 = F.round(d * d * F.col("n") / (F.col("r") * F.col("c")) * F.lit(1000000.0)).cast("long")
+    terms = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(t6.alias("t6"))
+    )
+    nr = rows_.agg(F.count(F.lit(1)).alias("n_types"))
+    nc = cols_.agg(F.count(F.lit(1)).alias("n_dows"))
+    return (
+        terms.agg(F.round(F.sum("t6").cast("long") / F.lit(1000000.0), 4).alias("chi_square"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_types",
+            "n_dows",
+            ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("dof"),
+            "chi_square",
+        )
+    )

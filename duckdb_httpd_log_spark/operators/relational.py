@@ -1599,3 +1599,42 @@ def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered array aggregation — the nested-result surface (top-3 balances
+# per nation as a sorted ARRAY column): array_agg with a pinned
+# element order on both engines (Spark sorts the collected array
+# explicitly — collect_list order is partition-dependent — while
+# DuckDB orders inside array_agg; the slice keeps results bounded).
+# ---------------------------------------------------------------------------
+@register(
+    "q50_array_agg",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1:3] AS top3_bal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "sorted-array aggregation: top-3 account balances per nation as an array column",
+)
+def q50_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    # collect (bal, custkey) structs, sort descending by balance with the
+    # custkey tiebreak, then project the balances — element order is then
+    # engine-independent (bare collect_list order is partition order)
+    pairs = F.collect_list(F.struct(F.col("c_acctbal").alias("b"), F.col("c_custkey").alias("k")))
+    ordered = F.expr(
+        "transform(slice(reverse(array_sort(collect_pairs, (l, r) ->"
+        " case when l.b < r.b then -1 when l.b > r.b then 1"
+        " when l.k > r.k then -1 when l.k < r.k then 1 else 0 end)), 1, 3),"
+        " p -> p.b)"
+    )
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"), pairs.alias("collect_pairs"))
+        .select("c_nationkey", "n_customers", ordered.alias("top3_bal"))
+        .orderBy("c_nationkey")
+    )

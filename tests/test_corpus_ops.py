@@ -589,3 +589,25 @@ def test_emb_curve_antitone_and_anchored(spark):
     assert counts == sorted(counts, reverse=True)
     # the lowest rung equals the operator's own output size
     assert counts[0] == dedup_embedding(spark, SF_DIR).count()
+
+
+def test_chi_square_matches_reference(spark):
+    from collections import Counter
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_type", F.dayofweek(F.to_date(F.date_trunc("day", "ts"))).alias("dow")
+    ).collect()
+    cells = Counter((r["event_type"], r["dow"]) for r in ev)
+    rows = Counter()
+    cols = Counter()
+    for (et, dw), o in cells.items():
+        rows[et] += o
+        cols[dw] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rows[et] * cols[dw] / n) ** 2 / (rows[et] * cols[dw] / n)
+        for (et, dw), o in cells.items()
+    )
+    r = corpus.events_chi_square(spark, SF_DIR).first()
+    assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert r["chi_square"] == pytest.approx(chi2, rel=1e-3)
