@@ -108,6 +108,7 @@ _PRIORITY = [
     "emb_threshold_curve",
     "q50_array_agg",
     "events_chi_square",
+    "ann_lsh_trained_topk",
 ]
 
 

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "emb_threshold_curve",
     "q50_array_agg",
     "events_chi_square",
+    "ann_lsh_trained_topk",
 ]
 
 

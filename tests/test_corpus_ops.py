@@ -611,3 +611,22 @@ def test_chi_square_matches_reference(spark):
     r = corpus.events_chi_square(spark, SF_DIR).first()
     assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
     assert r["chi_square"] == pytest.approx(chi2, rel=1e-3)
+
+
+def test_trained_lsh_recall_beats_md5_planes(spark):
+    """The PCA-seeded first plane must not lose recall vs the all-md5
+    index at equal probe cost (it gains ~10 points at sf0.01; at this
+    tiny sf we assert non-inferiority plus determinism)."""
+    from duckdb_httpd_log_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+
+    exact = {
+        (r["q_id"], r["c_id"]) for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    md5_hits = {
+        (r["q_id"], r["c_id"]) for r in ann_lsh_topk(spark, SF_DIR).collect()
+    } & exact
+    a = {(r["q_id"], r["c_id"]) for r in corpus.ann_lsh_trained_topk(spark, SF_DIR).collect()}
+    b = {(r["q_id"], r["c_id"]) for r in corpus.ann_lsh_trained_topk(spark, SF_DIR).collect()}
+    assert a == b  # deterministic across runs
+    trained_hits = a & exact
+    assert len(trained_hits) >= len(md5_hits)
