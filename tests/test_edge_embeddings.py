@@ -37,15 +37,25 @@ _VECS = [
     (11, _vec(0.25), 3),                                # duplicate of 10
 ]
 
-# embedding-only registry queries safe for a 12-vector corpus
-_EMB_QUERIES = [
-    "embedding_quantize",
-    "emb_pca_power_step",
-    "emb_outlier_filter",
-    "emb_pq_codes",
-    "emb_norm_stats",
-    "emb_pca_power_train",
-]
+# AUTO-SELECTED: every registry query whose oracle reads only the
+# embeddings table runs here, EXCEPT the ANN/kmeans family — their
+# N_QUERIES/TOP_K/nlist contracts assume a corpus far larger than 12
+# vectors (probing/seeding degenerates, though parity itself holds at
+# real scale factors, where the full oracle sweep covers them).
+import re as _re
+
+from duckdb_httpd_log_spark.plans.registry import TABLES as _TABLES
+
+_SKIP = ("ann_", "kmeans_", "dedup_embedding", "emb_threshold_curve")
+_OTHER = [t for t in _TABLES if t != "embeddings"]
+_EMB_QUERIES = sorted(
+    name
+    for name, qd in REGISTRY.items()
+    if qd.oracle_sql
+    and _re.search(r"\bembeddings\b", qd.oracle_sql)
+    and not any(_re.search(rf"\b{t}\b", qd.oracle_sql) for t in _OTHER)
+    and not name.startswith(_SKIP[:2]) and name not in _SKIP[2:]
+)
 
 
 @pytest.fixture(scope="module")
