@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q50_array_agg",
     "events_chi_square",
     "ann_lsh_trained_topk",
+    "events_survival_curve",
+    "events_arrival_stats",
 ]
 
 

@@ -3220,3 +3220,143 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "cosine")
         .orderBy("q_id", F.col("cosine").desc(), "c_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# User survival curve — fraction of users whose observed lifetime
+# (last event − first event) reaches k days, for k = 0..28: the
+# product-analytics survival readout (q29's cohort matrix tracks
+# return-by-week; this is lifetime persistence). Per-user lifetimes
+# are one hash agg; the curve is a rungs cross join with conditional
+# integer counts and one quantized division per rung.
+# ---------------------------------------------------------------------------
+SURVIVAL_MAX_DAYS = 28
+SURVIVAL_STEP = 4
+
+
+@register(
+    "events_survival_curve",
+    f"""
+    WITH lifet AS (
+        SELECT user_id,
+               date_diff('day', min(CAST(date_trunc('day', ts) AS DATE)),
+                                max(CAST(date_trunc('day', ts) AS DATE))) AS days
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT count(*) AS n_users FROM lifet),
+    rungs AS (SELECT unnest(range(0, {SURVIVAL_MAX_DAYS + 1}, {SURVIVAL_STEP})) AS k)
+    SELECT CAST(r.k AS INTEGER) AS k_days,
+           CAST(sum(CASE WHEN l.days >= r.k THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+           CAST(round(sum(CASE WHEN l.days >= r.k THEN 1 ELSE 0 END) * 1000000.0
+                      / t.n_users) AS BIGINT) / 1000000.0 AS survival
+    FROM rungs r, lifet l, tot t
+    GROUP BY r.k, t.n_users
+    ORDER BY k_days
+    """,
+    "user lifetime survival curve: fraction with last-first >= k days per rung",
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    lifet = events.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date(F.date_trunc("day", "ts"))),
+            F.min(F.to_date(F.date_trunc("day", "ts"))),
+        ).alias("days")
+    )
+    tot = lifet.agg(F.count(F.lit(1)).alias("n_users"))
+    rungs = spark.createDataFrame(
+        [(k,) for k in range(0, SURVIVAL_MAX_DAYS + 1, SURVIVAL_STEP)], "k int"
+    )
+    surv = F.sum(F.when(F.col("days") >= F.col("k"), 1).otherwise(0))
+    return (
+        lifet.crossJoin(F.broadcast(rungs))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_users")
+        .agg(surv.cast("long").alias("n_surviving"))
+        .select(
+            F.col("k").alias("k_days"),
+            "n_surviving",
+            (
+                F.round(F.col("n_surviving") * F.lit(1000000.0) / F.col("n_users"))
+                .cast("long")
+                / F.lit(1000000.0)
+            ).alias("survival"),
+        )
+        .orderBy("k_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrival-process statistics — per event type: the MLE Poisson rate
+# (events per hour over the observed span) and the coefficient of
+# variation of inter-arrival gaps (CV ≈ 1 for Poisson arrivals,
+# CV > 1 = bursty — the queueing-theory burstiness diagnostic that
+# complements events_time_weighted_avg's value axis). Gaps are exact
+# integer microseconds; CV uses the integer computational formula
+# (n·Σg² − (Σg)²) with the same overflow-safe span normalization as
+# the TWA op: gaps are first scaled by the per-type MEAN gap, keeping
+# quantized terms bounded at any time scale.
+# ---------------------------------------------------------------------------
+@register(
+    "events_arrival_stats",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                      ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    gaps AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL),
+    m AS (
+        SELECT event_type, count(*) AS n, CAST(sum(gap_us) AS BIGINT) AS span_us
+        FROM gaps GROUP BY event_type
+    ),
+    terms AS (
+        SELECT g.event_type,
+               CAST(round((g.gap_us * m.n * 1.0 / m.span_us)
+                          * (g.gap_us * m.n * 1.0 / m.span_us) * 1000000.0) AS BIGINT) AS r6
+        FROM gaps g JOIN m ON g.event_type = m.event_type
+    )
+    SELECT m.event_type,
+           m.n + 1 AS n_events,
+           round(m.n * 3600000000.0 / m.span_us, 4) AS rate_per_hour,
+           round(sqrt(greatest(CAST(sum(t.r6) AS DOUBLE) / 1000000.0 / m.n - 1.0, 0.0)), 4)
+               AS gap_cv
+    FROM terms t JOIN m ON t.event_type = m.event_type
+    GROUP BY m.event_type, m.n, m.span_us
+    ORDER BY m.event_type
+    """,
+    "arrival-process card: Poisson rate and inter-arrival CV (burstiness) per event type",
+)
+def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    gaps = seq.filter(F.col("gap_us").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("gap_us").cast("long").alias("span_us")
+    )
+    ratio = F.col("gap_us") * F.col("n") * F.lit(1.0) / F.col("span_us")
+    r6 = F.round(ratio * ratio * F.lit(1000000.0)).cast("long")
+    terms = gaps.join(F.broadcast(m), "event_type").select("event_type", r6.alias("r6"))
+    joined = terms.groupBy("event_type").agg(F.sum("r6").alias("s6")).join(
+        F.broadcast(m), "event_type"
+    )
+    # E[r²] − 1 where r = gap/mean-gap: the variance of the normalized gap
+    cv = F.sqrt(
+        F.greatest(
+            F.col("s6").cast("double") / F.lit(1000000.0) / F.col("n") - F.lit(1.0),
+            F.lit(0.0),
+        )
+    )
+    return joined.select(
+        "event_type",
+        (F.col("n") + 1).alias("n_events"),
+        F.round(F.col("n") * F.lit(3600000000.0) / F.col("span_us"), 4).alias(
+            "rate_per_hour"
+        ),
+        F.round(cv, 4).alias("gap_cv"),
+    ).orderBy("event_type")

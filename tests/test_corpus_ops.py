@@ -630,3 +630,21 @@ def test_trained_lsh_recall_beats_md5_planes(spark):
     assert a == b  # deterministic across runs
     trained_hits = a & exact
     assert len(trained_hits) >= len(md5_hits)
+
+
+def test_survival_curve_antitone_and_anchored_at_one(spark):
+    rows = corpus.events_survival_curve(spark, SF_DIR).collect()
+    survs = [r["survival"] for r in rows]
+    assert survs == sorted(survs, reverse=True)
+    assert rows[0]["k_days"] == 0 and rows[0]["survival"] == 1.0
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert rows[0]["n_surviving"] == n_users
+
+
+def test_arrival_stats_sane(spark):
+    total = table(spark, SF_DIR, "events").count()
+    rows = corpus.events_arrival_stats(spark, SF_DIR).collect()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert r["rate_per_hour"] > 0
+        assert r["gap_cv"] >= 0
