@@ -111,6 +111,8 @@ _PRIORITY = [
     "ann_lsh_trained_topk",
     "events_survival_curve",
     "events_arrival_stats",
+    "text_entropy_rate",
+    "source_vocab_similarity",
 ]
 
 

@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "ann_lsh_trained_topk",
     "events_survival_curve",
     "events_arrival_stats",
+    "text_entropy_rate",
+    "source_vocab_similarity",
 ]
 
 

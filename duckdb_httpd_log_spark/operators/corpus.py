@@ -3360,3 +3360,159 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(cv, 4).alias("gap_cv"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Corpus entropy rate — the conditional bigram entropy H(w₂|w₁) =
+# −Σ p(w₁,w₂)·ln p(w₂|w₁), the single-number language-complexity
+# metric over the same MLE counts text_lm_score scores docs with
+# (natural language sits ~2.9–3.5 nats; templated corpora collapse).
+# p(w₂|w₁) = c₁₂/c₁ divides two exact integers; each −c₁₂·ln(c₁₂/c₁)
+# term quantizes to a scaled BIGINT before the corpus-wide integer
+# sum; ONE final division by the bigram total.
+# ---------------------------------------------------------------------------
+@register(
+    "text_entropy_rate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+        FROM toks
+    ),
+    bc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, bigram, count(*) AS c12
+        FROM bg GROUP BY bigram
+    ),
+    uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bc),
+    terms AS (
+        SELECT CAST(round(-b.c12 * ln(b.c12 * 1.0 / u.c1) * 1000000.0) AS BIGINT) AS t6
+        FROM bc b JOIN uc u ON b.w1 = u.w1
+    )
+    SELECT t.n_bigrams,
+           round((CAST(sum(m.t6) AS DOUBLE) / 1000000.0) / t.n_bigrams, 4)
+               AS entropy_rate_nats
+    FROM terms m, tot t
+    GROUP BY t.n_bigrams
+    """,
+    "corpus conditional bigram entropy rate H(w2|w1) in nats, quantized terms",
+)
+def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"
+                " else array() end"
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12")).withColumn(
+        "w1", F.split("bigram", " ").getItem(0)
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    tot = bc.agg(F.sum("c12").cast("long").alias("n_bigrams"))
+    t6 = F.round(
+        -F.col("c12") * F.log(F.col("c12") * F.lit(1.0) / F.col("c1")) * F.lit(1000000.0)
+    ).cast("long")
+    terms = bc.join(uc, "w1").select(t6.alias("t6"))
+    return (
+        terms.agg(F.sum("t6").alias("s6"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_bigrams",
+            F.round(
+                (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n_bigrams"), 4
+            ).alias("entropy_rate_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary-similarity matrix — pairwise Jaccard of each
+# source's top-vocabulary SET (the set-overlap complement of
+# text_kl_divergence's distributional distance; near-identical vocab
+# with shifted frequencies scores high here but far there). Per-source
+# top-K vocab bounds the self-join input to |sources|·K rows; all
+# counts integral with one quantized division per pair.
+# ---------------------------------------------------------------------------
+VOCABSIM_K = 200
+
+
+@register(
+    "source_vocab_similarity",
+    f"""
+    WITH tc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    ),
+    topv AS (
+        SELECT source, w FROM (
+            SELECT source, w,
+                   row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+            FROM tc
+        ) WHERE rk <= {VOCABSIM_K}
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM topv GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM topv a JOIN topv b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(round(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) AS BIGINT)
+               / 1000000.0 AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    "pairwise source vocabulary Jaccard over per-source top-K token sets",
+)
+def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    topv = (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCABSIM_K)
+        .select("source", "w")
+        .localCheckpoint(eager=False)  # feeds sizes + both join sides
+    )
+    sizes = topv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = topv.select(F.col("source").alias("source_a"), "w")
+    b = topv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.round(
+                    F.col("n_shared")
+                    * F.lit(1000000.0)
+                    / (F.col("na") + F.col("nb") - F.col("n_shared"))
+                )
+                .cast("long")
+                / F.lit(1000000.0)
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -77,6 +77,8 @@ _DOC_QUERIES = [
     "vocab_coverage_curve",
     "text_kl_divergence",
     "dedup_threshold_curve",
+    "text_entropy_rate",
+    "source_vocab_similarity",
 ]
 
 
