@@ -113,6 +113,7 @@ _PRIORITY = [
     "events_arrival_stats",
     "text_entropy_rate",
     "source_vocab_similarity",
+    "text_heaps_law",
 ]
 
 

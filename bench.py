@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "events_arrival_stats",
     "text_entropy_rate",
     "source_vocab_similarity",
+    "text_heaps_law",
 ]
 
 

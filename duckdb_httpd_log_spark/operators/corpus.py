@@ -3516,3 +3516,110 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit — vocabulary growth V(N) ≈ K·N^β across the corpus
+# (β ≈ 0.4–0.6 for natural language; flat β betrays a closed/templated
+# vocabulary — the growth twin of text_zipf_slope). The cumulative
+# points come from the first-sight trick (events_user_growth): each
+# token contributes to V at its FIRST document, so V and N at each
+# doc-id rung are integer counts from two hash aggs — never a per-rung
+# prefix re-scan. β is the OLS slope of ln V on ln N over the rungs,
+# with every OLS term quantized (the text_zipf_slope discipline).
+# ---------------------------------------------------------------------------
+HEAPS_RUNGS = 10
+
+
+@register(
+    "text_heaps_law",
+    f"""
+    WITH docs_n AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    maxid AS (SELECT max(doc_id) AS mx FROM docs_n),
+    firsts AS (
+        SELECT w, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    rungs AS (
+        SELECT CAST(i AS INTEGER) AS rung,
+               CAST(floor(mx * i * 1.0 / {HEAPS_RUNGS}) AS BIGINT) AS cut
+        FROM maxid, LATERAL unnest(range(1, {HEAPS_RUNGS + 1})) t(i)
+    ),
+    points AS (
+        SELECT r.rung,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM docs_n WHERE doc_id <= r.cut) AS n_stream,
+               (SELECT count(*) FROM firsts WHERE first_doc <= r.cut) AS v_vocab
+        FROM rungs r
+    ),
+    terms AS (
+        SELECT CAST(round(ln(CAST(n_stream AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
+               CAST(round(ln(CAST(v_vocab AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6,
+               CAST(round(ln(CAST(n_stream AS DOUBLE)) * ln(CAST(v_vocab AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS xy6,
+               CAST(round(ln(CAST(n_stream AS DOUBLE)) * ln(CAST(n_stream AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS xx6
+        FROM points WHERE n_stream > 0 AND v_vocab > 0
+    )
+    SELECT count(*) AS n_points,
+           round((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
+                  - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(y6) AS DOUBLE) / 1000000.0))
+                 / (count(*) * (CAST(sum(xx6) AS DOUBLE) / 1000000.0)
+                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0)),
+                 4) AS heaps_beta
+    FROM terms
+    """,
+    "Heaps' law vocabulary-growth exponent via first-sight rungs and quantized OLS",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    docs_n = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    mx = docs_n.agg(F.max("doc_id").alias("mx"))
+    firsts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    rungs = (
+        spark.createDataFrame([(i,) for i in range(1, HEAPS_RUNGS + 1)], "rung int")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "rung",
+            F.floor(F.col("mx") * F.col("rung") * F.lit(1.0) / F.lit(HEAPS_RUNGS))
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    n_pts = (
+        docs_n.crossJoin(F.broadcast(rungs))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("rung")
+        .agg(F.sum("n_tok").cast("long").alias("n_stream"))
+    )
+    v_pts = (
+        firsts.crossJoin(F.broadcast(rungs))
+        .filter(F.col("first_doc") <= F.col("cut"))
+        .groupBy("rung")
+        .agg(F.count(F.lit(1)).alias("v_vocab"))
+    )
+    points = n_pts.join(v_pts, "rung").filter(
+        (F.col("n_stream") > 0) & (F.col("v_vocab") > 0)
+    )
+    x = F.log(F.col("n_stream").cast("double"))
+    y = F.log(F.col("v_vocab").cast("double"))
+    m = F.lit(1000000.0)
+    terms = points.select(
+        F.round(x * m).cast("long").alias("x6"),
+        F.round(y * m).cast("long").alias("y6"),
+        F.round(x * y * m).cast("long").alias("xy6"),
+        F.round(x * x * m).cast("long").alias("xx6"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x6").cast("double") / m
+    sy = F.sum("y6").cast("double") / m
+    sxy = F.sum("xy6").cast("double") / m
+    sxx = F.sum("xx6").cast("double") / m
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return terms.agg(n.alias("n_points"), F.round(slope, 4).alias("heaps_beta"))

@@ -648,3 +648,10 @@ def test_arrival_stats_sane(spark):
     for r in rows:
         assert r["rate_per_hour"] > 0
         assert r["gap_cv"] >= 0
+
+
+def test_heaps_beta_sublinear(spark):
+    r = corpus.text_heaps_law(spark, SF_DIR).first()
+    assert r["n_points"] == corpus.HEAPS_RUNGS
+    # vocabulary grows sublinearly in stream size
+    assert 0.0 < r["heaps_beta"] < 1.0

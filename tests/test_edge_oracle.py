@@ -79,6 +79,7 @@ _DOC_QUERIES = [
     "dedup_threshold_curve",
     "text_entropy_rate",
     "source_vocab_similarity",
+    "text_heaps_law",
 ]
 
 
