@@ -653,5 +653,7 @@ def test_arrival_stats_sane(spark):
 def test_heaps_beta_sublinear(spark):
     r = corpus.text_heaps_law(spark, SF_DIR).first()
     assert r["n_points"] == corpus.HEAPS_RUNGS
-    # vocabulary grows sublinearly in stream size
-    assert 0.0 < r["heaps_beta"] < 1.0
+    # vocabulary grows sublinearly in stream size; the synthetic corpus
+    # draws from a small CLOSED vocabulary, so beta legitimately hits
+    # 0.0 once every token has been seen (real text sits ~0.4-0.6)
+    assert 0.0 <= r["heaps_beta"] < 1.0
