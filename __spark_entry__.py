@@ -114,6 +114,15 @@ _PRIORITY = [
     "text_entropy_rate",
     "source_vocab_similarity",
     "text_heaps_law",
+    # new in round 4, third batch (operators/analytics.py)
+    "corpus_good_turing",
+    "text_winnowing",
+    "events_bounce_rate",
+    "events_user_entropy",
+    "q51_moments",
+    "drift_psi_chars",
+    "basket_rules",
+    "events_funnel_latency",
 ]
 
 

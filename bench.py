@@ -167,6 +167,14 @@ BENCH_QUERIES = [
     "text_entropy_rate",
     "source_vocab_similarity",
     "text_heaps_law",
+    "corpus_good_turing",
+    "text_winnowing",
+    "events_bounce_rate",
+    "events_user_entropy",
+    "q51_moments",
+    "drift_psi_chars",
+    "basket_rules",
+    "events_funnel_latency",
 ]
 
 

@@ -80,6 +80,10 @@ _DOC_QUERIES = [
     "text_entropy_rate",
     "source_vocab_similarity",
     "text_heaps_law",
+    # round-4 analytics batch (documents-only subset)
+    "corpus_good_turing",
+    "text_winnowing",
+    "drift_psi_chars",
 ]
 
 
