@@ -175,6 +175,12 @@ BENCH_QUERIES = [
     "drift_psi_chars",
     "basket_rules",
     "events_funnel_latency",
+    "ann_pq_topk",
+    "corpus_tfidf_pairs",
+    "events_session_patterns",
+    "events_markov_entropy",
+    "orders_repeat_gap",
+    "multimodal_caption_pairs",
 ]
 
 

@@ -707,3 +707,557 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) — the memory-bounded ANN scale
+# path that emb_pq_codes' codebook exists for: corpus vectors are
+# represented by PQ_SUBS 2-bit codes; a query scans only the tiny
+# (sub, code) distance table and ranks candidates by the SUM of
+# per-subspace table entries, never touching raw corpus floats. The
+# CTE chain (seeds/m/cen/vals/d/assigned) restates emb_pq_codes'
+# codebook verbatim so the code assignment cannot drift. Every
+# distance is an integer SUM of quantized squared diffs -> the ADC
+# ranking compares integers, no cross-engine float ties. Shape: codes
+# are 4 rows/vector; the dt join is against a broadcast 4x4x|Q| table;
+# one (q_id, c_id) hash agg; top-k per query under a total order.
+# ---------------------------------------------------------------------------
+from .corpus import PQ_CODES, PQ_SALT, PQ_SUBDIM  # noqa: E402  (shared codebook)
+
+PQANN_QUERIES = 5
+PQANN_TOP = 5
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5('{PQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+        QUALIFY rn <= {PQ_CODES}
+    ),
+    rawvals AS (
+        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM rawvals),
+    cen AS (
+        SELECT (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+               rn - 1 AS code,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) / m.m0 AS c
+        FROM seeds, m, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    vals AS (SELECT vec_id, sub, pos, x0 / m0 AS x FROM rawvals, m),
+    d AS (
+        SELECT v.vec_id, v.sub, c.code,
+               sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
+        FROM vals v JOIN cen c ON v.pos = c.pos
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    assigned AS (
+        SELECT vec_id, sub, code
+        FROM (SELECT vec_id, sub, code,
+                     row_number() OVER (PARTITION BY vec_id, sub ORDER BY q9, code) AS rk
+              FROM d)
+        WHERE rk = 1
+    ),
+    dt AS (
+        SELECT vec_id AS q_id, sub, code, q9 FROM d WHERE vec_id < {PQANN_QUERIES}
+    ),
+    adc AS (
+        SELECT dt.q_id, a.vec_id AS c_id, sum(dt.q9) AS adc9
+        FROM assigned a JOIN dt ON a.sub = dt.sub AND a.code = dt.code
+        WHERE a.vec_id <> dt.q_id
+        GROUP BY dt.q_id, a.vec_id
+    )
+    SELECT q_id, c_id,
+           round(m.m0 * m.m0 * (CAST(adc9 AS DOUBLE) / 1000000000.0), 6) AS adc_dist2
+    FROM (SELECT q_id, c_id, adc9,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adc9, c_id) AS rn
+          FROM adc)
+    JOIN m ON true
+    WHERE rn <= {PQANN_TOP}
+    ORDER BY q_id, adc_dist2, c_id
+    """,
+    "PQ asymmetric-distance ANN: integer ADC over emb_pq_codes' codebook, top-k per query",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    md5key = F.md5(F.concat(F.lit(PQ_SALT), F.col("vec_id").cast("string")).cast("binary"))
+    seeds = (
+        emb.select("vec_id", "embedding", md5key.alias("mk"))
+        .orderBy("mk", "vec_id")
+        .limit(PQ_CODES)
+        .withColumn("rn", F.row_number().over(Window.orderBy("mk", "vec_id")))
+    )
+    rawvals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        "pos",
+        F.col("xf").cast("double").alias("x0"),
+    )
+    m = rawvals.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    cen = (
+        seeds.select((F.col("rn") - 1).alias("code"), F.posexplode("embedding").alias("pos", "cf"))
+        .crossJoin(F.broadcast(m))
+        .select("code", "pos", (F.col("cf").cast("double") / F.col("m0")).alias("c"))
+    )
+    vals = rawvals.crossJoin(F.broadcast(m)).select(
+        "vec_id", "sub", "pos", (F.col("x0") / F.col("m0")).alias("x")
+    )
+    q9 = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)
+    ).cast("long")
+    d = (
+        vals.join(F.broadcast(cen), "pos")
+        .select("vec_id", "sub", "code", q9.alias("t9"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum("t9").alias("q9"))
+    )
+    rk_w = Window.partitionBy("vec_id", "sub").orderBy("q9", "code")
+    assigned = (
+        d.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    dt = d.filter(F.col("vec_id") < PQANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "sub", "code", "q9"
+    )
+    adc = (
+        assigned.join(F.broadcast(dt), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("q9").alias("adc9"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("adc9", "c_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= PQANN_TOP)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.col("m0") * F.col("m0") * (F.col("adc9").cast("double") / F.lit(1000000000.0)),
+                6,
+            ).alias("adc_dist2"),
+        )
+        .orderBy("q_id", "adc_dist2", "c_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine pairs — the lexical similarity complement to the
+# dense-embedding ANN family: document pairs scored by tf-idf-weighted
+# dot product over SHARED terms only (join on term, never all-pairs).
+# Terms are 3-token shingles, not unigrams: the generator's vocabulary
+# is closed (~31 words, each in ~78% of docs), so every unigram blows
+# past any df cap while the 31^3 shingle space stays sparse at every
+# SF. The document-frequency cap bounds the per-term fan-out exactly
+# like dedup_ngram_jaccard's DF_CAP: a term in d docs contributes
+# O(d^2) pairs, so capping df turns the worst case from O(N^2) into
+# O(cap * n_terms) — the standard sparse-similarity scale trick.
+# Weights are quantized to 1e4-scaled BIGINTs; dots and norms are
+# integer SUMs; one final pinned double expression.
+# ---------------------------------------------------------------------------
+TFIDF_DF_CAP = 50
+TFIDF_PAIR_TOP = 50
+
+
+@register(
+    "corpus_tfidf_pairs",
+    f"""
+    WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    toks AS (
+        SELECT doc_id,
+               t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] || ' '
+                   || t[CAST(i + 2 AS INTEGER)] AS w
+        FROM t0, LATERAL unnest(range(1, len(t) - 1)) x(i)
+        WHERE len(t) >= 3
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    wts AS (
+        SELECT t.doc_id, t.w,
+               CAST(round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 10000.0) AS BIGINT) AS w4
+        FROM tf t JOIN df d ON t.w = d.w, n_docs n
+        WHERE d.df <= {TFIDF_DF_CAP}
+    ),
+    norms AS (SELECT doc_id, sum(w4 * w4) AS ss FROM wts GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.w4 * b.w4) AS dot, count(*) AS n_shared
+        FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 4) AS cosine
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT {TFIDF_PAIR_TOP}
+    """,
+    "sparse tf-idf cosine pairs: df-capped term join, integer dots/norms, top-k",
+)
+def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w4 = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * F.lit(10000.0)
+    ).cast("long")
+    wts = (
+        tf.join(df, "w")
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "w", w4.alias("w4"))
+    )
+    norms = wts.groupBy("doc_id").agg(F.sum(F.col("w4") * F.col("w4")).alias("ss"))
+    a = wts.select(F.col("doc_id").alias("doc_a"), "w", F.col("w4").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("doc_b"), "w", F.col("w4").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double"))),
+        4,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(TFIDF_PAIR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session sequence-pattern mining — the MATCH_RECOGNIZE-lite every
+# product-analytics stack runs: each session (q15 gap rule) becomes an
+# ordered event-initial string ('vcp...' = view,click,purchase),
+# truncated to its first 8 events; top patterns by frequency. The
+# per-session string build is an ordered in-partition aggregation
+# (array_sort over (us, event_id) structs — no collect_list order
+# nondeterminism); pattern counting is a hash agg on short strings.
+# ---------------------------------------------------------------------------
+PATTERN_PREFIX = 8
+PATTERN_TOP = 20
+
+
+@register(
+    "events_session_patterns",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, session_idx,
+               substr(string_agg(substr(event_type, 1, 1), '' ORDER BY us, event_id),
+                      1, {PATTERN_PREFIX}) AS pattern
+        FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT pattern, count(*) AS n_sessions
+    FROM sess
+    GROUP BY pattern
+    ORDER BY n_sessions DESC, pattern
+    LIMIT {PATTERN_TOP}
+    """,
+    "session sequence patterns: ordered event-initial strings per session, top-k by frequency",
+)
+def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(wlag).isNull()
+            | (F.col("us") - F.lag("us").over(wlag) > _GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_idx").agg(
+        F.substring(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(us, event_id,"
+                    " substring(event_type, 1, 1) AS letter))), x -> x.letter)"
+                ),
+                "",
+            ),
+            1,
+            PATTERN_PREFIX,
+        ).alias("pattern")
+    )
+    return (
+        sess.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "pattern")
+        .limit(PATTERN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov conditional entropy — how predictable is the NEXT event given
+# the current one (q27_transition_matrix's information-theoretic
+# summary; low entropy = scripted/bot flows). Per from-type entropy
+# over the next-event distribution, same scaled-integer
+# canonicalization as every entropy in this repo, plus the
+# row-count-weighted corpus average H(next|cur) as a separate row
+# ('__overall__' — integer-weighted sum of per-type quantized
+# entropies, one division).
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_entropy",
+    """
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    tc AS (SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    agg AS (
+        SELECT cur, sum(c) AS n,
+               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                        AS BIGINT)) AS s6
+        FROM tc GROUP BY cur
+    ),
+    pertype AS (
+        SELECT cur, n,
+               CAST(round((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
+                          * 10000.0) AS BIGINT) AS h4
+        FROM agg
+    )
+    SELECT cur AS from_type, n AS n_transitions, h4 / 10000.0 AS cond_entropy
+    FROM pertype
+    UNION ALL
+    SELECT '__overall__' AS from_type, sum(n) AS n_transitions,
+           CAST(round(CAST(sum(n * h4) AS DOUBLE) / sum(n)) AS BIGINT) / 10000.0 AS cond_entropy
+    FROM pertype
+    ORDER BY from_type
+    """,
+    "Markov conditional entropy H(next|current) per event type + weighted overall",
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(wseq).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    agg = tc.groupBy("cur").agg(F.sum("c").alias("n"), F.sum(term6).alias("s6"))
+    h4 = F.round(
+        (
+            F.log(F.col("n").cast("double"))
+            - (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n")
+        )
+        * F.lit(10000.0)
+    ).cast("long")
+    pertype = agg.select("cur", "n", h4.alias("h4"))
+    per_rows = pertype.select(
+        F.col("cur").alias("from_type"),
+        F.col("n").alias("n_transitions"),
+        (F.col("h4") / F.lit(10000.0)).alias("cond_entropy"),
+    )
+    overall = pertype.agg(
+        F.sum("n").alias("n_transitions"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.col("h4")).cast("double") / F.sum("n")
+            ).cast("long")
+            / F.lit(10000.0)
+        ).alias("cond_entropy"),
+    ).select(
+        F.lit("__overall__").alias("from_type"), "n_transitions", "cond_entropy"
+    )
+    return per_rows.unionAll(overall).orderBy("from_type")
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase gap distribution — inter-order time per returning
+# customer, bucketed by week (the replenishment-cycle profile behind
+# churn models). One per-customer lag window, then a hash agg on 13
+# bucket keys; the share ratio goes through quantize-then-divide.
+# ---------------------------------------------------------------------------
+GAP_BUCKET_DAYS = 7
+GAP_MAX_BUCKET = 12
+
+
+@register(
+    "orders_repeat_gap",
+    f"""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ),
+    gaps AS (
+        SELECT least(CAST(gap_days // {GAP_BUCKET_DAYS} AS BIGINT), {GAP_MAX_BUCKET}) AS bucket
+        FROM seq WHERE gap_days IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM gaps)
+    SELECT g.bucket AS gap_weeks, count(*) AS n_gaps,
+           CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0 / t.n) AS BIGINT)
+               / 1000000.0 AS share
+    FROM gaps g, tot t
+    GROUP BY g.bucket, t.n
+    ORDER BY g.bucket
+    """,
+    "repeat-purchase gap distribution: per-customer inter-order days, weekly buckets",
+)
+def orders_repeat_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wlag)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    gaps = seq.select(
+        F.least(
+            (F.col("gap_days") / GAP_BUCKET_DAYS).cast("long"),
+            F.lit(GAP_MAX_BUCKET).cast("long"),
+        ).alias("gap_weeks")
+    )
+    tot = gaps.agg(F.count(F.lit(1)).alias("n"))
+    share = (
+        F.round(F.col("n_gaps").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        gaps.groupBy("gap_weeks")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .crossJoin(F.broadcast(tot))
+        .select("gap_weeks", "n_gaps", share.alias("share"))
+        .orderBy("gap_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal caption-pair curation — the LAION-style (media, caption)
+# training-pair construction step: align each opaque payload with its
+# caption text, apply the keep gate (caption length + payload size),
+# and report per-kind keep/drop accounting. The Spark side goes
+# through the SAME binary_table fabrication as the other multimodal
+# ops (payload bytes stay executor-side; only octet counts aggregate);
+# the oracle derives identical facts from the text column (ASCII
+# convention documented at multimodal_chunk_audio).
+# ---------------------------------------------------------------------------
+PAIR_MIN_TOKENS = 5
+PAIR_MIN_BYTES = 100
+
+
+@register(
+    "multimodal_caption_pairs",
+    f"""
+    WITH pairs AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               len(string_split(text, ' ')) AS caption_tokens,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    gated AS (
+        SELECT kind,
+               CASE WHEN caption_tokens >= {PAIR_MIN_TOKENS}
+                         AND n_bytes >= {PAIR_MIN_BYTES} THEN 1 ELSE 0 END AS keep,
+               caption_tokens, n_bytes
+        FROM pairs
+    )
+    SELECT kind, keep, count(*) AS n_pairs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(round(CAST(sum(caption_tokens) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+               / 100.0 AS avg_caption_tokens
+    FROM gated
+    GROUP BY kind, keep
+    ORDER BY kind, keep
+    """,
+    "multimodal training-pair curation: per-kind keep/drop gate over aligned payload+caption",
+)
+def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import binary_table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bt = binary_table(spark, sf_dir).select("doc_id", "kind", F.octet_length("payload").alias("n_bytes"))
+    pairs = bt.join(docs, "doc_id").select(
+        "kind", F.size(F.split("text", " ")).alias("caption_tokens"), "n_bytes"
+    )
+    gated = pairs.select(
+        "kind",
+        F.when(
+            (F.col("caption_tokens") >= PAIR_MIN_TOKENS)
+            & (F.col("n_bytes") >= PAIR_MIN_BYTES),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+        "caption_tokens",
+        "n_bytes",
+    )
+    avg_tok = (
+        F.round(
+            F.sum("caption_tokens").cast("double") * F.lit(100.0) / F.count(F.lit(1))
+        ).cast("long")
+        / F.lit(100.0)
+    )
+    return (
+        gated.groupBy("kind", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            avg_tok.alias("avg_caption_tokens"),
+        )
+        .orderBy("kind", "keep")
+    )

@@ -84,6 +84,8 @@ _DOC_QUERIES = [
     "corpus_good_turing",
     "text_winnowing",
     "drift_psi_chars",
+    "corpus_tfidf_pairs",
+    "multimodal_caption_pairs",
 ]
 
 
