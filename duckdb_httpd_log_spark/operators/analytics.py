@@ -59,11 +59,14 @@ GT_TOP_R = 15
 )
 def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # lazy checkpoint: tc (vocabulary-sized) feeds fof AND tot — without
+    # it each branch re-runs the full corpus explode+agg
     tc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     fof = tc.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).alias("n_r"))
     tot = tc.agg(F.sum("c").alias("n_tokens"))
@@ -485,6 +488,8 @@ def drift_psi_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.range(0, PSI_MAX_BIN + 1).select(F.col("id").alias("bin"))
         )
     )
+    # lazy checkpoint: smoothed (n_sources x 13 rows) feeds ref AND the
+    # comparison side — one scan chain instead of two
     smoothed = (
         spine.join(counts, ["source", "bin"], "left")
         .join(tot, "source")
@@ -496,6 +501,7 @@ def drift_psi_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") + F.lit(PSI_MAX_BIN + 1))
             ).alias("p"),
         )
+        .localCheckpoint(eager=False)
     )
     ref = smoothed.filter(F.col("source") == PSI_REF_SOURCE).select(
         "bin", F.col("p").alias("q")
@@ -554,7 +560,14 @@ RULES_TOP = 25
     "association rules: confidence and lift over top co-ordered part pairs",
 )
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # lazy checkpoint: the deduped (order, part) set feeds nb, ic, and
+    # both pair-join sides — one scan + distinct instead of four
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nb = li.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -812,11 +825,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 = F.round(
         (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)
     ).cast("long")
+    # lazy checkpoint: d (N x subs x codes distance rows) feeds the code
+    # assignment AND the query distance table — without it the
+    # posexplode + centroid join runs twice
     d = (
         vals.join(F.broadcast(cen), "pos")
         .select("vec_id", "sub", "code", q9.alias("t9"))
         .groupBy("vec_id", "sub", "code")
         .agg(F.sum("t9").alias("q9"))
+        .localCheckpoint(eager=False)
     )
     rk_w = Window.partitionBy("vec_id", "sub").orderBy("q9", "code")
     assigned = (
@@ -929,11 +946,16 @@ def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w4 = F.round(
         F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * F.lit(10000.0)
     ).cast("long")
+    # lazy checkpoint: wts feeds norms and BOTH pair-join sides; without
+    # it the tokenize + two hash aggs re-run three times (12 parquet
+    # scans in the un-checkpointed plan). Materialize-once is what a
+    # production pipeline would snapshot anyway.
     wts = (
         tf.join(df, "w")
         .filter(F.col("df") <= TFIDF_DF_CAP)
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "w", w4.alias("w4"))
+        .localCheckpoint(eager=False)
     )
     norms = wts.groupBy("doc_id").agg(F.sum(F.col("w4") * F.col("w4")).alias("ss"))
     a = wts.select(F.col("doc_id").alias("doc_a"), "w", F.col("w4").alias("wa"))
@@ -1101,7 +1123,9 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(10000.0)
     ).cast("long")
-    pertype = agg.select("cur", "n", h4.alias("h4"))
+    # lazy checkpoint: the 5-row per-type table feeds both output
+    # branches; without it the transition window re-runs for each
+    pertype = agg.select("cur", "n", h4.alias("h4")).localCheckpoint(eager=False)
     per_rows = pertype.select(
         F.col("cur").alias("from_type"),
         F.col("n").alias("n_transitions"),

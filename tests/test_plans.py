@@ -152,3 +152,41 @@ def test_date_fill_spine_from_single_aggregate(spark):
     plan = _plan(REGISTRY["q45_date_fill"].spark_fn(spark, SF_DIR))
     assert "explode(sequence(" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_pairs_materializes_weights_once(spark):
+    # the df-capped weight table feeds norms AND both pair-join sides;
+    # the lazy checkpoint must collapse the plan to a single scan chain
+    # (un-checkpointed: 12 parquet scans / 38 aggregates)
+    plan = _plan(REGISTRY["corpus_tfidf_pairs"].spark_fn(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 0 or plan.count("FileScan parquet") <= 1
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_single_corpus_scan(spark):
+    # codes + query distance table both derive from ONE materialized
+    # distance aggregate; the corpus parquet must be scanned once
+    plan = _plan(REGISTRY["ann_pq_topk"].spark_fn(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 1
+    assert "SortMergeJoin" not in plan  # dt joins via broadcast
+
+
+def test_moments_single_pass(spark):
+    # all four power sums come from ONE partial+final hash agg pair —
+    # no second pass over events, no window
+    plan = _plan(REGISTRY["q51_moments"].spark_fn(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "Window" not in plan
+
+
+def test_winnowing_windows_per_doc(spark):
+    # the window-min partitions by doc_id (doc-sized partitions), never
+    # a global single-partition window
+    plan = _plan(REGISTRY["text_winnowing"].spark_fn(spark, SF_DIR))
+    assert "Window" in plan
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1)
