@@ -723,21 +723,28 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PQ asymmetric-distance search (ADC) — the memory-bounded ANN scale
-# path that emb_pq_codes' codebook exists for: corpus vectors are
-# represented by PQ_SUBS 2-bit codes; a query scans only the tiny
-# (sub, code) distance table and ranks candidates by the SUM of
-# per-subspace table entries, never touching raw corpus floats. The
-# CTE chain (seeds/m/cen/vals/d/assigned) restates emb_pq_codes'
-# codebook verbatim so the code assignment cannot drift. Every
-# distance is an integer SUM of quantized squared diffs -> the ADC
-# ranking compares integers, no cross-engine float ties. Shape: codes
-# are 4 rows/vector; the dt join is against a broadcast 4x4x|Q| table;
-# one (q_id, c_id) hash agg; top-k per query under a total order.
+# PQ asymmetric-distance search with exact refine — the memory-bounded
+# two-stage ANN pipeline (IVFADC+R): corpus vectors are represented by
+# 4 subspace codes (16 centroids each); stage 1 ranks ALL candidates
+# by integer ADC (the query's tiny (sub, code) distance table summed
+# per subspace — raw corpus floats never touched) and keeps the top
+# PQANN_CAND; stage 2 re-ranks only those candidates by exact cosine.
+# Vectors are unit-normalized first so squared-L2 ADC ranking is
+# cosine ranking (||a-b||^2 = 2 - 2cos on the unit sphere); the refine
+# stage reuses ann_cosine_topk's pinned dot/norm expressions, so the
+# output contract (q_id, c_id, cosine) is directly comparable and the
+# recall floor is pinned in tests (0.92 at sf0.01 vs brute force).
+# Every ADC distance is an integer SUM of quantized squared diffs ->
+# the candidate cut compares integers, no cross-engine float ties.
+# Shape: codes are 4 rows/vector; the dt join is against a broadcast
+# 4x16x|Q| table; one (q_id, c_id) hash agg; refine touches
+# |Q| x PQANN_CAND rows — constant per query at any corpus size.
 # ---------------------------------------------------------------------------
-from .corpus import PQ_CODES, PQ_SALT, PQ_SUBDIM  # noqa: E402  (shared codebook)
-
+PQANN_SUBDIM = 16  # DIM 64 / 4 subspaces
+PQANN_CODES = 16
+PQANN_SALT = "pqann:"
 PQANN_QUERIES = 5
+PQANN_CAND = 200  # ADC candidates handed to the exact refine stage
 PQANN_TOP = 5
 
 
@@ -746,25 +753,30 @@ PQANN_TOP = 5
     f"""
     WITH seeds AS (
         SELECT vec_id, embedding,
-               row_number() OVER (ORDER BY md5('{PQ_SALT}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+               row_number() OVER (ORDER BY md5('{PQANN_SALT}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM embeddings
-        QUALIFY rn <= {PQ_CODES}
+        QUALIFY rn <= {PQANN_CODES}
     ),
     rawvals AS (
-        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
+        SELECT vec_id, (CAST(i AS INTEGER) - 1) // {PQANN_SUBDIM} AS sub,
                CAST(i AS INTEGER) - 1 AS pos,
                CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
         FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
     ),
-    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM rawvals),
-    cen AS (
-        SELECT (CAST(i AS INTEGER) - 1) // {PQ_SUBDIM} AS sub,
-               rn - 1 AS code,
-               CAST(i AS INTEGER) - 1 AS pos,
-               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) / m.m0 AS c
-        FROM seeds, m, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    nrm AS (SELECT vec_id, greatest(sqrt(sum(x0 * x0)), 1e-300) AS nv
+            FROM rawvals GROUP BY vec_id),
+    vals AS (
+        SELECT r.vec_id, r.sub, r.pos, r.x0 / n.nv AS x
+        FROM rawvals r JOIN nrm n ON r.vec_id = n.vec_id
     ),
-    vals AS (SELECT vec_id, sub, pos, x0 / m0 AS x FROM rawvals, m),
+    cen AS (
+        SELECT (CAST(i AS INTEGER) - 1) // {PQANN_SUBDIM} AS sub,
+               s.rn - 1 AS code,
+               CAST(i AS INTEGER) - 1 AS pos,
+               CAST(s.embedding[CAST(i AS INTEGER)] AS DOUBLE) / n.nv AS c
+        FROM seeds s JOIN nrm n ON s.vec_id = n.vec_id,
+             LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
     d AS (
         SELECT v.vec_id, v.sub, c.code,
                sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
@@ -786,41 +798,66 @@ PQANN_TOP = 5
         FROM assigned a JOIN dt ON a.sub = dt.sub AND a.code = dt.code
         WHERE a.vec_id <> dt.q_id
         GROUP BY dt.q_id, a.vec_id
+    ),
+    cand AS (
+        SELECT q_id, c_id
+        FROM (SELECT q_id, c_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY adc9, c_id) AS rn
+              FROM adc)
+        WHERE rn <= {PQANN_CAND}
+    ),
+    refined AS (
+        SELECT cand.q_id, cand.c_id,
+               round(
+                 list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                           for i in range(1, len(q.embedding) + 1)])
+                 / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                                   for i in range(1, len(q.embedding) + 1)]))
+                    * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                                     for i in range(1, len(c.embedding) + 1)]))),
+                 4) AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.c_id
     )
-    SELECT q_id, c_id,
-           round(m.m0 * m.m0 * (CAST(adc9 AS DOUBLE) / 1000000000.0), 6) AS adc_dist2
-    FROM (SELECT q_id, c_id, adc9,
-                 row_number() OVER (PARTITION BY q_id ORDER BY adc9, c_id) AS rn
-          FROM adc)
-    JOIN m ON true
+    SELECT q_id, c_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM refined)
     WHERE rn <= {PQANN_TOP}
-    ORDER BY q_id, adc_dist2, c_id
+    ORDER BY q_id, cosine DESC, c_id
     """,
-    "PQ asymmetric-distance ANN: integer ADC over emb_pq_codes' codebook, top-k per query",
+    "two-stage PQ ANN: unit-sphere integer ADC candidates + exact cosine refine, top-k",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    md5key = F.md5(F.concat(F.lit(PQ_SALT), F.col("vec_id").cast("string")).cast("binary"))
+    md5key = F.md5(F.concat(F.lit(PQANN_SALT), F.col("vec_id").cast("string")).cast("binary"))
     seeds = (
         emb.select("vec_id", "embedding", md5key.alias("mk"))
         .orderBy("mk", "vec_id")
-        .limit(PQ_CODES)
+        .limit(PQANN_CODES)
         .withColumn("rn", F.row_number().over(Window.orderBy("mk", "vec_id")))
     )
     rawvals = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id",
-        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        (F.col("pos") / PQANN_SUBDIM).cast("int").alias("sub"),
         "pos",
         F.col("xf").cast("double").alias("x0"),
     )
-    m = rawvals.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
-    cen = (
-        seeds.select((F.col("rn") - 1).alias("code"), F.posexplode("embedding").alias("pos", "cf"))
-        .crossJoin(F.broadcast(m))
-        .select("code", "pos", (F.col("cf").cast("double") / F.col("m0")).alias("c"))
+    nrm = rawvals.groupBy("vec_id").agg(
+        F.greatest(F.sqrt(F.sum(F.col("x0") * F.col("x0"))), F.lit(1e-300)).alias("nv")
     )
-    vals = rawvals.crossJoin(F.broadcast(m)).select(
-        "vec_id", "sub", "pos", (F.col("x0") / F.col("m0")).alias("x")
+    cen = (
+        seeds.join(nrm, "vec_id")
+        .select(
+            (F.col("rn") - 1).alias("code"),
+            "nv",
+            F.posexplode("embedding").alias("pos", "cf"),
+        )
+        .select("code", "pos", (F.col("cf").cast("double") / F.col("nv")).alias("c"))
+    )
+    vals = rawvals.join(nrm, "vec_id").select(
+        "vec_id", "sub", "pos", (F.col("x0") / F.col("nv")).alias("x")
     )
     q9 = F.round(
         (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)
@@ -851,19 +888,36 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("q9").alias("adc9"))
     )
     wq = Window.partitionBy("q_id").orderBy("adc9", "c_id")
-    return (
+    cand = (
         adc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= PQANN_TOP)
-        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= PQANN_CAND)
+        .select("q_id", "c_id")
+    )
+    from .similarity import _DOT, _NORM
+
+    qv = emb.filter(F.col("vec_id") < PQANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    refined = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
         .select(
             "q_id",
             "c_id",
             F.round(
-                F.col("m0") * F.col("m0") * (F.col("adc9").cast("double") / F.lit(1000000000.0)),
-                6,
-            ).alias("adc_dist2"),
+                F.expr(_DOT)
+                / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
+                4,
+            ).alias("cosine"),
         )
-        .orderBy("q_id", "adc_dist2", "c_id")
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    return (
+        refined.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= PQANN_TOP)
+        .select("q_id", "c_id", "cosine")
+        .orderBy("q_id", F.col("cosine").desc(), "c_id")
     )
 
 

@@ -529,3 +529,22 @@ def test_compact_partition_preserves_rows_and_reduces_files(spark, tmp_path):
     after = spark.read.parquet(path)
     assert sorted(r["id"] for r in after.collect()) == before_rows
     assert dict(after.dtypes) == dict(df.dtypes)
+
+
+def test_pq_refine_recall_vs_brute_force(spark):
+    """Two-stage PQ (integer ADC candidates + exact cosine refine) must
+    recover most of the exact top-k. Measured 0.92 at sf0.01 with the
+    md5-sampled 16-code codebook; the floor sits well below so codebook
+    jitter passes while a broken candidate stage (recall was 0.04
+    pre-refine) fails. Runs at sf0.01: at sf0.001 the candidate pool
+    covers the whole corpus and the test would be vacuous."""
+    sf = "/root/testdata/sf0.01"
+    from duckdb_httpd_log_spark.operators.analytics import PQANN_QUERIES
+
+    exact = REGISTRY["ann_cosine_topk"].spark_fn(spark, sf)
+    pq = REGISTRY["ann_pq_topk"].spark_fn(spark, sf)
+    e = {(r.q_id, r.c_id) for r in exact.collect() if r.q_id < PQANN_QUERIES}
+    p = {(r.q_id, r.c_id) for r in pq.collect()}
+    assert len(e) > 0
+    recall = len(e & p) / len(e)
+    assert recall >= 0.7, f"PQ+refine recall too low: {recall}"

@@ -164,12 +164,14 @@ def test_tfidf_pairs_materializes_weights_once(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_pq_topk_single_corpus_scan(spark):
+def test_pq_topk_scan_and_join_shape(spark):
     # codes + query distance table both derive from ONE materialized
-    # distance aggregate; the corpus parquet must be scanned once
+    # distance aggregate (1 scan); the exact-refine stage re-reads the
+    # corpus for the two embedding sides (2 more) but never sort-merges
+    # — candidates and queries broadcast
     plan = _plan(REGISTRY["ann_pq_topk"].spark_fn(spark, SF_DIR))
-    assert plan.count("FileScan parquet") <= 1
-    assert "SortMergeJoin" not in plan  # dt joins via broadcast
+    assert plan.count("FileScan parquet") <= 3
+    assert "SortMergeJoin" not in plan
 
 
 def test_moments_single_pass(spark):
