@@ -129,6 +129,11 @@ _PRIORITY = [
     "events_markov_entropy",
     "orders_repeat_gap",
     "multimodal_caption_pairs",
+    "q52_percentile_cont",
+    "orders_rfm_migration",
+    "dq_skew_report",
+    "emb_cluster_purity",
+    "events_sla_burn",
 ]
 
 

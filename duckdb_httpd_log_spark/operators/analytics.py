@@ -1339,3 +1339,383 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) percentiles — PERCENTILE_CONT re-expressed
+# manually in BOTH engines so the interpolation arithmetic is pinned
+# (native quantile_cont implementations differ in edge handling):
+# h = (n-1)p, value = lo + (hi-lo)*frac over exact integer cents, one
+# quantized rounding at the end. Complements q46's discrete
+# percentiles. One ranked window per group over integer cents.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_percentile_cont",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM v
+    ),
+    picked AS (
+        SELECT grp, max(n) AS n,
+               min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS lo50,
+               min(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS hi50,
+               min(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS lo95,
+               min(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS hi95
+        FROM ranked
+        GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority, n AS n_orders,
+           CAST(round((lo50 + (hi50 - lo50) * (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+                      * 100.0) AS BIGINT) / 10000.0 AS p50,
+           CAST(round((lo95 + (hi95 - lo95) * (0.95 * (n - 1) - floor(0.95 * (n - 1))))
+                      * 100.0) AS BIGINT) / 10000.0 AS p95
+    FROM picked
+    ORDER BY o_orderpriority
+    """,
+    "interpolated percentiles (PERCENTILE_CONT semantics) pinned manually over integer cents",
+)
+def q52_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("grp").orderBy("cents")
+    wn = Window.partitionBy("grp")
+    ranked = v.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def lo(p):
+        return F.min(
+            F.when(
+                F.col("rn")
+                == F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1,
+                F.col("cents"),
+            )
+        )
+
+    def hi(p):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * (F.col("n") - 1)).cast("long") + 1,
+                F.col("cents"),
+            )
+        )
+
+    picked = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        lo(0.5).alias("lo50"),
+        hi(0.5).alias("hi50"),
+        lo(0.95).alias("lo95"),
+        hi(0.95).alias("hi95"),
+    )
+
+    def interp(lo_c, hi_c, p):
+        h = F.lit(p) * (F.col("n") - 1)
+        frac = h - F.floor(h)
+        return (
+            F.round((F.col(lo_c) + (F.col(hi_c) - F.col(lo_c)) * frac) * F.lit(100.0))
+            .cast("long")
+            / F.lit(10000.0)
+        )
+
+    return picked.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").alias("n_orders"),
+        interp("lo50", "hi50", 0.5).alias("p50"),
+        interp("lo95", "hi95", 0.95).alias("p95"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# RFM segment migration — the growth-analytics matrix: customers are
+# quintiled by monetary value in an early and a late period (fixed
+# calendar pivot), and the transition counts show who upgraded,
+# churned, or stayed. ntile over a (monetary, custkey) total order is
+# engine-portable (proven by text_ccnet_bucket); counts are integers.
+# Shape: two per-period hash aggs + quintile windows over
+# customer-sized partitions, one join on custkey, one matrix agg.
+# ---------------------------------------------------------------------------
+RFM_PIVOT = "1998-05-01"  # midpoint of the generator's 1995..2001 span
+
+
+@register(
+    "orders_rfm_migration",
+    f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate < DATE '{RFM_PIVOT}' THEN 0 ELSE 1 END AS period,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    classed AS (
+        SELECT o_custkey, period,
+               ntile(5) OVER (PARTITION BY period ORDER BY cents, o_custkey) AS tier
+        FROM spend
+    )
+    SELECT e.tier AS tier_early, l.tier AS tier_late, count(*) AS n_customers
+    FROM classed e
+    JOIN classed l ON e.o_custkey = l.o_custkey AND e.period = 0 AND l.period = 1
+    GROUP BY e.tier, l.tier
+    ORDER BY tier_early, tier_late
+    """,
+    "RFM tier migration matrix: early vs late monetary quintile transition counts",
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit(RFM_PIVOT).cast("date"), 0)
+        .otherwise(1)
+        .alias("period"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+    wt = Window.partitionBy("period").orderBy("cents", "o_custkey")
+    # lazy checkpoint: the classed table joins itself (early x late)
+    classed = (
+        spend.select("o_custkey", "period", F.ntile(5).over(wt).alias("tier"))
+        .localCheckpoint(eager=False)
+    )
+    e = classed.filter(F.col("period") == 0).select(
+        "o_custkey", F.col("tier").alias("tier_early")
+    )
+    l = classed.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_late")
+    )
+    return (
+        e.join(l, "o_custkey")
+        .groupBy("tier_early", "tier_late")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("tier_early", "tier_late")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the 100 TB ops diagnostic this whole repo's
+# partitioning strategy depends on: for every hot join/agg key, the
+# key cardinality, the heaviest key's row count, and the skew factor
+# (max_count / mean_count). A skew factor >> shuffle-partition count
+# means salting (q19's strategy) is mandatory. Each key is one
+# two-level hash agg; the four diagnostics union into one card.
+# ---------------------------------------------------------------------------
+def _skew_sql(tbl: str, col: str) -> str:
+    return f"""
+        SELECT '{tbl}.{col}' AS key_col,
+               count(*) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_key_rows,
+               CAST(round(CAST(max(c) AS DOUBLE) * count(*) * 1000000.0 / sum(c)) AS BIGINT)
+                   / 1000000.0 AS skew_factor
+        FROM (SELECT {col}, count(*) AS c FROM {tbl} GROUP BY {col})
+    """
+
+
+@register(
+    "dq_skew_report",
+    " UNION ALL ".join(
+        [
+            _skew_sql("lineitem", "l_orderkey"),
+            _skew_sql("lineitem", "l_partkey"),
+            _skew_sql("orders", "o_custkey"),
+            _skew_sql("events", "user_id"),
+        ]
+    )
+    + " ORDER BY key_col",
+    "join-key skew diagnostics: cardinality, heaviest key, skew factor per hot key",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(tbl: str, col: str) -> DataFrame:
+        per = table(spark, sf_dir, tbl).groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        ).select(
+            F.lit(f"{tbl}.{col}").alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            (
+                F.round(
+                    F.col("max_key_rows").cast("double")
+                    * F.col("n_keys")
+                    * F.lit(1000000.0)
+                    / F.col("n_rows")
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("skew_factor"),
+        )
+
+    parts = [
+        one("lineitem", "l_orderkey"),
+        one("lineitem", "l_partkey"),
+        one("orders", "o_custkey"),
+        one("events", "user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster purity — the clustering-quality eval: bucket every
+# vector by the signs of its first four coordinates (a trivially
+# engine-portable 16-cell partition — no codebook to drift), then score
+# each bucket's label homogeneity: majority label, majority share, and
+# label entropy (scaled-integer canonicalization). The contingency
+# table is one (bucket, label) hash agg; everything downstream runs on
+# its <=16*n_labels rows.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_cluster_purity",
+    """
+    WITH b AS (
+        SELECT CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+               label
+        FROM embeddings
+    ),
+    ct AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY bucket, label),
+    agg AS (
+        SELECT bucket, sum(c) AS n, max(c) AS maxc,
+               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                        AS BIGINT)) AS s6
+        FROM ct GROUP BY bucket
+    ),
+    maj AS (
+        SELECT bucket, min(label) AS majority_label
+        FROM ct JOIN agg USING (bucket)
+        WHERE ct.c = agg.maxc
+        GROUP BY bucket
+    )
+    SELECT a.bucket, a.n AS n_vecs, m.majority_label,
+           CAST(round(CAST(a.maxc AS DOUBLE) * 1000000.0 / a.n) AS BIGINT)
+               / 1000000.0 AS majority_share,
+           round(ln(CAST(a.n AS DOUBLE)) - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n, 4)
+               AS label_entropy
+    FROM agg a JOIN maj m ON a.bucket = m.bucket
+    ORDER BY a.bucket
+    """,
+    "clustering-quality eval: per-bucket majority label, share, and label entropy",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e.getItem(0) > 0, 8).otherwise(0)
+        + F.when(e.getItem(1) > 0, 4).otherwise(0)
+        + F.when(e.getItem(2) > 0, 2).otherwise(0)
+        + F.when(e.getItem(3) > 0, 1).otherwise(0)
+    ).cast("long")
+    ct = (
+        emb.select(bucket.alias("bucket"), "label")
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds agg AND the majority pick
+    )
+    cd = F.col("c").cast("double")
+    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    agg = ct.groupBy("bucket").agg(
+        F.sum("c").alias("n"), F.max("c").alias("maxc"), F.sum(term6).alias("s6")
+    )
+    maj = (
+        ct.join(agg, "bucket")
+        .filter(F.col("c") == F.col("maxc"))
+        .groupBy("bucket")
+        .agg(F.min("label").alias("majority_label"))
+    )
+    share = (
+        F.round(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        / F.lit(1000000.0)
+    )
+    entropy = F.log(F.col("n").cast("double")) - (
+        F.col("s6").cast("double") / F.lit(1000000.0)
+    ) / F.col("n")
+    return (
+        agg.join(maj, "bucket")
+        .select(
+            "bucket",
+            F.col("n").alias("n_vecs"),
+            "majority_label",
+            share.alias("majority_share"),
+            F.round(entropy, 4).alias("label_entropy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn — the SRE view of the reference's core domain
+# (status-code monitoring on httpd logs, here over the events twin):
+# daily error rate vs a fixed budget, the burn multiple, and the
+# cumulative burn via an INTEGER running sum of per-day quantized burn
+# (a double running sum would be order-dependent). One daily hash agg
+# + one window over the tiny day spine.
+# ---------------------------------------------------------------------------
+SLO_BUDGET = 0.25  # error-rate budget (generator emits ~20% errors)
+
+
+@register(
+    "events_sla_burn",
+    f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
+        FROM events
+        GROUP BY 1
+    ),
+    burned AS (
+        SELECT day, n_events, n_errors,
+               CAST(round(CAST(n_errors AS DOUBLE) * 1000000.0
+                          / (n_events * {SLO_BUDGET})) AS BIGINT) AS burn6
+        FROM daily
+    )
+    SELECT day, n_events, n_errors,
+           burn6 / 1000000.0 AS burn_rate,
+           CAST(sum(burn6) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) / 1000000.0 AS cum_burn
+    FROM burned
+    ORDER BY day
+    """,
+    "SLO error-budget burn: daily burn multiple + integer-summed cumulative burn",
+)
+def events_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    burn6 = F.round(
+        F.col("n_errors").cast("double")
+        * F.lit(1000000.0)
+        / (F.col("n_events") * F.lit(SLO_BUDGET))
+    ).cast("long")
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    burned = daily.select("day", "n_events", "n_errors", burn6.alias("burn6"))
+    return burned.select(
+        "day",
+        "n_events",
+        "n_errors",
+        (F.col("burn6") / F.lit(1000000.0)).alias("burn_rate"),
+        (F.sum("burn6").over(wcum).cast("long") / F.lit(1000000.0)).alias("cum_burn"),
+    ).orderBy("day")
