@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     "dq_skew_report",
     "emb_cluster_purity",
     "events_sla_burn",
+    "events_funnel_dropoff",
+    "orders_abc_analysis",
+    "emb_dim_profile",
+    "events_new_vs_returning",
+    "orders_daily_delta",
 ]
 
 

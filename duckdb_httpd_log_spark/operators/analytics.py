@@ -1719,3 +1719,409 @@ def events_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("burn6") / F.lit(1000000.0)).alias("burn_rate"),
         (F.sum("burn6").over(wcum).cast("long") / F.lit(1000000.0)).alias("cum_burn"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Funnel drop-off table — q17's aggregate consumer: users reaching each
+# ordered stage, per-step conversion, and cumulative conversion. The
+# stage cascade is q17's join chain; the final card is a 3-row
+# conditional aggregate with quantize-then-divide ratios.
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_dropoff",
+    """
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase
+    )
+    SELECT stage, n_users,
+           CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 / prev_users) AS BIGINT)
+               / 1000000.0 AS step_conversion,
+           CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 / first_users) AS BIGINT)
+               / 1000000.0 AS cum_conversion
+    FROM (
+        SELECT 1 AS ord, 'view' AS stage, n_view AS n_users,
+               n_view AS prev_users, n_view AS first_users FROM counts
+        UNION ALL
+        SELECT 2, 'click', n_click, n_view, n_view FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', n_purchase, n_click, n_view FROM counts
+    )
+    ORDER BY ord
+    """,
+    "funnel drop-off card: users per ordered stage, step and cumulative conversion",
+)
+def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_us"), "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    rows = None
+    for ordv, stage, cur, prev, first in [
+        (1, "view", "n_view", "n_view", "n_view"),
+        (2, "click", "n_click", "n_view", "n_view"),
+        (3, "purchase", "n_purchase", "n_click", "n_view"),
+    ]:
+        r = counts.select(
+            F.lit(ordv).alias("ord"),
+            F.lit(stage).alias("stage"),
+            F.col(cur).alias("n_users"),
+            F.col(prev).alias("prev_users"),
+            F.col(first).alias("first_users"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+
+    def q6(num, den):
+        return (
+            F.round(F.col(num).cast("double") * F.lit(1000000.0) / F.col(den)).cast("long")
+            / F.lit(1000000.0)
+        )
+
+    return (
+        rows.select(
+            "ord",
+            "stage",
+            "n_users",
+            q6("n_users", "prev_users").alias("step_conversion"),
+            q6("n_users", "first_users").alias("cum_conversion"),
+        )
+        .orderBy("ord")
+        .drop("ord")
+        .select("stage", "n_users", "step_conversion", "cum_conversion")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto-class) analysis — parts classified by cumulative revenue
+# share: A = first 80% of revenue, B = next 15%, C = tail. The ranking
+# is one hash agg + one cumulative window over part-sized rows;
+# cumulative cents stay integral so the class boundaries compare
+# exact integers against integer thresholds (cum*100 <= total*80).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_abc_analysis",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(cents) AS total FROM rev),
+    ranked AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked, tot
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           CAST(round(CAST(sum(cents) AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS revenue_share
+    FROM classed, tot t
+    GROUP BY abc_class, t.total
+    ORDER BY abc_class
+    """,
+    "ABC analysis: parts classed by cumulative revenue share (integer boundaries)",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents")).localCheckpoint(
+        eager=False  # feeds tot AND the cumulative ranking
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        rev.withColumn("cum", F.sum("cents").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            "total",
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    share = (
+        F.round(
+            F.sum("cents").cast("double") * F.lit(1000000.0) / F.max("total")
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            share.alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile — the feature-health monitor (dead
+# dimensions, variance collapse, range drift) run before training on
+# any embedding corpus: mean, population variance, and |max| per
+# coordinate, plus the dimension's variance share. Means/variances use
+# the scaled-integer sum discipline on magnitude-normalized values
+# (exact max aggregate), one posexplode + (pos) hash agg — the corpus
+# shuffles once on a 64-key domain.
+# ---------------------------------------------------------------------------
+EMB_DIM_TOP = 10
+
+
+@register(
+    "emb_dim_profile",
+    f"""
+    WITH raw AS (
+        SELECT CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM raw),
+    vals AS (SELECT pos, x0 / m0 AS x FROM raw, m),
+    s AS (
+        SELECT pos, count(*) AS n,
+               sum(CAST(round(x * 1000000.0) AS BIGINT)) AS s6,
+               sum(CAST(round(x * x * 1000000000.0) AS BIGINT)) AS ss9,
+               max(abs(x)) AS mabs
+        FROM vals GROUP BY pos
+    ),
+    prof AS (
+        SELECT pos, n,
+               (CAST(s6 AS DOUBLE) / 1000000.0) / n AS mu,
+               (CAST(ss9 AS DOUBLE) / 1000000000.0) / n
+                   - ((CAST(s6 AS DOUBLE) / 1000000.0) / n)
+                     * ((CAST(s6 AS DOUBLE) / 1000000.0) / n) AS var_,
+               mabs
+        FROM s
+    ),
+    tv AS (SELECT sum(CAST(round(var_ * 1000000000.0) AS BIGINT)) AS tot9 FROM prof)
+    SELECT pos AS dim, round(m.m0 * mu, 6) AS mean_val,
+           round(m.m0 * m.m0 * var_, 6) AS var_pop,
+           round(m.m0 * mabs, 6) AS max_abs,
+           CAST(round(CAST(CAST(round(var_ * 1000000000.0) AS BIGINT) AS DOUBLE)
+                      * 1000000.0 / tot9) AS BIGINT) / 1000000.0 AS var_share
+    FROM prof, m, tv
+    ORDER BY var_pop DESC, dim
+    LIMIT {EMB_DIM_TOP}
+    """,
+    "per-dimension embedding health: mean, variance, |max|, variance share, top-k dims",
+)
+def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    raw = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x0")
+    )
+    m = raw.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    vals = raw.crossJoin(F.broadcast(m)).select(
+        "pos", (F.col("x0") / F.col("m0")).alias("x")
+    )
+    s = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x") * F.lit(1000000.0)).cast("long")).alias("s6"),
+        F.sum(
+            F.round(F.col("x") * F.col("x") * F.lit(1000000000.0)).cast("long")
+        ).alias("ss9"),
+        F.max(F.abs("x")).alias("mabs"),
+    )
+    mu = (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n")
+    var_ = (F.col("ss9").cast("double") / F.lit(1000000000.0)) / F.col("n") - mu * mu
+    prof = s.select("pos", "n", mu.alias("mu"), var_.alias("var_"), "mabs").localCheckpoint(
+        eager=False  # feeds the total-variance agg AND the output
+    )
+    tv = prof.agg(
+        F.sum(F.round(F.col("var_") * F.lit(1000000000.0)).cast("long")).alias("tot9")
+    )
+    v9 = F.round(F.col("var_") * F.lit(1000000000.0)).cast("long")
+    var_share = (
+        F.round(v9.cast("double") * F.lit(1000000.0) / F.col("tot9")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        prof.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.col("pos").alias("dim"),
+            F.round(F.col("m0") * F.col("mu"), 6).alias("mean_val"),
+            F.round(F.col("m0") * F.col("m0") * F.col("var_"), 6).alias("var_pop"),
+            F.round(F.col("m0") * F.col("mabs"), 6).alias("max_abs"),
+            var_share.alias("var_share"),
+        )
+        .orderBy(F.col("var_pop").desc(), "dim")
+        .limit(EMB_DIM_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day — the daily acquisition/retention
+# split: a user's first-ever day classifies each of their active days.
+# First-seen is a per-user hash agg (no window over the event stream);
+# the daily rollup is a hash agg on day keys; the ratio quantizes.
+# ---------------------------------------------------------------------------
+@register(
+    "events_new_vs_returning",
+    """
+    WITH firstseen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d
+        FROM events e
+    )
+    SELECT CAST(a.d AS VARCHAR) AS day,
+           CAST(sum(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN a.d > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(round(CAST(sum(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS new_share
+    FROM active a JOIN firstseen f ON a.user_id = f.user_id
+    GROUP BY a.d
+    ORDER BY a.d
+    """,
+    "daily new-vs-returning active users split with quantized new share",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    joined = active.join(firstseen, "user_id")
+    n_new = F.sum(F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)).cast("long")
+    n_ret = F.sum(F.when(F.col("d") > F.col("first_day"), 1).otherwise(0)).cast("long")
+    daily = joined.groupBy("d").agg(
+        n_new.alias("n_new"), n_ret.alias("n_returning"), F.count(F.lit(1)).alias("n")
+    )
+    share = (
+        F.round(F.col("n_new").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "n_new",
+        "n_returning",
+        share.alias("new_share"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day revenue delta — the reporting staple on top of q45's
+# zero-filled spine: absolute and percent change vs the previous
+# calendar day. The lag window runs over the tiny day spine; the pct
+# ratio quantizes (NULL on a zero/missing previous day).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_daily_delta",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.d, coalesce(a.cents, 0) AS cents
+        FROM spine s LEFT JOIN daily a ON s.d = a.d
+    ),
+    lagged AS (
+        SELECT d, cents, lag(cents) OVER (ORDER BY d) AS prev_cents
+        FROM filled
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           round(cents / 100.0, 2) AS revenue,
+           round((cents - prev_cents) / 100.0, 2) AS delta,
+           CASE WHEN prev_cents > 0
+                THEN CAST(round((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
+                                / prev_cents) AS BIGINT) / 1000000.0
+                END AS pct_change
+    FROM lagged
+    ORDER BY d
+    """,
+    "day-over-day revenue delta and percent change over the zero-filled day spine",
+)
+def orders_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+    )
+    spine = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    wl = Window.orderBy("d")
+    lagged = filled.withColumn("prev_cents", F.lag("cents").over(wl))
+    pct = F.when(
+        F.col("prev_cents") > 0,
+        F.round(
+            (F.col("cents").cast("double") - F.col("prev_cents"))
+            * F.lit(1000000.0)
+            / F.col("prev_cents")
+        ).cast("long")
+        / F.lit(1000000.0),
+    )
+    return lagged.select(
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round((F.col("cents") - F.col("prev_cents")) / F.lit(100.0), 2).alias("delta"),
+        pct.alias("pct_change"),
+    ).orderBy("day")
