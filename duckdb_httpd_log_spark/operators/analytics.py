@@ -1443,10 +1443,13 @@ def q52_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segment migration — the growth-analytics matrix: customers are
 # quintiled by monetary value in an early and a late period (fixed
 # calendar pivot), and the transition counts show who upgraded,
-# churned, or stayed. ntile over a (monetary, custkey) total order is
-# engine-portable (proven by text_ccnet_bucket); counts are integers.
-# Shape: two per-period hash aggs + quintile windows over
-# customer-sized partitions, one join on custkey, one matrix agg.
+# churned, or stayed. The oracle uses plain ntile(5); the Spark side
+# derives the IDENTICAL tiers from a two-phase distributed rank
+# (range-partition on the period+monetary order, per-partition offsets,
+# partition-local row_number) plus the exact SQL ntile bucket formula
+# (first n%k buckets one element larger) — a per-period global window
+# would push each period's full customer set through one task at scale.
+# All integer arithmetic; counts are integers.
 # ---------------------------------------------------------------------------
 RFM_PIVOT = "1998-05-01"  # midpoint of the generator's 1995..2001 span
 
@@ -1482,10 +1485,35 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("period"),
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
-    wt = Window.partitionBy("period").orderBy("cents", "o_custkey")
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    d = (
+        spend.repartitionByRange(nparts, "period", "cents", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin the partitioning for both passes
+    )
+    pc = d.groupBy("period", "pid").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.partitionBy("period").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = pc.select(
+        "period", "pid", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+    )
+    ntot = pc.groupBy("period").agg(F.sum("c").alias("n"))
+    wloc = Window.partitionBy("pid", "period").orderBy("cents", "o_custkey")
+    ranked = (
+        d.join(F.broadcast(offs), ["period", "pid"])
+        .join(F.broadcast(ntot), "period")
+        .withColumn("rn", F.col("off") + F.row_number().over(wloc))
+    )
+    # exact SQL ntile(5): first n%5 buckets hold n div 5 + 1 rows
+    tier = F.expr(
+        "CASE WHEN rn <= (n div 5 + 1) * (n % 5)"
+        "     THEN (rn - 1) div (n div 5 + 1) + 1"
+        "     ELSE n % 5 + (rn - (n div 5 + 1) * (n % 5) - 1) div (n div 5) + 1 END"
+    )
     # lazy checkpoint: the classed table joins itself (early x late)
     classed = (
-        spend.select("o_custkey", "period", F.ntile(5).over(wt).alias("tier"))
+        ranked.select("o_custkey", "period", tier.cast("int").alias("tier"))
         .localCheckpoint(eager=False)
     )
     e = classed.filter(F.col("period") == 0).select(
@@ -1833,10 +1861,15 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ABC (Pareto-class) analysis — parts classified by cumulative revenue
-# share: A = first 80% of revenue, B = next 15%, C = tail. The ranking
-# is one hash agg + one cumulative window over part-sized rows;
-# cumulative cents stay integral so the class boundaries compare
-# exact integers against integer thresholds (cum*100 <= total*80).
+# share: A = first 80% of revenue, B = next 15%, C = tail. Cumulative
+# cents stay integral so the class boundaries compare exact integers
+# against integer thresholds (cum*100 <= total*80). The cumulative sum
+# is a TWO-PHASE distributed prefix sum (range-partition on the revenue
+# order, per-partition offsets via a window over the nparts-row totals,
+# then partition-LOCAL cumulative windows) — a single global-ORDER-BY
+# window would funnel the whole parts table through one task at 100 TB.
+# Same decomposition as text_pack_sequences, but fully declarative (no
+# mapInPandas, no driver collect).
 # ---------------------------------------------------------------------------
 @register(
     "orders_abc_analysis",
@@ -1876,15 +1909,27 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
     ).cast("long")
-    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents")).localCheckpoint(
-        eager=False  # feeds tot AND the cumulative ranking
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    # range-shuffle once, pin the partitioning for both consumers
+    # (per-partition totals + the local cumsum pass)
+    d = (
+        rev.repartitionByRange(nparts, F.col("cents").desc(), F.col("l_partkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    tot = rev.agg(F.sum("cents").alias("total"))
-    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    tot = d.agg(F.sum("cents").alias("total"))
+    ptot = d.groupBy("pid").agg(F.sum("cents").alias("ps"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "pid", F.coalesce(F.sum("ps").over(woff), F.lit(0)).alias("off")
     )
+    wloc = Window.partitionBy("pid").orderBy(
+        F.col("cents").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     classed = (
-        rev.withColumn("cum", F.sum("cents").over(wcum))
+        d.join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("off") + F.sum("cents").over(wloc))
         .crossJoin(F.broadcast(tot))
         .select(
             "cents",
