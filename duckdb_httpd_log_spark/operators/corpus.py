@@ -1664,14 +1664,18 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.count(F.lit(1)).alias("n_customers"),
     )
-    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
-            "cum_cents"
-        ),
-    )
+    # two-phase distributed rank+cumsum (see distrank.py): a bare global
+    # window here would funnel the whole customer dimension into one task
+    from .distrank import with_global_rank
+
+    ranked = with_global_rank(
+        spark,
+        cust,
+        [F.col("cents").desc(), F.col("o_custkey")],
+        rn_col="rk",
+        cum_col="cum_cents",
+        cum_src="cents",
+    ).select("cents", "rk", "cum_cents")
     return (
         ranked.crossJoin(F.broadcast(tot))
         .filter(F.lit(5) * F.col("cum_cents") >= F.lit(4) * F.col("total_cents"))
@@ -2046,13 +2050,22 @@ EQUIDEPTH_BUCKETS = 8
     "equi-depth histogram boundaries via ntile under a pinned total order",
 )
 def q49_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # two-phase distributed rank + exact ntile formula (distrank.py):
+    # plain ntile would push the whole orders table through one task
+    from .distrank import ntile_expr, with_global_rank
 
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = with_global_rank(
+        spark,
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="rn",
+        n_col="n",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket")
+        ranked.select(
+            "o_totalprice",
+            ntile_expr("rn", "n", EQUIDEPTH_BUCKETS).cast("int").alias("bucket"),
         )
         .groupBy("bucket")
         .agg(
@@ -2567,8 +2580,13 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select("x", F.row_number().over(w).alias("i"))
+    # two-phase distributed rank (distrank.py): no single-task window
+    # over the user dimension
+    from .distrank import with_global_rank
+
+    ranked = with_global_rank(
+        spark, per_user, [F.col("x"), F.col("user_id")], rn_col="i"
+    ).select("x", "i")
     n = F.count(F.lit(1))
     sx = F.sum("x")
     six = F.sum(F.col("i") * F.col("x"))

@@ -1,0 +1,94 @@
+"""Distributed global ranking without a single-task window.
+
+A bare ``row_number() OVER (ORDER BY ...)`` (or ``ntile``/cumulative
+``sum``) moves the ENTIRE input through one task — fine on a spine of
+days, fatal on a customer/order/user dimension at the 100 TB design
+point. This helper decomposes the global order into the classic
+two-phase scan (the same shape text_pack_sequences uses, but fully
+declarative — no mapInPandas, no driver collect):
+
+1. range-partition the input on the ranking order (Spark samples range
+   bounds; skew is bounded by the sampler);
+2. per-partition row counts / sums -> an nparts-row table; a window
+   over THAT (trivially small) yields each partition's global offset;
+3. partition-LOCAL row_number / cumulative sum + broadcast offset join.
+
+The result is bit-identical to the global window, so oracles written
+with plain ``row_number``/``ntile``/cumulative ``sum`` still
+hash-match.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    rn_col: str = "rn",
+    n_col: Optional[str] = None,
+    cum_col: Optional[str] = None,
+    cum_src: Optional[str] = None,
+) -> DataFrame:
+    """Attach a global ``rn_col`` (1-based row_number under
+    ``order_cols``) and optionally the total row count ``n_col`` and a
+    global running sum ``cum_col`` of column ``cum_src`` — all computed
+    with partition-local windows only.
+
+    ``order_cols`` must be a total order (include a tiebreak key);
+    pass ``F.col(...).desc()`` columns for descending components (the
+    same Column list feeds repartitionByRange AND the local window).
+    """
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    d = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # both passes (per-partition totals + the local scan) must see
+        # the SAME partitioning; the lazy checkpoint pins it and runs
+        # the range shuffle once
+        .localCheckpoint(eager=False)
+    )
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if cum_src is not None:
+        aggs.append(F.sum(cum_src).alias("__s"))
+    pc = d.groupBy("__pid").agg(*aggs)
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    sel = [
+        F.col("__pid"),
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__coff"),
+    ]
+    if cum_src is not None:
+        sel.append(F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__soff"))
+    if n_col is not None:
+        sel.append(F.sum("__c").over(Window.partitionBy()).alias(n_col))
+    offs = pc.select(*sel)
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = d.join(F.broadcast(offs), "__pid").withColumn(
+        rn_col, F.col("__coff") + F.row_number().over(wloc)
+    )
+    if cum_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("__soff")
+            + F.sum(cum_src).over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    drop = ["__pid", "__coff"] + (["__soff"] if cum_src is not None else [])
+    return out.drop(*drop)
+
+
+def ntile_expr(rn_col: str, n_col: str, k: int) -> Column:
+    """Exact SQL ``ntile(k)`` bucket from a 1-based global rank and the
+    total count: the first ``n % k`` buckets hold ``n div k + 1`` rows.
+    Pure integer arithmetic — portable across engines."""
+    return F.expr(
+        f"CASE WHEN {rn_col} <= ({n_col} div {k} + 1) * ({n_col} % {k})"
+        f"     THEN ({rn_col} - 1) div ({n_col} div {k} + 1) + 1"
+        f"     ELSE {n_col} % {k}"
+        f"          + ({rn_col} - ({n_col} div {k} + 1) * ({n_col} % {k}) - 1)"
+        f"            div ({n_col} div {k}) + 1 END"
+    )

@@ -1403,14 +1403,21 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.datediff("maxd", "last_order").cast("bigint")
     )
-    wr = Window.orderBy("recency_days", "custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
-    wm = Window.orderBy(F.col("monetary_cents").desc(), "custkey")
-    scored = (
-        scored.withColumn("r_score", F.ntile(3).over(wr).cast("int"))
-        .withColumn("f_score", F.ntile(3).over(wf).cast("int"))
-        .withColumn("m_score", F.ntile(3).over(wm).cast("int"))
-    )
+    # three two-phase distributed ranks + the exact ntile formula
+    # (distrank.py): three bare ntile windows would each funnel the
+    # whole customer dimension through one task
+    from .distrank import ntile_expr, with_global_rank
+
+    for score, order in [
+        ("r_score", [F.col("recency_days"), F.col("custkey")]),
+        ("f_score", [F.col("frequency").desc(), F.col("custkey")]),
+        ("m_score", [F.col("monetary_cents").desc(), F.col("custkey")]),
+    ]:
+        scored = with_global_rank(
+            spark, scored, order, rn_col="__rn", n_col="__n"
+        ).withColumn(score, ntile_expr("__rn", "__n", 3).cast("int")).drop(
+            "__rn", "__n"
+        )
     return scored.select(
         "custkey",
         "recency_days",

@@ -192,3 +192,21 @@ def test_winnowing_windows_per_doc(spark):
 
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "doc_id" in m.group(1)
+
+
+def test_two_phase_rank_ops_partition_local(spark):
+    # these four rank/quantile ops must compile through the distrank
+    # two-phase path (partition-local windows + __pid offsets), never a
+    # bare global window over the customer/order/user dimension
+    for name in [
+        "orders_pareto",
+        "events_activity_gini",
+        "q49_equidepth_histogram",
+        "q44_rfm",
+        "orders_abc_analysis",
+        "orders_rfm_migration",
+    ]:
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+        # the __pid attribute survives into the plan unless a lazy
+        # checkpoint truncated the lineage above it (Scan ExistingRDD)
+        assert "pid" in plan or "ExistingRDD" in plan, name
