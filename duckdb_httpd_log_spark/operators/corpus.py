@@ -2214,12 +2214,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tc.agg(
         F.sum("c").cast("long").alias("n_stream"), F.count(F.lit(1)).alias("n_vocab")
     )
-    w = Window.orderBy(F.col("c").desc(), "w")
-    ranked = tc.select(
-        "c",
-        F.row_number().over(w).alias("rk"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-    )
+    # two-phase distributed rank+cumsum (distrank.py): the vocabulary is
+    # ~10^7 rows at corpus scale — too big for a single-task window
+    from .distrank import with_global_rank
+
+    ranked = with_global_rank(
+        spark,
+        tc,
+        [F.col("c").desc(), F.col("w")],
+        rn_col="rk",
+        cum_col="cum",
+        cum_src="c",
+    ).select("c", "rk", "cum")
     rungs = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
     probe = ranked.crossJoin(F.broadcast(rungs)).crossJoin(F.broadcast(tot))
     covered = F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0))

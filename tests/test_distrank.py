@@ -1,0 +1,61 @@
+"""distrank must be bit-identical to the single-task global window it
+replaces — rank, total, and cumulative sum — including desc orders,
+duplicate keys, and inputs smaller than the partition count."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_httpd_log_spark.operators.distrank import ntile_expr, with_global_rank
+
+
+def _check(spark, rows, desc=False):
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("v").desc(), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    got = {
+        r.k: (r.rn, r.n, r.cum)
+        for r in with_global_rank(
+            spark, df, order, rn_col="rn", n_col="n", cum_col="cum", cum_src="v"
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    exp = {
+        r.k: (r.rn, r.n, r.cum)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_matches_global_window_asc(spark):
+    rows = [(i, (i * 37) % 11) for i in range(200)]  # duplicate v values
+    _check(spark, rows)
+
+
+def test_matches_global_window_desc(spark):
+    rows = [(i, (i * 17) % 7) for i in range(150)]
+    _check(spark, rows, desc=True)
+
+
+def test_tiny_input_fewer_rows_than_partitions(spark):
+    _check(spark, [(1, 5), (2, 3), (3, 3)])
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (7, 5), (100, 3), (101, 3)])
+def test_ntile_formula_matches_builtin(spark, n, k):
+    df = spark.createDataFrame([(i,) for i in range(n)], "i long")
+    w = Window.orderBy("i")
+    ranked = df.select(
+        F.ntile(k).over(w).alias("builtin"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    both = ranked.withColumn("formula", ntile_expr("rn", "n", k)).collect()
+    for r in both:
+        assert r.builtin == r.formula, (n, k, r.rn)
