@@ -12,6 +12,7 @@ from .log_stream import (  # noqa: F401
     flag_contaminated_stream,
     hot_paths_stream,
     read_httpd_log_stream,
+    windowed_percentiles_stream,
     windowed_status_counts,
 )
 from .ratelimit import rate_limit_stream  # noqa: F401

@@ -338,3 +338,35 @@ def dau_stream(
             "dau_approx",
         )
     )
+
+
+def windowed_percentiles_stream(
+    logs: DataFrame,
+    value_col: str = "bytes",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Watermarked windowed sketch percentiles (p50/p95/p99) of a numeric
+    column — the streaming latency/size monitor. approx_percentile is a
+    mergeable sketch aggregate, so partial buffers combine map-side and
+    state per window stays O(sketch), never O(rows); the watermark
+    bounds how many window states live at once. The batch twin over the
+    same rows (same accuracy) produces identical sketch results —
+    pinned by the batch-vs-stream parity test."""
+    pct = F.expr(
+        f"percentile_approx({value_col}, array(0.5, 0.95, 0.99), {accuracy})"
+    )
+    return (
+        logs.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("pct"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            F.col("pct").getItem(0).alias("p50"),
+            F.col("pct").getItem(1).alias("p95"),
+            F.col("pct").getItem(2).alias("p99"),
+        )
+    )

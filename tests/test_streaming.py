@@ -5,6 +5,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from duckdb_httpd_log_spark import read_httpd_log
 from duckdb_httpd_log_spark.streaming.log_stream import (
     read_httpd_log_stream,
     windowed_status_counts,
@@ -656,3 +657,62 @@ def test_dau_stream_counts_daily_actives(spark, tmp_path):
     got = {r["day"]: r["dau_approx"] for r in spark.sql("SELECT * FROM dau_rollup").collect()}
     # HLL at these cardinalities is exact
     assert got == {"2024-04-01": 2, "2024-04-02": 2}
+
+
+def test_windowed_percentiles_stream_matches_batch(spark, tmp_path):
+    """The windowed sketch percentiles computed over the stream must
+    equal the batch percentile_approx over the same rows and windows
+    (mergeable-sketch determinism at equal accuracy)."""
+    from duckdb_httpd_log_spark.streaming import windowed_percentiles_stream
+
+    logdir = tmp_path / "logs_pct"
+    logdir.mkdir()
+    lines = []
+    for m, sizes in [(55, [10, 20, 30, 40, 1000]), (56, [5, 5, 7, 900])]:
+        for i, b in enumerate(sizes):
+            lines.append(
+                f'10.0.0.{i} - u [10/Oct/2000:13:{m}:{i:02d} +0000]'
+                f' "GET /x HTTP/1.0" 200 {b}'
+            )
+    (logdir / "a.log").write_text("\n".join(lines) + "\n")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    out = windowed_percentiles_stream(stream, value_col="bytes")
+    assert out.isStreaming
+    # complete mode: append would hold both windows open (watermark
+    # never passes them with no later data); the parity check needs the
+    # emitted sketch values, not the close semantics
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_pct")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: (r.n, r.p50, r.p95, r.p99)
+        for r in spark.sql("SELECT * FROM stream_pct").collect()
+    }
+
+    batch = read_httpd_log(spark, str(logdir / "a.log"), format_type="common")
+    exp = {
+        r.window_start: (r.n, r.p50, r.p95, r.p99)
+        for r in batch.groupBy(F.window("timestamp", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_approx(bytes, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("pct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.col("pct").getItem(0).alias("p50"),
+            F.col("pct").getItem(1).alias("p95"),
+            F.col("pct").getItem(2).alias("p99"),
+        )
+        .collect()
+    }
+    assert len(got) == 2
+    assert got == exp
