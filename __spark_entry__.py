@@ -139,6 +139,8 @@ _PRIORITY = [
     "emb_dim_profile",
     "events_new_vs_returning",
     "orders_daily_delta",
+    "dedup_semantic_clusters",
+    "dedup_cross_split_near",
 ]
 
 

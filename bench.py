@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "emb_dim_profile",
     "events_new_vs_returning",
     "orders_daily_delta",
+    "dedup_semantic_clusters",
+    "dedup_cross_split_near",
 ]
 
 

@@ -2170,3 +2170,122 @@ def orders_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("cents") - F.col("prev_cents")) / F.lit(100.0), 2).alias("delta"),
         pct.alias("pct_change"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) duplicate clusters — the dense-vector twin
+# of dedup_clusters: connected components over dedup_embedding's
+# LSH-candidate + exact-cosine-verified pair graph, via the shared
+# min-label-propagation loop (only node labels round-trip per
+# iteration). The oracle nests the LIVE dedup_embedding SQL inside the
+# same recursive-CTE fixpoint dedup_clusters pins, so the edge
+# semantics can never drift between the pairwise and the clustered
+# views.
+# ---------------------------------------------------------------------------
+def _emb_pairs_oracle() -> str:
+    # importing the module (not just REGISTRY) guarantees registration:
+    # operators/__init__ imports analytics BEFORE dedup alphabetically
+    from . import dedup as _d  # noqa: F401
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["dedup_embedding"].oracle_sql
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM ({EMB_PAIRS})
+    ),
+    sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    ORDER BY vec_id
+    """.replace("{EMB_PAIRS}", _emb_pairs_oracle()),
+    "semantic dedup clusters: connected components over the embedding near-dup graph",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_embedding, label_propagation
+
+    pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    return label_propagation(pairs, "vec_a", "vec_b", "vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-split NEAR-duplicate leakage — the train/test contamination
+# auditors actually need: exact cross-split dups (dedup_cross_split)
+# miss paraphrase-level leaks, so this composes the n-gram Jaccard
+# near-dup pair graph with the deterministic split assignment and
+# counts pairs whose endpoints landed in different splits. Both
+# ingredient semantics are nested verbatim from their live registry
+# oracles (split rule restated from text_split_assign's salt).
+# ---------------------------------------------------------------------------
+def _jaccard_pairs_oracle() -> str:
+    from . import dedup as _d  # noqa: F401  (force registration)
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["dedup_ngram_jaccard"].oracle_sql
+
+
+def _split_salt() -> str:
+    from .textops import SPLIT_SALT
+
+    return SPLIT_SALT
+
+
+@register(
+    "dedup_cross_split_near",
+    """
+    WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({JAC_PAIRS})),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('{SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM documents)
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           CAST(round(CAST(sum(CAST(round(p.jaccard * 10000.0) AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) / 10000.0 AS avg_jaccard
+    FROM pairs p
+    JOIN splits sa ON p.doc_a = sa.doc_id
+    JOIN splits sb ON p.doc_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+    ORDER BY split_a, split_b
+    """.replace("{JAC_PAIRS}", _jaccard_pairs_oracle()).replace("{SALT}", _split_salt()),
+    "train/val/test near-dup leakage: Jaccard pairs crossing split boundaries",
+)
+def dedup_cross_split_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+    from .textops import text_split_assign
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    splits = text_split_assign(spark, sf_dir).select("doc_id", "split").localCheckpoint(
+        eager=False  # joined twice (both pair endpoints)
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    j4 = F.round(F.col("jaccard") * F.lit(10000.0)).cast("long")
+    avg_j = (
+        F.round(F.sum(j4).cast("double") / F.count(F.lit(1))).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), avg_j.alias("avg_jaccard"))
+        .orderBy("split_a", "split_b")
+    )

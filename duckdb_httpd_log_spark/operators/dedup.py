@@ -570,6 +570,58 @@ def dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 25
 
 
+def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> DataFrame:
+    """Connected components over an undirected pair graph via iterative
+    min-label propagation: only node labels round-trip per iteration
+    (eager localCheckpoint cuts lineage and runs the round), O(diameter)
+    rounds, loud failure on non-convergence. Returns (id_out, cluster_id,
+    cluster_size) for every node with >= 1 edge."""
+    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=False)
+    edges = pairs.union(
+        pairs.select(F.col(b_col).alias(a_col), F.col(a_col).alias(b_col))
+    ).withColumnsRenamed({a_col: "a", b_col: "b"})
+    labels = (
+        edges.select(F.col("a").alias(id_out)).distinct().withColumn("label", F.col(id_out))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.b == labels[id_out])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels[id_out] == nbr.a, "left")
+            .select(
+                id_out,
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()  # eager: cuts lineage AND runs this round
+        )
+        # monotone convergence metric: sum of labels strictly decreases
+        # until fixpoint (one tiny aggregate action per round)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        # returning partial labels would silently split real clusters (and
+        # diverge from the oracle's recursive-CTE fixpoint) — fail loudly;
+        # near-dup components are quasi-cliques, so hitting this means the
+        # input graph is pathological, not that more iterations are fine
+        raise RuntimeError(
+            f"label_propagation: did not converge in "
+            f"{CC_MAX_ITERS} iterations (component diameter > {CC_MAX_ITERS})"
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(id_out, F.col("label").alias("cluster_id"), "cluster_size")
+    )
+
+
 @register(
     "dedup_clusters",
     f"""
@@ -603,53 +655,8 @@ CC_MAX_ITERS = 25
     "near-dup clusters: connected components over the Jaccard pair graph",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=False)
-    )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
-    labels = (
-        edges.select(F.col("a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = False
-    for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr, labels.doc_id == nbr.a, "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()  # eager: cuts lineage AND runs this round
-        )
-        # monotone convergence metric: sum of labels strictly decreases
-        # until fixpoint (one tiny aggregate action per round)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # returning partial labels would silently split real clusters (and
-        # diverge from the oracle's recursive-CTE fixpoint) — fail loudly;
-        # near-dup components are quasi-cliques, so hitting this means the
-        # input graph is pathological, not that more iterations are fine
-        raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge in "
-            f"{CC_MAX_ITERS} iterations (component diameter > {CC_MAX_ITERS})"
-        )
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
-        .orderBy("doc_id")
-    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return label_propagation(pairs, "doc_a", "doc_b", "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
