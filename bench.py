@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "orders_daily_delta",
     "dedup_semantic_clusters",
     "dedup_cross_split_near",
+    "ann_filtered_topk",
+    "orders_ship_latency",
+    "text_langid_confusion",
 ]
 
 

@@ -2289,3 +2289,202 @@ def dedup_cross_split_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), avg_j.alias("avg_jaccard"))
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ("hybrid") ANN — vector search under a metadata predicate,
+# the retrieval pattern every RAG/search stack runs: top-k cosine
+# neighbors restricted to candidates sharing the query's label. The
+# filter lands BEFORE the distance math (predicate pushdown into the
+# candidate scan), so the pair fan-out is |Q| x |label partition|, not
+# |Q| x corpus. Same pinned dot/norm expressions as ann_cosine_topk.
+# ---------------------------------------------------------------------------
+FILT_QUERIES = 5
+FILT_TOP = 5
+
+
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < {FILT_QUERIES}),
+    c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS ce FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               round(
+                 list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(qe) + 1)])
+                 / (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE for i in range(1, len(qe) + 1)]))
+                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(ce) + 1)]))),
+                 4) AS cosine
+        FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id
+    )
+    SELECT q_id, c_id, cosine
+    FROM (SELECT q_id, c_id, cosine,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+    WHERE rn <= {FILT_TOP}
+    ORDER BY q_id, cosine DESC, c_id
+    """,
+    "filtered (hybrid) ANN: cosine top-k restricted to the query's label partition",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _DOT, _NORM
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < FILT_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_label") == F.col("c_label"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.expr(_DOT)
+                / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FILT_TOP)
+        .select("q_id", "c_id", "cosine")
+        .orderBy("q_id", F.col("cosine").desc(), "c_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship latency distribution — the fulfillment SLA card: days
+# from order placement to each line's ship date, exact discrete
+# quantiles per order priority (q46's positional-pick mechanism over
+# integer day counts — no float surface). The orders join broadcasts
+# nothing blindly: it is a fact-to-fact equi-join on the orderkey both
+# tables are naturally keyed by.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_ship_latency",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority AS pri,
+               date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+                   AS lat_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT pri, lat_days,
+               row_number() OVER (PARTITION BY pri ORDER BY lat_days) AS rn,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM lat
+    )
+    SELECT pri AS o_orderpriority, max(n) AS n_lines,
+           min(CASE WHEN rn >= CAST(ceil(0.50 * n) AS BIGINT) THEN lat_days END) AS p50_days,
+           min(CASE WHEN rn >= CAST(ceil(0.90 * n) AS BIGINT) THEN lat_days END) AS p90_days,
+           max(lat_days) AS max_days
+    FROM ranked
+    GROUP BY pri
+    ORDER BY pri
+    """,
+    "order-to-ship latency: exact discrete quantiles of fulfillment days per priority",
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders_full = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(orders_full, li.l_orderkey == orders_full.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    wr = Window.partitionBy("pri").orderBy("lat_days")
+    wn = Window.partitionBy("pri")
+    ranked = lat.select(
+        "pri",
+        "lat_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("rn") >= pos, F.col("lat_days")))
+
+    return (
+        ranked.groupBy("pri")
+        .agg(
+            F.max("n").alias("n_lines"),
+            pick(0.50).alias("p50_days"),
+            pick(0.90).alias("p90_days"),
+            F.max("lat_days").alias("max_days"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_lines",
+            "p50_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier eval on top of
+# text_language_id: predicted vs generator-labeled language counts plus
+# per-true-label accuracy (quantize-then-divide). The prediction SQL is
+# nested verbatim from the live registry entry, so the heuristic and
+# its eval can never drift.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    from . import textops as _t  # noqa: F401  (force registration)
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["text_language_id"].oracle_sql
+
+
+@register(
+    "text_langid_confusion",
+    """
+    WITH preds AS (SELECT lang, predicted FROM ({LANGID})),
+    ct AS (SELECT lang AS true_lang, predicted, count(*) AS n
+           FROM preds GROUP BY lang, predicted),
+    tot AS (SELECT true_lang, sum(n) AS n_true FROM ct GROUP BY true_lang)
+    SELECT c.true_lang, c.predicted, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.n_true) AS BIGINT)
+               / 1000000.0 AS share_of_true
+    FROM ct c JOIN tot t ON c.true_lang = t.true_lang
+    ORDER BY c.true_lang, c.predicted
+    """.replace("{LANGID}", _langid_oracle()),
+    "language-ID eval: predicted-vs-true confusion matrix with per-label shares",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_language_id
+
+    preds = text_language_id(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), "predicted"
+    )
+    ct = preds.groupBy("true_lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)  # feeds totals AND the output join
+    tot = ct.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("n_true")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        ct.join(tot, "true_lang")
+        .select("true_lang", "predicted", "n", share.alias("share_of_true"))
+        .orderBy("true_lang", "predicted")
+    )

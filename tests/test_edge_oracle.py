@@ -86,6 +86,8 @@ _DOC_QUERIES = [
     "drift_psi_chars",
     "corpus_tfidf_pairs",
     "multimodal_caption_pairs",
+    "dedup_cross_split_near",
+    "text_langid_confusion",
 ]
 
 
