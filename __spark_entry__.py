@@ -144,6 +144,7 @@ _PRIORITY = [
     "ann_filtered_topk",
     "orders_ship_latency",
     "text_langid_confusion",
+    "events_attribution_decay",
 ]
 
 

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "ann_filtered_topk",
     "orders_ship_latency",
     "text_langid_confusion",
+    "events_attribution_decay",
 ]
 
 

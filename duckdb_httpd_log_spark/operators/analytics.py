@@ -2488,3 +2488,137 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("true_lang", "predicted", "n", share.alias("share_of_true"))
         .orderBy("true_lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution — the third classic model next to
+# last-touch (events_attribution) and linear (events_attribution_linear):
+# each touch in the 24 h pre-purchase window earns weight
+# 2^(-age/half-life) (half-life 6 h), normalized per purchase. The
+# purchase x touch inequality join reuses the q09/linear bin-bucket
+# shape (shuffle-hash on (user, 24 h bin), probe own + previous bin).
+# Weights quantize to 1e6 integers per touch BEFORE any cross-row sum;
+# per-purchase shares are ratios of those integer sums, themselves
+# re-quantized before the cross-purchase sum — no order-dependent
+# double aggregate anywhere.
+# ---------------------------------------------------------------------------
+DECAY_WINDOW_US = 24 * 3600 * 1_000_000
+DECAY_HALFLIFE_US = 6 * 3600 * 1_000_000
+_LN2 = 0.6931471805599453
+
+
+@register(
+    "events_attribution_decay",
+    f"""
+    WITH touches AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_type,
+               epoch_us(ts) // {DECAY_WINDOW_US} AS bin
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS p_us,
+               CAST(round(value * 100.0) AS BIGINT) AS cents,
+               event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    probe AS (
+        SELECT p.*, t.bin
+        FROM purchases p,
+             LATERAL unnest([p.p_us // {DECAY_WINDOW_US},
+                             p.p_us // {DECAY_WINDOW_US} - 1]) t(bin)
+    ),
+    matched AS (
+        SELECT pr.user_id, pr.event_id, pr.cents, t.event_type AS channel,
+               CAST(round(exp(-(CAST(pr.p_us - t.t_us AS DOUBLE) * {_LN2}
+                               / {DECAY_HALFLIFE_US})) * 1000000.0) AS BIGINT) AS w6
+        FROM probe pr
+        JOIN touches t ON t.user_id = pr.user_id AND t.bin = pr.bin
+        WHERE t.t_us < pr.p_us AND pr.p_us - t.t_us <= {DECAY_WINDOW_US}
+    ),
+    per_purchase AS (
+        SELECT user_id, event_id, cents, channel, sum(w6) AS wc,
+               sum(sum(w6)) OVER (PARTITION BY user_id, event_id) AS wt
+        FROM matched
+        GROUP BY user_id, event_id, cents, channel
+    ),
+    credited AS (
+        SELECT channel,
+               CAST(round(CAST(wc AS DOUBLE) * 1000000.0 / wt) AS BIGINT) AS share6,
+               CAST(round(cents * CAST(wc AS DOUBLE) / wt) AS BIGINT) AS cents_part
+        FROM per_purchase
+    )
+    SELECT channel,
+           round(CAST(sum(share6) AS BIGINT) / 1000000.0, 4) AS credited_purchases,
+           CAST(sum(cents_part) AS BIGINT) AS credited_cents
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "time-decay multi-touch attribution: half-life-weighted credit, bin-bucketed join",
+)
+def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_type").alias("channel"),
+        (F.unix_micros("ts") / DECAY_WINDOW_US).cast("long").alias("bin"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        "event_id",
+    )
+    probe = purchases.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("p_us") / DECAY_WINDOW_US).cast("long"),
+                (F.col("p_us") / DECAY_WINDOW_US).cast("long") - 1,
+            )
+        ).alias("bin"),
+    )
+    w6 = F.round(
+        F.exp(
+            -(
+                (F.col("p_us") - F.col("t_us")).cast("double")
+                * F.lit(_LN2)
+                / F.lit(float(DECAY_HALFLIFE_US))
+            )
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    matched = (
+        probe.join(touches, ["user_id", "bin"])
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= DECAY_WINDOW_US)
+        )
+        .select("user_id", "event_id", "cents", "channel", w6.alias("w6"))
+    )
+    wp = Window.partitionBy("user_id", "event_id")
+    per_purchase = (
+        matched.groupBy("user_id", "event_id", "cents", "channel")
+        .agg(F.sum("w6").alias("wc"))
+        .withColumn("wt", F.sum("wc").over(wp))
+    )
+    share6 = F.round(F.col("wc").cast("double") * F.lit(1000000.0) / F.col("wt")).cast(
+        "long"
+    )
+    cents_part = F.round(F.col("cents") * F.col("wc").cast("double") / F.col("wt")).cast(
+        "long"
+    )
+    credited = per_purchase.select(
+        "channel", share6.alias("share6"), cents_part.alias("cents_part")
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.round(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
+                "credited_purchases"
+            ),
+            F.sum("cents_part").cast("long").alias("credited_cents"),
+        )
+        .orderBy("channel")
+    )
