@@ -145,6 +145,10 @@ _PRIORITY = [
     "orders_ship_latency",
     "text_langid_confusion",
     "events_attribution_decay",
+    "events_session_stats",
+    "dedup_rate_by_source",
+    "emb_label_separation",
+    "lineitem_discount_uplift",
 ]
 
 

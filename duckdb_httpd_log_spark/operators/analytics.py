@@ -2622,3 +2622,292 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration/size distribution — the roll-up card on top of the
+# q15 gap rule: exact discrete quantiles of session duration
+# (microseconds, integer) and of events-per-session, plus the
+# single-event share. All windows partition by user; quantiles use the
+# positional-pick mechanism over the (much smaller) session table.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_stats",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, session_idx,
+               max(us) - min(us) AS dur_us, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_idx
+    ),
+    ranked AS (
+        SELECT dur_us, n_events,
+               row_number() OVER (ORDER BY dur_us, user_id, session_idx) AS rd,
+               row_number() OVER (ORDER BY n_events, user_id, session_idx) AS rc,
+               count(*) OVER () AS n
+        FROM sess
+    )
+    SELECT max(n) AS n_sessions,
+           min(CASE WHEN rd >= CAST(ceil(0.50 * n) AS BIGINT) THEN dur_us END) AS p50_dur_us,
+           min(CASE WHEN rd >= CAST(ceil(0.90 * n) AS BIGINT) THEN dur_us END) AS p90_dur_us,
+           min(CASE WHEN rc >= CAST(ceil(0.50 * n) AS BIGINT) THEN n_events END) AS p50_events,
+           min(CASE WHEN rc >= CAST(ceil(0.90 * n) AS BIGINT) THEN n_events END) AS p90_events,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event
+    FROM ranked
+    """,
+    "session duration / size distribution: exact quantiles over the session table",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(wlag).isNull()
+            | (F.col("us") - F.lag("us").over(wlag) > _GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_idx").agg(
+        (F.max("us") - F.min("us")).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # the session table is |sessions| rows (~events/5); at extreme scale
+    # swap these two global windows for distrank — kept single-window
+    # here because both rank orders differ and the oracle shape matches
+    wd = Window.orderBy("dur_us", "user_id", "session_idx")
+    wc = Window.orderBy("n_events", "user_id", "session_idx")
+    ranked = sess.select(
+        "dur_us",
+        "n_events",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wc).alias("rc"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(rank_col: str, val_col: str, p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col(rank_col) >= pos, F.col(val_col)))
+
+    return ranked.agg(
+        F.max("n").alias("n_sessions"),
+        pick("rd", "dur_us", 0.50).alias("p50_dur_us"),
+        pick("rd", "dur_us", 0.90).alias("p90_dur_us"),
+        pick("rc", "n_events", 0.50).alias("p50_events"),
+        pick("rc", "n_events", 0.90).alias("p90_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup redundancy by source — which ingestion feeds are wasting
+# tokens: per source, how many docs participate in >= 1 near-dup pair
+# (the Jaccard pair SQL nested live from the registry) and the
+# redundant share. The pair endpoints union through one distinct on
+# doc_id; everything downstream is source-keyed hash aggs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({JAC_PAIRS})),
+    dup_docs AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+    ),
+    per_source AS (
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+        GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dup_docs,
+           CAST(round(CAST(n_dup_docs AS DOUBLE) * 1000000.0 / n_docs) AS BIGINT)
+               / 1000000.0 AS dup_share
+    FROM per_source
+    ORDER BY source
+    """.replace("{JAC_PAIRS}", _jaccard_pairs_oracle()),
+    "near-dup redundancy per ingestion source: docs in >= 1 Jaccard pair, share",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_source = (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
+        )
+    )
+    share = (
+        F.round(
+            F.col("n_dup_docs").cast("double") * F.lit(1000000.0) / F.col("n_docs")
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return per_source.select(
+        "source", "n_docs", "n_dup_docs", share.alias("dup_share")
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Inter-label centroid separation — the class-separability eval on the
+# embedding space: per-label centroids from quantized-integer means
+# (same discipline as emb_outlier_filter), then the full pairwise
+# centroid-distance matrix — n_labels^2 rows of pure model-level math
+# after one corpus pass.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_label_separation",
+    """
+    WITH raw AS (
+        SELECT label, CAST(i AS INTEGER) - 1 AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x0
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    m AS (SELECT greatest(max(abs(x0)), 1e-300) AS m0 FROM raw),
+    vals AS (SELECT label, pos, x0 / m0 AS x FROM raw, m),
+    cen AS (
+        SELECT label, pos,
+               (CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                   / count(*) AS c
+        FROM vals GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(CAST(round((a.c - b.c) * (a.c - b.c) * 1000000000.0) AS BIGINT)) AS q9
+        FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(m.m0 * sqrt(CAST(q9 AS DOUBLE) / 1000000000.0), 6) AS centroid_dist
+    FROM d2, m
+    ORDER BY label_a, label_b
+    """,
+    "class-separability eval: pairwise label-centroid distances from quantized means",
+)
+def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    raw = emb.select("label", F.posexplode("embedding").alias("pos", "xf")).select(
+        "label", "pos", F.col("xf").cast("double").alias("x0")
+    )
+    m = raw.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    vals = raw.crossJoin(F.broadcast(m)).select(
+        "label", "pos", (F.col("x0") / F.col("m0")).alias("x")
+    )
+    cen = vals.groupBy("label", "pos").agg(
+        (
+            (F.sum(F.round(F.col("x") * F.lit(1000000.0)).cast("long")).cast("double")
+             / F.lit(1000000.0))
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a = cen.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cen.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    q9 = F.round(
+        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * F.lit(1000000000.0)
+    ).cast("long")
+    d2 = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", q9.alias("t9"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum("t9").alias("q9"))
+    )
+    return (
+        d2.crossJoin(F.broadcast(m))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("m0") * F.sqrt(F.col("q9").cast("double") / F.lit(1000000000.0)), 6
+            ).alias("centroid_dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount-band uplift — the pricing-elasticity table (TPC-H q6's
+# analytical sibling): lineitems bucketed by discount band, with
+# average quantity and revenue per band through the quantize-then-
+# divide path. One hash agg over ~11 band keys.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_discount_uplift",
+    """
+    WITH banded AS (
+        SELECT CAST(round(l_discount * 100.0) AS BIGINT) AS disc_pct,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT disc_pct, count(*) AS n_lines,
+           CAST(round(CAST(sum(qty) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+               / 100.0 AS avg_qty,
+           CAST(round(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+               / 100.0 AS avg_revenue
+    FROM banded
+    GROUP BY disc_pct
+    ORDER BY disc_pct
+    """,
+    "discount-band uplift table: per-band line counts, average quantity and revenue",
+)
+def lineitem_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_pct"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+        .cast("long")
+        .alias("cents"),
+    )
+    avg_qty = (
+        F.round(F.sum("qty").cast("double") * F.lit(100.0) / F.count(F.lit(1))).cast("long")
+        / F.lit(100.0)
+    )
+    avg_rev = (
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1))).cast("long")
+        / F.lit(100.0)
+    )
+    return (
+        banded.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            avg_qty.alias("avg_qty"),
+            avg_rev.alias("avg_revenue"),
+        )
+        .orderBy("disc_pct")
+    )
