@@ -149,6 +149,9 @@ _PRIORITY = [
     "dedup_rate_by_source",
     "emb_label_separation",
     "lineitem_discount_uplift",
+    "supplier_hhi",
+    "q53_percent_rank",
+    "orders_returns_trend",
 ]
 
 

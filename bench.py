@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "emb_label_separation",
     "lineitem_discount_uplift",
+    "supplier_hhi",
+    "q53_percent_rank",
+    "orders_returns_trend",
 ]
 
 

@@ -2911,3 +2911,191 @@ def lineitem_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disc_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (HHI) per part brand — the market-concentration
+# index (Herfindahl-Hirschman) over supplier revenue share within each
+# brand: HHI = sum of squared shares, 10000 = monopoly. Shares are
+# integer cents ratios; each squared-share term quantizes to a BIGINT
+# before the per-brand SUM (order-independent), one final division.
+# Shape: two nested hash aggs (brand x supplier -> brand) after one
+# broadcast dimension join.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_hhi",
+    """
+    WITH rev AS (
+        SELECT p.p_brand AS brand, l.l_suppkey AS suppkey,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+                   AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_suppkey
+    ),
+    tot AS (SELECT brand, sum(cents) AS total, count(*) AS n_suppliers
+            FROM rev GROUP BY brand),
+    terms AS (
+        SELECT r.brand, t.n_suppliers,
+               CAST(round((CAST(r.cents AS DOUBLE) / t.total)
+                          * (CAST(r.cents AS DOUBLE) / t.total) * 100000000.0) AS BIGINT)
+                   AS h8
+        FROM rev r JOIN tot t ON r.brand = t.brand
+    )
+    SELECT brand, max(n_suppliers) AS n_suppliers,
+           CAST(round(CAST(sum(h8) AS DOUBLE) / 10000.0) AS BIGINT) / 10000.0 AS hhi
+    FROM terms
+    GROUP BY brand
+    ORDER BY brand
+    """,
+    "supplier concentration: Herfindahl index of revenue share per part brand",
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+        .cast("long")
+        .alias("cents0"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum("cents0").alias("cents"))
+        .localCheckpoint(eager=False)  # feeds totals AND the share terms
+    )
+    tot = rev.groupBy("brand").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("cents").cast("double") / F.col("total")
+    h8 = F.round(share * share * F.lit(100000000.0)).cast("long")
+    terms = rev.join(tot, "brand").select("brand", "n_suppliers", h8.alias("h8"))
+    hhi = (
+        F.round(F.sum("h8").cast("double") / F.lit(10000.0)).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        terms.groupBy("brand")
+        .agg(F.max("n_suppliers").alias("n_suppliers"), hhi.alias("hhi"))
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist surface — the relative-standing window
+# functions, pinned via their exact integer definitions ((rn-1)/(n-1)
+# and rn_last/n) rather than the builtins, so both engines compute the
+# identical quantized value. Grouped by order priority; ties share the
+# cume_dist of their last peer (standard semantics, expressed with a
+# max-over-ties join kept tiny by the value-domain grouping).
+# ---------------------------------------------------------------------------
+@register(
+    "q53_percent_rank",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    top3 AS (SELECT * FROM ranked WHERE rn <= 3 OR rn >= n - 2)
+    SELECT pri AS o_orderpriority, rn, cents,
+           CAST(round(CAST(rn - 1 AS DOUBLE) * 1000000.0
+                      / greatest(n - 1, 1)) AS BIGINT) / 1000000.0 AS pct_rank,
+           CAST(round(CAST(rn AS DOUBLE) * 1000000.0 / n) AS BIGINT)
+               / 1000000.0 AS cume_dist_pos
+    FROM top3
+    ORDER BY o_orderpriority, rn
+    """,
+    "percent_rank / positional cume_dist via exact integer definitions, head+tail rows",
+)
+def q53_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top3 = ranked.filter((F.col("rn") <= 3) | (F.col("rn") >= F.col("n") - 2))
+    pct = (
+        F.round(
+            (F.col("rn") - 1).cast("double")
+            * F.lit(1000000.0)
+            / F.greatest(F.col("n") - 1, F.lit(1))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    cume = (
+        F.round(F.col("rn").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return top3.select(
+        F.col("pri").alias("o_orderpriority"),
+        "rn",
+        "cents",
+        pct.alias("pct_rank"),
+        cume.alias("cume_dist_pos"),
+    ).orderBy("o_orderpriority", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Returns-rate trend — the reference domain's error-rate idiom applied
+# to the order book: monthly share of lineitems flagged returned
+# (l_returnflag = 'R'), with the quantized rate and a revenue split.
+# One monthly hash agg; integer counts and cents end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_returns_trend",
+    """
+    WITH monthly AS (
+        SELECT CAST(strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS VARCHAR) AS month,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS returned_cents
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT month, n_lines, n_returned,
+           CAST(round(CAST(n_returned AS DOUBLE) * 1000000.0 / n_lines) AS BIGINT)
+               / 1000000.0 AS return_rate,
+           returned_cents
+    FROM monthly
+    ORDER BY month
+    """,
+    "monthly returns-rate trend with returned-revenue split",
+)
+def orders_returns_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.round(F.col("l_extendedprice") * 100.0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("returned_cents"),
+    )
+    rate = (
+        F.round(
+            F.col("n_returned").cast("double") * F.lit(1000000.0) / F.col("n_lines")
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return monthly.select(
+        "month", "n_lines", "n_returned", rate.alias("return_rate"), "returned_cents"
+    ).orderBy("month")
