@@ -152,6 +152,9 @@ _PRIORITY = [
     "supplier_hhi",
     "q53_percent_rank",
     "orders_returns_trend",
+    "emb_knn_consistency",
+    "pipeline_dedup_account",
+    "events_load_heatmap",
 ]
 
 

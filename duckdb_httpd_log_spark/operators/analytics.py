@@ -3099,3 +3099,166 @@ def orders_returns_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month", "n_lines", "n_returned", rate.alias("return_rate"), "returned_cents"
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency eval — the standard embedding-space sanity
+# check (a good representation puts same-label points next to each
+# other): for every label-0 query in the ann_knn_graph output (SQL
+# nested live from the registry), how often the top-1 neighbor shares
+# the label, plus the neighbor-label histogram. Everything after the
+# nested graph is broadcast-sized label joins and one aggregate.
+# ---------------------------------------------------------------------------
+def _knn_oracle() -> str:
+    from . import similarity as _s  # noqa: F401  (force registration)
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["ann_knn_graph"].oracle_sql
+
+
+@register(
+    "emb_knn_consistency",
+    """
+    WITH knn AS (SELECT vec_id, nn_id FROM ({KNN})),
+    lab AS (SELECT vec_id AS nn_id, label AS nn_label FROM embeddings),
+    joined AS (SELECT k.vec_id, l.nn_label FROM knn k JOIN lab l ON k.nn_id = l.nn_id)
+    SELECT nn_label, count(*) AS n_queries,
+           CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0
+                      / (SELECT count(*) FROM joined)) AS BIGINT)
+               / 1000000.0 AS share
+    FROM joined
+    GROUP BY nn_label
+    ORDER BY nn_label
+    """.replace("{KNN}", _knn_oracle()),
+    "kNN label-consistency eval: neighbor-label histogram for label-0 queries",
+)
+def emb_knn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ann_knn_graph
+
+    knn = ann_knn_graph(spark, sf_dir).select("vec_id", "nn_id")
+    lab = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    joined = knn.join(F.broadcast(lab), "nn_id").localCheckpoint(
+        eager=False  # feeds the total AND the histogram
+    )
+    tot = joined.agg(F.count(F.lit(1)).alias("n_total"))
+    share = (
+        F.round(
+            F.col("n_queries").cast("double") * F.lit(1000000.0) / F.col("n_total")
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        joined.groupBy("nn_label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(F.broadcast(tot))
+        .select("nn_label", "n_queries", share.alias("share"))
+        .orderBy("nn_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup pipeline accounting — the before/after card a curation run
+# reports: corpus size, exact-duplicate rows removable (nested from
+# dedup_exact's hash-group semantics), near-dup cluster membership and
+# the rows clustering would additionally remove (members - clusters,
+# nested from the live cluster fixpoint). Layered counts only — no
+# double-counted "survivor" estimate; integers end-to-end.
+# ---------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    from . import dedup as _d  # noqa: F401
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["dedup_clusters"].oracle_sql
+
+
+@register(
+    "pipeline_dedup_account",
+    """
+    WITH ex AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_exact_groups
+        FROM documents
+    ),
+    cl AS (SELECT doc_id, cluster_id FROM ({CLUSTERS})),
+    cstats AS (
+        SELECT count(*) AS n_near_members,
+               count(DISTINCT cluster_id) AS n_near_clusters
+        FROM cl
+    )
+    SELECT ex.n_docs,
+           ex.n_exact_groups,
+           CAST(ex.n_docs - ex.n_exact_groups AS BIGINT) AS n_exact_removable,
+           cstats.n_near_members,
+           cstats.n_near_clusters,
+           CAST(cstats.n_near_members - cstats.n_near_clusters AS BIGINT)
+               AS n_near_removable
+    FROM ex, cstats
+    """.replace("{CLUSTERS}", _clusters_oracle()),
+    "dedup pipeline accounting: exact-group and near-dup-cluster removable counts",
+)
+def pipeline_dedup_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_exact_groups"),
+    )
+    cl = dedup_clusters(spark, sf_dir)
+    cstats = cl.agg(
+        F.count(F.lit(1)).alias("n_near_members"),
+        F.count_distinct("cluster_id").alias("n_near_clusters"),
+    )
+    return ex.crossJoin(cstats).select(
+        "n_docs",
+        "n_exact_groups",
+        (F.col("n_docs") - F.col("n_exact_groups")).cast("long").alias("n_exact_removable"),
+        "n_near_members",
+        "n_near_clusters",
+        (F.col("n_near_members") - F.col("n_near_clusters"))
+        .cast("long")
+        .alias("n_near_removable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly load heatmap — the (day-of-week x hour) traffic matrix behind
+# capacity planning and anomaly baselines: counts and the quantized
+# share of total per cell. One hash agg over a 168-key domain.
+# ISO dow (Monday=1) pinned on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_load_heatmap",
+    """
+    WITH cells AS (
+        SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS total FROM cells)
+    SELECT CAST(c.dow AS BIGINT) AS dow, c.hr, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS share
+    FROM cells c, tot t
+    ORDER BY dow, hr
+    """,
+    "weekly load heatmap: (ISO day-of-week x hour) counts and quantized shares",
+)
+def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1; ISO (Monday=1) = ((dayofweek + 5) % 7) + 1
+    dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    cells = ev.groupBy(
+        dow.alias("dow"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select("dow", "hr", "n", share.alias("share"))
+        .orderBy("dow", "hr")
+    )
