@@ -155,6 +155,9 @@ _PRIORITY = [
     "emb_knn_consistency",
     "pipeline_dedup_account",
     "events_load_heatmap",
+    "events_error_precursors",
+    "text_ascii_profile",
+    "orders_customer_lifespan",
 ]
 
 

@@ -3262,3 +3262,180 @@ def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dow", "hr", "n", share.alias("share"))
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Error precursors — conditional error probability by the immediately
+# preceding event type (which actions lead into failures): transition
+# counts from the same per-user lead window as q27, P(error | prev)
+# through the quantize-then-divide path, against the global error base
+# rate for lift. 5x5-bounded aggregate after one window pass.
+# ---------------------------------------------------------------------------
+@register(
+    "events_error_precursors",
+    """
+    WITH seq AS (
+        SELECT event_type AS prev,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    tc AS (
+        SELECT prev, count(*) AS n_next,
+               CAST(sum(CASE WHEN nxt = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        FROM seq WHERE nxt IS NOT NULL GROUP BY prev
+    ),
+    base AS (SELECT sum(n_err) AS tot_err, sum(n_next) AS tot FROM tc)
+    SELECT tc.prev, tc.n_next, tc.n_err,
+           CAST(round(CAST(tc.n_err AS DOUBLE) * 1000000.0 / tc.n_next) AS BIGINT)
+               / 1000000.0 AS err_rate,
+           CAST(round((CAST(tc.n_err AS DOUBLE) * b.tot * 1000000.0)
+                      / (CAST(tc.n_next AS DOUBLE) * b.tot_err)) AS BIGINT)
+               / 1000000.0 AS lift_vs_base
+    FROM tc, base b
+    ORDER BY tc.prev
+    """,
+    "error precursors: P(error | previous event type) with lift vs the base rate",
+)
+def events_error_precursors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev"), F.lead("event_type").over(wseq).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("n_next"),
+        F.sum(F.when(F.col("nxt") == "error", 1).otherwise(0)).cast("long").alias("n_err"),
+    ).localCheckpoint(eager=False)  # feeds the base rate AND the output
+    base = tc.agg(F.sum("n_err").alias("tot_err"), F.sum("n_next").alias("tot"))
+    rate = (
+        F.round(F.col("n_err").cast("double") * F.lit(1000000.0) / F.col("n_next")).cast("long")
+        / F.lit(1000000.0)
+    )
+    lift = (
+        F.round(
+            (F.col("n_err").cast("double") * F.col("tot") * F.lit(1000000.0))
+            / (F.col("n_next").cast("double") * F.col("tot_err"))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        tc.crossJoin(F.broadcast(base))
+        .select("prev", "n_next", "n_err", rate.alias("err_rate"), lift.alias("lift_vs_base"))
+        .orderBy("prev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ASCII / byte-width profile — the encoding-health card a multilingual
+# curation run checks before tokenizer training: per source, character
+# vs UTF-8 byte counts and the multi-byte excess share. Pure integer
+# arithmetic from two builtin length functions; one source-keyed agg.
+# ---------------------------------------------------------------------------
+@register(
+    "text_ascii_profile",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(octet_length(encode(text)) - length(text)) AS BIGINT)
+               AS multibyte_excess,
+           CAST(round(CAST(sum(octet_length(encode(text)) - length(text)) AS DOUBLE)
+                      * 1000000.0 / greatest(sum(length(text)), 1)) AS BIGINT)
+               / 1000000.0 AS excess_share
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "encoding-health profile: per-source char vs UTF-8 byte counts, multibyte share",
+)
+def text_ascii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    bytes_ = F.octet_length(F.col("text").cast("binary"))
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(bytes_).cast("long").alias("total_bytes"),
+        F.sum(bytes_ - chars).cast("long").alias("multibyte_excess"),
+    )
+    share = (
+        F.round(
+            F.col("multibyte_excess").cast("double")
+            * F.lit(1000000.0)
+            / F.greatest(F.col("total_chars"), F.lit(1))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_bytes",
+        "multibyte_excess",
+        share.alias("excess_share"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Customer lifespan distribution — days between first and last order
+# per customer, exact discrete quantiles plus the one-order share (the
+# monetization-window stat behind LTV horizon choices). Per-customer
+# span is one hash agg; quantiles rank the customer-sized span table
+# (positional pick).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_customer_lifespan",
+    """
+    WITH span AS (
+        SELECT o_custkey,
+               date_diff('day', min(CAST(o_orderdate AS DATE)),
+                         max(CAST(o_orderdate AS DATE))) AS span_days,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT span_days, n_orders,
+               row_number() OVER (ORDER BY span_days, o_custkey) AS rn,
+               count(*) OVER () AS n
+        FROM span
+    )
+    SELECT max(n) AS n_customers,
+           min(CASE WHEN rn >= CAST(ceil(0.25 * n) AS BIGINT) THEN span_days END) AS p25_days,
+           min(CASE WHEN rn >= CAST(ceil(0.50 * n) AS BIGINT) THEN span_days END) AS p50_days,
+           min(CASE WHEN rn >= CAST(ceil(0.90 * n) AS BIGINT) THEN span_days END) AS p90_days,
+           CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_order
+    FROM ranked
+    """,
+    "customer lifespan: exact quantiles of first-to-last-order days, one-order share",
+)
+def orders_customer_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wr = Window.orderBy("span_days", "o_custkey")
+    ranked = span.select(
+        "span_days",
+        "n_orders",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("rn") >= pos, F.col("span_days")))
+
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        pick(0.25).alias("p25_days"),
+        pick(0.50).alias("p50_days"),
+        pick(0.90).alias("p90_days"),
+        F.sum(F.when(F.col("n_orders") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_order"),
+    )

@@ -88,6 +88,8 @@ _DOC_QUERIES = [
     "multimodal_caption_pairs",
     "dedup_cross_split_near",
     "text_langid_confusion",
+    "text_ascii_profile",  # the unicode docs are exactly its edge case
+    "dedup_rate_by_source",
 ]
 
 
