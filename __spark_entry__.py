@@ -158,6 +158,7 @@ _PRIORITY = [
     "events_error_precursors",
     "text_ascii_profile",
     "orders_customer_lifespan",
+    "text_quality_by_source",
 ]
 
 

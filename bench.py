@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "events_error_precursors",
     "text_ascii_profile",
     "orders_customer_lifespan",
+    "text_quality_by_source",
 ]
 
 

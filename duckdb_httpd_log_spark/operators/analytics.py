@@ -3439,3 +3439,84 @@ def orders_customer_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_single_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate dashboard by source — the curation report a feed owner
+# reads: per source, keep rate and the failure count of EACH C4/Gopher
+# rule (which gate is dropping this feed's documents). The per-doc rule
+# SQL is nested live from text_quality_rules, so the gate and its
+# dashboard can never disagree; the rollup is one source-keyed agg over
+# boolean columns.
+# ---------------------------------------------------------------------------
+def _quality_rules_oracle() -> str:
+    from . import textops as _t  # noqa: F401
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["text_quality_rules"].oracle_sql
+
+
+@register(
+    "text_quality_by_source",
+    """
+    WITH rules AS (
+        SELECT doc_id, r_word_count, r_mean_len, r_stopword, r_repetition,
+               r_numeric, keep
+        FROM ({RULES})
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(round(CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS keep_rate,
+           CAST(sum(CASE WHEN NOT r.r_word_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_word_count,
+           CAST(sum(CASE WHEN NOT r.r_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_mean_len,
+           CAST(sum(CASE WHEN NOT r.r_stopword THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopword,
+           CAST(sum(CASE WHEN NOT r.r_repetition THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_repetition,
+           CAST(sum(CASE WHEN NOT r.r_numeric THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_numeric
+    FROM rules r JOIN documents d ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """.replace("{RULES}", _quality_rules_oracle()),
+    "quality-gate dashboard: per-source keep rate + per-rule failure counts",
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_quality_rules
+
+    rules = text_quality_rules(spark, sf_dir).select(
+        "doc_id", "r_word_count", "r_mean_len", "r_stopword", "r_repetition",
+        "r_numeric", "keep",
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def fails(col: str):
+        return F.sum(F.when(~F.col(col), 1).otherwise(0)).cast("long")
+
+    agg = rules.join(docs, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        fails("r_word_count").alias("fail_word_count"),
+        fails("r_mean_len").alias("fail_mean_len"),
+        fails("r_stopword").alias("fail_stopword"),
+        fails("r_repetition").alias("fail_repetition"),
+        fails("r_numeric").alias("fail_numeric"),
+    )
+    keep_rate = (
+        F.round(F.col("n_keep").cast("double") * F.lit(1000000.0) / F.col("n_docs")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        keep_rate.alias("keep_rate"),
+        "fail_word_count",
+        "fail_mean_len",
+        "fail_stopword",
+        "fail_repetition",
+        "fail_numeric",
+    ).orderBy("source")
