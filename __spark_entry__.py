@@ -159,6 +159,9 @@ _PRIORITY = [
     "text_ascii_profile",
     "orders_customer_lifespan",
     "text_quality_by_source",
+    "events_session_transitions",
+    "events_power_users_share",
+    "events_rolling_conversion",
 ]
 
 

@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "text_ascii_profile",
     "orders_customer_lifespan",
     "text_quality_by_source",
+    "events_session_transitions",
+    "events_power_users_share",
+    "events_rolling_conversion",
 ]
 
 

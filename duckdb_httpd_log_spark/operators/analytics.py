@@ -3520,3 +3520,212 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fail_repetition",
         "fail_numeric",
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Session entry/exit distribution — the "landing / exit page" report on
+# the q15 session rule: which event types open and close sessions, with
+# quantized shares. First/last per session come from min/max over the
+# (us, event_id, type) total order encoded as a sortable struct — one
+# agg per session, then a 5x5-bounded rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_transitions",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+    ),
+    sess AS (
+        -- zero-padded (us, event_id) string key: sorts identically to
+        -- the numeric tuple (both non-negative), and DuckDB's arg_min
+        -- accepts VARCHAR keys where it rejects STRUCT keys
+        SELECT user_id, session_idx,
+               arg_min(event_type, lpad(CAST(us AS VARCHAR), 20, '0')
+                                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+               arg_max(event_type, lpad(CAST(us AS VARCHAR), 20, '0')
+                                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type
+        FROM numbered GROUP BY user_id, session_idx
+    ),
+    ct AS (SELECT entry_type, exit_type, count(*) AS n FROM sess GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS total FROM ct)
+    SELECT c.entry_type, c.exit_type, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS share
+    FROM ct c, tot t
+    ORDER BY c.entry_type, c.exit_type
+    """,
+    "session entry/exit type matrix (landing-exit report) with quantized shares",
+)
+def events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(wlag).isNull()
+            | (F.col("us") - F.lag("us").over(wlag) > _GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = F.struct("us", "event_id", "event_type")
+    sess = numbered.groupBy("user_id", "session_idx").agg(
+        F.min(key).getField("event_type").alias("entry_type"),
+        F.max(key).getField("event_type").alias("exit_type"),
+    )
+    ct = sess.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    tot = ct.agg(F.sum("n").alias("total"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        ct.crossJoin(F.broadcast(tot))
+        .select("entry_type", "exit_type", "n", share.alias("share"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-user concentration — the interpretable complement to the Gini
+# coefficient: the event share held by the most-active 1% / 5% / 10% of
+# users. Ranks ride the shared distrank two-phase path (never a
+# single-task window over the user dimension); thresholds compare
+# exact integers (rank*100 <= n*pct).
+# ---------------------------------------------------------------------------
+@register(
+    "events_power_users_share",
+    """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk,
+               count(*) OVER () AS n, sum(x) OVER () AS total
+        FROM per_user
+    )
+    SELECT max(n) AS n_users,
+           CAST(max(total) AS BIGINT) AS n_events,
+           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 1 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top1pct_share,
+           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 5 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top5pct_share,
+           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 10 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top10pct_share
+    FROM ranked
+    """,
+    "power-user concentration: event share of the top 1/5/10% most-active users",
+)
+def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .distrank import with_global_rank
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = with_global_rank(
+        spark,
+        per_user,
+        [F.col("x").desc(), F.col("user_id")],
+        rn_col="rk",
+        n_col="n",
+    )
+    tot = ranked.agg(F.sum("x").alias("total"))
+
+    def top_share(pct: int):
+        inside = F.sum(
+            F.when(F.col("rk") * 100 <= F.col("n") * pct, F.col("x")).otherwise(0)
+        )
+        return (
+            F.round(inside.cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
+            / F.lit(1000000.0)
+        )
+
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n_users"),
+        F.max("total").cast("long").alias("n_events"),
+        top_share(1).alias("top1pct_share"),
+        top_share(5).alias("top5pct_share"),
+        top_share(10).alias("top10pct_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day conversion rate — q30's RANGE-frame machinery applied
+# to the view->purchase ratio: daily counts roll up first (the window
+# runs over the tiny day spine, not the event stream), then 7-day
+# RANGE sums feed a quantized ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_conversion",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT d,
+               sum(n_views) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                  AND CURRENT ROW) AS v7,
+               sum(n_purch) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                  AND CURRENT ROW) AS p7
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(v7 AS BIGINT) AS views_7d, CAST(p7 AS BIGINT) AS purchases_7d,
+           CAST(round(CAST(p7 AS DOUBLE) * 1000000.0 / greatest(v7, 1)) AS BIGINT)
+               / 1000000.0 AS conversion_7d
+    FROM rolled
+    ORDER BY d
+    """,
+    "rolling 7-day view->purchase conversion over the daily spine (RANGE frame)",
+)
+def events_rolling_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    wroll = Window.orderBy(F.col("d").cast("timestamp").cast("long")).rangeBetween(
+        -6 * 86400, 0
+    )
+    rolled = daily.select(
+        "d",
+        F.sum("n_views").over(wroll).alias("v7"),
+        F.sum("n_purch").over(wroll).alias("p7"),
+    )
+    conv = (
+        F.round(
+            F.col("p7").cast("double") * F.lit(1000000.0) / F.greatest(F.col("v7"), F.lit(1))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return rolled.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("v7").cast("long").alias("views_7d"),
+        F.col("p7").cast("long").alias("purchases_7d"),
+        conv.alias("conversion_7d"),
+    ).orderBy("day")
