@@ -162,6 +162,8 @@ _PRIORITY = [
     "events_session_transitions",
     "events_power_users_share",
     "events_rolling_conversion",
+    "multimodal_size_outliers",
+    "emb_norm_anova",
 ]
 
 

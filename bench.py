@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "events_session_transitions",
     "events_power_users_share",
     "events_rolling_conversion",
+    "multimodal_size_outliers",
+    "emb_norm_anova",
 ]
 
 

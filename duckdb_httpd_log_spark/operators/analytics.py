@@ -3729,3 +3729,165 @@ def events_rolling_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p7").cast("long").alias("purchases_7d"),
         conv.alias("conversion_7d"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal payload-size outliers — corrupted/truncated media
+# detection: per kind, mean and population stddev of payload bytes
+# from EXACT integer sums (bytes and bytes^2 fit BIGINT comfortably),
+# then the count beyond +-3 sigma. The 3-sigma test cross-multiplies
+# integers against the variance bound ((b*n - s1)^2 vs 9*n*(n*s2-s1^2))
+# so no per-row float compare exists. Payload bytes never shuffle —
+# only their per-kind moments do.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_size_outliers",
+    """
+    WITH bt AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS b
+        FROM documents
+    ),
+    s AS (
+        SELECT kind, count(*) AS n, sum(b) AS s1, sum(b * b) AS s2
+        FROM bt GROUP BY kind
+    )
+    SELECT bt.kind, max(s.n) AS n_payloads,
+           CAST(round(CAST(max(s.s1) AS DOUBLE) * 100.0 / max(s.n)) AS BIGINT)
+               / 100.0 AS mean_bytes,
+           CAST(sum(CASE WHEN CAST(bt.b * s.n - s.s1 AS HUGEINT)
+                              * CAST(bt.b * s.n - s.s1 AS HUGEINT)
+                              > CAST(9 AS HUGEINT) * s.n
+                                * (CAST(s.n AS HUGEINT) * s.s2
+                                   - CAST(s.s1 AS HUGEINT) * s.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM bt JOIN s ON bt.kind = s.kind
+    GROUP BY bt.kind
+    ORDER BY bt.kind
+    """,
+    "multimodal size outliers: +-3-sigma payload-byte test on exact integer moments",
+)
+def multimodal_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import binary_table
+
+    bt = binary_table(spark, sf_dir).select(
+        "kind", F.octet_length("payload").cast("long").alias("b")
+    ).localCheckpoint(eager=False)  # feeds the moment agg AND the outlier scan
+    s = bt.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b").alias("s1"),
+        F.sum(F.col("b") * F.col("b")).alias("s2"),
+    )
+    # 128-bit compare (HUGEINT / decimal(38,0)): dev^2 outgrows BIGINT
+    # once byte counts x group sizes pass ~10^9, long before real media
+    # corpora do
+    dev = (F.col("b") * F.col("n") - F.col("s1")).cast("decimal(38,0)")
+    bound = (
+        F.lit(9).cast("decimal(38,0)")
+        * F.col("n")
+        * (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        )
+    )
+    mean_b = (
+        F.round(F.max("s1").cast("double") * F.lit(100.0) / F.max("n")).cast("long")
+        / F.lit(100.0)
+    )
+    return (
+        bt.join(F.broadcast(s), "kind")
+        .groupBy("kind")
+        .agg(
+            F.max("n").alias("n_payloads"),
+            mean_b.alias("mean_bytes"),
+            F.sum(F.when(dev * dev > bound, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm separability (one-way ANOVA F) — does vector magnitude alone
+# separate the labels? Between/within variance ratio over per-vector
+# norms. Norms are irrational, so each quantizes to a 1e6-scaled
+# BIGINT first; every subsequent sum is an integer sum and the F
+# statistic is one pinned double expression over exact group moments.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_norm_anova",
+    """
+    WITH raw AS (
+        SELECT vec_id, label,
+               CAST(round(sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                         for i in range(1, len(embedding) + 1)]))
+                          * 1000000.0) AS BIGINT) AS n6
+        FROM embeddings
+    ),
+    g AS (SELECT label, count(*) AS n,
+                 sum(CAST(n6 AS HUGEINT)) AS s1,
+                 sum(CAST(n6 AS HUGEINT) * n6) AS s2
+          FROM raw GROUP BY label),
+    tot AS (
+        SELECT count(*) AS k, sum(n) AS n_all, sum(s1) AS s1_all,
+               sum(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS HUGEINT))
+                   AS ssb_part,
+               sum(s2) AS s2_all
+        FROM g
+    )
+    SELECT k AS n_labels, n_all AS n_vecs,
+           round((CAST(ssb_part AS DOUBLE) - CAST(s1_all AS DOUBLE) * s1_all / n_all)
+                 / (k - 1)
+                 / ((CAST(s2_all AS DOUBLE) - ssb_part) / (n_all - k)), 4) AS f_stat
+    FROM tot
+    """,
+    "one-way ANOVA F of vector norms across labels (quantized-integer moments)",
+)
+def emb_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n6 = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+            )
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    raw = emb.select("label", n6.alias("n6"))
+    # 128-bit sums (decimal(38,0) / HUGEINT): a 10^6-magnitude vector's
+    # quantized norm is ~10^12 and its square overflows BIGINT
+    n6d = F.col("n6").cast("decimal(38,0)")
+    g = raw.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(n6d).alias("s1"),
+        F.sum(n6d * F.col("n6")).alias("s2"),
+    )
+    ssb_part_term = F.round(
+        F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ).cast("decimal(38,0)")
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_all"),
+        F.sum("s1").alias("s1_all"),
+        F.sum(ssb_part_term).alias("ssb_part"),
+        F.sum("s2").alias("s2_all"),
+    )
+    f_stat = F.round(
+        (
+            F.col("ssb_part").cast("double")
+            - F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
+        )
+        / (F.col("k") - 1)
+        / (
+            (F.col("s2_all").cast("double") - F.col("ssb_part"))
+            / (F.col("n_all") - F.col("k"))
+        ),
+        4,
+    )
+    return tot.select(
+        F.col("k").alias("n_labels"),
+        F.col("n_all").alias("n_vecs"),
+        f_stat.alias("f_stat"),
+    )

@@ -91,6 +91,7 @@ _DOC_QUERIES = [
     "text_ascii_profile",  # the unicode docs are exactly its edge case
     "dedup_rate_by_source",
     "text_quality_by_source",
+    "multimodal_size_outliers",
 ]
 
 
