@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     "events_rolling_conversion",
     "multimodal_size_outliers",
     "emb_norm_anova",
+    "events_anomaly_iqr",
+    "corpus_shard_balance",
+    "events_activation_rate",
 ]
 
 

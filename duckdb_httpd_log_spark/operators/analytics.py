@@ -3891,3 +3891,204 @@ def emb_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_all").alias("n_vecs"),
         f_stat.alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR (Tukey-fence) anomaly days — the robust monitor sibling of the
+# z-score (q34), MAD (q39), and CUSUM (events_cusum_daily) detectors:
+# daily event counts vs the 1.5xIQR fences. Quartiles are positional
+# picks over the tiny day spine; the fence compare cross-multiplies
+# integers (4*count vs 4*q3 + 6*(q3-q1)) so no float appears anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_iqr",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d, n,
+               row_number() OVER (ORDER BY n, d) AS rn,
+               count(*) OVER () AS cnt
+        FROM daily
+    ),
+    q AS (
+        SELECT min(CASE WHEN rn >= CAST(ceil(0.25 * cnt) AS BIGINT) THEN n END) AS q1,
+               min(CASE WHEN rn >= CAST(ceil(0.75 * cnt) AS BIGINT) THEN n END) AS q3
+        FROM ranked
+    )
+    SELECT CAST(daily.d AS VARCHAR) AS day, daily.n, q.q1, q.q3,
+           CASE WHEN 2 * daily.n > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                  OR 2 * daily.n < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily, q
+    ORDER BY daily.d
+    """,
+    "Tukey-fence anomaly days: daily counts vs 1.5xIQR, integer-only compare",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)  # feeds the quartiles AND the output
+    wr = Window.orderBy("n", "d")
+    ranked = daily.select(
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("cnt")).cast("long")
+        return F.min(F.when(F.col("rn") >= pos, F.col("n")))
+
+    q = ranked.agg(pick(0.25).alias("q1"), pick(0.75).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    flag = F.when(
+        (2 * F.col("n") > 2 * F.col("q3") + 3 * iqr)
+        | (2 * F.col("n") < 2 * F.col("q1") - 3 * iqr),
+        1,
+    ).otherwise(0)
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            "q1",
+            "q3",
+            flag.alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard balance audit — did the salted-hash sharding actually balance?
+# Consumes shard_assign's live SQL and reports per-shard doc and token
+# counts plus the max/min imbalance ratio as a single card (the thing
+# an operator checks before kicking off a 1000-worker training read).
+# ---------------------------------------------------------------------------
+def _shard_oracle() -> str:
+    from . import textops as _t  # noqa: F401
+    from ..plans.registry import REGISTRY
+
+    return REGISTRY["shard_assign"].oracle_sql
+
+
+@register(
+    "corpus_shard_balance",
+    """
+    WITH assign AS (SELECT doc_id, shard FROM ({SHARDS})),
+    per AS (
+        SELECT a.shard, count(*) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+        GROUP BY a.shard
+    ),
+    spread AS (
+        SELECT count(*) AS n_shards,
+               min(n_docs) AS min_docs, max(n_docs) AS max_docs,
+               min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        FROM per
+    )
+    SELECT n_shards, min_docs, max_docs, min_tokens, max_tokens,
+           CAST(round(CAST(max_tokens AS DOUBLE) * 10000.0
+                      / greatest(min_tokens, 1)) AS BIGINT) / 10000.0
+               AS token_imbalance
+    FROM spread
+    """.replace("{SHARDS}", _shard_oracle()),
+    "shard balance audit: per-shard doc/token spread + imbalance ratio (live shard SQL)",
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import shard_assign
+
+    assign = shard_assign(spark, sf_dir).select("doc_id", "shard")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    per = (
+        assign.join(docs, "doc_id")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    spread = per.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    imb = (
+        F.round(
+            F.col("max_tokens").cast("double")
+            * F.lit(10000.0)
+            / F.greatest(F.col("min_tokens"), F.lit(1))
+        ).cast("long")
+        / F.lit(10000.0)
+    )
+    return spread.select(
+        "n_shards",
+        "min_docs",
+        "max_docs",
+        "min_tokens",
+        "max_tokens",
+        imb.alias("token_imbalance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-week activation rate — the growth-funnel north-star: share of
+# users who reach >= 3 events within 7 days of their first event.
+# Per-user first-timestamp is one hash agg; the activation count is a
+# second agg over a self-join-free filtered pass (events join their
+# user's first_us via broadcastable per-user table).
+# ---------------------------------------------------------------------------
+ACTIVATION_EVENTS = 3
+ACTIVATION_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_activation_rate",
+    f"""
+    WITH firstseen AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+    ),
+    in_window AS (
+        SELECT e.user_id, count(*) AS n_w
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        WHERE epoch_us(e.ts) - f.first_us <= {ACTIVATION_WINDOW_US}
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN n_w >= {ACTIVATION_EVENTS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_activated,
+           CAST(round(CAST(sum(CASE WHEN n_w >= {ACTIVATION_EVENTS} THEN 1 ELSE 0 END)
+                           AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+               / 1000000.0 AS activation_rate
+    FROM in_window
+    """,
+    "first-week activation: share of users with >= 3 events within 7 days of first touch",
+)
+def events_activation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    in_window = (
+        ev.join(firstseen, "user_id")
+        .filter(F.col("us") - F.col("first_us") <= ACTIVATION_WINDOW_US)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    activated = F.sum(
+        F.when(F.col("n_w") >= ACTIVATION_EVENTS, 1).otherwise(0)
+    ).cast("long")
+    rate = (
+        F.round(activated.cast("double") * F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
+        / F.lit(1000000.0)
+    )
+    return in_window.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        activated.alias("n_activated"),
+        rate.alias("activation_rate"),
+    )

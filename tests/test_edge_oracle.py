@@ -92,6 +92,7 @@ _DOC_QUERIES = [
     "dedup_rate_by_source",
     "text_quality_by_source",
     "multimodal_size_outliers",
+    "corpus_shard_balance",
 ]
 
 
