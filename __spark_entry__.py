@@ -167,6 +167,9 @@ _PRIORITY = [
     "events_anomaly_iqr",
     "corpus_shard_balance",
     "events_activation_rate",
+    "orders_nation_growth",
+    "events_value_deciles",
+    "orders_rolling_median",
 ]
 
 

@@ -4092,3 +4092,177 @@ def events_activation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         activated.alias("n_activated"),
         rate.alias("activation_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation revenue growth — YoY growth per customer nation: the star join
+# (orders -> customer -> nation, both dims broadcast) feeds a yearly
+# cents rollup; growth is a lag over the tiny (nation x year) grid with
+# the quantized-ratio discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_nation_growth",
+    """
+    WITH yearly AS (
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    ),
+    lagged AS (
+        SELECT nation, yr, cents,
+               lag(cents) OVER (PARTITION BY nation ORDER BY yr) AS prev_cents
+        FROM yearly
+    )
+    SELECT nation, yr, round(cents / 100.0, 2) AS revenue,
+           CASE WHEN prev_cents > 0
+                THEN CAST(round((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
+                                / prev_cents) AS BIGINT) / 1000000.0
+                END AS yoy_growth
+    FROM lagged
+    ORDER BY nation, yr
+    """,
+    "YoY revenue growth per customer nation (broadcast star join, quantized ratio)",
+)
+def orders_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+    )
+    wl = Window.partitionBy("nation").orderBy("yr")
+    lagged = yearly.withColumn("prev_cents", F.lag("cents").over(wl))
+    growth = F.when(
+        F.col("prev_cents") > 0,
+        F.round(
+            (F.col("cents").cast("double") - F.col("prev_cents"))
+            * F.lit(1000000.0)
+            / F.col("prev_cents")
+        ).cast("long")
+        / F.lit(1000000.0),
+    )
+    return lagged.select(
+        "nation",
+        "yr",
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        growth.alias("yoy_growth"),
+    ).orderBy("nation", "yr")
+
+
+# ---------------------------------------------------------------------------
+# Per-user value deciles — the monetization distribution table: users
+# decile-ranked by lifetime event value (distrank two-phase rank +
+# exact ntile formula; the oracle uses plain ntile(10)), with each
+# decile's user count, total cents, and share of all value.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_deciles",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    classed AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, user_id) AS decile
+        FROM per_user
+    ),
+    tot AS (SELECT sum(cents) AS total FROM per_user)
+    SELECT c.decile, count(*) AS n_users,
+           CAST(sum(c.cents) AS BIGINT) AS decile_cents,
+           CAST(round(CAST(sum(c.cents) AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS value_share
+    FROM classed c, tot t
+    GROUP BY c.decile, t.total
+    ORDER BY c.decile
+    """,
+    "per-user lifetime-value deciles via distrank + exact ntile, with value shares",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .distrank import ntile_expr, with_global_rank
+
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+    )
+    ranked = with_global_rank(
+        spark, per_user, [F.col("cents"), F.col("user_id")], rn_col="rn", n_col="n"
+    )
+    classed = ranked.select(
+        "cents", ntile_expr("rn", "n", 10).cast("int").alias("decile")
+    )
+    tot = per_user.agg(F.sum("cents").alias("total"))
+    share = (
+        F.round(F.sum("cents").cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        classed.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+            share.alias("value_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day LOWER-median revenue — a robust rolling trend (median
+# shrugs off the single-day spikes that wreck a rolling mean). Both
+# engines build the 7-row window as an ARRAY, sort it, and take the
+# lower median (position ceil(n/2)) — sidestepping engine-specific
+# even-count interpolation entirely. The window runs over the tiny
+# daily spine.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rolling_median",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    windowed AS (
+        SELECT d, cents,
+               list(cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS win
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           round(cents / 100.0, 2) AS revenue,
+           round(list_sort(win)[CAST(ceil(len(win) / 2.0) AS INTEGER)] / 100.0, 2)
+               AS median7_revenue
+    FROM windowed
+    ORDER BY d
+    """,
+    "rolling 7-day lower-median revenue via sorted window arrays (no interpolation)",
+)
+def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+    )
+    ww = Window.orderBy("d").rowsBetween(-6, 0)
+    windowed = daily.withColumn("win", F.collect_list("cents").over(ww))
+    med = F.expr(
+        "element_at(array_sort(win), cast(ceil(size(win) / 2.0) as int))"
+    )
+    return windowed.select(
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round(med / F.lit(100.0), 2).alias("median7_revenue"),
+    ).orderBy("day")
