@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "orders_nation_growth",
     "events_value_deciles",
     "orders_rolling_median",
+    "q55_loo_avg",
+    "text_token_len_hist",
+    "orders_dow_index",
 ]
 
 

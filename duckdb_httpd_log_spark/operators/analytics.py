@@ -4266,3 +4266,184 @@ def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
         F.round(med / F.lit(100.0), 2).alias("median7_revenue"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out peer comparison — each order's price against its
+# priority class's average EXCLUDING itself ((sum - x)/(n - 1), the
+# unbiased peer baseline): the classic self-excluding window pattern.
+# Group sums are exact integer cents; the deviation ratio quantizes.
+# Output keeps the 3 most above-peer orders per priority
+# (TakeOrderedAndProject semantics via per-group rank).
+# ---------------------------------------------------------------------------
+@register(
+    "q55_loo_avg",
+    """
+    WITH g AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                   OVER (PARTITION BY o_orderpriority) AS s,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    scored AS (
+        SELECT pri, o_orderkey, cents,
+               CAST(round((CAST(s - cents AS DOUBLE) / (n - 1)) ) AS BIGINT) AS peer_cents,
+               CAST(round(CAST(cents AS DOUBLE) * (n - 1) * 1000000.0
+                          / (CAST(s AS DOUBLE) - cents)) AS BIGINT) / 1000000.0
+                   AS ratio_vs_peers
+        FROM g WHERE n > 1
+    )
+    SELECT pri AS o_orderpriority, o_orderkey,
+           round(cents / 100.0, 2) AS totalprice,
+           round(peer_cents / 100.0, 2) AS peer_avg,
+           ratio_vs_peers
+    FROM (SELECT *, row_number() OVER (PARTITION BY pri
+                                       ORDER BY ratio_vs_peers DESC, o_orderkey) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    ORDER BY o_orderpriority, ratio_vs_peers DESC, o_orderkey
+    """,
+    "leave-one-out peer baseline: top orders vs their priority's self-excluding average",
+)
+def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wg = Window.partitionBy("pri")
+    g = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    ).select(
+        "pri",
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(wg).alias("s"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    peer_cents = F.round(
+        (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1)
+    ).cast("long")
+    ratio = (
+        F.round(
+            F.col("cents").cast("double")
+            * (F.col("n") - 1)
+            * F.lit(1000000.0)
+            / (F.col("s").cast("double") - F.col("cents"))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    scored = g.filter(F.col("n") > 1).select(
+        "pri",
+        "o_orderkey",
+        "cents",
+        peer_cents.alias("peer_cents"),
+        ratio.alias("ratio_vs_peers"),
+    )
+    wrk = Window.partitionBy("pri").orderBy(
+        F.col("ratio_vs_peers").desc(), "o_orderkey"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "o_orderkey",
+            F.round(F.col("cents") / F.lit(100.0), 2).alias("totalprice"),
+            F.round(F.col("peer_cents") / F.lit(100.0), 2).alias("peer_avg"),
+            "ratio_vs_peers",
+        )
+        .orderBy("o_orderpriority", F.col("ratio_vs_peers").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram — the tokenizer diagnostic (length
+# distribution drives BPE vocab sizing and fertility estimates):
+# corpus-wide counts per character length, share quantized. The
+# explode collapses immediately into a ~20-key hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_len_hist",
+    """
+    WITH toks AS (
+        SELECT length(unnest(string_split(text, ' '))) AS len
+        FROM documents
+    ),
+    ct AS (SELECT len, count(*) AS n FROM toks WHERE len > 0 GROUP BY len),
+    tot AS (SELECT sum(n) AS total FROM ct)
+    SELECT c.len AS token_len, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS share
+    FROM ct c, tot t
+    ORDER BY c.len
+    """,
+    "token character-length histogram with quantized shares (tokenizer sizing input)",
+)
+def text_token_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ct = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(F.length("w").alias("token_len"))
+        .filter(F.col("token_len") > 0)
+        .groupBy("token_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = ct.agg(F.sum("n").alias("total"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        ct.crossJoin(F.broadcast(tot))
+        .select("token_len", "n", share.alias("share"))
+        .orderBy("token_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week revenue index — orders_seasonality_index's weekly
+# sibling: each ISO weekday's revenue vs the all-days mean (10000 =
+# average day). Integer cents; quantize-then-divide.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_dow_index",
+    """
+    WITH dow AS (
+        SELECT isodow(CAST(o_orderdate AS DATE)) AS d,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(cents) AS all_cents, count(*) AS n_days FROM dow)
+    SELECT CAST(dow.d AS BIGINT) AS dow, dow.n_orders, dow.cents,
+           CAST(round(CAST(dow.cents AS DOUBLE) * t.n_days * 10000.0 / t.all_cents)
+                AS BIGINT) / 10000.0 AS dow_index
+    FROM dow, tot t
+    ORDER BY dow
+    """,
+    "ISO day-of-week revenue indices vs the weekly mean, integer cents",
+)
+def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dow = ((F.dayofweek(F.col("o_orderdate").cast("date")) + 5) % 7 + 1).cast("long")
+    per = orders.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").alias("all_cents"), F.count(F.lit(1)).alias("n_days"))
+    idx = (
+        F.round(
+            F.col("cents").cast("double")
+            * F.col("n_days")
+            * F.lit(10000.0)
+            / F.col("all_cents")
+        ).cast("long")
+        / F.lit(10000.0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("dow", "n_orders", "cents", idx.alias("dow_index"))
+        .orderBy("dow")
+    )

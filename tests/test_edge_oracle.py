@@ -93,6 +93,7 @@ _DOC_QUERIES = [
     "text_quality_by_source",
     "multimodal_size_outliers",
     "corpus_shard_balance",
+    "text_token_len_hist",
 ]
 
 
