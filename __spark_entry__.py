@@ -173,6 +173,7 @@ _PRIORITY = [
     "q55_loo_avg",
     "text_token_len_hist",
     "orders_dow_index",
+    "events_conversion_by_entry",
 ]
 
 

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q55_loo_avg",
     "text_token_len_hist",
     "orders_dow_index",
+    "events_conversion_by_entry",
 ]
 
 

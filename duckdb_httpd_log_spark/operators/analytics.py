@@ -4447,3 +4447,86 @@ def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dow", "n_orders", "cents", idx.alias("dow_index"))
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion by landing type — which session ENTRY event converts:
+# per entry type, the share of sessions that contain a purchase before
+# they end. Reuses the q15 session machinery and the padded-key
+# arg_min from events_session_transitions; the purchase flag is a
+# per-session max, the rollup a 5-key agg.
+# ---------------------------------------------------------------------------
+@register(
+    "events_conversion_by_entry",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, session_idx,
+               arg_min(event_type, lpad(CAST(us AS VARCHAR), 20, '0')
+                                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT entry_type, count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(round(CAST(sum(converted) AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+               / 1000000.0 AS conversion_rate
+    FROM sess
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+    "conversion by landing type: purchase share of sessions per entry event",
+)
+def events_conversion_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(wlag).isNull()
+            | (F.col("us") - F.lag("us").over(wlag) > _GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(wlag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = F.struct("us", "event_id", "event_type")
+    sess = numbered.groupBy("user_id", "session_idx").agg(
+        F.min(key).getField("event_type").alias("entry_type"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    rate = (
+        F.round(
+            F.sum("converted").cast("double") * F.lit(1000000.0) / F.count(F.lit(1))
+        ).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            rate.alias("conversion_rate"),
+        )
+        .orderBy("entry_type")
+    )
