@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "text_token_len_hist",
     "orders_dow_index",
     "events_conversion_by_entry",
+    "orders_priority_mix_trend",
+    "text_len_quartiles_by_lang",
+    "events_value_log_hist",
 ]
 
 

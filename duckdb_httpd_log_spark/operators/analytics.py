@@ -4530,3 +4530,141 @@ def events_conversion_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority mix trend — monthly composition of order priorities (mix
+# shift is the slow-burn drift rate-based monitors miss): per (month,
+# priority) counts with quantized within-month shares. One hash agg on
+# a months x 5 domain.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_priority_mix_trend",
+    """
+    WITH m AS (
+        SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR) AS month,
+               o_orderpriority AS pri, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT month, sum(n) AS mn FROM m GROUP BY month)
+    SELECT m.month, m.pri, m.n,
+           CAST(round(CAST(m.n AS DOUBLE) * 1000000.0 / t.mn) AS BIGINT)
+               / 1000000.0 AS share
+    FROM m JOIN tot t ON m.month = t.month
+    ORDER BY m.month, m.pri
+    """,
+    "monthly order-priority mix with within-month shares (composition drift)",
+)
+def orders_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    tot = m.groupBy("month").agg(F.sum("n").alias("mn"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("mn")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        m.join(F.broadcast(tot), "month")
+        .select("month", "pri", "n", share.alias("share"))
+        .orderBy("month", "pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length quartiles per language — the per-group distribution card
+# (q46's positional-pick mechanism partitioned by lang); group sizes
+# are language-sized, ranks stay inside each partition.
+# ---------------------------------------------------------------------------
+@register(
+    "text_len_quartiles_by_lang",
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang, max(n) AS n_docs,
+           min(CASE WHEN rn >= CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS p25_chars,
+           min(CASE WHEN rn >= CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS p50_chars,
+           min(CASE WHEN rn >= CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS p75_chars
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "per-language document-length quartiles (positional pick, partition-local ranks)",
+)
+def text_len_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("rn") >= pos, F.col("n_chars")))
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            pick(0.25).alias("p25_chars"),
+            pick(0.50).alias("p50_chars"),
+            pick(0.75).alias("p75_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2 value histogram — order-of-magnitude event-value distribution
+# via the bin() trick: bucket = len(bin(cents)) - 1 is EXACTLY
+# floor(log2(cents)) computed with pure string/integer builtins, so no
+# cross-engine libm floor(log(x)/log(2)) boundary can flip a bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_log_hist",
+    """
+    WITH v AS (
+        SELECT CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    b AS (SELECT length(bin(cents)) - 1 AS bucket FROM v),
+    ct AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    tot AS (SELECT sum(n) AS total FROM ct)
+    SELECT CAST(c.bucket AS BIGINT) AS log2_bucket, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+               / 1000000.0 AS share
+    FROM ct c, tot t
+    ORDER BY log2_bucket
+    """,
+    "order-of-magnitude value histogram: exact floor(log2) buckets via bin-string length",
+)
+def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    v = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        cents.alias("cents")
+    )
+    bucket = (F.length(F.bin("cents")) - 1).cast("long")
+    ct = v.select(bucket.alias("log2_bucket")).groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    tot = ct.agg(F.sum("n").alias("total"))
+    share = (
+        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        / F.lit(1000000.0)
+    )
+    return (
+        ct.crossJoin(F.broadcast(tot))
+        .select("log2_bucket", "n", share.alias("share"))
+        .orderBy("log2_bucket")
+    )

@@ -94,6 +94,7 @@ _DOC_QUERIES = [
     "multimodal_size_outliers",
     "corpus_shard_balance",
     "text_token_len_hist",
+    "text_len_quartiles_by_lang",
 ]
 
 

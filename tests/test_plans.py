@@ -205,6 +205,8 @@ def test_two_phase_rank_ops_partition_local(spark):
         "q44_rfm",
         "orders_abc_analysis",
         "orders_rfm_migration",
+        "events_power_users_share",
+        "events_value_deciles",
     ]:
         plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
         # the __pid attribute survives into the plan unless a lazy
