@@ -177,6 +177,7 @@ _PRIORITY = [
     "orders_priority_mix_trend",
     "text_len_quartiles_by_lang",
     "events_value_log_hist",
+    "orders_first_vs_ltv_corr",
 ]
 
 

@@ -4668,3 +4668,77 @@ def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("log2_bucket", "n", share.alias("share"))
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order value vs lifetime value — does the first basket predict
+# the customer? Pearson r over (first-order cents, total cents) per
+# customer, from EXACT 128-bit integer moments (HUGEINT /
+# decimal(38,0) — cents products overflow BIGINT beyond ~10^9
+# customers) with one pinned double expression at the end. First-order
+# pick uses the padded-key arg_min (ties broken by orderkey).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_first_vs_ltv_corr",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               arg_min(CAST(round(o_totalprice * 100.0) AS BIGINT),
+                       lpad(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                       || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_cents,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS ltv_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(CAST(first_cents AS HUGEINT)) AS sx,
+               sum(CAST(ltv_cents AS HUGEINT)) AS sy,
+               sum(CAST(first_cents AS HUGEINT) * first_cents) AS sxx,
+               sum(CAST(ltv_cents AS HUGEINT) * ltv_cents) AS syy,
+               sum(CAST(first_cents AS HUGEINT) * ltv_cents) AS sxy
+        FROM per_cust
+    )
+    SELECT n AS n_customers,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+               AS pearson_r
+    FROM s
+    """,
+    "Pearson r of first-order value vs customer lifetime value (128-bit exact moments)",
+)
+def orders_first_vs_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    key = F.struct(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.col("o_orderkey").alias("ok"),
+        cents.alias("c"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(key).getField("c").alias("first_cents"),
+        F.sum(cents).alias("ltv_cents"),
+    )
+    fx = F.col("first_cents").cast("decimal(38,0)")
+    fy = F.col("ltv_cents").cast("decimal(38,0)")
+    s = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fx).alias("sx"),
+        F.sum(fy).alias("sy"),
+        F.sum(fx * F.col("first_cents")).alias("sxx"),
+        F.sum(fy * F.col("ltv_cents")).alias("syy"),
+        F.sum(fx * F.col("ltv_cents")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.round(
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / F.sqrt(
+            (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+        ),
+        4,
+    )
+    return s.select(F.col("n").alias("n_customers"), r.alias("pearson_r"))
