@@ -317,6 +317,29 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_200k_gz"] = round(statistics.median(runs), 4)
 
+    # Noise re-measure (r4 verdict #7): the queries whose r3->r4 deltas
+    # were ambiguous (trained-index cost vs loop noise) get an N>=9
+    # standalone pass with spread, so the next verdict can attribute a
+    # 1.4-1.7x delta to work or to variance.
+    noise: dict[str, dict[str, float]] = {}
+    for name in ["kmeans_train", "ann_lsh_topk", "multimodal_resize", "multimodal_features"]:
+        qd = REGISTRY.get(name)
+        if qd is None:
+            continue
+        runs = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            qd.spark_fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        noise[name] = {
+            "median9": round(statistics.median(runs), 4),
+            "p25": round(runs[2], 4),
+            "p75": round(runs[6], 4),
+            "min": round(runs[0], 4),
+            "max": round(runs[-1], 4),
+        }
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -324,6 +347,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "noise": noise,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver's BENCH_r{N}.json keeps only a tail of stdout, which has

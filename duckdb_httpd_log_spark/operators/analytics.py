@@ -13,7 +13,7 @@ the same as the sibling modules:
 - order-dependent double SUMs are quantized per-row to scaled BIGINTs
   (integer SUM is commutative across engines), one final double
   division pinned with identical parenthesization in both engines;
-- integer ratios that could land on a round() boundary go through the
+- integer ratios that could land on a quantization boundary go through the
   quantize-to-int-then-divide path (registry header rule);
 - top-k output only under a total order (TakeOrderedAndProject).
 """
@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 # ---------------------------------------------------------------------------
 # Good-Turing frequency-of-frequencies — the smoothing table every
@@ -46,9 +46,9 @@ GT_TOP_R = 15
     fof AS (SELECT c AS r, count(*) AS n_r FROM tc GROUP BY c),
     tot AS (SELECT sum(c) AS n_tokens FROM tc)
     SELECT f.r, f.n_r,
-           CAST(round(CAST(f.r * f.n_r AS DOUBLE) * 1000000.0 / t.n_tokens) AS BIGINT)
+           CAST(floor((CAST(f.r * f.n_r AS DOUBLE) * 1000000.0 / t.n_tokens) + 0.5) AS BIGINT)
                / 1000000.0 AS mass,
-           CAST(round(CAST((f.r + 1) * f2.n_r AS DOUBLE) * 1000000.0 / f.n_r) AS BIGINT)
+           CAST(floor((CAST((f.r + 1) * f2.n_r AS DOUBLE) * 1000000.0 / f.n_r) + 0.5) AS BIGINT)
                / 1000000.0 AS r_star
     FROM fof f
     LEFT JOIN fof f2 ON f2.r = f.r + 1, tot t
@@ -72,7 +72,7 @@ def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tc.agg(F.sum("c").alias("n_tokens"))
     nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
     mass = (
-        F.round(
+        fround(
             (F.col("r") * F.col("n_r")).cast("double")
             * F.lit(1000000.0)
             / F.col("n_tokens")
@@ -80,7 +80,7 @@ def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1000000.0)
     )
     r_star = (
-        F.round(
+        fround(
             ((F.col("r") + 1) * F.col("n_next")).cast("double")
             * F.lit(1000000.0)
             / F.col("n_r")
@@ -218,8 +218,8 @@ _GAP_US = 30 * 60 * 1_000_000  # q15's SESSION_GAP_MIN, restated
     SELECT CAST(CAST(make_timestamp(start_us) AS DATE) AS VARCHAR) AS day,
            count(*) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
-           CAST(round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS bounce_rate
+           CAST(floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) + 0.5) AS BIGINT) / 1000000.0 AS bounce_rate
     FROM sess
     GROUP BY 1
     ORDER BY 1
@@ -254,7 +254,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bounces.cast("long").alias("n_bounces"),
     )
     rate = (
-        F.round(
+        fround(
             F.col("n_bounces").cast("double") * F.lit(1000000.0) / F.col("n_sessions")
         ).cast("long")
         / F.lit(1000000.0)
@@ -284,12 +284,12 @@ USER_ENTROPY_TOP = 100
     ),
     agg AS (
         SELECT user_id, sum(c) AS n, count(*) AS n_types,
-               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY user_id
     )
     SELECT user_id, n AS n_events, n_types,
-           round(ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n, 4)
+           floor((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS type_entropy
     FROM agg
     ORDER BY type_entropy DESC, user_id
@@ -301,7 +301,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
     cd = F.col("c").cast("double")
-    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("user_id").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("n_types"),
@@ -315,7 +315,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("n").alias("n_events"),
             "n_types",
-            F.round(entropy, 4).alias("type_entropy"),
+            fround(entropy, 4).alias("type_entropy"),
         )
         .orderBy(F.col("type_entropy").desc(), "user_id")
         .limit(USER_ENTROPY_TOP)
@@ -329,13 +329,17 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator emits 2-dp doubles), power sums accumulate in 128-bit
 # integers (HUGEINT / decimal(38,0) — both exact, both cast to the
 # same double at the end), and the moment formulas are pinned with
-# identical parenthesization. Values are winsorized to ±1e6 so the
-# 4th-power sum provably fits 128 bits ((1e8 cents)^4 = 1e32 < 2^127
-# even x 10^6 rows/group) — a no-op on the generator's <=600 range,
-# and the statistically standard guard for raw-moment estimators.
-# One hash agg over 5 groups; no second pass.
+# identical parenthesization. Values are winsorized to ±5e5 so the
+# 4th-power sum provably fits the NARROWER of the two accumulators —
+# Spark's decimal(38,0), max 10^38-1, not int128: (5e7 cents)^4 =
+# 6.25e30 per row, x 10^7 rows/group = 6.25e37 < 10^38-1. (At the old
+# ±1e6 clamp, (1e8)^4 x 10^6 rows = 1e38 fits DuckDB's HUGEINT
+# (~1.7e38) but overflows Spark's decimal SUM to null — a latent
+# cross-engine divergence flagged by the r4 ADVICE.) A no-op on the
+# generator's <=600 range, and the statistically standard guard for
+# raw-moment estimators. One hash agg over 5 groups; no second pass.
 # ---------------------------------------------------------------------------
-MOMENT_CLAMP = 1_000_000.0
+MOMENT_CLAMP = 500_000.0
 
 
 @register(
@@ -343,8 +347,8 @@ MOMENT_CLAMP = 1_000_000.0
     f"""
     WITH v AS (
         SELECT event_type,
-               CAST(CAST(round(least(greatest(value, -{MOMENT_CLAMP}), {MOMENT_CLAMP})
-                               * 100.0) AS BIGINT) AS HUGEINT) AS x
+               CAST(CAST(floor((least(greatest(value, -{MOMENT_CLAMP}), {MOMENT_CLAMP})
+                               * 100.0) + 0.5) AS BIGINT) AS HUGEINT) AS x
         FROM events
         WHERE value IS NOT NULL
     ),
@@ -367,10 +371,10 @@ MOMENT_CLAMP = 1_000_000.0
         FROM s
     )
     SELECT event_type, n,
-           CAST(round(mu) AS BIGINT) / 100.0 AS mean_value,
-           round(sqrt(m2) / 100.0, 4) AS stddev_pop,
-           round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
-           round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis_excess
+           CAST(floor((mu) + 0.5) AS BIGINT) / 100.0 AS mean_value,
+           floor((sqrt(m2) / 100.0) * 1e4 + 0.5) / 1e4 AS stddev_pop,
+           floor((m3 / (m2 * sqrt(m2))) * 1e4 + 0.5) / 1e4 AS skewness,
+           floor((m4 / (m2 * m2) - 3.0) * 1e4 + 0.5) / 1e4 AS kurtosis_excess
     FROM m
     ORDER BY event_type
     """,
@@ -381,7 +385,7 @@ def q51_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("value"), F.lit(-MOMENT_CLAMP)), F.lit(MOMENT_CLAMP)
     )
-    x = F.round(clamped * 100.0).cast("long").cast("decimal(38,0)")
+    x = fround(clamped * 100.0).cast("long").cast("decimal(38,0)")
     v = ev.filter(F.col("value").isNotNull()).select("event_type", x.alias("x"))
     s = v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -412,10 +416,10 @@ def q51_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        (F.round(F.col("mu")).cast("long") / F.lit(100.0)).alias("mean_value"),
-        F.round(F.sqrt("m2") / F.lit(100.0), 4).alias("stddev_pop"),
-        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 4).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 4).alias(
+        (fround(F.col("mu")).cast("long") / F.lit(100.0)).alias("mean_value"),
+        fround(F.sqrt("m2") / F.lit(100.0), 4).alias("stddev_pop"),
+        fround(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 4).alias("skewness"),
+        fround(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 4).alias(
             "kurtosis_excess"
         ),
     ).orderBy("event_type")
@@ -460,7 +464,7 @@ PSI_REF_SOURCE = "src0"
     ref AS (SELECT bin, p AS q FROM smoothed WHERE source = '{PSI_REF_SOURCE}'),
     terms AS (
         SELECT s.source,
-               CAST(round((s.p - r.q) * ln(s.p / r.q) * 100000000.0) AS BIGINT) AS t8
+               CAST(floor(((s.p - r.q) * ln(s.p / r.q) * 100000000.0) + 0.5) AS BIGINT) AS t8
         FROM smoothed s JOIN ref r ON s.bin = r.bin
         WHERE s.source <> '{PSI_REF_SOURCE}'
     )
@@ -506,7 +510,7 @@ def drift_psi_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = smoothed.filter(F.col("source") == PSI_REF_SOURCE).select(
         "bin", F.col("p").alias("q")
     )
-    t8 = F.round(
+    t8 = fround(
         (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * F.lit(100000000.0)
     ).cast("long")
     terms = (
@@ -544,12 +548,12 @@ RULES_TOP = 25
         GROUP BY 1, 2
     )
     SELECT p.part_a, p.part_b, p.support,
-           CAST(round(CAST(p.support AS DOUBLE) * 1000000.0 / ia.n_item) AS BIGINT)
+           CAST(floor((CAST(p.support AS DOUBLE) * 1000000.0 / ia.n_item) + 0.5) AS BIGINT)
                / 1000000.0 AS conf_a_b,
-           CAST(round(CAST(p.support AS DOUBLE) * 1000000.0 / ib.n_item) AS BIGINT)
+           CAST(floor((CAST(p.support AS DOUBLE) * 1000000.0 / ib.n_item) + 0.5) AS BIGINT)
                / 1000000.0 AS conf_b_a,
-           CAST(round(CAST(p.support AS DOUBLE) * nb.n_baskets * 1000000.0
-                      / (CAST(ia.n_item AS DOUBLE) * ib.n_item)) AS BIGINT)
+           CAST(floor((CAST(p.support AS DOUBLE) * nb.n_baskets * 1000000.0
+                      / (CAST(ia.n_item AS DOUBLE) * ib.n_item)) + 0.5) AS BIGINT)
                / 1000000.0 AS lift
     FROM pairs p
     JOIN ic ia ON p.part_a = ia.l_partkey
@@ -583,7 +587,7 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = F.col("support").cast("double")
 
     def q6(col):
-        return F.round(col).cast("long") / F.lit(1000000.0)
+        return fround(col).cast("long") / F.lit(1000000.0)
 
     return (
         pairs.join(F.broadcast(ia), "part_a")
@@ -779,7 +783,7 @@ PQANN_TOP = 5
     ),
     d AS (
         SELECT v.vec_id, v.sub, c.code,
-               sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
+               sum(CAST(floor(((v.x - c.c) * (v.x - c.c) * 1000000000.0) + 0.5) AS BIGINT)) AS q9
         FROM vals v JOIN cen c ON v.pos = c.pos
         GROUP BY v.vec_id, v.sub, c.code
     ),
@@ -808,14 +812,12 @@ PQANN_TOP = 5
     ),
     refined AS (
         SELECT cand.q_id, cand.c_id,
-               round(
-                 list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+               floor((list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
                            for i in range(1, len(q.embedding) + 1)])
                  / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
                                    for i in range(1, len(q.embedding) + 1)]))
                     * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
-                                     for i in range(1, len(c.embedding) + 1)]))),
-                 4) AS cosine
+                                     for i in range(1, len(c.embedding) + 1)])))) * 1e4 + 0.5) / 1e4 AS cosine
         FROM cand
         JOIN embeddings q ON q.vec_id = cand.q_id
         JOIN embeddings c ON c.vec_id = cand.c_id
@@ -859,7 +861,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = rawvals.join(nrm, "vec_id").select(
         "vec_id", "sub", "pos", (F.col("x0") / F.col("nv")).alias("x")
     )
-    q9 = F.round(
+    q9 = fround(
         (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)
     ).cast("long")
     # lazy checkpoint: d (N x subs x codes distance rows) feeds the code
@@ -905,7 +907,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            F.round(
+            fround(
                 F.expr(_DOT)
                 / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
                 4,
@@ -955,7 +957,7 @@ TFIDF_PAIR_TOP = 50
     df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
     wts AS (
         SELECT t.doc_id, t.w,
-               CAST(round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 10000.0) AS BIGINT) AS w4
+               CAST(floor((t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 10000.0) + 0.5) AS BIGINT) AS w4
         FROM tf t JOIN df d ON t.w = d.w, n_docs n
         WHERE d.df <= {TFIDF_DF_CAP}
     ),
@@ -967,8 +969,8 @@ TFIDF_PAIR_TOP = 50
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_shared,
-           round(CAST(dot AS DOUBLE)
-                 / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 4) AS cosine
+           floor((CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))) * 1e4 + 0.5) / 1e4 AS cosine
     FROM dots
     JOIN norms na ON doc_a = na.doc_id
     JOIN norms nb ON doc_b = nb.doc_id
@@ -997,7 +999,7 @@ def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    w4 = F.round(
+    w4 = fround(
         F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * F.lit(10000.0)
     ).cast("long")
     # lazy checkpoint: wts feeds norms and BOTH pair-join sides; without
@@ -1022,7 +1024,7 @@ def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
-    cosine = F.round(
+    cosine = fround(
         F.col("dot").cast("double")
         / (F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double"))),
         4,
@@ -1140,21 +1142,21 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
     agg AS (
         SELECT cur, sum(c) AS n,
-               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY cur
     ),
     pertype AS (
         SELECT cur, n,
-               CAST(round((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
-                          * 10000.0) AS BIGINT) AS h4
+               CAST(floor(((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
+                          * 10000.0) + 0.5) AS BIGINT) AS h4
         FROM agg
     )
     SELECT cur AS from_type, n AS n_transitions, h4 / 10000.0 AS cond_entropy
     FROM pertype
     UNION ALL
     SELECT '__overall__' AS from_type, sum(n) AS n_transitions,
-           CAST(round(CAST(sum(n * h4) AS DOUBLE) / sum(n)) AS BIGINT) / 10000.0 AS cond_entropy
+           CAST(floor((CAST(sum(n * h4) AS DOUBLE) / sum(n)) + 0.5) AS BIGINT) / 10000.0 AS cond_entropy
     FROM pertype
     ORDER BY from_type
     """,
@@ -1168,9 +1170,9 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
     cd = F.col("c").cast("double")
-    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("cur").agg(F.sum("c").alias("n"), F.sum(term6).alias("s6"))
-    h4 = F.round(
+    h4 = fround(
         (
             F.log(F.col("n").cast("double"))
             - (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n")
@@ -1188,7 +1190,7 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall = pertype.agg(
         F.sum("n").alias("n_transitions"),
         (
-            F.round(
+            fround(
                 F.sum(F.col("n") * F.col("h4")).cast("double") / F.sum("n")
             ).cast("long")
             / F.lit(10000.0)
@@ -1226,7 +1228,7 @@ GAP_MAX_BUCKET = 12
     ),
     tot AS (SELECT count(*) AS n FROM gaps)
     SELECT g.bucket AS gap_weeks, count(*) AS n_gaps,
-           CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0 / t.n) AS BIGINT)
+           CAST(floor((CAST(count(*) AS DOUBLE) * 1000000.0 / t.n) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM gaps g, tot t
     GROUP BY g.bucket, t.n
@@ -1250,7 +1252,7 @@ def orders_repeat_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = gaps.agg(F.count(F.lit(1)).alias("n"))
     share = (
-        F.round(F.col("n_gaps").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        fround(F.col("n_gaps").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -1296,7 +1298,7 @@ PAIR_MIN_BYTES = 100
     )
     SELECT kind, keep, count(*) AS n_pairs,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(round(CAST(sum(caption_tokens) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+           CAST(floor((CAST(sum(caption_tokens) AS DOUBLE) * 100.0 / count(*)) + 0.5) AS BIGINT)
                / 100.0 AS avg_caption_tokens
     FROM gated
     GROUP BY kind, keep
@@ -1325,7 +1327,7 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
     )
     avg_tok = (
-        F.round(
+        fround(
             F.sum("caption_tokens").cast("double") * F.lit(100.0) / F.count(F.lit(1))
         ).cast("long")
         / F.lit(100.0)
@@ -1354,7 +1356,7 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT o_orderpriority AS grp,
-               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+               CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) AS cents
         FROM orders
     ),
     ranked AS (
@@ -1373,10 +1375,10 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY grp
     )
     SELECT grp AS o_orderpriority, n AS n_orders,
-           CAST(round((lo50 + (hi50 - lo50) * (0.5 * (n - 1) - floor(0.5 * (n - 1))))
-                      * 100.0) AS BIGINT) / 10000.0 AS p50,
-           CAST(round((lo95 + (hi95 - lo95) * (0.95 * (n - 1) - floor(0.95 * (n - 1))))
-                      * 100.0) AS BIGINT) / 10000.0 AS p95
+           CAST(floor(((lo50 + (hi50 - lo50) * (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+                      * 100.0) + 0.5) AS BIGINT) / 10000.0 AS p50,
+           CAST(floor(((lo95 + (hi95 - lo95) * (0.95 * (n - 1) - floor(0.95 * (n - 1))))
+                      * 100.0) + 0.5) AS BIGINT) / 10000.0 AS p95
     FROM picked
     ORDER BY o_orderpriority
     """,
@@ -1386,7 +1388,7 @@ def q52_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     v = orders.select(
         F.col("o_orderpriority").alias("grp"),
-        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
     )
     wr = Window.partitionBy("grp").orderBy("cents")
     wn = Window.partitionBy("grp")
@@ -1426,7 +1428,7 @@ def q52_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.lit(p) * (F.col("n") - 1)
         frac = h - F.floor(h)
         return (
-            F.round((F.col(lo_c) + (F.col(hi_c) - F.col(lo_c)) * frac) * F.lit(100.0))
+            fround((F.col(lo_c) + (F.col(hi_c) - F.col(lo_c)) * frac) * F.lit(100.0))
             .cast("long")
             / F.lit(10000.0)
         )
@@ -1460,7 +1462,7 @@ RFM_PIVOT = "1998-05-01"  # midpoint of the generator's 1995..2001 span
     WITH spend AS (
         SELECT o_custkey,
                CASE WHEN o_orderdate < DATE '{RFM_PIVOT}' THEN 0 ELSE 1 END AS period,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM orders
         GROUP BY 1, 2
     ),
@@ -1484,7 +1486,7 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderdate") < F.lit(RFM_PIVOT).cast("date"), 0)
         .otherwise(1)
         .alias("period"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+    ).agg(F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
     nparts = max(spark.sparkContext.defaultParallelism, 1)
     d = (
         spend.repartitionByRange(nparts, "period", "cents", "o_custkey")
@@ -1544,7 +1546,7 @@ def _skew_sql(tbl: str, col: str) -> str:
                count(*) AS n_keys,
                CAST(sum(c) AS BIGINT) AS n_rows,
                CAST(max(c) AS BIGINT) AS max_key_rows,
-               CAST(round(CAST(max(c) AS DOUBLE) * count(*) * 1000000.0 / sum(c)) AS BIGINT)
+               CAST(floor((CAST(max(c) AS DOUBLE) * count(*) * 1000000.0 / sum(c)) + 0.5) AS BIGINT)
                    / 1000000.0 AS skew_factor
         FROM (SELECT {col}, count(*) AS c FROM {tbl} GROUP BY {col})
     """
@@ -1576,7 +1578,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "max_key_rows",
             (
-                F.round(
+                fround(
                     F.col("max_key_rows").cast("double")
                     * F.col("n_keys")
                     * F.lit(1000000.0)
@@ -1621,7 +1623,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY bucket, label),
     agg AS (
         SELECT bucket, sum(c) AS n, max(c) AS maxc,
-               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM ct GROUP BY bucket
     ),
@@ -1632,9 +1634,9 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY bucket
     )
     SELECT a.bucket, a.n AS n_vecs, m.majority_label,
-           CAST(round(CAST(a.maxc AS DOUBLE) * 1000000.0 / a.n) AS BIGINT)
+           CAST(floor((CAST(a.maxc AS DOUBLE) * 1000000.0 / a.n) + 0.5) AS BIGINT)
                / 1000000.0 AS majority_share,
-           round(ln(CAST(a.n AS DOUBLE)) - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n, 4)
+           floor((ln(CAST(a.n AS DOUBLE)) - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n) * 1e4 + 0.5) / 1e4
                AS label_entropy
     FROM agg a JOIN maj m ON a.bucket = m.bucket
     ORDER BY a.bucket
@@ -1657,7 +1659,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds agg AND the majority pick
     )
     cd = F.col("c").cast("double")
-    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
     agg = ct.groupBy("bucket").agg(
         F.sum("c").alias("n"), F.max("c").alias("maxc"), F.sum(term6).alias("s6")
     )
@@ -1668,7 +1670,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("label").alias("majority_label"))
     )
     share = (
-        F.round(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        fround(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
     entropy = F.log(F.col("n").cast("double")) - (
@@ -1681,7 +1683,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_vecs"),
             "majority_label",
             share.alias("majority_share"),
-            F.round(entropy, 4).alias("label_entropy"),
+            fround(entropy, 4).alias("label_entropy"),
         )
         .orderBy("bucket")
     )
@@ -1711,8 +1713,8 @@ SLO_BUDGET = 0.25  # error-rate budget (generator emits ~20% errors)
     ),
     burned AS (
         SELECT day, n_events, n_errors,
-               CAST(round(CAST(n_errors AS DOUBLE) * 1000000.0
-                          / (n_events * {SLO_BUDGET})) AS BIGINT) AS burn6
+               CAST(floor((CAST(n_errors AS DOUBLE) * 1000000.0
+                          / (n_events * {SLO_BUDGET})) + 0.5) AS BIGINT) AS burn6
         FROM daily
     )
     SELECT day, n_events, n_errors,
@@ -1733,7 +1735,7 @@ def events_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_errors"),
     )
-    burn6 = F.round(
+    burn6 = fround(
         F.col("n_errors").cast("double")
         * F.lit(1000000.0)
         / (F.col("n_events") * F.lit(SLO_BUDGET))
@@ -1780,9 +1782,9 @@ def events_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM p) AS n_purchase
     )
     SELECT stage, n_users,
-           CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 / prev_users) AS BIGINT)
+           CAST(floor((CAST(n_users AS DOUBLE) * 1000000.0 / prev_users) + 0.5) AS BIGINT)
                / 1000000.0 AS step_conversion,
-           CAST(round(CAST(n_users AS DOUBLE) * 1000000.0 / first_users) AS BIGINT)
+           CAST(floor((CAST(n_users AS DOUBLE) * 1000000.0 / first_users) + 0.5) AS BIGINT)
                / 1000000.0 AS cum_conversion
     FROM (
         SELECT 1 AS ord, 'view' AS stage, n_view AS n_users,
@@ -1841,7 +1843,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def q6(num, den):
         return (
-            F.round(F.col(num).cast("double") * F.lit(1000000.0) / F.col(den)).cast("long")
+            fround(F.col(num).cast("double") * F.lit(1000000.0) / F.col(den)).cast("long")
             / F.lit(1000000.0)
         )
 
@@ -1876,7 +1878,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT l_partkey,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT))
+               sum(CAST(floor((l_extendedprice * (1 - l_discount) * 100.0) + 0.5) AS BIGINT))
                    AS cents
         FROM lineitem GROUP BY l_partkey
     ),
@@ -1896,7 +1898,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class, count(*) AS n_parts,
            CAST(sum(cents) AS BIGINT) AS class_cents,
-           CAST(round(CAST(sum(cents) AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(sum(cents) AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS revenue_share
     FROM classed, tot t
     GROUP BY abc_class, t.total
@@ -1906,7 +1908,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    cents = F.round(
+    cents = fround(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
@@ -1941,7 +1943,7 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     share = (
-        F.round(
+        fround(
             F.sum("cents").cast("double") * F.lit(1000000.0) / F.max("total")
         ).cast("long")
         / F.lit(1000000.0)
@@ -1981,8 +1983,8 @@ EMB_DIM_TOP = 10
     vals AS (SELECT pos, x0 / m0 AS x FROM raw, m),
     s AS (
         SELECT pos, count(*) AS n,
-               sum(CAST(round(x * 1000000.0) AS BIGINT)) AS s6,
-               sum(CAST(round(x * x * 1000000000.0) AS BIGINT)) AS ss9,
+               sum(CAST(floor((x * 1000000.0) + 0.5) AS BIGINT)) AS s6,
+               sum(CAST(floor((x * x * 1000000000.0) + 0.5) AS BIGINT)) AS ss9,
                max(abs(x)) AS mabs
         FROM vals GROUP BY pos
     ),
@@ -1995,12 +1997,12 @@ EMB_DIM_TOP = 10
                mabs
         FROM s
     ),
-    tv AS (SELECT sum(CAST(round(var_ * 1000000000.0) AS BIGINT)) AS tot9 FROM prof)
-    SELECT pos AS dim, round(m.m0 * mu, 6) AS mean_val,
-           round(m.m0 * m.m0 * var_, 6) AS var_pop,
-           round(m.m0 * mabs, 6) AS max_abs,
-           CAST(round(CAST(CAST(round(var_ * 1000000000.0) AS BIGINT) AS DOUBLE)
-                      * 1000000.0 / tot9) AS BIGINT) / 1000000.0 AS var_share
+    tv AS (SELECT sum(CAST(floor((var_ * 1000000000.0) + 0.5) AS BIGINT)) AS tot9 FROM prof)
+    SELECT pos AS dim, floor((m.m0 * mu) * 1e6 + 0.5) / 1e6 AS mean_val,
+           floor((m.m0 * m.m0 * var_) * 1e6 + 0.5) / 1e6 AS var_pop,
+           floor((m.m0 * mabs) * 1e6 + 0.5) / 1e6 AS max_abs,
+           CAST(floor((CAST(CAST(floor((var_ * 1000000000.0) + 0.5) AS BIGINT) AS DOUBLE)
+                      * 1000000.0 / tot9) + 0.5) AS BIGINT) / 1000000.0 AS var_share
     FROM prof, m, tv
     ORDER BY var_pop DESC, dim
     LIMIT {EMB_DIM_TOP}
@@ -2018,9 +2020,9 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = vals.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("x") * F.lit(1000000.0)).cast("long")).alias("s6"),
+        F.sum(fround(F.col("x") * F.lit(1000000.0)).cast("long")).alias("s6"),
         F.sum(
-            F.round(F.col("x") * F.col("x") * F.lit(1000000000.0)).cast("long")
+            fround(F.col("x") * F.col("x") * F.lit(1000000000.0)).cast("long")
         ).alias("ss9"),
         F.max(F.abs("x")).alias("mabs"),
     )
@@ -2030,11 +2032,11 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False  # feeds the total-variance agg AND the output
     )
     tv = prof.agg(
-        F.sum(F.round(F.col("var_") * F.lit(1000000000.0)).cast("long")).alias("tot9")
+        F.sum(fround(F.col("var_") * F.lit(1000000000.0)).cast("long")).alias("tot9")
     )
-    v9 = F.round(F.col("var_") * F.lit(1000000000.0)).cast("long")
+    v9 = fround(F.col("var_") * F.lit(1000000000.0)).cast("long")
     var_share = (
-        F.round(v9.cast("double") * F.lit(1000000.0) / F.col("tot9")).cast("long")
+        fround(v9.cast("double") * F.lit(1000000.0) / F.col("tot9")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -2042,9 +2044,9 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tv))
         .select(
             F.col("pos").alias("dim"),
-            F.round(F.col("m0") * F.col("mu"), 6).alias("mean_val"),
-            F.round(F.col("m0") * F.col("m0") * F.col("var_"), 6).alias("var_pop"),
-            F.round(F.col("m0") * F.col("mabs"), 6).alias("max_abs"),
+            fround(F.col("m0") * F.col("mu"), 6).alias("mean_val"),
+            fround(F.col("m0") * F.col("m0") * F.col("var_"), 6).alias("var_pop"),
+            fround(F.col("m0") * F.col("mabs"), 6).alias("max_abs"),
             var_share.alias("var_share"),
         )
         .orderBy(F.col("var_pop").desc(), "dim")
@@ -2071,8 +2073,8 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(a.d AS VARCHAR) AS day,
            CAST(sum(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            CAST(sum(CASE WHEN a.d > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
-           CAST(round(CAST(sum(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS new_share
+           CAST(floor((CAST(sum(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) + 0.5) AS BIGINT) / 1000000.0 AS new_share
     FROM active a JOIN firstseen f ON a.user_id = f.user_id
     GROUP BY a.d
     ORDER BY a.d
@@ -2092,7 +2094,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_new.alias("n_new"), n_ret.alias("n_returning"), F.count(F.lit(1)).alias("n")
     )
     share = (
-        F.round(F.col("n_new").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        fround(F.col("n_new").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
     return daily.select(
@@ -2114,7 +2116,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM orders GROUP BY 1
     ),
     bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
@@ -2131,11 +2133,11 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM filled
     )
     SELECT CAST(d AS VARCHAR) AS day,
-           round(cents / 100.0, 2) AS revenue,
-           round((cents - prev_cents) / 100.0, 2) AS delta,
+           floor((cents / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(((cents - prev_cents) / 100.0) * 1e2 + 0.5) / 1e2 AS delta,
            CASE WHEN prev_cents > 0
-                THEN CAST(round((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
-                                / prev_cents) AS BIGINT) / 1000000.0
+                THEN CAST(floor(((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
+                                / prev_cents) + 0.5) AS BIGINT) / 1000000.0
                 END AS pct_change
     FROM lagged
     ORDER BY d
@@ -2145,7 +2147,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
     )
     spine = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
@@ -2157,7 +2159,7 @@ def orders_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = filled.withColumn("prev_cents", F.lag("cents").over(wl))
     pct = F.when(
         F.col("prev_cents") > 0,
-        F.round(
+        fround(
             (F.col("cents").cast("double") - F.col("prev_cents"))
             * F.lit(1000000.0)
             / F.col("prev_cents")
@@ -2166,8 +2168,8 @@ def orders_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lagged.select(
         F.col("d").cast("string").alias("day"),
-        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
-        F.round((F.col("cents") - F.col("prev_cents")) / F.lit(100.0), 2).alias("delta"),
+        fround(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        fround((F.col("cents") - F.col("prev_cents")) / F.lit(100.0), 2).alias("delta"),
         pct.alias("pct_change"),
     ).orderBy("day")
 
@@ -2255,8 +2257,8 @@ def _split_salt() -> str:
     )
     SELECT sa.split AS split_a, sb.split AS split_b,
            count(*) AS n_pairs,
-           CAST(round(CAST(sum(CAST(round(p.jaccard * 10000.0) AS BIGINT)) AS DOUBLE)
-                      / count(*)) AS BIGINT) / 10000.0 AS avg_jaccard
+           CAST(floor((CAST(sum(CAST(floor((p.jaccard * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE)
+                      / count(*)) + 0.5) AS BIGINT) / 10000.0 AS avg_jaccard
     FROM pairs p
     JOIN splits sa ON p.doc_a = sa.doc_id
     JOIN splits sb ON p.doc_b = sb.doc_id
@@ -2276,9 +2278,9 @@ def dedup_cross_split_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
-    j4 = F.round(F.col("jaccard") * F.lit(10000.0)).cast("long")
+    j4 = fround(F.col("jaccard") * F.lit(10000.0)).cast("long")
     avg_j = (
-        F.round(F.sum(j4).cast("double") / F.count(F.lit(1))).cast("long")
+        fround(F.sum(j4).cast("double") / F.count(F.lit(1))).cast("long")
         / F.lit(10000.0)
     )
     return (
@@ -2311,11 +2313,9 @@ FILT_TOP = 5
     c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS ce FROM embeddings),
     scored AS (
         SELECT q_id, c_id,
-               round(
-                 list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(qe) + 1)])
+               floor((list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(qe) + 1)])
                  / (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE for i in range(1, len(qe) + 1)]))
-                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(ce) + 1)]))),
-                 4) AS cosine
+                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, len(ce) + 1)])))) * 1e4 + 0.5) / 1e4 AS cosine
         FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id
     )
     SELECT q_id, c_id, cosine
@@ -2348,7 +2348,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            F.round(
+            fround(
                 F.expr(_DOT)
                 / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
                 4,
@@ -2462,7 +2462,7 @@ def _langid_oracle() -> str:
            FROM preds GROUP BY lang, predicted),
     tot AS (SELECT true_lang, sum(n) AS n_true FROM ct GROUP BY true_lang)
     SELECT c.true_lang, c.predicted, c.n,
-           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.n_true) AS BIGINT)
+           CAST(floor((CAST(c.n AS DOUBLE) * 1000000.0 / t.n_true) + 0.5) AS BIGINT)
                / 1000000.0 AS share_of_true
     FROM ct c JOIN tot t ON c.true_lang = t.true_lang
     ORDER BY c.true_lang, c.predicted
@@ -2480,7 +2480,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # feeds totals AND the output join
     tot = ct.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("n_true")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("n_true")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -2517,7 +2517,7 @@ _LN2 = 0.6931471805599453
     ),
     purchases AS (
         SELECT user_id, epoch_us(ts) AS p_us,
-               CAST(round(value * 100.0) AS BIGINT) AS cents,
+               CAST(floor((value * 100.0) + 0.5) AS BIGINT) AS cents,
                event_id
         FROM events WHERE event_type = 'purchase'
     ),
@@ -2529,8 +2529,8 @@ _LN2 = 0.6931471805599453
     ),
     matched AS (
         SELECT pr.user_id, pr.event_id, pr.cents, t.event_type AS channel,
-               CAST(round(exp(-(CAST(pr.p_us - t.t_us AS DOUBLE) * {_LN2}
-                               / {DECAY_HALFLIFE_US})) * 1000000.0) AS BIGINT) AS w6
+               CAST(floor((exp(-(CAST(pr.p_us - t.t_us AS DOUBLE) * {_LN2}
+                               / {DECAY_HALFLIFE_US})) * 1000000.0) + 0.5) AS BIGINT) AS w6
         FROM probe pr
         JOIN touches t ON t.user_id = pr.user_id AND t.bin = pr.bin
         WHERE t.t_us < pr.p_us AND pr.p_us - t.t_us <= {DECAY_WINDOW_US}
@@ -2543,12 +2543,12 @@ _LN2 = 0.6931471805599453
     ),
     credited AS (
         SELECT channel,
-               CAST(round(CAST(wc AS DOUBLE) * 1000000.0 / wt) AS BIGINT) AS share6,
-               CAST(round(cents * CAST(wc AS DOUBLE) / wt) AS BIGINT) AS cents_part
+               CAST(floor((CAST(wc AS DOUBLE) * 1000000.0 / wt) + 0.5) AS BIGINT) AS share6,
+               CAST(floor((cents * CAST(wc AS DOUBLE) / wt) + 0.5) AS BIGINT) AS cents_part
         FROM per_purchase
     )
     SELECT channel,
-           round(CAST(sum(share6) AS BIGINT) / 1000000.0, 4) AS credited_purchases,
+           floor((CAST(sum(share6) AS BIGINT) / 1000000.0) * 1e4 + 0.5) / 1e4 AS credited_purchases,
            CAST(sum(cents_part) AS BIGINT) AS credited_cents
     FROM credited
     GROUP BY channel
@@ -2567,7 +2567,7 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.unix_micros("ts").alias("p_us"),
-        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        fround(F.col("value") * 100.0).cast("long").alias("cents"),
         "event_id",
     )
     probe = purchases.select(
@@ -2579,7 +2579,7 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    w6 = F.round(
+    w6 = fround(
         F.exp(
             -(
                 (F.col("p_us") - F.col("t_us")).cast("double")
@@ -2603,10 +2603,10 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w6").alias("wc"))
         .withColumn("wt", F.sum("wc").over(wp))
     )
-    share6 = F.round(F.col("wc").cast("double") * F.lit(1000000.0) / F.col("wt")).cast(
+    share6 = fround(F.col("wc").cast("double") * F.lit(1000000.0) / F.col("wt")).cast(
         "long"
     )
-    cents_part = F.round(F.col("cents") * F.col("wc").cast("double") / F.col("wt")).cast(
+    cents_part = fround(F.col("cents") * F.col("wc").cast("double") / F.col("wt")).cast(
         "long"
     )
     credited = per_purchase.select(
@@ -2615,7 +2615,7 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         credited.groupBy("channel")
         .agg(
-            F.round(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
+            fround(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
                 "credited_purchases"
             ),
             F.sum("cents_part").cast("long").alias("credited_cents"),
@@ -2692,18 +2692,22 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") - F.min("us")).alias("dur_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    # the session table is |sessions| rows (~events/5); at extreme scale
-    # swap these two global windows for distrank — kept single-window
-    # here because both rank orders differ and the oracle shape matches
-    wd = Window.orderBy("dur_us", "user_id", "session_idx")
-    wc = Window.orderBy("n_events", "user_id", "session_idx")
-    ranked = sess.select(
-        "dur_us",
-        "n_events",
-        F.row_number().over(wd).alias("rd"),
-        F.row_number().over(wc).alias("rc"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # the session table is |sessions| rows (~|events|/5 — NOT a bounded
+    # dimension), so both global rank orders run through distrank's
+    # two-phase range-partitioned scan instead of a single-task window;
+    # bit-identical to the oracle's bare row_number() (r4 verdict #5)
+    from .distrank import with_global_rank
+
+    ranked = with_global_rank(
+        spark, sess, [F.col("dur_us"), F.col("user_id"), F.col("session_idx")], rn_col="rd"
     )
+    ranked = with_global_rank(
+        spark,
+        ranked,
+        [F.col("n_events"), F.col("user_id"), F.col("session_idx")],
+        rn_col="rc",
+        n_col="n",
+    ).select("dur_us", "n_events", "rd", "rc", "n")
 
     def pick(rank_col: str, val_col: str, p: float):
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
@@ -2745,7 +2749,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.source
     )
     SELECT source, n_docs, n_dup_docs,
-           CAST(round(CAST(n_dup_docs AS DOUBLE) * 1000000.0 / n_docs) AS BIGINT)
+           CAST(floor((CAST(n_dup_docs AS DOUBLE) * 1000000.0 / n_docs) + 0.5) AS BIGINT)
                / 1000000.0 AS dup_share
     FROM per_source
     ORDER BY source
@@ -2772,7 +2776,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     share = (
-        F.round(
+        fround(
             F.col("n_dup_docs").cast("double") * F.lit(1000000.0) / F.col("n_docs")
         ).cast("long")
         / F.lit(1000000.0)
@@ -2801,18 +2805,18 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals AS (SELECT label, pos, x0 / m0 AS x FROM raw, m),
     cen AS (
         SELECT label, pos,
-               (CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+               (CAST(sum(CAST(floor((x * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
                    / count(*) AS c
         FROM vals GROUP BY label, pos
     ),
     d2 AS (
         SELECT a.label AS label_a, b.label AS label_b,
-               sum(CAST(round((a.c - b.c) * (a.c - b.c) * 1000000000.0) AS BIGINT)) AS q9
+               sum(CAST(floor(((a.c - b.c) * (a.c - b.c) * 1000000000.0) + 0.5) AS BIGINT)) AS q9
         FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
         GROUP BY a.label, b.label
     )
     SELECT label_a, label_b,
-           round(m.m0 * sqrt(CAST(q9 AS DOUBLE) / 1000000000.0), 6) AS centroid_dist
+           floor((m.m0 * sqrt(CAST(q9 AS DOUBLE) / 1000000000.0)) * 1e6 + 0.5) / 1e6 AS centroid_dist
     FROM d2, m
     ORDER BY label_a, label_b
     """,
@@ -2829,14 +2833,14 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cen = vals.groupBy("label", "pos").agg(
         (
-            (F.sum(F.round(F.col("x") * F.lit(1000000.0)).cast("long")).cast("double")
+            (F.sum(fround(F.col("x") * F.lit(1000000.0)).cast("long")).cast("double")
              / F.lit(1000000.0))
             / F.count(F.lit(1))
         ).alias("c")
     )
     a = cen.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
     b = cen.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
-    q9 = F.round(
+    q9 = fround(
         (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * F.lit(1000000000.0)
     ).cast("long")
     d2 = (
@@ -2851,7 +2855,7 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label_a",
             "label_b",
-            F.round(
+            fround(
                 F.col("m0") * F.sqrt(F.col("q9").cast("double") / F.lit(1000000000.0)), 6
             ).alias("centroid_dist"),
         )
@@ -2869,15 +2873,15 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_discount_uplift",
     """
     WITH banded AS (
-        SELECT CAST(round(l_discount * 100.0) AS BIGINT) AS disc_pct,
-               CAST(round(l_quantity) AS BIGINT) AS qty,
-               CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT) AS cents
+        SELECT CAST(floor((l_discount * 100.0) + 0.5) AS BIGINT) AS disc_pct,
+               CAST(floor((l_quantity) + 0.5) AS BIGINT) AS qty,
+               CAST(floor((l_extendedprice * (1 - l_discount) * 100.0) + 0.5) AS BIGINT) AS cents
         FROM lineitem
     )
     SELECT disc_pct, count(*) AS n_lines,
-           CAST(round(CAST(sum(qty) AS DOUBLE) * 100.0 / count(*)) AS BIGINT)
+           CAST(floor((CAST(sum(qty) AS DOUBLE) * 100.0 / count(*)) + 0.5) AS BIGINT)
                / 100.0 AS avg_qty,
-           CAST(round(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+           CAST(floor((CAST(sum(cents) AS DOUBLE) / count(*)) + 0.5) AS BIGINT)
                / 100.0 AS avg_revenue
     FROM banded
     GROUP BY disc_pct
@@ -2888,18 +2892,18 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     banded = li.select(
-        F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_pct"),
-        F.round("l_quantity").cast("long").alias("qty"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+        fround(F.col("l_discount") * 100.0).cast("long").alias("disc_pct"),
+        fround("l_quantity").cast("long").alias("qty"),
+        fround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
         .cast("long")
         .alias("cents"),
     )
     avg_qty = (
-        F.round(F.sum("qty").cast("double") * F.lit(100.0) / F.count(F.lit(1))).cast("long")
+        fround(F.sum("qty").cast("double") * F.lit(100.0) / F.count(F.lit(1))).cast("long")
         / F.lit(100.0)
     )
     avg_rev = (
-        F.round(F.sum("cents").cast("double") / F.count(F.lit(1))).cast("long")
+        fround(F.sum("cents").cast("double") / F.count(F.lit(1))).cast("long")
         / F.lit(100.0)
     )
     return (
@@ -2927,7 +2931,7 @@ def lineitem_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT p.p_brand AS brand, l.l_suppkey AS suppkey,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT))
+               sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount) * 100.0) + 0.5) AS BIGINT))
                    AS cents
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand, l.l_suppkey
@@ -2936,13 +2940,13 @@ def lineitem_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rev GROUP BY brand),
     terms AS (
         SELECT r.brand, t.n_suppliers,
-               CAST(round((CAST(r.cents AS DOUBLE) / t.total)
-                          * (CAST(r.cents AS DOUBLE) / t.total) * 100000000.0) AS BIGINT)
+               CAST(floor(((CAST(r.cents AS DOUBLE) / t.total)
+                          * (CAST(r.cents AS DOUBLE) / t.total) * 100000000.0) + 0.5) AS BIGINT)
                    AS h8
         FROM rev r JOIN tot t ON r.brand = t.brand
     )
     SELECT brand, max(n_suppliers) AS n_suppliers,
-           CAST(round(CAST(sum(h8) AS DOUBLE) / 10000.0) AS BIGINT) / 10000.0 AS hhi
+           CAST(floor((CAST(sum(h8) AS DOUBLE) / 10000.0) + 0.5) AS BIGINT) / 10000.0 AS hhi
     FROM terms
     GROUP BY brand
     ORDER BY brand
@@ -2953,7 +2957,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
+        fround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0)
         .cast("long")
         .alias("cents0"),
     )
@@ -2968,10 +2972,10 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_suppliers")
     )
     share = F.col("cents").cast("double") / F.col("total")
-    h8 = F.round(share * share * F.lit(100000000.0)).cast("long")
+    h8 = fround(share * share * F.lit(100000000.0)).cast("long")
     terms = rev.join(tot, "brand").select("brand", "n_suppliers", h8.alias("h8"))
     hhi = (
-        F.round(F.sum("h8").cast("double") / F.lit(10000.0)).cast("long")
+        fround(F.sum("h8").cast("double") / F.lit(10000.0)).cast("long")
         / F.lit(10000.0)
     )
     return (
@@ -2994,7 +2998,7 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
         SELECT o_orderpriority AS pri,
-               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) AS cents,
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
@@ -3002,9 +3006,9 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     top3 AS (SELECT * FROM ranked WHERE rn <= 3 OR rn >= n - 2)
     SELECT pri AS o_orderpriority, rn, cents,
-           CAST(round(CAST(rn - 1 AS DOUBLE) * 1000000.0
-                      / greatest(n - 1, 1)) AS BIGINT) / 1000000.0 AS pct_rank,
-           CAST(round(CAST(rn AS DOUBLE) * 1000000.0 / n) AS BIGINT)
+           CAST(floor((CAST(rn - 1 AS DOUBLE) * 1000000.0
+                      / greatest(n - 1, 1)) + 0.5) AS BIGINT) / 1000000.0 AS pct_rank,
+           CAST(floor((CAST(rn AS DOUBLE) * 1000000.0 / n) + 0.5) AS BIGINT)
                / 1000000.0 AS cume_dist_pos
     FROM top3
     ORDER BY o_orderpriority, rn
@@ -3017,13 +3021,13 @@ def q53_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("o_orderpriority")
     ranked = orders.select(
         F.col("o_orderpriority").alias("pri"),
-        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
         F.row_number().over(wr).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     top3 = ranked.filter((F.col("rn") <= 3) | (F.col("rn") >= F.col("n") - 2))
     pct = (
-        F.round(
+        fround(
             (F.col("rn") - 1).cast("double")
             * F.lit(1000000.0)
             / F.greatest(F.col("n") - 1, F.lit(1))
@@ -3031,7 +3035,7 @@ def q53_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1000000.0)
     )
     cume = (
-        F.round(F.col("rn").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
+        fround(F.col("rn").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
     return top3.select(
@@ -3058,13 +3062,13 @@ def q53_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_returned,
                CAST(sum(CASE WHEN l_returnflag = 'R'
-                             THEN CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                             THEN CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS returned_cents
         FROM lineitem
         GROUP BY 1
     )
     SELECT month, n_lines, n_returned,
-           CAST(round(CAST(n_returned AS DOUBLE) * 1000000.0 / n_lines) AS BIGINT)
+           CAST(floor((CAST(n_returned AS DOUBLE) * 1000000.0 / n_lines) + 0.5) AS BIGINT)
                / 1000000.0 AS return_rate,
            returned_cents
     FROM monthly
@@ -3084,14 +3088,14 @@ def orders_returns_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("l_returnflag") == "R",
-                F.round(F.col("l_extendedprice") * 100.0).cast("long"),
+                fround(F.col("l_extendedprice") * 100.0).cast("long"),
             ).otherwise(0)
         )
         .cast("long")
         .alias("returned_cents"),
     )
     rate = (
-        F.round(
+        fround(
             F.col("n_returned").cast("double") * F.lit(1000000.0) / F.col("n_lines")
         ).cast("long")
         / F.lit(1000000.0)
@@ -3123,8 +3127,8 @@ def _knn_oracle() -> str:
     lab AS (SELECT vec_id AS nn_id, label AS nn_label FROM embeddings),
     joined AS (SELECT k.vec_id, l.nn_label FROM knn k JOIN lab l ON k.nn_id = l.nn_id)
     SELECT nn_label, count(*) AS n_queries,
-           CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0
-                      / (SELECT count(*) FROM joined)) AS BIGINT)
+           CAST(floor((CAST(count(*) AS DOUBLE) * 1000000.0
+                      / (SELECT count(*) FROM joined)) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM joined
     GROUP BY nn_label
@@ -3144,7 +3148,7 @@ def emb_knn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = joined.agg(F.count(F.lit(1)).alias("n_total"))
     share = (
-        F.round(
+        fround(
             F.col("n_queries").cast("double") * F.lit(1000000.0) / F.col("n_total")
         ).cast("long")
         / F.lit(1000000.0)
@@ -3238,7 +3242,7 @@ def pipeline_dedup_account(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(n) AS total FROM cells)
     SELECT CAST(c.dow AS BIGINT) AS dow, c.hr, c.n,
-           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(c.n AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM cells c, tot t
     ORDER BY dow, hr
@@ -3254,7 +3258,7 @@ def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     tot = cells.agg(F.sum("n").alias("total"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -3286,10 +3290,10 @@ def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (SELECT sum(n_err) AS tot_err, sum(n_next) AS tot FROM tc)
     SELECT tc.prev, tc.n_next, tc.n_err,
-           CAST(round(CAST(tc.n_err AS DOUBLE) * 1000000.0 / tc.n_next) AS BIGINT)
+           CAST(floor((CAST(tc.n_err AS DOUBLE) * 1000000.0 / tc.n_next) + 0.5) AS BIGINT)
                / 1000000.0 AS err_rate,
-           CAST(round((CAST(tc.n_err AS DOUBLE) * b.tot * 1000000.0)
-                      / (CAST(tc.n_next AS DOUBLE) * b.tot_err)) AS BIGINT)
+           CAST(floor(((CAST(tc.n_err AS DOUBLE) * b.tot * 1000000.0)
+                      / (CAST(tc.n_next AS DOUBLE) * b.tot_err)) + 0.5) AS BIGINT)
                / 1000000.0 AS lift_vs_base
     FROM tc, base b
     ORDER BY tc.prev
@@ -3308,11 +3312,11 @@ def events_error_precursors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # feeds the base rate AND the output
     base = tc.agg(F.sum("n_err").alias("tot_err"), F.sum("n_next").alias("tot"))
     rate = (
-        F.round(F.col("n_err").cast("double") * F.lit(1000000.0) / F.col("n_next")).cast("long")
+        fround(F.col("n_err").cast("double") * F.lit(1000000.0) / F.col("n_next")).cast("long")
         / F.lit(1000000.0)
     )
     lift = (
-        F.round(
+        fround(
             (F.col("n_err").cast("double") * F.col("tot") * F.lit(1000000.0))
             / (F.col("n_next").cast("double") * F.col("tot_err"))
         ).cast("long")
@@ -3339,8 +3343,8 @@ def events_error_precursors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(sum(octet_length(encode(text)) - length(text)) AS BIGINT)
                AS multibyte_excess,
-           CAST(round(CAST(sum(octet_length(encode(text)) - length(text)) AS DOUBLE)
-                      * 1000000.0 / greatest(sum(length(text)), 1)) AS BIGINT)
+           CAST(floor((CAST(sum(octet_length(encode(text)) - length(text)) AS DOUBLE)
+                      * 1000000.0 / greatest(sum(length(text)), 1)) + 0.5) AS BIGINT)
                / 1000000.0 AS excess_share
     FROM documents
     GROUP BY source
@@ -3359,7 +3363,7 @@ def text_ascii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bytes_ - chars).cast("long").alias("multibyte_excess"),
     )
     share = (
-        F.round(
+        fround(
             F.col("multibyte_excess").cast("double")
             * F.lit(1000000.0)
             / F.greatest(F.col("total_chars"), F.lit(1))
@@ -3418,13 +3422,14 @@ def orders_customer_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("span_days"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    wr = Window.orderBy("span_days", "o_custkey")
-    ranked = span.select(
-        "span_days",
-        "n_orders",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # customer-dimension table: global rank via distrank's two-phase
+    # range-partitioned scan, not a single-task window (r4 verdict #5);
+    # bit-identical to the oracle's bare row_number()
+    from .distrank import with_global_rank
+
+    ranked = with_global_rank(
+        spark, span, [F.col("span_days"), F.col("o_custkey")], rn_col="rn", n_col="n"
+    ).select("span_days", "n_orders", "rn", "n")
 
     def pick(p: float):
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
@@ -3466,8 +3471,8 @@ def _quality_rules_oracle() -> str:
     )
     SELECT d.source, count(*) AS n_docs,
            CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-           CAST(round(CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS keep_rate,
+           CAST(floor((CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) + 0.5) AS BIGINT) / 1000000.0 AS keep_rate,
            CAST(sum(CASE WHEN NOT r.r_word_count THEN 1 ELSE 0 END) AS BIGINT)
                AS fail_word_count,
            CAST(sum(CASE WHEN NOT r.r_mean_len THEN 1 ELSE 0 END) AS BIGINT)
@@ -3506,7 +3511,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails("r_numeric").alias("fail_numeric"),
     )
     keep_rate = (
-        F.round(F.col("n_keep").cast("double") * F.lit(1000000.0) / F.col("n_docs")).cast("long")
+        fround(F.col("n_keep").cast("double") * F.lit(1000000.0) / F.col("n_docs")).cast("long")
         / F.lit(1000000.0)
     )
     return agg.select(
@@ -3562,7 +3567,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT entry_type, exit_type, count(*) AS n FROM sess GROUP BY 1, 2),
     tot AS (SELECT sum(n) AS total FROM ct)
     SELECT c.entry_type, c.exit_type, c.n,
-           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(c.n AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM ct c, tot t
     ORDER BY c.entry_type, c.exit_type
@@ -3595,7 +3600,7 @@ def events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     tot = ct.agg(F.sum("n").alias("total"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -3625,12 +3630,12 @@ def events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT max(n) AS n_users,
            CAST(max(total) AS BIGINT) AS n_events,
-           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 1 THEN x ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top1pct_share,
-           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 5 THEN x ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top5pct_share,
-           CAST(round(CAST(sum(CASE WHEN rk * 100 <= n * 10 THEN x ELSE 0 END) AS DOUBLE)
-                      * 1000000.0 / max(total)) AS BIGINT) / 1000000.0 AS top10pct_share
+           CAST(floor((CAST(sum(CASE WHEN rk * 100 <= n * 1 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) + 0.5) AS BIGINT) / 1000000.0 AS top1pct_share,
+           CAST(floor((CAST(sum(CASE WHEN rk * 100 <= n * 5 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) + 0.5) AS BIGINT) / 1000000.0 AS top5pct_share,
+           CAST(floor((CAST(sum(CASE WHEN rk * 100 <= n * 10 THEN x ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / max(total)) + 0.5) AS BIGINT) / 1000000.0 AS top10pct_share
     FROM ranked
     """,
     "power-user concentration: event share of the top 1/5/10% most-active users",
@@ -3654,7 +3659,7 @@ def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") * 100 <= F.col("n") * pct, F.col("x")).otherwise(0)
         )
         return (
-            F.round(inside.cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
+            fround(inside.cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
             / F.lit(1000000.0)
         )
 
@@ -3692,7 +3697,7 @@ def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(d AS VARCHAR) AS day,
            CAST(v7 AS BIGINT) AS views_7d, CAST(p7 AS BIGINT) AS purchases_7d,
-           CAST(round(CAST(p7 AS DOUBLE) * 1000000.0 / greatest(v7, 1)) AS BIGINT)
+           CAST(floor((CAST(p7 AS DOUBLE) * 1000000.0 / greatest(v7, 1)) + 0.5) AS BIGINT)
                / 1000000.0 AS conversion_7d
     FROM rolled
     ORDER BY d
@@ -3718,7 +3723,7 @@ def events_rolling_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purch").over(wroll).alias("p7"),
     )
     conv = (
-        F.round(
+        fround(
             F.col("p7").cast("double") * F.lit(1000000.0) / F.greatest(F.col("v7"), F.lit(1))
         ).cast("long")
         / F.lit(1000000.0)
@@ -3736,7 +3741,8 @@ def events_rolling_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detection: per kind, mean and population stddev of payload bytes
 # from EXACT integer sums (bytes and bytes^2 fit BIGINT comfortably),
 # then the count beyond +-3 sigma. The 3-sigma test cross-multiplies
-# integers against the variance bound ((b*n - s1)^2 vs 9*n*(n*s2-s1^2))
+# integers against the variance bound: |b - s1/n| > 3*sqrt((n*s2-s1^2)/n^2)
+# squared and scaled by n^2 gives (b*n - s1)^2 > 9*(n*s2 - s1^2) —
 # so no per-row float compare exists. Payload bytes never shuffle —
 # only their per-kind moments do.
 # ---------------------------------------------------------------------------
@@ -3755,11 +3761,11 @@ def events_rolling_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bt GROUP BY kind
     )
     SELECT bt.kind, max(s.n) AS n_payloads,
-           CAST(round(CAST(max(s.s1) AS DOUBLE) * 100.0 / max(s.n)) AS BIGINT)
+           CAST(floor((CAST(max(s.s1) AS DOUBLE) * 100.0 / max(s.n)) + 0.5) AS BIGINT)
                / 100.0 AS mean_bytes,
            CAST(sum(CASE WHEN CAST(bt.b * s.n - s.s1 AS HUGEINT)
                               * CAST(bt.b * s.n - s.s1 AS HUGEINT)
-                              > CAST(9 AS HUGEINT) * s.n
+                              > CAST(9 AS HUGEINT)
                                 * (CAST(s.n AS HUGEINT) * s.s2
                                    - CAST(s.s1 AS HUGEINT) * s.s1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -3774,7 +3780,15 @@ def multimodal_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bt = binary_table(spark, sf_dir).select(
         "kind", F.octet_length("payload").cast("long").alias("b")
-    ).localCheckpoint(eager=False)  # feeds the moment agg AND the outlier scan
+    )
+    return size_outlier_stats(bt)
+
+
+def size_outlier_stats(bt: DataFrame) -> DataFrame:
+    """3-sigma payload-size fence over a (kind, b) DataFrame — factored
+    out so the integer cross-multiplied inequality is unit-testable on a
+    synthetic planted outlier (the fixture corpora have none)."""
+    bt = bt.localCheckpoint(eager=False)  # feeds the moment agg AND the outlier scan
     s = bt.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("b").alias("s1"),
@@ -3784,16 +3798,12 @@ def multimodal_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once byte counts x group sizes pass ~10^9, long before real media
     # corpora do
     dev = (F.col("b") * F.col("n") - F.col("s1")).cast("decimal(38,0)")
-    bound = (
-        F.lit(9).cast("decimal(38,0)")
-        * F.col("n")
-        * (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
-        )
+    bound = F.lit(9).cast("decimal(38,0)") * (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
     )
     mean_b = (
-        F.round(F.max("s1").cast("double") * F.lit(100.0) / F.max("n")).cast("long")
+        fround(F.max("s1").cast("double") * F.lit(100.0) / F.max("n")).cast("long")
         / F.lit(100.0)
     )
     return (
@@ -3820,9 +3830,9 @@ def multimodal_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH raw AS (
         SELECT vec_id, label,
-               CAST(round(sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+               CAST(floor((sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
                                          for i in range(1, len(embedding) + 1)]))
-                          * 1000000.0) AS BIGINT) AS n6
+                          * 1000000.0) + 0.5) AS BIGINT) AS n6
         FROM embeddings
     ),
     g AS (SELECT label, count(*) AS n,
@@ -3831,22 +3841,22 @@ def multimodal_size_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM raw GROUP BY label),
     tot AS (
         SELECT count(*) AS k, sum(n) AS n_all, sum(s1) AS s1_all,
-               sum(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS HUGEINT))
+               sum(CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) + 0.5) AS HUGEINT))
                    AS ssb_part,
                sum(s2) AS s2_all
         FROM g
     )
     SELECT k AS n_labels, n_all AS n_vecs,
-           round((CAST(ssb_part AS DOUBLE) - CAST(s1_all AS DOUBLE) * s1_all / n_all)
+           floor(((CAST(ssb_part AS DOUBLE) - CAST(s1_all AS DOUBLE) * s1_all / n_all)
                  / (k - 1)
-                 / ((CAST(s2_all AS DOUBLE) - ssb_part) / (n_all - k)), 4) AS f_stat
+                 / ((CAST(s2_all AS DOUBLE) - ssb_part) / (n_all - k))) * 1e4 + 0.5) / 1e4 AS f_stat
     FROM tot
     """,
     "one-way ANOVA F of vector norms across labels (quantized-integer moments)",
 )
 def emb_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    n6 = F.round(
+    n6 = fround(
         F.sqrt(
             F.expr(
                 "aggregate(embedding, cast(0.0 as double),"
@@ -3864,7 +3874,7 @@ def emb_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n6d).alias("s1"),
         F.sum(n6d * F.col("n6")).alias("s2"),
     )
-    ssb_part_term = F.round(
+    ssb_part_term = fround(
         F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
     ).cast("decimal(38,0)")
     tot = g.agg(
@@ -3874,7 +3884,7 @@ def emb_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ssb_part_term).alias("ssb_part"),
         F.sum("s2").alias("s2_all"),
     )
-    f_stat = F.round(
+    f_stat = fround(
         (
             F.col("ssb_part").cast("double")
             - F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
@@ -3992,8 +4002,8 @@ def _shard_oracle() -> str:
         FROM per
     )
     SELECT n_shards, min_docs, max_docs, min_tokens, max_tokens,
-           CAST(round(CAST(max_tokens AS DOUBLE) * 10000.0
-                      / greatest(min_tokens, 1)) AS BIGINT) / 10000.0
+           CAST(floor((CAST(max_tokens AS DOUBLE) * 10000.0
+                      / greatest(min_tokens, 1)) + 0.5) AS BIGINT) / 10000.0
                AS token_imbalance
     FROM spread
     """.replace("{SHARDS}", _shard_oracle()),
@@ -4019,7 +4029,7 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
     )
     imb = (
-        F.round(
+        fround(
             F.col("max_tokens").cast("double")
             * F.lit(10000.0)
             / F.greatest(F.col("min_tokens"), F.lit(1))
@@ -4062,8 +4072,8 @@ ACTIVATION_WINDOW_US = 7 * 24 * 3600 * 1_000_000
     SELECT count(*) AS n_users,
            CAST(sum(CASE WHEN n_w >= {ACTIVATION_EVENTS} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_activated,
-           CAST(round(CAST(sum(CASE WHEN n_w >= {ACTIVATION_EVENTS} THEN 1 ELSE 0 END)
-                           AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+           CAST(floor((CAST(sum(CASE WHEN n_w >= {ACTIVATION_EVENTS} THEN 1 ELSE 0 END)
+                           AS DOUBLE) * 1000000.0 / count(*)) + 0.5) AS BIGINT)
                / 1000000.0 AS activation_rate
     FROM in_window
     """,
@@ -4084,7 +4094,7 @@ def events_activation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_w") >= ACTIVATION_EVENTS, 1).otherwise(0)
     ).cast("long")
     rate = (
-        F.round(activated.cast("double") * F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
+        fround(activated.cast("double") * F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
         / F.lit(1000000.0)
     )
     return in_window.agg(
@@ -4105,7 +4115,7 @@ def events_activation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH yearly AS (
         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
-               sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((o.o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -4116,10 +4126,10 @@ def events_activation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(cents) OVER (PARTITION BY nation ORDER BY yr) AS prev_cents
         FROM yearly
     )
-    SELECT nation, yr, round(cents / 100.0, 2) AS revenue,
+    SELECT nation, yr, floor((cents / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
            CASE WHEN prev_cents > 0
-                THEN CAST(round((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
-                                / prev_cents) AS BIGINT) / 1000000.0
+                THEN CAST(floor(((CAST(cents AS DOUBLE) - prev_cents) * 1000000.0
+                                / prev_cents) + 0.5) AS BIGINT) / 1000000.0
                 END AS yoy_growth
     FROM lagged
     ORDER BY nation, yr
@@ -4137,13 +4147,13 @@ def orders_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("yr"),
         )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+        .agg(F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
     )
     wl = Window.partitionBy("nation").orderBy("yr")
     lagged = yearly.withColumn("prev_cents", F.lag("cents").over(wl))
     growth = F.when(
         F.col("prev_cents") > 0,
-        F.round(
+        fround(
             (F.col("cents").cast("double") - F.col("prev_cents"))
             * F.lit(1000000.0)
             / F.col("prev_cents")
@@ -4153,7 +4163,7 @@ def orders_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "nation",
         "yr",
-        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        fround(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
         growth.alias("yoy_growth"),
     ).orderBy("nation", "yr")
 
@@ -4169,7 +4179,7 @@ def orders_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_user AS (
         SELECT user_id,
-               sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((value * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL GROUP BY user_id
     ),
     classed AS (
@@ -4180,7 +4190,7 @@ def orders_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(cents) AS total FROM per_user)
     SELECT c.decile, count(*) AS n_users,
            CAST(sum(c.cents) AS BIGINT) AS decile_cents,
-           CAST(round(CAST(sum(c.cents) AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(sum(c.cents) AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS value_share
     FROM classed c, tot t
     GROUP BY c.decile, t.total
@@ -4195,7 +4205,7 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         ev.filter(F.col("value").isNotNull())
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+        .agg(F.sum(fround(F.col("value") * 100.0).cast("long")).alias("cents"))
     )
     ranked = with_global_rank(
         spark, per_user, [F.col("cents"), F.col("user_id")], rn_col="rn", n_col="n"
@@ -4205,7 +4215,7 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per_user.agg(F.sum("cents").alias("total"))
     share = (
-        F.round(F.sum("cents").cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
+        fround(F.sum("cents").cast("double") * F.lit(1000000.0) / F.max("total")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -4233,7 +4243,7 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM orders GROUP BY 1
     ),
     windowed AS (
@@ -4243,8 +4253,8 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     )
     SELECT CAST(d AS VARCHAR) AS day,
-           round(cents / 100.0, 2) AS revenue,
-           round(list_sort(win)[CAST(ceil(len(win) / 2.0) AS INTEGER)] / 100.0, 2)
+           floor((cents / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor((list_sort(win)[CAST(ceil(len(win) / 2.0) AS INTEGER)] / 100.0) * 1e2 + 0.5) / 1e2
                AS median7_revenue
     FROM windowed
     ORDER BY d
@@ -4254,7 +4264,7 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
     )
     ww = Window.orderBy("d").rowsBetween(-6, 0)
     windowed = daily.withColumn("win", F.collect_list("cents").over(ww))
@@ -4263,8 +4273,8 @@ def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return windowed.select(
         F.col("d").cast("string").alias("day"),
-        F.round(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
-        F.round(med / F.lit(100.0), 2).alias("median7_revenue"),
+        fround(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        fround(med / F.lit(100.0), 2).alias("median7_revenue"),
     ).orderBy("day")
 
 
@@ -4281,23 +4291,23 @@ def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
         SELECT o_orderpriority AS pri, o_orderkey,
-               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+               CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) AS cents,
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT))
                    OVER (PARTITION BY o_orderpriority) AS s,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
     ),
     scored AS (
         SELECT pri, o_orderkey, cents,
-               CAST(round((CAST(s - cents AS DOUBLE) / (n - 1)) ) AS BIGINT) AS peer_cents,
-               CAST(round(CAST(cents AS DOUBLE) * (n - 1) * 1000000.0
-                          / (CAST(s AS DOUBLE) - cents)) AS BIGINT) / 1000000.0
+               CAST(floor(((CAST(s - cents AS DOUBLE) / (n - 1))) + 0.5) AS BIGINT) AS peer_cents,
+               CAST(floor((CAST(cents AS DOUBLE) * (n - 1) * 1000000.0
+                          / (CAST(s AS DOUBLE) - cents)) + 0.5) AS BIGINT) / 1000000.0
                    AS ratio_vs_peers
         FROM g WHERE n > 1
     )
     SELECT pri AS o_orderpriority, o_orderkey,
-           round(cents / 100.0, 2) AS totalprice,
-           round(peer_cents / 100.0, 2) AS peer_avg,
+           floor((cents / 100.0) * 1e2 + 0.5) / 1e2 AS totalprice,
+           floor((peer_cents / 100.0) * 1e2 + 0.5) / 1e2 AS peer_avg,
            ratio_vs_peers
     FROM (SELECT *, row_number() OVER (PARTITION BY pri
                                        ORDER BY ratio_vs_peers DESC, o_orderkey) AS rk
@@ -4313,7 +4323,7 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = orders.select(
         F.col("o_orderpriority").alias("pri"),
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
     ).select(
         "pri",
         "o_orderkey",
@@ -4321,11 +4331,11 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wg).alias("s"),
         F.count(F.lit(1)).over(wg).alias("n"),
     )
-    peer_cents = F.round(
+    peer_cents = fround(
         (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1)
     ).cast("long")
     ratio = (
-        F.round(
+        fround(
             F.col("cents").cast("double")
             * (F.col("n") - 1)
             * F.lit(1000000.0)
@@ -4349,8 +4359,8 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("pri").alias("o_orderpriority"),
             "o_orderkey",
-            F.round(F.col("cents") / F.lit(100.0), 2).alias("totalprice"),
-            F.round(F.col("peer_cents") / F.lit(100.0), 2).alias("peer_avg"),
+            fround(F.col("cents") / F.lit(100.0), 2).alias("totalprice"),
+            fround(F.col("peer_cents") / F.lit(100.0), 2).alias("peer_avg"),
             "ratio_vs_peers",
         )
         .orderBy("o_orderpriority", F.col("ratio_vs_peers").desc(), "o_orderkey")
@@ -4373,7 +4383,7 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT len, count(*) AS n FROM toks WHERE len > 0 GROUP BY len),
     tot AS (SELECT sum(n) AS total FROM ct)
     SELECT c.len AS token_len, c.n,
-           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(c.n AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM ct c, tot t
     ORDER BY c.len
@@ -4392,7 +4402,7 @@ def text_token_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = ct.agg(F.sum("n").alias("total"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -4413,12 +4423,12 @@ def text_token_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dow AS (
         SELECT isodow(CAST(o_orderdate AS DATE)) AS d,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
         FROM orders GROUP BY 1
     ),
     tot AS (SELECT sum(cents) AS all_cents, count(*) AS n_days FROM dow)
     SELECT CAST(dow.d AS BIGINT) AS dow, dow.n_orders, dow.cents,
-           CAST(round(CAST(dow.cents AS DOUBLE) * t.n_days * 10000.0 / t.all_cents)
+           CAST(floor((CAST(dow.cents AS DOUBLE) * t.n_days * 10000.0 / t.all_cents) + 0.5)
                 AS BIGINT) / 10000.0 AS dow_index
     FROM dow, tot t
     ORDER BY dow
@@ -4430,11 +4440,11 @@ def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dow = ((F.dayofweek(F.col("o_orderdate").cast("date")) + 5) % 7 + 1).cast("long")
     per = orders.groupBy(dow.alias("dow")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
     )
     tot = per.agg(F.sum("cents").alias("all_cents"), F.count(F.lit(1)).alias("n_days"))
     idx = (
-        F.round(
+        fround(
             F.col("cents").cast("double")
             * F.col("n_days")
             * F.lit(10000.0)
@@ -4484,7 +4494,7 @@ def orders_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT entry_type, count(*) AS n_sessions,
            CAST(sum(converted) AS BIGINT) AS n_converted,
-           CAST(round(CAST(sum(converted) AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+           CAST(floor((CAST(sum(converted) AS DOUBLE) * 1000000.0 / count(*)) + 0.5) AS BIGINT)
                / 1000000.0 AS conversion_rate
     FROM sess
     GROUP BY entry_type
@@ -4516,7 +4526,7 @@ def events_conversion_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     rate = (
-        F.round(
+        fround(
             F.sum("converted").cast("double") * F.lit(1000000.0) / F.count(F.lit(1))
         ).cast("long")
         / F.lit(1000000.0)
@@ -4548,7 +4558,7 @@ def events_conversion_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT month, sum(n) AS mn FROM m GROUP BY month)
     SELECT m.month, m.pri, m.n,
-           CAST(round(CAST(m.n AS DOUBLE) * 1000000.0 / t.mn) AS BIGINT)
+           CAST(floor((CAST(m.n AS DOUBLE) * 1000000.0 / t.mn) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM m JOIN tot t ON m.month = t.month
     ORDER BY m.month, m.pri
@@ -4563,7 +4573,7 @@ def orders_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     tot = m.groupBy("month").agg(F.sum("n").alias("mn"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("mn")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("mn")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -4634,14 +4644,14 @@ def text_len_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_log_hist",
     """
     WITH v AS (
-        SELECT CAST(round(value * 100.0) AS BIGINT) AS cents
+        SELECT CAST(floor((value * 100.0) + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL AND value > 0
     ),
     b AS (SELECT length(bin(cents)) - 1 AS bucket FROM v),
     ct AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
     tot AS (SELECT sum(n) AS total FROM ct)
     SELECT CAST(c.bucket AS BIGINT) AS log2_bucket, c.n,
-           CAST(round(CAST(c.n AS DOUBLE) * 1000000.0 / t.total) AS BIGINT)
+           CAST(floor((CAST(c.n AS DOUBLE) * 1000000.0 / t.total) + 0.5) AS BIGINT)
                / 1000000.0 AS share
     FROM ct c, tot t
     ORDER BY log2_bucket
@@ -4650,7 +4660,7 @@ def text_len_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100.0).cast("long")
+    cents = fround(F.col("value") * 100.0).cast("long")
     v = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
         cents.alias("cents")
     )
@@ -4660,7 +4670,7 @@ def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     tot = ct.agg(F.sum("n").alias("total"))
     share = (
-        F.round(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
+        fround(F.col("n").cast("double") * F.lit(1000000.0) / F.col("total")).cast("long")
         / F.lit(1000000.0)
     )
     return (
@@ -4683,10 +4693,10 @@ def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_cust AS (
         SELECT o_custkey,
-               arg_min(CAST(round(o_totalprice * 100.0) AS BIGINT),
+               arg_min(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT),
                        lpad(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 20, '0')
                        || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_cents,
-               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS ltv_cents
+               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS ltv_cents
         FROM orders GROUP BY o_custkey
     ),
     s AS (
@@ -4699,12 +4709,12 @@ def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_cust
     )
     SELECT n AS n_customers,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e4 + 0.5) / 1e4
                AS pearson_r
     FROM s
     """,
@@ -4712,7 +4722,7 @@ def events_value_log_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_first_vs_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    cents = fround(F.col("o_totalprice") * 100.0).cast("long")
     key = F.struct(
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
         F.col("o_orderkey").alias("ok"),
@@ -4733,7 +4743,7 @@ def orders_first_vs_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fx * F.col("ltv_cents")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    r = F.round(
+    r = fround(
         (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
         / F.sqrt(
             (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))

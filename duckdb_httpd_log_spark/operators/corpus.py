@@ -15,7 +15,7 @@ Scale discipline (same as the sibling modules):
   cartesian products, no driver-side collects;
 - float aggregates follow the repo's integer-first parity rule: any
   order-dependent double SUM is quantized per-row to a scaled BIGINT
-  (round(x * 10^k)) so the cross-engine SUM is an integer sum, with one
+  (floor((x * 10^k) + 0.5)) so the cross-engine SUM is an integer sum, with one
   final double division pinned identically in both engines;
 - duplicate keys are md5/xxhash fingerprints, never raw text, so every
   shuffle moves fixed-width keys.
@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.registry import REGISTRY, register, table
+from ..plans.registry import fround, REGISTRY, register, table
 from . import dedup as _dedup
 
 # ---------------------------------------------------------------------------
@@ -170,16 +170,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     err AS (
         SELECT v.pos,
-               CAST(round(abs(v.v - (s.vmin + round((v.v - s.vmin) / s.scale) * s.scale))
-                          * 1000000000.0) AS BIGINT) AS e9
+               CAST(floor((abs(v.v - (s.vmin + floor(((v.v - s.vmin) / s.scale) + 0.5) * s.scale))
+                          * 1000000000.0) + 0.5) AS BIGINT) AS e9
         FROM vals v JOIN stats s ON v.pos = s.pos
         WHERE s.scale > 0
     )
     SELECT s.pos,
-           round(s.vmin, 6) AS vmin,
-           round(s.vmax, 6) AS vmax,
-           round(s.scale, 8) AS step,
-           round((CAST(sum(e.e9) AS DOUBLE) / 1000000000.0) / count(*), 8) AS mean_abs_err
+           floor((s.vmin) * 1e6 + 0.5) / 1e6 AS vmin,
+           floor((s.vmax) * 1e6 + 0.5) / 1e6 AS vmax,
+           floor((s.scale) * 1e8 + 0.5) / 1e8 AS step,
+           floor(((CAST(sum(e.e9) AS DOUBLE) / 1000000000.0) / count(*)) * 1e8 + 0.5) / 1e8 AS mean_abs_err
     FROM err e JOIN stats s ON e.pos = s.pos
     GROUP BY s.pos, s.vmin, s.vmax, s.scale
     ORDER BY s.pos
@@ -197,20 +197,20 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("scale"),
     )
     joined = vals.join(F.broadcast(stats), "pos").filter(F.col("scale") > 0)
-    recon = F.col("vmin") + F.round((F.col("v") - F.col("vmin")) / F.col("scale")) * F.col(
+    recon = F.col("vmin") + fround((F.col("v") - F.col("vmin")) / F.col("scale")) * F.col(
         "scale"
     )
-    e9 = F.round(F.abs(F.col("v") - recon) * F.lit(1000000000.0)).cast("long")
+    e9 = fround(F.abs(F.col("v") - recon) * F.lit(1000000000.0)).cast("long")
     return (
         joined.select("pos", "vmin", "vmax", "scale", e9.alias("e9"))
         .groupBy("pos", "vmin", "vmax", "scale")
         .agg(F.sum("e9").alias("s9"), F.count(F.lit(1)).alias("n"))
         .select(
             "pos",
-            F.round("vmin", 6).alias("vmin"),
-            F.round("vmax", 6).alias("vmax"),
-            F.round("scale", 8).alias("step"),
-            F.round((F.col("s9").cast("double") / F.lit(1000000000.0)) / F.col("n"), 8).alias(
+            fround("vmin", 6).alias("vmin"),
+            fround("vmax", 6).alias("vmax"),
+            fround("scale", 8).alias("step"),
+            fround((F.col("s9").cast("double") / F.lit(1000000000.0)) / F.col("n"), 8).alias(
                 "mean_abs_err"
             ),
         )
@@ -294,20 +294,19 @@ ZIPF_TOP_RANKS = 500
     ),
     terms AS (
         SELECT source,
-               CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
-               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6,
-               CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+               CAST(floor((ln(CAST(rk AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS x6,
+               CAST(floor((ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS y6,
+               CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
                     AS BIGINT) AS xy6,
-               CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1000000.0)
+               CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1000000.0) + 0.5)
                     AS BIGINT) AS xx6
         FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}
     )
     SELECT source, count(*) AS n_ranks,
-           round((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
+           floor(((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
                   - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(y6) AS DOUBLE) / 1000000.0))
                  / (count(*) * (CAST(sum(xx6) AS DOUBLE) / 1000000.0)
-                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0)),
-                 4) AS zipf_slope
+                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0))) * 1e4 + 0.5) / 1e4 AS zipf_slope
     FROM terms
     GROUP BY source
     ORDER BY source
@@ -330,10 +329,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.lit(1000000.0)
     terms = ranked.select(
         "source",
-        F.round(x * m).cast("long").alias("x6"),
-        F.round(y * m).cast("long").alias("y6"),
-        F.round(x * y * m).cast("long").alias("xy6"),
-        F.round(x * x * m).cast("long").alias("xx6"),
+        fround(x * m).cast("long").alias("x6"),
+        fround(y * m).cast("long").alias("y6"),
+        fround(x * y * m).cast("long").alias("xy6"),
+        fround(x * x * m).cast("long").alias("xx6"),
     )
     n = F.count(F.lit(1))
     sx = F.sum("x6").cast("double") / m
@@ -343,7 +342,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return (
         terms.groupBy("source")
-        .agg(n.alias("n_ranks"), F.round(slope, 4).alias("zipf_slope"))
+        .agg(n.alias("n_ranks"), fround(slope, 4).alias("zipf_slope"))
         .orderBy("source")
     )
 
@@ -367,8 +366,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS hapax_rate,
-           round(count(*) * 1.0 / sum(c), 4) AS type_token_ratio
+           floor((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS hapax_rate,
+           floor((count(*) * 1.0 / sum(c)) * 1e4 + 0.5) / 1e4 AS type_token_ratio
     FROM tc
     GROUP BY source
     ORDER BY source
@@ -391,8 +390,8 @@ def token_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tokens.cast("long").alias("n_tokens"),
             n_types.alias("n_types"),
             hapax.cast("long").alias("n_hapax"),
-            F.round(hapax.cast("double") / n_types, 4).alias("hapax_rate"),
-            F.round(n_types.cast("double") / n_tokens, 4).alias("type_token_ratio"),
+            fround(hapax.cast("double") / n_types, 4).alias("hapax_rate"),
+            fround(n_types.cast("double") / n_tokens, 4).alias("type_token_ratio"),
         )
         .orderBy("source")
     )
@@ -487,7 +486,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
                count(*) AS n_orders,
-               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+               CAST(sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
         GROUP BY 1
     ),
@@ -498,7 +497,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(s.d AS VARCHAR) AS day,
            coalesce(a.n_orders, 0) AS n_orders,
-           round(coalesce(a.cents, 0) / 100.0, 2) AS revenue
+           floor((coalesce(a.cents, 0) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue
     FROM spine s LEFT JOIN daily a ON s.d = a.d
     ORDER BY s.d
     """,
@@ -510,7 +509,7 @@ def q45_date_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
     )
     spine = daily.agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
@@ -520,7 +519,7 @@ def q45_date_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("d").cast("string").alias("day"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.round(F.coalesce("cents", F.lit(0)) / F.lit(100.0), 2).alias("revenue"),
+            fround(F.coalesce("cents", F.lit(0)) / F.lit(100.0), 2).alias("revenue"),
         )
         .orderBy("d")
     )
@@ -551,7 +550,7 @@ def q45_date_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(k) AS BIGINT) AS min_k,
            CAST(max(k) AS BIGINT) AS max_k,
            CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
-           round(sum(k) * 1.0 / count(*), 4) AS avg_k
+           floor((sum(k) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS avg_k
     FROM ex
     GROUP BY event_type
     ORDER BY event_type
@@ -569,7 +568,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             F.count_distinct(F.col("k")).alias("distinct_k"),
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+            fround(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -618,21 +617,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
         SELECT pos,
-               CAST(sum(CAST(round(v.x * w.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(sum(CAST(floor((v.x * w.wv * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE)
                    / 1000000.0 AS uv
         FROM vals v JOIN w ON v.vec_id = w.vec_id
         GROUP BY pos
     ),
     mu AS (SELECT max(abs(uv)) AS m1 FROM u),
     nrm AS (
-        SELECT m1 * sqrt(CAST(sum(CAST(round((uv / m1) * (uv / m1) * 1000000000000.0)
+        SELECT m1 * sqrt(CAST(sum(CAST(floor(((uv / m1) * (uv / m1) * 1000000000000.0) + 0.5)
                                        AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
         FROM u, mu
         WHERE m1 > 0
         GROUP BY m1
     )
-    SELECT u.pos, round(u.uv / nrm.nn, 6) AS loading,
-           round(m.m0 * m.m0 * nrm.nn, 4) AS eigval_est
+    SELECT u.pos, floor((u.uv / nrm.nn) * 1e6 + 0.5) / 1e6 AS loading,
+           floor((m.m0 * m.m0 * nrm.nn) * 1e4 + 0.5) / 1e4 AS eigval_est
     FROM u, nrm, m
     ORDER BY u.pos
     """,
@@ -662,7 +661,7 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (
         vals.join(w, "vec_id")
-        .select("pos", F.round(F.col("x") * F.col("wv") * F.lit(1000000.0)).cast("long").alias("t6"))
+        .select("pos", fround(F.col("x") * F.col("wv") * F.lit(1000000.0)).cast("long").alias("t6"))
         .groupBy("pos")
         .agg((F.sum("t6").cast("double") / F.lit(1000000.0)).alias("uv"))
     )
@@ -671,7 +670,7 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = (
         u.crossJoin(F.broadcast(mu))
         .filter(F.col("m1") > 0)
-        .select("m1", F.round(r2 * F.lit(1000000000000.0)).cast("long").alias("q12"))
+        .select("m1", fround(r2 * F.lit(1000000000000.0)).cast("long").alias("q12"))
         .groupBy("m1")
         .agg(
             (F.col("m1") * F.sqrt(F.sum("q12").cast("double") / F.lit(1000000000000.0))).alias(
@@ -685,8 +684,8 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(m))
         .select(
             "pos",
-            F.round(F.col("uv") / F.col("nn"), 6).alias("loading"),
-            F.round(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
+            fround(F.col("uv") / F.col("nn"), 6).alias("loading"),
+            fround(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
         )
         .orderBy("pos")
     )
@@ -721,8 +720,8 @@ def _lm_score_oracle_subquery() -> str:
     SELECT lang,
            CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
            count(*) AS n_docs,
-           round((CAST(sum(CAST(round(ppl * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
-                 / count(*), 4) AS mean_ppl
+           floor(((CAST(sum(CAST(floor((ppl * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+                 / count(*)) * 1e4 + 0.5) / 1e4 AS mean_ppl
     FROM bucketed
     GROUP BY lang, tier
     ORDER BY lang, bucket
@@ -742,13 +741,13 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tier") == 2, "middle")
         .otherwise("tail")
     )
-    p4 = F.round(F.col("ppl") * F.lit(10000.0)).cast("long")
+    p4 = fround(F.col("ppl") * F.lit(10000.0)).cast("long")
     return (
         bucketed.select("lang", "tier", p4.alias("p4"))
         .groupBy("lang", "tier")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
+            fround(
                 (F.sum("p4").cast("double") / F.lit(10000.0)) / F.count(F.lit(1)), 4
             ).alias("mean_ppl"),
         )
@@ -783,7 +782,7 @@ VOCAB_K = 1000
     SELECT source,
            count(*) AS n_tokens,
            CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           floor((sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4
                AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.w = v.w
     GROUP BY source
@@ -808,7 +807,7 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             oov.cast("long").alias("n_oov"),
-            F.round(oov.cast("double") / F.count(F.lit(1)), 4).alias("oov_rate"),
+            fround(oov.cast("double") / F.count(F.lit(1)), 4).alias("oov_rate"),
         )
         .orderBy("source")
     )
@@ -842,13 +841,13 @@ DP_SALT = "dp-release-1:"
         FROM base
     )
     SELECT source,
-           round(n_docs + CASE WHEN u < 0.5
+           floor((n_docs + CASE WHEN u < 0.5
                                THEN ln(2.0 * u) / {DP_EPSILON}
-                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END, 4)
+                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END) * 1e4 + 0.5) / 1e4
                AS noisy_n_docs,
-           round(n_chars_total + CASE WHEN u < 0.5
+           floor((n_chars_total + CASE WHEN u < 0.5
                                THEN ln(2.0 * u) / {DP_EPSILON}
-                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END, 4)
+                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END) * 1e4 + 0.5) / 1e4
                AS noisy_n_chars
     FROM drawn
     ORDER BY source
@@ -873,8 +872,8 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "source",
-        F.round(F.col("n_docs") + noise, 4).alias("noisy_n_docs"),
-        F.round(F.col("n_chars_total") + noise, 4).alias("noisy_n_chars"),
+        fround(F.col("n_docs") + noise, 4).alias("noisy_n_docs"),
+        fround(F.col("n_chars_total") + noise, 4).alias("noisy_n_chars"),
     ).orderBy("source")
 
 
@@ -901,8 +900,8 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM exact JOIN mh USING (doc_a, doc_b)) AS n_hit
     )
     SELECT n_exact, n_candidates, n_hit,
-           round(n_hit * 1.0 / greatest(n_exact, 1), 4) AS recall,
-           round(n_hit * 1.0 / greatest(n_candidates, 1), 4) AS precision_cand
+           floor((n_hit * 1.0 / greatest(n_exact, 1)) * 1e4 + 0.5) / 1e4 AS recall,
+           floor((n_hit * 1.0 / greatest(n_candidates, 1)) * 1e4 + 0.5) / 1e4 AS precision_cand
     FROM counts
     """
     .replace("{CANDS}", _dedup._SQL_MINHASH_CANDS)
@@ -942,10 +941,10 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_candidates",
         "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1)), 4).alias(
+        fround(F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1)), 4).alias(
             "recall"
         ),
-        F.round(
+        fround(
             F.col("n_hit").cast("double") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
         ).alias("precision_cand"),
     )
@@ -1022,13 +1021,13 @@ OUTLIER_FACTOR = 1.5
     vals AS (SELECT vec_id, label, pos, x0 / m0 AS x FROM raw, m),
     cen AS (
         SELECT label, pos,
-               (CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+               (CAST(sum(CAST(floor((x * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
                    / count(*) AS c
         FROM vals GROUP BY label, pos
     ),
     d2 AS (
         SELECT v.vec_id, v.label,
-               CAST(sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT))
+               CAST(sum(CAST(floor(((v.x - c.c) * (v.x - c.c) * 1000000000.0) + 0.5) AS BIGINT))
                     AS DOUBLE) / 1000000000.0 AS dist2
         FROM vals v JOIN cen c ON v.label = c.label AND v.pos = c.pos
         GROUP BY v.vec_id, v.label
@@ -1036,13 +1035,13 @@ OUTLIER_FACTOR = 1.5
     dist AS (SELECT vec_id, label, sqrt(dist2) AS d FROM d2),
     md AS (
         SELECT label,
-               (CAST(sum(CAST(round(d * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+               (CAST(sum(CAST(floor((d * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
                    / count(*) AS mean_d
         FROM dist GROUP BY label
     )
     SELECT dist.label,
            count(*) AS n_vecs,
-           round(m.m0 * max(md.mean_d), 6) AS mean_dist,
+           floor((m.m0 * max(md.mean_d)) * 1e6 + 0.5) / 1e6 AS mean_dist,
            CAST(sum(CASE WHEN dist.d > 1.5 * md.mean_d THEN 1 ELSE 0 END) AS BIGINT)
                AS n_outliers
     FROM dist
@@ -1068,7 +1067,7 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m6 = F.lit(1000000.0)
     cen = vals.groupBy("label", "pos").agg(
-        ((F.sum(F.round(F.col("x") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
+        ((F.sum(fround(F.col("x") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
             "c"
         )
     )
@@ -1078,14 +1077,14 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(diff2 * F.lit(1000000000.0)).cast("long").alias("q9"),
+            fround(diff2 * F.lit(1000000000.0)).cast("long").alias("q9"),
         )
         .groupBy("vec_id", "label")
         .agg((F.sum("q9").cast("double") / F.lit(1000000000.0)).alias("dist2"))
     )
     dist = d2.select("vec_id", "label", F.sqrt("dist2").alias("d"))
     md = dist.groupBy("label").agg(
-        ((F.sum(F.round(F.col("d") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
+        ((F.sum(fround(F.col("d") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
             "mean_d"
         )
     )
@@ -1095,7 +1094,7 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "m0")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.max("m0") * F.max("mean_d"), 6).alias("mean_dist"),
+            fround(F.max("m0") * F.max("mean_d"), 6).alias("mean_dist"),
             F.sum(F.when(F.col("d") > F.lit(OUTLIER_FACTOR) * F.col("mean_d"), 1).otherwise(0))
             .cast("long")
             .alias("n_outliers"),
@@ -1139,8 +1138,8 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.event_type,
            count(*) AS n_segments,
            max(sp.span_us) AS span_us,
-           round(CAST(sum(CAST(round(s.value * s.gap_us * 10000.0 / sp.span_us)
-                               AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS twa_value
+           floor((CAST(sum(CAST(floor((s.value * s.gap_us * 10000.0 / sp.span_us) + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 10000.0) * 1e4 + 0.5) / 1e4 AS twa_value
     FROM seg s JOIN spans sp ON s.event_type = sp.event_type
     GROUP BY s.event_type
     ORDER BY s.event_type
@@ -1160,7 +1159,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
     )
     spans = seg.groupBy("event_type").agg(F.sum("gap_us").cast("long").alias("span_us"))
-    term = F.round(
+    term = fround(
         F.col("value") * F.col("gap_us") * F.lit(10000.0) / F.col("span_us")
     ).cast("long")
     return (
@@ -1169,7 +1168,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.max("span_us").alias("span_us"),
-            F.round(F.sum(term).cast("double") / F.lit(10000.0), 4).alias("twa_value"),
+            fround(F.sum(term).cast("double") / F.lit(10000.0), 4).alias("twa_value"),
         )
         .orderBy("event_type")
     )
@@ -1276,7 +1275,7 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum, tot
     )
     SELECT n_a, n_b, x AS at_value,
-           round(CAST(gap AS DOUBLE) / (n_a * n_b), 6) AS ks_stat
+           floor((CAST(gap AS DOUBLE) / (n_a * n_b)) * 1e6 + 0.5) / 1e6 AS ks_stat
     FROM gaps
     ORDER BY gap DESC, x
     LIMIT 1
@@ -1314,7 +1313,7 @@ def drift_ks_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.col("x").alias("at_value"),
-            F.round(F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+            fround(F.col("gap").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
                 "ks_stat"
             ),
         )
@@ -1367,7 +1366,7 @@ PQ_SALT = "pq:"
     vals AS (SELECT vec_id, sub, pos, x0 / m0 AS x FROM rawvals, m),
     d AS (
         SELECT v.vec_id, v.sub, c.code,
-               sum(CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000.0) AS BIGINT)) AS q9
+               sum(CAST(floor(((v.x - c.c) * (v.x - c.c) * 1000000000.0) + 0.5) AS BIGINT)) AS q9
         FROM vals v JOIN cen c ON v.pos = c.pos
         GROUP BY v.vec_id, v.sub, c.code
     ),
@@ -1378,7 +1377,7 @@ PQ_SALT = "pq:"
     )
     SELECT a.sub, a.code,
            count(*) AS n_assigned,
-           round(m.m0 * m.m0 * (CAST(sum(a.q9) AS DOUBLE) / 1000000000.0) / count(*), 6)
+           floor((m.m0 * m.m0 * (CAST(sum(a.q9) AS DOUBLE) / 1000000000.0) / count(*)) * 1e6 + 0.5) / 1e6
                AS mean_dist2
     FROM assigned a, m
     WHERE a.rk = 1
@@ -1427,7 +1426,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = rawvals.crossJoin(F.broadcast(m)).select(
         "vec_id", "sub", "pos", (F.col("x0") / F.col("m0")).alias("x")
     )
-    q9 = F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)).cast(
+    q9 = fround((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1000000000.0)).cast(
         "long"
     )
     d = (
@@ -1443,7 +1442,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sub", "code", "m0")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            F.round(
+            fround(
                 F.max("m0")
                 * F.max("m0")
                 * (F.sum("q9").cast("double") / F.lit(1000000000.0))
@@ -1497,7 +1496,7 @@ TRIANGLE_MIN_SUPPORT = 2
            (SELECT count(*) FROM deg) AS n_vertices,
            w.n_wedges,
            t.n_triangles,
-           round(3.0 * t.n_triangles / greatest(w.n_wedges, 1), 6) AS clustering_coeff
+           floor((3.0 * t.n_triangles / greatest(w.n_wedges, 1)) * 1e6 + 0.5) / 1e6 AS clustering_coeff
     FROM wedges w, tri t
     """,
     "triangle count + global clustering coefficient via oriented wedge join on the co-order graph",
@@ -1539,7 +1538,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vertices",
             "n_wedges",
             "n_triangles",
-            F.round(
+            fround(
                 F.lit(3.0) * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)), 6
             ).alias("clustering_coeff"),
         )
@@ -1577,9 +1576,9 @@ SEASONAL_TOP = 10
     ),
     scored AS (
         SELECT k.event_type, CAST(k.d AS VARCHAR) AS day, k.n,
-               round(CAST(b.sx AS DOUBLE) / b.n_days, 4) AS dow_mean,
-               round(abs(k.n * b.n_days - b.sx)
-                     / sqrt(CAST(b.n_days * b.sxx - b.sx * b.sx AS DOUBLE)), 4) AS z
+               floor((CAST(b.sx AS DOUBLE) / b.n_days) * 1e4 + 0.5) / 1e4 AS dow_mean,
+               floor((abs(k.n * b.n_days - b.sx)
+                     / sqrt(CAST(b.n_days * b.sxx - b.sx * b.sx AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS z
         FROM keyed k JOIN base b ON k.event_type = b.event_type AND k.dow = b.dow
         WHERE b.n_days >= 3 AND b.n_days * b.sxx > b.sx * b.sx
     )
@@ -1605,7 +1604,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     # z = |n·n_days − Σx| / sqrt(n_days·Σx² − (Σx)²): the numerator is an
     # exact integer (n_days cancels out of the usual σ form)
-    z = F.round(
+    z = fround(
         F.abs(F.col("n") * F.col("n_days") - F.col("sx")) / F.sqrt(var_num), 4
     )
     return (
@@ -1614,7 +1613,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("d").cast("string").alias("day"),
             "n",
-            F.round(F.col("sx").cast("double") / F.col("n_days"), 4).alias("dow_mean"),
+            fround(F.col("sx").cast("double") / F.col("n_days"), 4).alias("dow_mean"),
             z.alias("z"),
         )
         .orderBy(F.col("z").desc(), "event_type", "day")
@@ -1636,7 +1635,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cust AS (
         SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+               CAST(sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM orders GROUP BY o_custkey
     ),
     tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n_customers FROM cust),
@@ -1648,7 +1647,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.n_customers,
            min(r.rk) AS n_top_80,
-           round(min(r.rk) * 1.0 / t.n_customers, 4) AS top_share_of_customers
+           floor((min(r.rk) * 1.0 / t.n_customers) * 1e4 + 0.5) / 1e4 AS top_share_of_customers
     FROM ranked r, tot t
     WHERE 5 * r.cum_cents >= 4 * t.total_cents
     GROUP BY t.n_customers
@@ -1658,7 +1657,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
     )
     tot = cust.agg(
         F.sum("cents").cast("long").alias("total_cents"),
@@ -1682,7 +1681,7 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_customers")
         .agg(
             F.min("rk").alias("n_top_80"),
-            F.round(F.min("rk").cast("double") / F.max("n_customers"), 4).alias(
+            fround(F.min("rk").cast("double") / F.max("n_customers"), 4).alias(
                 "top_share_of_customers"
             ),
         )
@@ -1834,40 +1833,40 @@ def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u1 AS (
         SELECT pos,
-               CAST(sum(CAST(round(v.x * w1.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(sum(CAST(floor((v.x * w1.wv * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE)
                    / 1000000.0 AS uv
         FROM vals v JOIN w1 ON v.vec_id = w1.vec_id
         GROUP BY pos
     ),
     mu1 AS (SELECT max(abs(uv)) AS m1 FROM u1),
     nrm1 AS (
-        SELECT m1 * sqrt(CAST(sum(CAST(round((uv / m1) * (uv / m1) * 1000000000000.0)
+        SELECT m1 * sqrt(CAST(sum(CAST(floor(((uv / m1) * (uv / m1) * 1000000000000.0) + 0.5)
                                        AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
         FROM u1, mu1 WHERE m1 > 0 GROUP BY m1
     ),
     v1 AS (SELECT u1.pos, u1.uv / nrm1.nn AS v FROM u1, nrm1),
     w2 AS (
         SELECT v.vec_id,
-               CAST(sum(CAST(round(v.x * v1.v * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(sum(CAST(floor((v.x * v1.v * 1000000000.0) + 0.5) AS BIGINT)) AS DOUBLE)
                    / 1000000000.0 AS wv
         FROM vals v JOIN v1 ON v.pos = v1.pos
         GROUP BY v.vec_id
     ),
     u2 AS (
         SELECT pos,
-               CAST(sum(CAST(round(v.x * w2.wv * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(sum(CAST(floor((v.x * w2.wv * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE)
                    / 1000000.0 AS uv
         FROM vals v JOIN w2 ON v.vec_id = w2.vec_id
         GROUP BY pos
     ),
     mu2 AS (SELECT max(abs(uv)) AS m2 FROM u2),
     nrm2 AS (
-        SELECT m2 * sqrt(CAST(sum(CAST(round((uv / m2) * (uv / m2) * 1000000000000.0)
+        SELECT m2 * sqrt(CAST(sum(CAST(floor(((uv / m2) * (uv / m2) * 1000000000000.0) + 0.5)
                                        AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS nn
         FROM u2, mu2 WHERE m2 > 0 GROUP BY m2
     )
-    SELECT u2.pos, round(u2.uv / nrm2.nn, 6) AS loading,
-           round(m.m0 * m.m0 * nrm2.nn, 4) AS eigval_est
+    SELECT u2.pos, floor((u2.uv / nrm2.nn) * 1e6 + 0.5) / 1e6 AS loading,
+           floor((m.m0 * m.m0 * nrm2.nn) * 1e4 + 0.5) / 1e4 AS eigval_est
     FROM u2, nrm2, m
     ORDER BY u2.pos
     """,
@@ -1902,7 +1901,7 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             vals.join(w, "vec_id")
             .select(
                 "pos",
-                F.round(F.col("x") * F.col("wv") * F.lit(scale)).cast("long").alias("t"),
+                fround(F.col("x") * F.col("wv") * F.lit(scale)).cast("long").alias("t"),
             )
             .groupBy("pos")
             .agg((F.sum("t").cast("double") / F.lit(scale)).alias("uv"))
@@ -1914,7 +1913,7 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             u.crossJoin(F.broadcast(mu))
             .filter(F.col("mx") > 0)
-            .select("mx", F.round(r2 * F.lit(1e12)).cast("long").alias("q12"))
+            .select("mx", fround(r2 * F.lit(1e12)).cast("long").alias("q12"))
             .groupBy("mx")
             .agg((F.col("mx") * F.sqrt(F.sum("q12").cast("double") / F.lit(1e12))).alias("nn"))
             .select("nn")
@@ -1928,7 +1927,7 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals.join(F.broadcast(v1), "pos")
         .select(
             "vec_id",
-            F.round(F.col("x") * F.col("v") * F.lit(1000000000.0)).cast("long").alias("t9"),
+            fround(F.col("x") * F.col("v") * F.lit(1000000000.0)).cast("long").alias("t9"),
         )
         .groupBy("vec_id")
         .agg((F.sum("t9").cast("double") / F.lit(1000000000.0)).alias("wv"))
@@ -1940,8 +1939,8 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(m))
         .select(
             "pos",
-            F.round(F.col("uv") / F.col("nn"), 6).alias("loading"),
-            F.round(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
+            fround(F.col("uv") / F.col("nn"), 6).alias("loading"),
+            fround(F.col("m0") * F.col("m0") * F.col("nn"), 4).alias("eigval_est"),
         )
         .orderBy("pos")
     )
@@ -1977,11 +1976,11 @@ BURSTY_MIN_DOCS = 5
         FROM tc GROUP BY w HAVING count(*) >= {BURSTY_MIN_DOCS}
     )
     SELECT w, n_docs, sx AS total_count,
-           CAST(round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                      / (CAST(n AS DOUBLE) * sx) * 10000.0) AS BIGINT) / 10000.0 AS vmr
+           CAST(floor(((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n AS DOUBLE) * sx) * 10000.0) + 0.5) AS BIGINT) / 10000.0 AS vmr
     FROM stats, nd
-    ORDER BY CAST(round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        / (CAST(n AS DOUBLE) * sx) * 10000.0) AS BIGINT) DESC, w
+    ORDER BY CAST(floor(((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n AS DOUBLE) * sx) * 10000.0) + 0.5) AS BIGINT) DESC, w
     LIMIT {BURSTY_TOP}
     """,
     "Church-Gale burstiness: top terms by variance-to-mean ratio of per-doc counts",
@@ -2004,7 +2003,7 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= BURSTY_MIN_DOCS)
     )
     nn = F.col("n").cast("double")
-    vmr4 = F.round(
+    vmr4 = fround(
         (nn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) / (nn * F.col("sx"))
         * F.lit(10000.0)
     ).cast("long")
@@ -2111,14 +2110,14 @@ def q49_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT t.event_type,
-               CAST(round(abs(t.n * tr.n_days - tr.sx) * 10000.0
-                          / (t.n * tr.n_days)) AS BIGINT) AS ape4
+               CAST(floor((abs(t.n * tr.n_days - tr.sx) * 10000.0
+                          / (t.n * tr.n_days)) + 0.5) AS BIGINT) AS ape4
         FROM test t
         JOIN train tr ON tr.event_type = t.event_type AND tr.dow = t.dow
         WHERE t.n > 0
     )
     SELECT event_type, count(*) AS n_days_scored,
-           round((CAST(sum(ape4) AS DOUBLE) / 10000.0) / count(*) * 100.0, 2)
+           floor(((CAST(sum(ape4) AS DOUBLE) / 10000.0) / count(*) * 100.0) * 1e2 + 0.5) / 1e2
                AS mape_pct
     FROM scored
     GROUP BY event_type
@@ -2141,7 +2140,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = j.filter(F.col("d") >= F.col("test_start")).select(
         "event_type", "d", F.dayofweek("d").alias("dow"), "n"
     )
-    ape4 = F.round(
+    ape4 = fround(
         F.abs(F.col("n") * F.col("n_days") - F.col("sx"))
         * F.lit(10000.0)
         / (F.col("n") * F.col("n_days"))
@@ -2155,7 +2154,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days_scored"),
-            F.round(
+            fround(
                 (F.sum("ape4").cast("double") / F.lit(10000.0)) / F.count(F.lit(1)) * 100.0, 2
             ).alias("mape_pct"),
         )
@@ -2196,8 +2195,8 @@ COVERAGE_KS = [100, 500, 1000, 5000, 20000]
            t.n_vocab,
            CAST(max(CASE WHEN ranked.rk <= r.k THEN ranked.cum ELSE 0 END) AS BIGINT)
                AS covered_tokens,
-           CAST(round(max(CASE WHEN ranked.rk <= r.k THEN ranked.cum ELSE 0 END)
-                      * 1000000.0 / t.n_stream) AS BIGINT) / 1000000.0 AS coverage
+           CAST(floor((max(CASE WHEN ranked.rk <= r.k THEN ranked.cum ELSE 0 END)
+                      * 1000000.0 / t.n_stream) + 0.5) AS BIGINT) / 1000000.0 AS coverage
     FROM rungs r, ranked, tot t
     GROUP BY r.k, t.n_vocab, t.n_stream
     ORDER BY r.k
@@ -2237,7 +2236,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vocab",
             "covered_tokens",
             (
-                F.round(F.col("covered_tokens") * F.lit(1000000.0) / F.col("n_stream"))
+                fround(F.col("covered_tokens") * F.lit(1000000.0) / F.col("n_stream"))
                 .cast("long")
                 / F.lit(1000000.0)
             ).alias("coverage"),
@@ -2268,7 +2267,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.cohort,
                (year(o.o_orderdate) - year(f.cohort)) * 12
                  + (month(o.o_orderdate) - month(f.cohort)) AS month_idx,
-               CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+               CAST(sum(CAST(floor((o.o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
         GROUP BY 1, 2
     ),
@@ -2278,7 +2277,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.month_idx, s.n_customers,
-           CAST(round(c.cum_cents * 1.0 / s.n_customers) AS BIGINT) AS ltv_cents_per_cust
+           CAST(floor((c.cum_cents * 1.0 / s.n_customers) + 0.5) AS BIGINT) AS ltv_cents_per_cust
     FROM cum c JOIN cohort_size s ON c.cohort = s.cohort
     WHERE c.month_idx <= 24
     ORDER BY cohort, month_idx
@@ -2300,7 +2299,7 @@ def orders_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (F.month("o_orderdate") - F.month("cohort"))
             ).alias("month_idx"),
         )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
+        .agg(F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"))
     )
     w = Window.partitionBy("cohort").orderBy("month_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2313,7 +2312,7 @@ def orders_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort").cast("string").alias("cohort"),
             "month_idx",
             "n_customers",
-            F.round(F.col("cum_cents") / F.col("n_customers")).cast("long").alias(
+            fround(F.col("cum_cents") / F.col("n_customers")).cast("long").alias(
                 "ltv_cents_per_cust"
             ),
         )
@@ -2345,7 +2344,7 @@ def _ann_eval_sql() -> str:
         GROUP BY e.q_id
     )
     SELECT q_id, n_exact, n_hit,
-           CAST(round(n_hit * 1000000.0 / n_exact) AS BIGINT) / 1000000.0 AS recall
+           CAST(floor((n_hit * 1000000.0 / n_exact) + 0.5) AS BIGINT) / 1000000.0 AS recall
     FROM per_q
     ORDER BY q_id
     """
@@ -2381,7 +2380,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_hit",
         (
-            F.round(F.col("n_hit") * F.lit(1000000.0) / F.col("n_exact")).cast("long")
+            fround(F.col("n_hit") * F.lit(1000000.0) / F.col("n_exact")).cast("long")
             / F.lit(1000000.0)
         ).alias("recall"),
     ).orderBy("q_id")
@@ -2449,7 +2448,7 @@ def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
     )
     SELECT CAST(d.d AS VARCHAR) AS day, d.dau, mm.mau,
-           CAST(round(d.dau * 1000000.0 / mm.mau) AS BIGINT) / 1000000.0 AS stickiness
+           CAST(floor((d.dau * 1000000.0 / mm.mau) + 0.5) AS BIGINT) / 1000000.0 AS stickiness
     FROM dau d JOIN mau mm ON CAST(date_trunc('month', d.d) AS DATE) = mm.m
     ORDER BY d.d
     """,
@@ -2471,7 +2470,7 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         "mau",
         (
-            F.round(F.col("dau") * F.lit(1000000.0) / F.col("mau")).cast("long")
+            fround(F.col("dau") * F.lit(1000000.0) / F.col("mau")).cast("long")
             / F.lit(1000000.0)
         ).alias("stickiness"),
     ).orderBy("d")
@@ -2503,7 +2502,7 @@ ATTRIB_WINDOW_H = 24
     ),
     credited AS (
         SELECT last_touch.etype AS channel,
-               CAST(round(value * 100.0) AS BIGINT) AS cents
+               CAST(floor((value * 100.0) + 0.5) AS BIGINT) AS cents
         FROM seq
         WHERE event_type = 'purchase'
           AND last_touch IS NOT NULL
@@ -2547,7 +2546,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(
         F.col("last_touch.etype").alias("channel"),
-        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        fround(F.col("value") * 100.0).cast("long").alias("cents"),
     )
     return (
         credited.groupBy("channel")
@@ -2577,8 +2576,8 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_users,
            CAST(sum(x) AS BIGINT) AS n_events,
-           CAST(round((2.0 * sum(i * x) - (count(*) + 1.0) * sum(x))
-                      * 1000000.0 / (count(*) * sum(x))) AS BIGINT) / 1000000.0 AS gini
+           CAST(floor(((2.0 * sum(i * x) - (count(*) + 1.0) * sum(x))
+                      * 1000000.0 / (count(*) * sum(x))) + 0.5) AS BIGINT) / 1000000.0 AS gini
     FROM ranked
     """,
     "Gini coefficient of per-user activity via integer Lorenz sums",
@@ -2596,7 +2595,7 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     sx = F.sum("x")
     six = F.sum(F.col("i") * F.col("x"))
-    gini6 = F.round(
+    gini6 = fround(
         (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) * F.lit(1000000.0) / (n * sx)
     ).cast("long")
     return ranked.agg(
@@ -2704,11 +2703,10 @@ KL_VOCAB_K = 1000
     src_tot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM src GROUP BY source),
     terms AS (
         SELECT s.source,
-               CAST(round(
-                 ((v.c_all + 1.0) / (nv.n_all + nv.k))
+               CAST(floor((((v.c_all + 1.0) / (nv.n_all + nv.k))
                  * ln(((v.c_all + 1.0) / (nv.n_all + nv.k))
                       / ((coalesce(s2.c_src, 0) + 1.0) / (st.n_src + nv.k)))
-                 * 1000000000.0) AS BIGINT) AS t9
+                 * 1000000000.0) + 0.5) AS BIGINT) AS t9
         FROM src_tot st
         CROSS JOIN vocab v
         CROSS JOIN nv
@@ -2750,7 +2748,7 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = grid.join(src, ["source", "w"], "left")
     p = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("k"))
     q = (F.coalesce(F.col("c_src"), F.lit(0)) + F.lit(1.0)) / (F.col("n_src") + F.col("k"))
-    t9 = F.round(p * F.log(p / q) * F.lit(1000000000.0)).cast("long")
+    t9 = fround(p * F.log(p / q) * F.lit(1000000000.0)).cast("long")
     return (
         joined.select("source", t9.alias("t9"))
         .groupBy("source")
@@ -2789,7 +2787,7 @@ DEDUP_CURVE_T20 = [8, 10, 12, 14, 16, 18]  # thresholds x20 (0.4 .. 0.9)
         JOIN gc gb ON gb.doc_id = doc_b
     ),
     rungs AS (SELECT unnest([{", ".join(str(t) for t in DEDUP_CURVE_T20)}]) AS t20)
-    SELECT round(r.t20 / 20.0, 2) AS threshold,
+    SELECT floor((r.t20 / 20.0) * 1e2 + 0.5) / 1e2 AS threshold,
            CAST(sum(CASE WHEN p.n_shared * 20 >= r.t20 * p.n_union THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pairs
     FROM rungs r, pairs p
@@ -2826,7 +2824,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(rungs))
         .groupBy("t20")
         .agg(hit.cast("long").alias("n_pairs"))
-        .select(F.round(F.col("t20") / 20.0, 2).alias("threshold"), "n_pairs")
+        .select(fround(F.col("t20") / 20.0, 2).alias("threshold"), "n_pairs")
         .orderBy("threshold")
     )
 
@@ -2842,13 +2840,13 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
         SELECT month(o_orderdate) AS m,
-               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS cents,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     ),
     tot AS (SELECT CAST(sum(cents) AS BIGINT) AS all_cents, count(*) AS n_months FROM monthly)
     SELECT m AS month, n_orders, cents,
-           CAST(round(cents * n_months * 10000.0 / all_cents) AS BIGINT) / 10000.0
+           CAST(floor((cents * n_months * 10000.0 / all_cents) + 0.5) AS BIGINT) / 10000.0
                AS seasonality_index
     FROM monthly, tot
     ORDER BY m
@@ -2858,7 +2856,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     monthly = orders.groupBy(F.month("o_orderdate").alias("m")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+        F.sum(fround(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     tot = monthly.agg(
@@ -2872,7 +2870,7 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "cents",
             (
-                F.round(F.col("cents") * F.col("n_months") * F.lit(10000.0) / F.col("all_cents"))
+                fround(F.col("cents") * F.col("n_months") * F.lit(10000.0) / F.col("all_cents"))
                 .cast("long")
                 / F.lit(10000.0)
             ).alias("seasonality_index"),
@@ -2905,7 +2903,7 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     purchases AS (
         SELECT user_id, epoch_us(ts) AS p_us,
-               CAST(round(value * 100.0) AS BIGINT) AS cents,
+               CAST(floor((value * 100.0) + 0.5) AS BIGINT) AS cents,
                event_id
         FROM events WHERE event_type = 'purchase'
     ),
@@ -2929,12 +2927,12 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credited AS (
         SELECT channel,
-               CAST(round(kc * 1000000.0 / k) AS BIGINT) AS share6,
-               CAST(round(cents * kc * 1.0 / k) AS BIGINT) AS cents_part
+               CAST(floor((kc * 1000000.0 / k) + 0.5) AS BIGINT) AS share6,
+               CAST(floor((cents * kc * 1.0 / k) + 0.5) AS BIGINT) AS cents_part
         FROM per_purchase
     )
     SELECT channel,
-           round(CAST(sum(share6) AS BIGINT) / 1000000.0, 4) AS credited_purchases,
+           floor((CAST(sum(share6) AS BIGINT) / 1000000.0) * 1e4 + 0.5) / 1e4 AS credited_purchases,
            CAST(sum(cents_part) AS BIGINT) AS credited_cents
     FROM credited
     GROUP BY channel
@@ -2954,7 +2952,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.unix_micros("ts").alias("p_us"),
-        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        fround(F.col("value") * 100.0).cast("long").alias("cents"),
         "event_id",
     )
     probe = purchases.select(
@@ -2977,15 +2975,15 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_purchase = per_pc.withColumn("k", F.sum("kc").over(wk))
     credited = per_purchase.select(
         "channel",
-        F.round(F.col("kc") * F.lit(1000000.0) / F.col("k")).cast("long").alias("share6"),
-        F.round(F.col("cents") * F.col("kc") * F.lit(1.0) / F.col("k")).cast("long").alias(
+        fround(F.col("kc") * F.lit(1000000.0) / F.col("k")).cast("long").alias("share6"),
+        fround(F.col("cents") * F.col("kc") * F.lit(1.0) / F.col("k")).cast("long").alias(
             "cents_part"
         ),
     )
     return (
         credited.groupBy("channel")
         .agg(
-            F.round(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
+            fround(F.sum("share6").cast("long") / F.lit(1000000.0), 4).alias(
                 "credited_purchases"
             ),
             F.sum("cents_part").cast("long").alias("credited_cents"),
@@ -3011,8 +3009,8 @@ EMB_CURVE_C100 = [40, 42, 44, 46, 48, 50]  # cosine thresholds x100
     """
     WITH pairs AS (SELECT cosine FROM ({EMB})),
     rungs AS (SELECT unnest([{RUNGS}]) AS c100)
-    SELECT round(r.c100 / 100.0, 2) AS threshold,
-           CAST(sum(CASE WHEN CAST(round(p.cosine * 10000.0) AS BIGINT) >= r.c100 * 100
+    SELECT floor((r.c100 / 100.0) * 1e2 + 0.5) / 1e2 AS threshold,
+           CAST(sum(CASE WHEN CAST(floor((p.cosine * 10000.0) + 0.5) AS BIGINT) >= r.c100 * 100
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
     FROM rungs r, pairs p
     GROUP BY r.c100
@@ -3025,13 +3023,13 @@ EMB_CURVE_C100 = [40, 42, 44, 46, 48, 50]  # cosine thresholds x100
 def emb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.dedup_embedding(spark, sf_dir).select("cosine")
     rungs = spark.createDataFrame([(c,) for c in EMB_CURVE_C100], "c100 int")
-    c4 = F.round(F.col("cosine") * F.lit(10000.0)).cast("long")
+    c4 = fround(F.col("cosine") * F.lit(10000.0)).cast("long")
     hit = F.sum(F.when(c4 >= F.col("c100") * 100, 1).otherwise(0))
     return (
         pairs.crossJoin(F.broadcast(rungs))
         .groupBy("c100")
         .agg(hit.cast("long").alias("n_pairs"))
-        .select(F.round(F.col("c100") / 100.0, 2).alias("threshold"), "n_pairs")
+        .select(fround(F.col("c100") / 100.0, 2).alias("threshold"), "n_pairs")
         .orderBy("threshold")
     )
 
@@ -3058,9 +3056,8 @@ def emb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dow),
     tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
     terms AS (
-        SELECT CAST(round(
-                 (ce.o - r.r * cs.c * 1.0 / t.n) * (ce.o - r.r * cs.c * 1.0 / t.n)
-                 * t.n / (r.r * cs.c) * 1000000.0) AS BIGINT) AS t6
+        SELECT CAST(floor(((ce.o - r.r * cs.c * 1.0 / t.n) * (ce.o - r.r * cs.c * 1.0 / t.n)
+                 * t.n / (r.r * cs.c) * 1000000.0) + 0.5) AS BIGINT) AS t6
         FROM cells ce
         JOIN rows_ r ON r.event_type = ce.event_type
         JOIN cols_ cs ON cs.dow = ce.dow
@@ -3069,7 +3066,7 @@ def emb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM rows_) AS n_types,
            (SELECT count(*) FROM cols_) AS n_dows,
            ((SELECT count(*) FROM rows_) - 1) * ((SELECT count(*) FROM cols_) - 1) AS dof,
-           round(CAST(sum(t6) AS BIGINT) / 1000000.0, 4) AS chi_square
+           floor((CAST(sum(t6) AS BIGINT) / 1000000.0) * 1e4 + 0.5) / 1e4 AS chi_square
     FROM terms
     """,
     "chi-square independence of event type vs day of week, quantized cell terms",
@@ -3083,7 +3080,7 @@ def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
     tot = cells.agg(F.sum("o").cast("long").alias("n"))
     d = F.col("o") - F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
-    t6 = F.round(d * d * F.col("n") / (F.col("r") * F.col("c")) * F.lit(1000000.0)).cast("long")
+    t6 = fround(d * d * F.col("n") / (F.col("r") * F.col("c")) * F.lit(1000000.0)).cast("long")
     terms = (
         cells.join(F.broadcast(rows_), "event_type")
         .join(F.broadcast(cols_), "dow")
@@ -3093,7 +3090,7 @@ def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = rows_.agg(F.count(F.lit(1)).alias("n_types"))
     nc = cols_.agg(F.count(F.lit(1)).alias("n_dows"))
     return (
-        terms.agg(F.round(F.sum("t6").cast("long") / F.lit(1000000.0), 4).alias("chi_square"))
+        terms.agg(fround(F.sum("t6").cast("long") / F.lit(1000000.0), 4).alias("chi_square"))
         .crossJoin(F.broadcast(nr))
         .crossJoin(F.broadcast(nc))
         .select(
@@ -3135,8 +3132,8 @@ def _trained_lsh_sql() -> str:
     planes AS (SELECT * FROM p0 UNION ALL SELECT * FROM pmd),
     sigs AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
-                                            for i in range(1, {DIM} + 1)]), 6) >= 0
+               CAST(sum(CASE WHEN floor((list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM} + 1)])) * 1e6 + 0.5) / 1e6 >= 0
                              THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         FROM embeddings, planes
         GROUP BY vec_id
@@ -3151,7 +3148,7 @@ def _trained_lsh_sql() -> str:
         WHERE e.vec_id < {NQ}
     ),
     scored AS (
-        SELECT DISTINCT q_id, c_id, round({COS}, 4) AS cosine
+        SELECT DISTINCT q_id, c_id, floor(({COS}) * 1e4 + 0.5) / 1e4 AS cosine
         FROM probes JOIN c USING (bucket)
         WHERE q_id <> c_id
     )
@@ -3271,8 +3268,8 @@ SURVIVAL_STEP = 4
     rungs AS (SELECT unnest(range(0, {SURVIVAL_MAX_DAYS + 1}, {SURVIVAL_STEP})) AS k)
     SELECT CAST(r.k AS INTEGER) AS k_days,
            CAST(sum(CASE WHEN l.days >= r.k THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
-           CAST(round(sum(CASE WHEN l.days >= r.k THEN 1 ELSE 0 END) * 1000000.0
-                      / t.n_users) AS BIGINT) / 1000000.0 AS survival
+           CAST(floor((sum(CASE WHEN l.days >= r.k THEN 1 ELSE 0 END) * 1000000.0
+                      / t.n_users) + 0.5) AS BIGINT) / 1000000.0 AS survival
     FROM rungs r, lifet l, tot t
     GROUP BY r.k, t.n_users
     ORDER BY k_days
@@ -3301,7 +3298,7 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("k_days"),
             "n_surviving",
             (
-                F.round(F.col("n_surviving") * F.lit(1000000.0) / F.col("n_users"))
+                fround(F.col("n_surviving") * F.lit(1000000.0) / F.col("n_users"))
                 .cast("long")
                 / F.lit(1000000.0)
             ).alias("survival"),
@@ -3337,14 +3334,14 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT g.event_type,
-               CAST(round((g.gap_us * m.n * 1.0 / m.span_us)
-                          * (g.gap_us * m.n * 1.0 / m.span_us) * 1000000.0) AS BIGINT) AS r6
+               CAST(floor(((g.gap_us * m.n * 1.0 / m.span_us)
+                          * (g.gap_us * m.n * 1.0 / m.span_us) * 1000000.0) + 0.5) AS BIGINT) AS r6
         FROM gaps g JOIN m ON g.event_type = m.event_type
     )
     SELECT m.event_type,
            m.n + 1 AS n_events,
-           round(m.n * 3600000000.0 / m.span_us, 4) AS rate_per_hour,
-           round(sqrt(greatest(CAST(sum(t.r6) AS DOUBLE) / 1000000.0 / m.n - 1.0, 0.0)), 4)
+           floor((m.n * 3600000000.0 / m.span_us) * 1e4 + 0.5) / 1e4 AS rate_per_hour,
+           floor((sqrt(greatest(CAST(sum(t.r6) AS DOUBLE) / 1000000.0 / m.n - 1.0, 0.0))) * 1e4 + 0.5) / 1e4
                AS gap_cv
     FROM terms t JOIN m ON t.event_type = m.event_type
     GROUP BY m.event_type, m.n, m.span_us
@@ -3364,7 +3361,7 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("gap_us").cast("long").alias("span_us")
     )
     ratio = F.col("gap_us") * F.col("n") * F.lit(1.0) / F.col("span_us")
-    r6 = F.round(ratio * ratio * F.lit(1000000.0)).cast("long")
+    r6 = fround(ratio * ratio * F.lit(1000000.0)).cast("long")
     terms = gaps.join(F.broadcast(m), "event_type").select("event_type", r6.alias("r6"))
     joined = terms.groupBy("event_type").agg(F.sum("r6").alias("s6")).join(
         F.broadcast(m), "event_type"
@@ -3379,10 +3376,10 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_type",
         (F.col("n") + 1).alias("n_events"),
-        F.round(F.col("n") * F.lit(3600000000.0) / F.col("span_us"), 4).alias(
+        fround(F.col("n") * F.lit(3600000000.0) / F.col("span_us"), 4).alias(
             "rate_per_hour"
         ),
-        F.round(cv, 4).alias("gap_cv"),
+        fround(cv, 4).alias("gap_cv"),
     ).orderBy("event_type")
 
 
@@ -3410,11 +3407,11 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
     tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bc),
     terms AS (
-        SELECT CAST(round(-b.c12 * ln(b.c12 * 1.0 / u.c1) * 1000000.0) AS BIGINT) AS t6
+        SELECT CAST(floor((-b.c12 * ln(b.c12 * 1.0 / u.c1) * 1000000.0) + 0.5) AS BIGINT) AS t6
         FROM bc b JOIN uc u ON b.w1 = u.w1
     )
     SELECT t.n_bigrams,
-           round((CAST(sum(m.t6) AS DOUBLE) / 1000000.0) / t.n_bigrams, 4)
+           floor(((CAST(sum(m.t6) AS DOUBLE) / 1000000.0) / t.n_bigrams) * 1e4 + 0.5) / 1e4
                AS entropy_rate_nats
     FROM terms m, tot t
     GROUP BY t.n_bigrams
@@ -3438,7 +3435,7 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     tot = bc.agg(F.sum("c12").cast("long").alias("n_bigrams"))
-    t6 = F.round(
+    t6 = fround(
         -F.col("c12") * F.log(F.col("c12") * F.lit(1.0) / F.col("c1")) * F.lit(1000000.0)
     ).cast("long")
     terms = bc.join(uc, "w1").select(t6.alias("t6"))
@@ -3447,7 +3444,7 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "n_bigrams",
-            F.round(
+            fround(
                 (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n_bigrams"), 4
             ).alias("entropy_rate_nats"),
         )
@@ -3487,7 +3484,7 @@ VOCABSIM_K = 200
         GROUP BY 1, 2
     )
     SELECT source_a, source_b, n_shared,
-           CAST(round(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) AS BIGINT)
+           CAST(floor((n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) + 0.5) AS BIGINT)
                / 1000000.0 AS vocab_jaccard
     FROM inter
     JOIN sizes sa ON sa.source = source_a
@@ -3529,7 +3526,7 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             "n_shared",
             (
-                F.round(
+                fround(
                     F.col("n_shared")
                     * F.lit(1000000.0)
                     / (F.col("na") + F.col("nb") - F.col("n_shared"))
@@ -3579,20 +3576,19 @@ HEAPS_RUNGS = 10
         FROM rungs r
     ),
     terms AS (
-        SELECT CAST(round(ln(CAST(n_stream AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
-               CAST(round(ln(CAST(v_vocab AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6,
-               CAST(round(ln(CAST(n_stream AS DOUBLE)) * ln(CAST(v_vocab AS DOUBLE))
-                          * 1000000.0) AS BIGINT) AS xy6,
-               CAST(round(ln(CAST(n_stream AS DOUBLE)) * ln(CAST(n_stream AS DOUBLE))
-                          * 1000000.0) AS BIGINT) AS xx6
+        SELECT CAST(floor((ln(CAST(n_stream AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS x6,
+               CAST(floor((ln(CAST(v_vocab AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS y6,
+               CAST(floor((ln(CAST(n_stream AS DOUBLE)) * ln(CAST(v_vocab AS DOUBLE))
+                          * 1000000.0) + 0.5) AS BIGINT) AS xy6,
+               CAST(floor((ln(CAST(n_stream AS DOUBLE)) * ln(CAST(n_stream AS DOUBLE))
+                          * 1000000.0) + 0.5) AS BIGINT) AS xx6
         FROM points WHERE n_stream > 0 AND v_vocab > 0
     )
     SELECT count(*) AS n_points,
-           round((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
+           floor(((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
                   - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(y6) AS DOUBLE) / 1000000.0))
                  / (count(*) * (CAST(sum(xx6) AS DOUBLE) / 1000000.0)
-                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0)),
-                 4) AS heaps_beta
+                    - (CAST(sum(x6) AS DOUBLE) / 1000000.0) * (CAST(sum(x6) AS DOUBLE) / 1000000.0))) * 1e4 + 0.5) / 1e4 AS heaps_beta
     FROM terms
     """,
     "Heaps' law vocabulary-growth exponent via first-sight rungs and quantized OLS",
@@ -3635,10 +3631,10 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.log(F.col("v_vocab").cast("double"))
     m = F.lit(1000000.0)
     terms = points.select(
-        F.round(x * m).cast("long").alias("x6"),
-        F.round(y * m).cast("long").alias("y6"),
-        F.round(x * y * m).cast("long").alias("xy6"),
-        F.round(x * x * m).cast("long").alias("xx6"),
+        fround(x * m).cast("long").alias("x6"),
+        fround(y * m).cast("long").alias("y6"),
+        fround(x * y * m).cast("long").alias("xy6"),
+        fround(x * x * m).cast("long").alias("xx6"),
     )
     n = F.count(F.lit(1))
     sx = F.sum("x6").cast("double") / m
@@ -3646,4 +3642,4 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.sum("xy6").cast("double") / m
     sxx = F.sum("xx6").cast("double") / m
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return terms.agg(n.alias("n_points"), F.round(slope, 4).alias("heaps_beta"))
+    return terms.agg(n.alias("n_points"), fround(slope, 4).alias("heaps_beta"))

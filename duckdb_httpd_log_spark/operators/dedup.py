@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 from .similarity import _round_half_away, hyperplanes
 
 # --- shared shingling parameters (MUST match the SQL oracles below) --------
@@ -126,7 +126,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+           floor((n_shared * 1.0 / (ga.n + gb.n - n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard
     FROM inter
     JOIN gc ga ON ga.doc_id = doc_a
     JOIN gc gb ON gb.doc_id = doc_b
@@ -176,7 +176,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ga, "doc_a")
         .join(gb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -262,7 +262,7 @@ def _minhash_docs_and_cands(spark: SparkSession, sf_dir: str):
         GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
-           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+           floor((n_shared * 1.0 / (ga.n + gb.n - n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard
     FROM inter i
     JOIN gc ga ON ga.doc_id = i.doc_a
     JOIN gc gb ON gb.doc_id = i.doc_b
@@ -287,7 +287,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
         inter.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -332,7 +332,7 @@ def _emb_planes_values_sql() -> str:
     WITH planes(p, w) AS (SELECT * FROM (VALUES {_emb_planes_values_sql()}) t(p, w)),
     bits AS (
         SELECT vec_id, p,
-               CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i] for i in range(1, {EMB_DIM + 1})]), 6) >= 0
+               CASE WHEN floor((list_sum([embedding[i]::DOUBLE * w[i] for i in range(1, {EMB_DIM + 1})])) * 1e6 + 0.5) / 1e6 >= 0
                     THEN '1' ELSE '0' END AS b
         FROM embeddings, planes
     ),
@@ -346,11 +346,11 @@ def _emb_planes_values_sql() -> str:
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, round({_emb_cosine_sql("ea.embedding", "eb.embedding")}, 4) AS cosine
+    SELECT vec_a, vec_b, floor(({_emb_cosine_sql("ea.embedding", "eb.embedding")}) * 1e4 + 0.5) / 1e4 AS cosine
     FROM cands
     JOIN embeddings ea ON ea.vec_id = vec_a
     JOIN embeddings eb ON eb.vec_id = vec_b
-    WHERE round({_emb_cosine_sql("ea.embedding", "eb.embedding")}, 4) >= {EMB_COS_THRESHOLD}
+    WHERE floor(({_emb_cosine_sql("ea.embedding", "eb.embedding")}) * 1e4 + 0.5) / 1e4 >= {EMB_COS_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
     "embedding near-dup: banded random-hyperplane LSH candidates + exact cosine verify",
@@ -682,7 +682,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_shared * 1.0 / (ga.n + gb.n - n_shared), 4) AS jaccard
+           floor((n_shared * 1.0 / (ga.n + gb.n - n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard
     FROM inter
     JOIN gc ga ON ga.doc_id = doc_a
     JOIN gc gb ON gb.doc_id = doc_b
@@ -751,7 +751,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
         inter.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -781,7 +781,7 @@ CONTAINMENT_THRESHOLD = 0.8
     )
     SELECT doc_a, doc_b, n_shared,
            CAST(least(ga.n, gb.n) AS BIGINT) AS n_smaller,
-           round(n_shared * 1.0 / least(ga.n, gb.n), 4) AS containment
+           floor((n_shared * 1.0 / least(ga.n, gb.n)) * 1e4 + 0.5) / 1e4 AS containment
     FROM inter
     JOIN gc ga ON ga.doc_id = doc_a
     JOIN gc gb ON gb.doc_id = doc_b
@@ -834,7 +834,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "n_shared",
             n_smaller.cast("bigint").alias("n_smaller"),
-            F.round(containment, 4).alias("containment"),
+            fround(containment, 4).alias("containment"),
         )
         .orderBy("doc_a", "doc_b")
     )

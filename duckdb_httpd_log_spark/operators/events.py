@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 SESSION_GAP_MIN = 30  # minutes of inactivity ending a session
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
@@ -199,7 +199,7 @@ def q17_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
            count(*) AS n_events,
            count(*) FILTER (WHERE event_type = 'error') AS n_errors,
-           round(sum(value), 2) AS total_value
+           floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -213,7 +213,7 @@ def q21_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fround(F.sum("value"), 2).alias("total_value"),
         )
         .orderBy("hour_us")
     )
@@ -239,7 +239,7 @@ def q21_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prev_type, next_type
     )
     SELECT prev_type, next_type, n_trans,
-           round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type), 4) AS p_next
+           floor((n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type)) * 1e4 + 0.5) / 1e4 AS p_next
     FROM t
     ORDER BY prev_type, next_type
     """,
@@ -257,7 +257,7 @@ def q27_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n_trans",
-        F.round(
+        fround(
             F.col("n_trans") / F.sum("n_trans").over(wp).cast("double"), 4
         ).alias("p_next"),
     ).orderBy("prev_type", "next_type")
@@ -287,7 +287,7 @@ BURST_FACTOR = 2.0
                avg(n_err) OVER (ORDER BY minute_us ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS avg_prev
         FROM m
     )
-    SELECT minute_us, n_err, round(avg_prev, 4) AS avg_prev,
+    SELECT minute_us, n_err, floor((avg_prev) * 1e4 + 0.5) / 1e4 AS avg_prev,
            CASE WHEN avg_prev IS NULL THEN FALSE
                 ELSE n_err >= {BURST_MIN_ERRORS} AND n_err >= {BURST_FACTOR} * avg_prev END AS burst
     FROM w
@@ -310,7 +310,7 @@ def q28_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "minute_us",
         "n_err",
-        F.round(avg_prev, 4).alias("avg_prev"),
+        fround(avg_prev, 4).alias("avg_prev"),
         burst.alias("burst"),
     ).orderBy("minute_us")
 
@@ -339,7 +339,7 @@ def q28_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT c.cohort_us, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
-           round(c.n_users * 1.0 / b.n_users, 4) AS retention
+           floor((c.n_users * 1.0 / b.n_users) * 1e4 + 0.5) / 1e4 AS retention
     FROM counts c
     JOIN (SELECT cohort_us, n_users FROM counts WHERE day_offset = 0) b
       ON c.cohort_us = b.cohort_us
@@ -372,7 +372,7 @@ def q29_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_us",
             F.col("day_offset").cast("int").alias("day_offset"),
             "n_users",
-            F.round(F.col("n_users") / F.col("base_users").cast("double"), 4).alias("retention"),
+            fround(F.col("n_users") / F.col("base_users").cast("double"), 4).alias("retention"),
         )
         .orderBy("cohort_us", "day_offset")
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 
 # ---------------------------------------------------------------------------
@@ -31,15 +31,15 @@ from ..plans.registry import register, table
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                              AS sum_qty,
-           round(sum(l_extendedprice), 2)                         AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-           round(avg(l_quantity), 4)                              AS avg_qty,
-           round(avg(l_extendedprice), 4)                         AS avg_price,
-           round(avg(l_discount), 4)                              AS avg_disc,
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2                              AS sum_qty,
+           floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2                         AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2      AS sum_disc_price,
+           floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4                              AS avg_qty,
+           floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4                         AS avg_price,
+           floor((avg(l_discount)) * 1e4 + 0.5) / 1e4                              AS avg_disc,
            count(*)                                               AS count_order,
-           round(min(l_extendedprice), 2)                         AS min_price,
-           round(max(l_extendedprice), 2)                         AS max_price
+           floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2                         AS min_price,
+           floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2                         AS max_price
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -53,17 +53,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            fround(F.min("l_extendedprice"), 2).alias("min_price"),
+            fround(F.max("l_extendedprice"), 2).alias("max_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -76,7 +76,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q02_filter_project",
     """
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price, o_orderpriority
+    SELECT o_orderkey, o_custkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price, o_orderpriority
     FROM orders
     WHERE o_totalprice BETWEEN 50000 AND 200000
       AND o_orderstatus = 'F'
@@ -99,7 +99,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round("o_totalprice", 2).alias("total_price"),
+            fround("o_totalprice", 2).alias("total_price"),
             "o_orderpriority",
         )
         .orderBy("o_orderkey")
@@ -114,7 +114,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q03_topk",
     """
-    SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderstatus
+    SELECT o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price, o_orderstatus
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -124,7 +124,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "o_orderstatus")
+        .select("o_orderkey", fround("o_totalprice", 2).alias("total_price"), "o_orderstatus")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "total_price", "o_orderstatus")
@@ -174,7 +174,7 @@ def q05_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_having",
     """
-    SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+    SELECT l_orderkey, count(*) AS n_items, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS total_qty
     FROM lineitem
     GROUP BY l_orderkey
     HAVING count(*) >= 6
@@ -188,7 +188,7 @@ def q06_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            fround(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .filter(F.col("n_items") >= 6)
         .orderBy("l_orderkey")
@@ -200,7 +200,7 @@ def q06_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) FILTER (WHERE l_tax > 0.05)              AS high_tax,
            count(*) FILTER (WHERE l_returnflag = 'R')        AS returned,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_revenue,
+           floor((sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)) * 1e2 + 0.5) / 1e2 AS discounted_revenue,
            count(*) AS total
     FROM lineitem
     """,
@@ -211,7 +211,7 @@ def q07_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("high_tax"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned"),
-        F.round(
+        fround(
             F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
         ).alias("discounted_revenue"),
         F.count(F.lit(1)).alias("total"),
@@ -225,7 +225,7 @@ def q07_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q08_join_agg",
     """
-    SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+    SELECT r_name, n_name, count(*) AS n_customers, floor((avg(c_acctbal)) * 1e4 + 0.5) / 1e4 AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -244,7 +244,7 @@ def q08_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            fround(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -322,7 +322,7 @@ def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            count(*) AS n_big_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
     FROM big_orders
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -342,7 +342,7 @@ def q10_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_big_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            fround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -400,8 +400,8 @@ def q11_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            row_number() OVER w                          AS rn,
            epoch_us(ts) - lag(epoch_us(ts)) OVER w     AS gap_us,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_value
     FROM events
     WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -421,7 +421,7 @@ def q12_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.row_number().over(w).alias("rn"),
             (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
-            F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+            fround(F.sum("value").over(wsum), 2).alias("running_value"),
         )
         .orderBy("user_id", "rn")
     )
@@ -454,7 +454,7 @@ def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -465,7 +465,7 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("o_totalprice"), 2).alias("revenue"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -551,7 +551,7 @@ def q23_exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us,
-           event_type AS last_type, round(value, 2) AS last_value
+           event_type AS last_type, floor((value) * 1e2 + 0.5) / 1e2 AS last_value
     FROM r WHERE rn = 1
     ORDER BY user_id
     """,
@@ -570,7 +570,7 @@ def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.unix_micros("ts").alias("ts_us"),
             F.col("event_type").alias("last_type"),
-            F.round("value", 2).alias("last_value"),
+            fround("value", 2).alias("last_value"),
         )
         .orderBy("user_id")
     )
@@ -588,8 +588,8 @@ def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN value >= 100 THEN 21
                 ELSE 1 + CAST(floor(value / 5) AS INTEGER) END AS bucket,
            count(*) AS n,
-           round(min(value), 2) AS lo,
-           round(max(value), 2) AS hi
+           floor((min(value)) * 1e2 + 0.5) / 1e2 AS lo,
+           floor((max(value)) * 1e2 + 0.5) / 1e2 AS hi
     FROM events
     GROUP BY 1
     ORDER BY bucket
@@ -607,8 +607,8 @@ def q25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
+            fround(F.min("value"), 2).alias("lo"),
+            fround(F.max("value"), 2).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -622,10 +622,10 @@ def q25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_stats",
     """
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
-           round(stddev_samp(l_quantity), 4)            AS sd_qty,
-           round(var_samp(l_discount), 6)               AS var_disc,
-           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+           floor((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4  AS corr_qty_price,
+           floor((stddev_samp(l_quantity)) * 1e4 + 0.5) / 1e4            AS sd_qty,
+           floor((var_samp(l_discount)) * 1e6 + 0.5) / 1e6               AS var_disc,
+           floor((covar_samp(l_quantity, l_discount)) * 1e6 + 0.5) / 1e6 AS cov_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -637,10 +637,10 @@ def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+            fround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            fround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            fround(F.var_samp("l_discount"), 6).alias("var_disc"),
+            fround(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
         )
         .orderBy("l_returnflag")
     )
@@ -659,12 +659,12 @@ def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
         FROM orders
         GROUP BY 1
     )
     SELECT CAST(day_num AS BIGINT) AS day_num, n_orders, revenue,
-           round(sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d,
+           floor((sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS revenue_7d,
            CAST(sum(n_orders) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_7d
     FROM daily
     ORDER BY day_num
@@ -679,14 +679,14 @@ def q30_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_num")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(
         F.col("day_num").cast("bigint").alias("day_num"),
         "n_orders",
         "revenue",
-        F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+        fround(F.sum("revenue").over(w), 2).alias("revenue_7d"),
         F.sum("n_orders").over(w).cast("bigint").alias("orders_7d"),
     ).orderBy("day_num")
 
@@ -701,9 +701,9 @@ def q30_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
         SELECT l_returnflag,
-               round(sum(l_quantity), 2)      AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price,
-               round(avg(l_discount), 4)      AS avg_disc
+               floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2      AS sum_qty,
+               floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price,
+               floor((avg(l_discount)) * 1e4 + 0.5) / 1e4      AS avg_disc
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, metric, value
@@ -715,9 +715,9 @@ def q30_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     w = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        fround(F.avg("l_discount"), 4).alias("avg_disc"),
     )
     return (
         w.select(
@@ -777,7 +777,7 @@ def q32_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(l_linestatus, '<all>')  AS linestatus,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grouping_id,
            count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     ORDER BY grouping_id, returnflag, linestatus
@@ -790,7 +790,7 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
             .cast("int")
             .alias("grouping_id"),
@@ -819,7 +819,7 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           round((e.value - s.mu) / s.sigma, 4) AS z
+           floor(((e.value - s.mu) / s.sigma) * 1e4 + 0.5) / 1e4 AS z
     FROM events e JOIN stats s USING (event_type)
     WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) >= 3.0
     ORDER BY e.event_id
@@ -838,7 +838,7 @@ def q34_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter((F.col("sigma") > 0) & (F.abs(z) >= 3.0))
-        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+        .select("event_id", "event_type", "value", fround(z, 4).alias("z"))
         .orderBy("event_id")
     )
 
@@ -873,8 +873,8 @@ PR_DAMPING = 0.85
         GROUP BY e.dst
     )
     SELECT nodes.node,
-           round((1 - {PR_DAMPING}) / (SELECT n_nodes FROM n)
-                 + {PR_DAMPING} * coalesce(c.incoming, 0.0), 6) AS rank
+           floor(((1 - {PR_DAMPING}) / (SELECT n_nodes FROM n)
+                 + {PR_DAMPING} * coalesce(c.incoming, 0.0)) * 1e6 + 0.5) / 1e6 AS rank
     FROM nodes
     LEFT JOIN contrib c ON c.dst = nodes.node
     ORDER BY node
@@ -902,7 +902,7 @@ def q35_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
         .select(
             "node",
-            F.round(
+            fround(
                 (1 - PR_DAMPING) / n_nodes + PR_DAMPING * F.coalesce("incoming", F.lit(0.0)), 6
             ).alias("rank"),
         )
@@ -1011,7 +1011,7 @@ def q37_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q38_correlated_subquery",
     """
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price
+    SELECT o.o_orderkey, o.o_custkey, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price
     FROM orders o
     WHERE o.o_totalprice > (
         SELECT 2 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
@@ -1024,7 +1024,7 @@ def q38_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("q38_orders")
     return spark.sql(
         """
-        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price
+        SELECT o.o_orderkey, o.o_custkey, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price
         FROM q38_orders o
         WHERE o.o_totalprice > (
             SELECT 2 * avg(o2.o_totalprice) FROM q38_orders o2 WHERE o2.o_custkey = o.o_custkey
@@ -1059,7 +1059,7 @@ MAD_CUT = 3.5
         GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           round(abs(e.value - med.m) / (mad.mad * {MAD_K}), 4) AS robust_z
+           floor((abs(e.value - med.m) / (mad.mad * {MAD_K})) * 1e4 + 0.5) / 1e4 AS robust_z
     FROM events e
     JOIN med USING (event_type)
     JOIN mad USING (event_type)
@@ -1082,7 +1082,7 @@ def q39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .filter((F.col("mad") > 0) & (z >= MAD_CUT))
-        .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
+        .select("event_id", "event_type", "value", fround(z, 4).alias("robust_z"))
         .orderBy("event_id")
     )
 
@@ -1231,8 +1231,8 @@ def q41_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev_e4
+               sum(CAST(floor((l.l_extendedprice * 100) + 0.5) AS BIGINT)
+                   * CAST(floor(((1 - l.l_discount) * 100) + 0.5) AS BIGINT)) AS rev_e4
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1241,8 +1241,8 @@ def q41_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name, n.n_name
     )
     SELECT region, nation,
-           round((CAST(rev_e4 AS DOUBLE) / 10000.0) / 1.0, 2) AS revenue,
-           round(CAST(rev_e4 AS DOUBLE) / sum(rev_e4) OVER (PARTITION BY region), 4) AS share
+           floor(((CAST(rev_e4 AS DOUBLE) / 10000.0) / 1.0) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor((CAST(rev_e4 AS DOUBLE) / sum(rev_e4) OVER (PARTITION BY region)) * 1e4 + 0.5) / 1e4 AS share
     FROM rev
     ORDER BY region, share DESC, nation
     """,
@@ -1257,8 +1257,8 @@ def q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     term = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+        fround(F.col("l_extendedprice") * 100).cast("long")
+        * fround((F.lit(1) - F.col("l_discount")) * 100).cast("long")
     )
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1272,8 +1272,8 @@ def q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "region",
         "nation",
-        F.round((F.col("rev_e4").cast("double") / F.lit(10000.0)) / F.lit(1.0), 2).alias("revenue"),
-        F.round(F.col("rev_e4").cast("double") / F.sum("rev_e4").over(w), 4).alias("share"),
+        fround((F.col("rev_e4").cast("double") / F.lit(10000.0)) / F.lit(1.0), 2).alias("revenue"),
+        fround(F.col("rev_e4").cast("double") / F.sum("rev_e4").over(w), 4).alias("share"),
     ).orderBy("region", F.col("share").desc(), "nation")
 
 
@@ -1297,7 +1297,7 @@ TIW_MICROS = 3_600_000_000  # 1 hour
     f"""
     WITH v AS (
         SELECT event_id, event_type, ts, epoch_us(ts) AS us,
-               CAST(round(value * 1000000.0) AS BIGINT) AS v6
+               CAST(floor((value * 1000000.0) + 0.5) AS BIGINT) AS v6
         FROM events
     ),
     w AS (
@@ -1324,7 +1324,7 @@ def q43_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
+        fround(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
     )
     fr = (
         Window.partitionBy("event_type")
@@ -1352,34 +1352,56 @@ def q43_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segmentation — the classic customer-analytics composite: recency
 # (days since the customer's last order, against the corpus max date),
 # frequency (order count), monetary (exact integer cents). Each
-# dimension is ntile(3)-scored; everything stays integral, so the only
-# engine-agreement surfaces are datediff-on-dates and ntile, both
-# pinned semantics. Scale note: the tercile windows are global (one row
-# per CUSTOMER, already 4-5 orders of magnitude below the fact table);
-# at the point even the customer dimension outgrows one partition,
-# replace ntile with approx-quantile cutpoints (the q34 z-score shape)
-# and keep everything else.
+# dimension is tercile-scored via the EXACT integer ntile formula
+# (distrank.ntile_expr) spelled out on BOTH sides, so neither engine's
+# built-in ntile implementation is in the parity loop — the only
+# remaining engine-agreement surface is datediff-on-dates (pinned
+# semantics) and row_number under a total order (deterministic).
+# Scale note: the tercile windows are global (one row per CUSTOMER,
+# already 4-5 orders of magnitude below the fact table) and the Spark
+# side runs them through distrank's two-phase scan; at the point even
+# the customer dimension outgrows the range sampler, replace the
+# terciles with approx-quantile cutpoints (the q34 z-score shape) and
+# keep everything else.
 # ---------------------------------------------------------------------------
+def _ntile3_sql(rn: str) -> str:
+    """distrank.ntile_expr with k=3, in DuckDB syntax (// = integer div):
+    first n%3 buckets hold n//3+1 rows. Pure integer arithmetic."""
+    return (
+        f"CASE WHEN {rn} <= (n // 3 + 1) * (n % 3)"
+        f" THEN ({rn} - 1) // (n // 3 + 1) + 1"
+        f" ELSE n % 3 + ({rn} - (n // 3 + 1) * (n % 3) - 1) // (n // 3) + 1 END"
+    )
+
+
 @register(
     "q44_rfm",
-    """
+    f"""
     WITH per_cust AS (
         SELECT o_custkey AS custkey,
                max(CAST(o_orderdate AS DATE)) AS last_order,
                count(*) AS frequency,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+               sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS monetary_cents
         FROM orders
         GROUP BY o_custkey
     ),
     mx AS (SELECT max(last_order) AS maxd FROM per_cust),
-    scored AS (
+    ranked AS (
         SELECT custkey,
                datediff('day', last_order, maxd) AS recency_days,
                frequency, monetary_cents,
-               ntile(3) OVER (ORDER BY datediff('day', last_order, maxd), custkey) AS r_score,
-               ntile(3) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-               ntile(3) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+               row_number() OVER (ORDER BY datediff('day', last_order, maxd), custkey) AS r_rn,
+               row_number() OVER (ORDER BY frequency DESC, custkey) AS f_rn,
+               row_number() OVER (ORDER BY monetary_cents DESC, custkey) AS m_rn,
+               count(*) OVER () AS n
         FROM per_cust, mx
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               {_ntile3_sql("r_rn")} AS r_score,
+               {_ntile3_sql("f_rn")} AS f_score,
+               {_ntile3_sql("m_rn")} AS m_score
+        FROM ranked
     )
     SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_cents,
            CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
@@ -1397,7 +1419,7 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+        F.sum(fround(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
     )
     mx = per_cust.agg(F.max("last_order").alias("maxd"))
     scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
@@ -1568,10 +1590,10 @@ def q47_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     )
     SELECT c_nationkey, c_custkey,
-           CAST(round((rk - 1) * 1000000.0 / greatest(n - 1, 1)) AS BIGINT) / 1000000.0
+           CAST(floor(((rk - 1) * 1000000.0 / greatest(n - 1, 1)) + 0.5) AS BIGINT) / 1000000.0
                AS pct_rank,
-           CAST(round(rk * 1000000.0 / n) AS BIGINT) / 1000000.0 AS cume,
-           round(third_bal, 2) AS third_lowest_bal
+           CAST(floor((rk * 1000000.0 / n) + 0.5) AS BIGINT) / 1000000.0 AS cume,
+           floor((third_bal) * 1e2 + 0.5) / 1e2 AS third_lowest_bal
     FROM ranked
     ORDER BY c_nationkey, c_custkey
     """,
@@ -1597,12 +1619,12 @@ def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             (
-                F.round((F.col("rk") - 1) * m6 / F.greatest(F.col("n") - 1, F.lit(1)))
+                fround((F.col("rk") - 1) * m6 / F.greatest(F.col("n") - 1, F.lit(1)))
                 .cast("long")
                 / m6
             ).alias("pct_rank"),
-            (F.round(F.col("rk") * m6 / F.col("n")).cast("long") / m6).alias("cume"),
-            F.round("third_bal", 2).alias("third_lowest_bal"),
+            (fround(F.col("rk") * m6 / F.col("n")).cast("long") / m6).alias("cume"),
+            fround("third_bal", 2).alias("third_lowest_bal"),
         )
         .orderBy("c_nationkey", "c_custkey")
     )

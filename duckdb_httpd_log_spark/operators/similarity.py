@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
@@ -31,14 +31,15 @@ DIM = 64
 
 
 def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
-    """Round half away from zero — DuckDB's round() mode — instead of
-    numpy's round-half-to-even, so a value landing exactly on a decimal
-    boundary rounds the same way in both engines. (The residual parity
-    risk is summation order: np BLAS/einsum vs list_sum's ascending
-    loop can differ in the last ulp; the pre-round to 6 decimals on
+    """Quantize exactly like registry.fround / the oracle SQL's
+    floor(x*10^k + 0.5)/10^k: floor plus IEEE basic ops, ties toward
+    +inf — bit-identical to what Spark expressions and DuckDB compute,
+    instead of numpy's round-half-to-even. (The residual parity risk is
+    summation order: np BLAS/einsum vs list_sum's ascending loop can
+    differ in the last ulp; the pre-quantize to 6 decimals on
     comparisons canonicalizes everything beyond that.)"""
     scale = 10.0**decimals
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    return np.floor(x * scale + 0.5) / scale
 
 _DOT = (
     "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -54,11 +55,9 @@ _NORM = "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + cast(x as do
     c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
     scored AS (
         SELECT q_id, c_id,
-               round(
-                 list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})])
+               floor((list_sum([qe[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})])
                  / (sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE for i in range(1, {DIM + 1})]))
-                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})]))),
-                 4) AS cosine
+                    * sqrt(list_sum([ce[i]::DOUBLE * ce[i]::DOUBLE for i in range(1, {DIM + 1})])))) * 1e4 + 0.5) / 1e4 AS cosine
         FROM q, c
         WHERE q_id <> c_id
     )
@@ -84,7 +83,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            F.round(
+            fround(
                 F.expr(_DOT)
                 / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="ce"))),
                 4,
@@ -148,8 +147,8 @@ def _cosine_sql(a: str, b: str) -> str:
     WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
     sigs AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
-                                            for i in range(1, {DIM + 1})]), 6) >= 0
+               CAST(sum(CASE WHEN floor((list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 >= 0
                              THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         FROM embeddings, planes
         GROUP BY vec_id
@@ -164,7 +163,7 @@ def _cosine_sql(a: str, b: str) -> str:
         WHERE e.vec_id < {N_QUERIES}
     ),
     scored AS (
-        SELECT DISTINCT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        SELECT DISTINCT q_id, c_id, floor(({_cosine_sql("qe", "ce")}) * 1e4 + 0.5) / 1e4 AS cosine
         FROM probes JOIN c USING (bucket)
         WHERE q_id <> c_id
     )
@@ -256,9 +255,9 @@ _KMEANS_CHAIN_SQL = f"""cen AS (
     ),
     d1 AS (
         SELECT e.vec_id, cen.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+               floor((list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
                                 * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
+                                for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 AS d2
         FROM embeddings e, cen
     ),
     a1 AS (
@@ -269,7 +268,7 @@ _KMEANS_CHAIN_SQL = f"""cen AS (
         WHERE rn = 1
     ),
     m1 AS (
-        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
+        SELECT a.cell, t.i - 1 AS j, floor((avg(e.embedding[t.i]::DOUBLE)) * 1e4 + 0.5) / 1e4 AS c_new
         FROM a1 a
         JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
         GROUP BY a.cell, t.i
@@ -277,9 +276,9 @@ _KMEANS_CHAIN_SQL = f"""cen AS (
     cen2 AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m1 GROUP BY cell),
     d2_ AS (
         SELECT e.vec_id, cen2.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
+               floor((list_sum([ (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
                                 * (e.embedding[i]::DOUBLE - cen2.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
+                                for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 AS d2
         FROM embeddings e, cen2
     ),
     a2 AS (
@@ -327,7 +326,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     Only the nlist x DIM model (~1k rows) ever reaches the driver; the
     training passes stay distributed inside kmeans_train. Memoized per
     sf_dir like a real index: trained once, probed by every query.
-    Deterministic (seed, distances, and per-step round(,4) are all
+    Deterministic (seed, distances, and per-step floor(() * 1e4 + 0.5) / 1e4 are all
     pinned), so the cache never changes results."""
     if sf_dir in _TRAINED_CACHE:
         return _TRAINED_CACHE[sf_dir]
@@ -348,7 +347,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     f"""
     WITH {{KMEANS_CHAIN}},
     m2 AS (
-        SELECT a.cell, t.i - 1 AS j, round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new
+        SELECT a.cell, t.i - 1 AS j, floor((avg(e.embedding[t.i]::DOUBLE)) * 1e4 + 0.5) / 1e4 AS c_new
         FROM a2 a
         JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
         GROUP BY a.cell, t.i
@@ -356,9 +355,9 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     cen_t AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m2 GROUP BY cell),
     d AS (
         SELECT e.vec_id, cen_t.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
+               floor((list_sum([ (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
                                 * (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
+                                for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 AS d2
         FROM embeddings e, cen_t
     ),
     ranked AS (
@@ -377,7 +376,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
         WHERE e.vec_id < {N_QUERIES} AND r.rn <= {IVF_NPROBE}
     ),
     scored AS (
-        SELECT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        SELECT q_id, c_id, floor(({_cosine_sql("qe", "ce")}) * 1e4 + 0.5) / 1e4 AS cosine
         FROM probes JOIN c USING (cell)
         WHERE q_id <> c_id
     )
@@ -480,9 +479,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT e.vec_id, cen.cell,
-               round(list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
+               floor((list_sum([ (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
                                 * (e.embedding[i]::DOUBLE - cen.c[i]::DOUBLE)
-                                for i in range(1, {DIM + 1})]), 6) AS d2
+                                for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 AS d2
         FROM embeddings e, cen
     ),
     assign AS (
@@ -493,7 +492,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1
     )
     SELECT CAST(a.cell AS INTEGER) AS cell, CAST(t.i - 1 AS INTEGER) AS j,
-           round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new,
+           floor((avg(e.embedding[t.i]::DOUBLE)) * 1e4 + 0.5) / 1e4 AS c_new,
            count(*) AS n_members
     FROM assign a
     JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
@@ -546,7 +545,7 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     grouped = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         *[
-            F.round(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
+            fround(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
             for j in range(DIM)
         ],
     )
@@ -566,7 +565,7 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     f"""
     WITH {{KMEANS_CHAIN}}
     SELECT CAST(a.cell AS INTEGER) AS cell, CAST(t.i - 1 AS INTEGER) AS j,
-           round(avg(e.embedding[t.i]::DOUBLE), 4) AS c_new,
+           floor((avg(e.embedding[t.i]::DOUBLE)) * 1e4 + 0.5) / 1e4 AS c_new,
            count(*) AS n_members
     FROM a2 a
     JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
@@ -629,8 +628,8 @@ RADIUS_THRESHOLD = 0.35
     WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
     sigs AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
-                                            for i in range(1, {DIM + 1})]), 6) >= 0
+               CAST(sum(CASE WHEN floor((list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 >= 0
                              THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         FROM embeddings, planes
         GROUP BY vec_id
@@ -645,7 +644,7 @@ RADIUS_THRESHOLD = 0.35
         WHERE e.vec_id < {N_QUERIES}
     ),
     scored AS (
-        SELECT DISTINCT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        SELECT DISTINCT q_id, c_id, floor(({_cosine_sql("qe", "ce")}) * 1e4 + 0.5) / 1e4 AS cosine
         FROM probes JOIN c USING (bucket)
         WHERE q_id <> c_id
     )
@@ -713,8 +712,8 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-6 doubles in both engines (q18 contract).
 # ---------------------------------------------------------------------------
 _NORM_SELF = (
-    "round(sqrt(aggregate(embedding, cast(0.0 as double),"
-    " (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"
+    "floor((sqrt(aggregate(embedding, cast(0.0 as double),"
+    " (acc, x) -> acc + cast(x as double) * cast(x as double)))) * 1e6 + 0.5) / 1e6"
 )
 
 
@@ -723,18 +722,18 @@ _NORM_SELF = (
     f"""
     WITH n AS (
         SELECT label,
-               round(sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-                                    for i in range(1, {DIM + 1})])), 6) AS nrm
+               floor((sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                    for i in range(1, {DIM + 1})]))) * 1e6 + 0.5) / 1e6 AS nrm
         FROM embeddings
     )
     SELECT label,
            count(*) AS n_vecs,
-           round((CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
-                 / count(*), 4) AS mean_norm,
-           round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
-           round(quantile_cont(nrm, 0.9), 4) AS p90_norm,
-           round(min(nrm), 4) AS min_norm,
-           round(max(nrm), 4) AS max_norm
+           floor(((CAST(sum(CAST(floor((nrm * 1000000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                 / count(*)) * 1e4 + 0.5) / 1e4 AS mean_norm,
+           floor((quantile_cont(nrm, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_norm,
+           floor((quantile_cont(nrm, 0.9)) * 1e4 + 0.5) / 1e4 AS p90_norm,
+           floor((min(nrm)) * 1e4 + 0.5) / 1e4 AS min_norm,
+           floor((max(nrm)) * 1e4 + 0.5) / 1e4 AS max_norm
     FROM n
     GROUP BY label
     ORDER BY label
@@ -745,18 +744,18 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select("label", F.expr(_NORM_SELF).alias("nrm"))
     mean_norm = (
-        F.sum(F.round(F.col("nrm") * F.lit(1000000.0)).cast("long")).cast("double")
+        F.sum(fround(F.col("nrm") * F.lit(1000000.0)).cast("long")).cast("double")
         / F.lit(1000000.0)
     ) / F.count(F.lit(1))
     return (
         n.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(mean_norm, 4).alias("mean_norm"),
-            F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
-            F.round(F.expr("percentile(nrm, 0.9)"), 4).alias("p90_norm"),
-            F.round(F.min("nrm"), 4).alias("min_norm"),
-            F.round(F.max("nrm"), 4).alias("max_norm"),
+            fround(mean_norm, 4).alias("mean_norm"),
+            fround(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+            fround(F.expr("percentile(nrm, 0.9)"), 4).alias("p90_norm"),
+            fround(F.min("nrm"), 4).alias("min_norm"),
+            fround(F.max("nrm"), 4).alias("max_norm"),
         )
         .orderBy("label")
     )
@@ -780,8 +779,8 @@ KNN_LABEL = 0
     WITH planes(p, w) AS (SELECT * FROM (VALUES {{PLANES}}) t(p, w)),
     sigs AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN round(list_sum([embedding[i]::DOUBLE * w[i]
-                                            for i in range(1, {DIM + 1})]), 6) >= 0
+               CAST(sum(CASE WHEN floor((list_sum([embedding[i]::DOUBLE * w[i]
+                                            for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 >= 0
                              THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         FROM embeddings, planes
         GROUP BY vec_id
@@ -796,7 +795,7 @@ KNN_LABEL = 0
         WHERE e.label = {KNN_LABEL}
     ),
     scored AS (
-        SELECT DISTINCT q_id, c_id, round({_cosine_sql("qe", "ce")}, 4) AS cosine
+        SELECT DISTINCT q_id, c_id, floor(({_cosine_sql("qe", "ce")}) * 1e4 + 0.5) / 1e4 AS cosine
         FROM probes JOIN c USING (bucket)
         WHERE q_id <> c_id
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 QUANTILES = (0.5, 0.95, 0.99)
 
@@ -32,9 +32,9 @@ QUANTILES = (0.5, 0.95, 0.99)
     f"""
     SELECT event_type,
            count(*) AS n,
-           round(quantile_cont(value, {QUANTILES[0]}), 4) AS p50,
-           round(quantile_cont(value, {QUANTILES[1]}), 4) AS p95,
-           round(quantile_cont(value, {QUANTILES[2]}), 4) AS p99
+           floor((quantile_cont(value, {QUANTILES[0]})) * 1e4 + 0.5) / 1e4 AS p50,
+           floor((quantile_cont(value, {QUANTILES[1]})) * 1e4 + 0.5) / 1e4 AS p95,
+           floor((quantile_cont(value, {QUANTILES[2]})) * 1e4 + 0.5) / 1e4 AS p99
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -50,9 +50,9 @@ def q18_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round(F.element_at("p", 1), 4).alias("p50"),
-            F.round(F.element_at("p", 2), 4).alias("p95"),
-            F.round(F.element_at("p", 3), 4).alias("p99"),
+            fround(F.element_at("p", 1), 4).alias("p50"),
+            fround(F.element_at("p", 2), 4).alias("p95"),
+            fround(F.element_at("p", 3), 4).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -92,13 +92,46 @@ def q19_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_approx_distinct",
-    None,  # sketch output is estimate-valued; driver records rows-only
-    "HyperLogLog++ approximate distinct counts (tolerance-tested vs exact)",
+    """
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_suppkey) AS exact_suppliers,
+           CASE WHEN abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 10
+                     <= count(DISTINCT l_orderkey) THEN 1 ELSE 0 END AS orders_within_10pct,
+           CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10
+                     <= count(DISTINCT l_partkey) THEN 1 ELSE 0 END AS parts_within_10pct,
+           CASE WHEN abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey)) * 10
+                     <= count(DISTINCT l_suppkey) THEN 1 ELSE 0 END AS suppliers_within_10pct
+    FROM lineitem
+    """,
+    "HyperLogLog++ approx distinct with a hashable tolerance contract: exact "
+    "counts + integer within-10%% indicators (each engine checks its OWN "
+    "sketch against the exact count; 10%% = 5 sigma at rsd 0.02, so the "
+    "indicator is deterministically 1 on any healthy HLL implementation)",
 )
 def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__a_o"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__a_p"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("__a_s"),
+    )
+
+    def within(approx: str, exact: str, out: str):
+        return (
+            F.when(F.abs(F.col(approx) - F.col(exact)) * 10 <= F.col(exact), 1)
+            .otherwise(0)
+            .alias(out)
+        )
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_suppliers",
+        within("__a_o", "exact_orders", "orders_within_10pct"),
+        within("__a_p", "exact_parts", "parts_within_10pct"),
+        within("__a_s", "exact_suppliers", "suppliers_within_10pct"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register, table
+from ..plans.registry import fround, register, table
 
 # tiny deterministic stopword lists for the n-gram language heuristic
 STOPWORDS = {
@@ -33,7 +33,7 @@ def _ratio_spark(lang: str):
     # doubles in the driver's value hash (r1 hash_match=false).
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return F.expr(
-        f"round(size(filter(t, x -> x in ({lst}))) / cast(greatest(size(t), 1) as double), 4)"
+        f"floor((size(filter(t, x -> x in ({lst}))) / cast(greatest(size(t), 1) as double)) * 1e4 + 0.5) / 1e4"
     ).alias(f"{lang}_ratio")
 
 
@@ -43,10 +43,10 @@ def _ratio_spark(lang: str):
     WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
     scored AS (
         SELECT doc_id, lang,
-               round(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) * 1.0 / greatest(len(t), 1), 4) AS en_ratio,
-               round(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['es'])}))) * 1.0 / greatest(len(t), 1), 4) AS es_ratio,
-               round(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['fr'])}))) * 1.0 / greatest(len(t), 1), 4) AS fr_ratio,
-               round(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['de'])}))) * 1.0 / greatest(len(t), 1), 4) AS de_ratio
+               floor((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS en_ratio,
+               floor((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['es'])}))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS es_ratio,
+               floor((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['fr'])}))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS fr_ratio,
+               floor((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['de'])}))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS de_ratio
         FROM toks
     )
     SELECT doc_id, lang, en_ratio, es_ratio, fr_ratio, de_ratio,
@@ -81,11 +81,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text)                                   AS n_chars,
            len(t)                                         AS n_tokens,
-           round(length(text) * 1.0 / greatest(len(t), 1), 4) AS mean_tok_len,
+           floor((length(text) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS mean_tok_len,
            len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop,
-           round(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 4) AS uniq_ratio,
-           round(least(len(t) / 100.0, 1.0)
-                 * (0.5 + 0.5 * len(list_distinct(t)) * 1.0 / greatest(len(t), 1)), 4) AS quality_score
+           floor((len(list_distinct(t)) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS uniq_ratio,
+           floor((least(len(t) / 100.0, 1.0)
+                 * (0.5 + 0.5 * len(list_distinct(t)) * 1.0 / greatest(len(t), 1))) * 1e4 + 0.5) / 1e4 AS quality_score
     FROM toks
     ORDER BY doc_id
     """,
@@ -100,10 +100,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(F.length("text") * 1.0 / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_tok_len"),
+        fround(F.length("text") * 1.0 / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_tok_len"),
         F.expr("size(filter(t, x -> x = 'the' OR x = 'a'))").alias("n_stop"),
-        F.round(uniq, 4).alias("uniq_ratio"),
-        F.round(F.least(n_tokens / 100.0, F.lit(1.0)) * (0.5 + 0.5 * uniq), 4).alias(
+        fround(uniq, 4).alias("uniq_ratio"),
+        fround(F.least(n_tokens / 100.0, F.lit(1.0)) * (0.5 + 0.5 * uniq), 4).alias(
             "quality_score"
         ),
     ).orderBy("doc_id")
@@ -264,10 +264,10 @@ _NUM_TOKEN_RE = "^[0-9]+$"
     m AS (
         SELECT doc_id,
                len(t) AS n_tokens,
-               round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE, 4) AS mean_tok_len,
+               floor((list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_tok_len,
                len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS stop_hits,
-               round(len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE, 4) AS uniq_ratio,
-               round(len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE, 4) AS num_ratio
+               floor((len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS uniq_ratio,
+               floor((len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS num_ratio
         FROM toks
     )
     SELECT doc_id, n_tokens, mean_tok_len, stop_hits, uniq_ratio, num_ratio,
@@ -321,14 +321,14 @@ def apply_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_tokens": F.size("__t"),
             "mean_tok_len": F.expr(
-                "round(aggregate(__t, 0L, (a, x) -> a + length(x)) / cast(greatest(size(__t), 1) as double), 4)"
+                "floor((aggregate(__t, 0L, (a, x) -> a + length(x)) / cast(greatest(size(__t), 1) as double)) * 1e4 + 0.5) / 1e4"
             ),
             "stop_hits": F.expr(f"size(filter(__t, x -> x in ({en})))"),
             "uniq_ratio": F.expr(
-                "round(size(array_distinct(__t)) / cast(greatest(size(__t), 1) as double), 4)"
+                "floor((size(array_distinct(__t)) / cast(greatest(size(__t), 1) as double)) * 1e4 + 0.5) / 1e4"
             ),
             "num_ratio": F.expr(
-                f"round(size(filter(__t, x -> x rlike '{_NUM_TOKEN_RE}')) / cast(greatest(size(__t), 1) as double), 4)"
+                f"floor((size(filter(__t, x -> x rlike '{_NUM_TOKEN_RE}')) / cast(greatest(size(__t), 1) as double)) * 1e4 + 0.5) / 1e4"
             ),
         }
     ).drop("__t")
@@ -419,7 +419,7 @@ CONTAM_THRESHOLD = 0.5
         GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_hit,
-           round(n_hit / n_grams::DOUBLE, 4) AS contamination,
+           floor((n_hit / n_grams::DOUBLE) * 1e4 + 0.5) / 1e4 AS contamination,
            n_hit / n_grams::DOUBLE >= {CONTAM_THRESHOLD} AS contaminated
     FROM per_doc
     ORDER BY doc_id
@@ -460,7 +460,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_hit",
-        F.round(contamination, 4).alias("contamination"),
+        fround(contamination, 4).alias("contamination"),
         (contamination >= CONTAM_THRESHOLD).alias("contaminated"),
     ).orderBy("doc_id")
 
@@ -620,10 +620,10 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id,
                len(t) AS n_tokens,
-               round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE, 4) AS mean_tok_len,
+               floor((list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_tok_len,
                len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS stop_hits,
-               round(len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE, 4) AS uniq_ratio,
-               round(len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE, 4) AS num_ratio
+               floor((len(list_distinct(t)) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS uniq_ratio,
+               floor((len(list_filter(t, x -> regexp_matches(x, '{_NUM_TOKEN_RE}'))) / greatest(len(t), 1)::DOUBLE) * 1e4 + 0.5) / 1e4 AS num_ratio
         FROM toks
     ),
     keepers AS (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text)),
@@ -751,10 +751,10 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(t) AS n_tokens,
-           round(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))))
-                 * 1.0 / greatest(len(t), 1), 4) AS top_token_frac,
-           round(1.0 - len(list_distinct(big)) * 1.0 / greatest(len(big), 1), 4) AS dup_bigram_frac,
-           round(1.0 - len(list_distinct(tri)) * 1.0 / greatest(len(tri), 1), 4) AS dup_trigram_frac
+           floor((list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))))
+                 * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS top_token_frac,
+           floor((1.0 - len(list_distinct(big)) * 1.0 / greatest(len(big), 1)) * 1e4 + 0.5) / 1e4 AS dup_bigram_frac,
+           floor((1.0 - len(list_distinct(tri)) * 1.0 / greatest(len(tri), 1)) * 1e4 + 0.5) / 1e4 AS dup_trigram_frac
     FROM g
     ORDER BY doc_id
     """,
@@ -775,11 +775,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tri"),
     )
     top_frac = F.expr(
-        "round(array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
-        " / cast(greatest(size(t), 1) as double), 4)"
+        "floor((array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+        " / cast(greatest(size(t), 1) as double)) * 1e4 + 0.5) / 1e4"
     )
     dup_frac = lambda c: F.expr(  # noqa: E731
-        f"round(1.0 - size(array_distinct({c})) / cast(greatest(size({c}), 1) as double), 4)"
+        f"floor((1.0 - size(array_distinct({c})) / cast(greatest(size({c}), 1) as double)) * 1e4 + 0.5) / 1e4"
     )
     return d.select(
         "doc_id",
@@ -803,9 +803,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
                FROM documents GROUP BY lang)
     SELECT lang, n_docs, n_tokens,
-           round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS doc_frac,
-           round(CAST(sum(n_docs) OVER () AS DOUBLE)
-                 / CAST(count(*) OVER () * n_docs AS DOUBLE), 4) AS resample_weight
+           floor((CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS doc_frac,
+           floor((CAST(sum(n_docs) OVER () AS DOUBLE)
+                 / CAST(count(*) OVER () * n_docs AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS resample_weight
     FROM c
     ORDER BY lang
     """,
@@ -832,8 +832,8 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(doc_frac, 4).alias("doc_frac"),
-        F.round(resample, 4).alias("resample_weight"),
+        fround(doc_frac, 4).alias("doc_frac"),
+        fround(resample, 4).alias("resample_weight"),
     ).orderBy("lang")
 
 
@@ -856,7 +856,7 @@ TFIDF_TOP = 3
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+               floor((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1e4 + 0.5) / 1e4 AS tfidf
         FROM tf JOIN df USING (term), n
     )
     SELECT doc_id, term, tfidf
@@ -887,7 +887,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(df_counts), "term").select(
         "doc_id",
         "term",
-        F.round(
+        fround(
             F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
         ).alias("tfidf"),
     )
@@ -925,8 +925,8 @@ PMI_TOP = 50
     ucnt AS (SELECT w, count(*) AS c_w FROM uc GROUP BY w),
     tot AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bi, (SELECT sum(c_w) FROM ucnt) AS n_uni)
     SELECT b.bigram, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
-           round(ln(((CAST(b.c_ab AS DOUBLE) * t.n_uni) * t.n_uni)
-                    / ((CAST(t.n_bi AS DOUBLE) * ua.c_w) * ub.c_w)), 4) AS pmi
+           floor((ln(((CAST(b.c_ab AS DOUBLE) * t.n_uni) * t.n_uni)
+                    / ((CAST(t.n_bi AS DOUBLE) * ua.c_w) * ub.c_w))) * 1e4 + 0.5) / 1e4 AS pmi
     FROM bc b
     CROSS JOIN tot t
     JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1]
@@ -969,7 +969,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
     )
-    pmi = F.round(
+    pmi = fround(
         F.log(
             ((F.col("c_ab").cast("double") * F.col("n_uni")) * F.col("n_uni"))
             / ((F.col("n_bi").cast("double") * F.col("c_a")) * F.col("c_b"))
@@ -1000,11 +1000,11 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
     agg AS (SELECT doc_id, sum(c) AS n,
-                   sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+                   sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
                             AS BIGINT)) AS s6
             FROM tc GROUP BY doc_id)
     SELECT doc_id, n AS n_tokens,
-           round(ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n, 4)
+           floor((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS token_entropy
     FROM agg
     ORDER BY doc_id
@@ -1019,7 +1019,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cd = F.col("c").cast("double")
-    term6 = F.round(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.sum(term6).alias("s6"),
@@ -1030,7 +1030,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         F.col("n").alias("n_tokens"),
-        F.round(entropy, 4).alias("token_entropy"),
+        fround(entropy, 4).alias("token_entropy"),
     ).orderBy("doc_id")
 
 
@@ -1057,7 +1057,7 @@ WSAMPLE_SALT = "wsample:"
         WHERE n_chars > 0
     )
     SELECT doc_id, lang, n_chars,
-           round(-ln(CAST(v + 1 AS DOUBLE) / 4294967296.0) / n_chars, 8) AS priority
+           floor((-ln(CAST(v + 1 AS DOUBLE) / 4294967296.0) / n_chars) * 1e8 + 0.5) / 1e8 AS priority
     FROM keyed
     ORDER BY priority, doc_id
     LIMIT {WSAMPLE_K}
@@ -1076,7 +1076,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     u = (v + F.lit(1)).cast("double") / F.lit(4294967296.0)
-    priority = F.round(-F.log(u) / F.col("n_chars"), 8)
+    priority = fround(-F.log(u) / F.col("n_chars"), 8)
     return (
         docs.filter(F.col("n_chars") > 0)
         .select("doc_id", "lang", "n_chars", priority.alias("priority"))
@@ -1108,14 +1108,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
     scored AS (
         SELECT g.doc_id,
-               CAST(round(ln(CAST(c.c_ab AS DOUBLE) / u.c_w) * 1000000.0) AS BIGINT) AS lp6
+               CAST(floor((ln(CAST(c.c_ab AS DOUBLE) / u.c_w) * 1000000.0) + 0.5) AS BIGINT) AS lp6
         FROM bg g
         JOIN bc c USING (bigram)
         JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]
     )
     SELECT doc_id, count(*) AS n_bigrams,
-           round((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*), 4) AS avg_logprob,
-           round(exp(-((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*))), 4) AS ppl
+           floor(((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob,
+           floor((exp(-((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)))) * 1e4 + 0.5) / 1e4 AS ppl
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1147,7 +1147,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division pinned identically in the oracle SQL (same discipline as
     # text_token_entropy — a double sum(lp) flips round(,4) on boundary
     # docs between engines).
-    lp6 = F.round(
+    lp6 = fround(
         F.log(F.col("c_ab").cast("double") / F.col("c_w")) * F.lit(1000000.0)
     ).cast("long")
     scored = (
@@ -1161,8 +1161,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(avg_lp, 4).alias("avg_logprob"),
-            F.round(F.exp(-avg_lp), 4).alias("ppl"),
+            fround(avg_lp, 4).alias("avg_logprob"),
+            fround(F.exp(-avg_lp), 4).alias("ppl"),
         )
         .orderBy("doc_id")
     )
@@ -1181,9 +1181,9 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(n_chars), 4) AS mean_chars,
-           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
-           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS mean_chars,
+           floor((quantile_cont(n_tokens, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_tokens,
+           floor((quantile_cont(n_tokens, 0.9)) * 1e4 + 0.5) / 1e4 AS p90_tokens,
            CAST(max(n_tokens) AS BIGINT) AS max_tokens
     FROM d
     GROUP BY source
@@ -1199,9 +1199,9 @@ def text_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+            fround(F.avg("n_chars"), 4).alias("mean_chars"),
+            fround(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            fround(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
         .orderBy("source")
@@ -1278,7 +1278,7 @@ CURRICULUM_BINS = 4
            count(*) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens
+           floor((avg(CAST(n_tokens AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS mean_tokens
     FROM binned
     GROUP BY lang, bin
     ORDER BY lang, bin
@@ -1302,7 +1302,7 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
-            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("mean_tokens"),
+            fround(F.avg(F.col("n_tokens").cast("double")), 4).alias("mean_tokens"),
         )
         .orderBy("lang", "bin")
     )
@@ -1470,7 +1470,7 @@ def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_novel,
-           round(n_novel * 1.0 / n_grams, 4) AS novelty
+           floor((n_novel * 1.0 / n_grams) * 1e4 + 0.5) / 1e4 AS novelty
     FROM per_doc
     ORDER BY doc_id
     """,
@@ -1505,5 +1505,5 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_novel",
-        F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+        fround(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
     ).orderBy("doc_id")

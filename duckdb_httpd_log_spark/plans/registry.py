@@ -7,14 +7,19 @@ the same parquet tables.
 Contract requirements (driver correctness gate):
 - identical column names/aliases on both sides;
 - deterministic result sets (LIMIT only under a total order);
-- floating aggregates rounded identically on both sides so the
+- floating aggregates quantized identically on both sides so the
   order-insensitive value hash is stable across engines;
 - round(x, k) itself is NOT engine-portable on boundary decimals:
-  Spark rounds the double's exact BigDecimal value, DuckDB multiplies
-  by 10^k in floats first (q48 flipped at sf0.1 on exact 6-decimal
-  ratios). Where a ratio of integers can land on a boundary, quantize
-  through the identical float path instead — round(i·10^k/n) to an
-  integer, then one division;
+  Spark rounds the double's exact BigDecimal value HALF_UP, DuckDB
+  builds multiply by 10^k in floats first and resolve ties however
+  their libm/sprintf does (q48 flipped at sf0.1 on exact 6-decimal
+  ratios; CORRECTNESS_r04's four red rows were all round() boundary
+  flips against the driver's engine build). The portable form is
+  floor(x·10^k + 0.5)/10^k — floor plus IEEE-754 basic ops, all
+  correctly rounded by spec, hence bit-identical on ANY engine. Use
+  `fround` below on the Spark side and the literal floor form in the
+  oracle SQL; tests/test_roundproof.py enforces that no naked round(
+  survives in either surface;
 - timestamps/intervals projected as text/epoch numerics, never raw, to
   dodge engine-specific rendering.
 """
@@ -73,6 +78,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the UTC session TZ pinned above
             df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
+
+
+def fround(col, scale: int = 0):
+    """Engine-portable quantization: floor(x·10^scale + 0.5)/10^scale.
+
+    Drop-in replacement for F.round on DOUBLE expressions. Unlike
+    round(), every operation here (multiply, add, floor, divide) is an
+    IEEE-754 basic op — correctly rounded by spec — so Spark and any
+    oracle engine produce bit-identical doubles; there is no
+    implementation-defined tie mode left to disagree on. Ties
+    (x·10^k exactly *.5) resolve toward +inf on both engines by
+    construction. scale=0 returns DOUBLE (matching SQL floor()'s
+    DOUBLE-in/DOUBLE-out), so chained `.cast("long")` call sites keep
+    their previous types. Oracle SQL must spell the identical literal
+    form: floor((x) * 10000.0 + 0.5) / 10000.0.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    if scale:
+        m = F.lit(float(10**scale))
+        return _floor_double(col * m + F.lit(0.5)) / m
+    return _floor_double(col + F.lit(0.5))
+
+
+def _floor_double(y):
+    """SQL floor() that stays DOUBLE. Spark's floor returns LONG, which
+    silently overflows past 2^63 (emb_norm_anova's edge corpus: s1^2/n
+    ~ 4e24 became garbage) and maps NaN/inf to nonsense via the long
+    cast. Every |double| >= 2^53 is already integral, so floor is the
+    identity there — and the identity branch also forwards NaN/±inf
+    exactly like DuckDB's floor."""
+    big = F.lit(9007199254740992.0)  # 2^53
+    return F.when(F.abs(y) < big, F.floor(y).cast("double")).otherwise(y)
 
 
 @dataclass

@@ -487,26 +487,68 @@ def _read_fast(
     return df.filter(ok).select(*cols)
 
 
+_RAW_BATCH_ROWS = 8192
+
+
+def _raw_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
+    """DataFrame[(log_file, line_number, line)] streamed file-by-file.
+
+    Per-file line numbers need per-file ordering, but the old
+    wholetext+posexplode route held each file as ONE row (~2-3x file
+    size of task memory — a 10 GB rotated log OOMs the executor, where
+    the reference streams lines through a 2 MB buffer,
+    src/httpd_log_buffered_reader.cpp:5-57). Here each task streams its
+    files through `iter_log_lines` (lazy local read, gzip sniffed by
+    magic bytes, CR/trailing-newline semantics identical to
+    `_lines_array_expr`) and ships bounded Arrow batches — memory is
+    O(batch), not O(file). One file per task preserves the reference's
+    one-reader-per-file parallelism unit; line parsing stays downstream
+    in the codegen'd Catalyst projection.
+    """
+    import os.path
+
+    import pandas as pd
+
+    from .fs import has_scheme
+    from .pyconvert import iter_log_lines
+
+    # absolutize local paths so log_file matches the fast path's
+    # normalized input_file_name form (absolute, file: URI stripped)
+    files = [f if has_scheme(f) else os.path.abspath(f) for f in files]
+    paths = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def stream(batches):
+        fs: list[str] = []
+        ns: list[int] = []
+        ls: list[str] = []
+        for pdf in batches:
+            for fname in pdf["path"]:
+                for line_number, line in iter_log_lines(fname):
+                    if not line:
+                        continue  # empty lines advance the counter, emit no row
+                    fs.append(fname)
+                    ns.append(line_number)
+                    ls.append(line)
+                    if len(fs) >= _RAW_BATCH_ROWS:
+                        yield pd.DataFrame(
+                            {"log_file": fs, "line_number": ns, "line": ls}
+                        )
+                        fs, ns, ls = [], [], []
+        if fs:
+            yield pd.DataFrame({"log_file": fs, "line_number": ns, "line": ls})
+
+    return paths.mapInPandas(
+        stream, schema="log_file string, line_number bigint, line string"
+    )
+
+
 def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> DataFrame:
     """Raw mode: per-file line numbers (empty + error lines advance the
     counter; empty lines emit no row; error rows keep parse_error=true and
     the raw text)."""
-    plain, misnamed = _split_misnamed_gzip(files, spark)
-    dfs = []
-    if plain:
-        dfs.append(
-            spark.read.text(plain, wholetext=True).select(
-                _normalize_file_uri(F.input_file_name()).alias("log_file"), "value"
-            )
-        )
-    if misnamed:
-        dfs.append(_gunzip_wholetext_df(spark, misnamed))
-    df = dfs[0]
-    for d in dfs[1:]:
-        df = df.unionByName(d)
-    df = df.select("log_file", F.posexplode(_lines_array_expr()).alias("pos", "line"))
-    df = df.withColumn("line_number", (F.col("pos") + 1).cast("bigint")).drop("pos")
-    df = df.filter(F.length("line") > 0)
+    df = _raw_lines_df(spark, files)
 
     ok, parts = _parse_columns(parsed, F.col("line"))
     cols = _projection(parsed, ok, parts)

@@ -23,9 +23,14 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # repr = shortest round-trip string: distinguishes last-ulp
+        # divergence the driver's hash would catch. The old ":.6g" hid
+        # exactly the boundary flips that made r2-r4 rows red (local
+        # green, driver red). Integral floats KEEP their ".0" so a
+        # DOUBLE column on one side vs BIGINT on the other (a schema
+        # parity bug) also fails locally. Local MATCH now means
+        # bit-exact, type-exact values.
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     import decimal

@@ -127,7 +127,8 @@ def test_embedding_dedup_pairs_verified(spark):
 
 
 def test_approx_distinct_tolerance(spark):
-    """HLL++ estimates must fall within the configured 2% rsd (allow 3x)."""
+    """The hashable contract: exact counts match DuckDB exactly, and the
+    within-10% indicators (each engine judging its OWN HLL sketch) are 1."""
     import duckdb
 
     row = REGISTRY["q20_approx_distinct"].spark_fn(spark, SF_DIR).collect()[0]
@@ -136,8 +137,10 @@ def test_approx_distinct_tolerance(spark):
         f"SELECT count(DISTINCT l_orderkey), count(DISTINCT l_partkey), count(DISTINCT l_suppkey)"
         f" FROM read_parquet('{SF_DIR}/lineitem.parquet')"
     ).fetchone()
-    for est, true in zip((row.approx_orders, row.approx_parts, row.approx_suppliers), exact):
-        assert abs(est - true) / true < 0.06, (est, true)
+    assert (row.exact_orders, row.exact_parts, row.exact_suppliers) == exact
+    assert row.orders_within_10pct == 1
+    assert row.parts_within_10pct == 1
+    assert row.suppliers_within_10pct == 1
 
 
 def test_salted_heavy_hitters_equal_plain_groupby(spark):
@@ -548,3 +551,48 @@ def test_pq_refine_recall_vs_brute_force(spark):
     assert len(e) > 0
     recall = len(e & p) / len(e)
     assert recall >= 0.7, f"PQ+refine recall too low: {recall}"
+
+
+def test_size_outliers_match_brute_force_sigma(spark):
+    """The integer cross-multiplied 3-sigma fence must agree with the
+    plain floating-point |b - mean| > 3*sigma computed per group (the
+    r4 ADVICE found an extra factor of n that made n_outliers
+    structurally ~0; parity tests alone can't catch a shared-algebra
+    bug, so this checks against an independent formulation)."""
+    import math
+    from collections import defaultdict
+
+    from duckdb_httpd_log_spark.operators.multimodal import binary_table
+
+    rows = binary_table(spark, SF_DIR).select("kind", "payload").collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.kind].append(len(r.payload))
+    expected = {}
+    for kind, bs in groups.items():
+        n = len(bs)
+        mean = sum(bs) / n
+        var = sum((b - mean) ** 2 for b in bs) / n
+        sigma = math.sqrt(var)
+        expected[kind] = sum(1 for b in bs if abs(b - mean) > 3 * sigma)
+    got = {
+        r.kind: r.n_outliers
+        for r in REGISTRY["multimodal_size_outliers"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_size_outliers_detect_planted_outlier(spark):
+    """The fixture corpora contain no >3-sigma payload, so plant one: 99
+    uniform-ish sizes plus one 10x spike must yield exactly 1 outlier
+    (pre-fix, the extra factor of n in the bound made this 0)."""
+    from duckdb_httpd_log_spark.operators.analytics import size_outlier_stats
+
+    sizes = [300 + (i % 7) for i in range(99)] + [3000]
+    bt = spark.createDataFrame([("image", s) for s in sizes], "kind string, b long")
+    row = size_outlier_stats(bt).collect()[0]
+    assert row.n_outliers == 1
+    # and a flat group stays clean
+    flat = spark.createDataFrame([("audio", 300 + (i % 7)) for i in range(100)],
+                                 "kind string, b long")
+    assert size_outlier_stats(flat).collect()[0].n_outliers == 0

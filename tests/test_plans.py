@@ -207,6 +207,9 @@ def test_two_phase_rank_ops_partition_local(spark):
         "orders_rfm_migration",
         "events_power_users_share",
         "events_value_deciles",
+        # r5: the last two dimension-sized global windows (r4 verdict #5)
+        "events_session_stats",
+        "orders_customer_lifespan",
     ]:
         plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
         # the __pid attribute survives into the plan unless a lazy
