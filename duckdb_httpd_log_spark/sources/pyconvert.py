@@ -343,35 +343,89 @@ def error_row(parsed: ParsedFormat) -> list:
     return out
 
 
-def _read_remote_bytes(fname: str) -> bytes:
-    """Whole-file bytes via pyarrow.fs — usable on EXECUTORS (Python
+_STREAM_CHUNK = 1 << 21  # 2 MiB, the reference's buffer size
+# (src/httpd_log_buffered_reader.cpp:5-57)
+
+
+def _iter_byte_lines(chunks: "Iterator[bytes]") -> Iterator[tuple[int, str]]:
+    """(1-based line_number, CR-stripped line) pairs from a byte-chunk
+    stream. Splitting on b'\\n' BEFORE decoding is safe: 0x0A never
+    appears inside a UTF-8 multi-byte sequence, so a code point split
+    across chunks always reassembles within its line. A trailing
+    newline produces no phantom final line."""
+    buf = b""
+    i = 0
+    for chunk in chunks:
+        if not chunk:
+            continue
+        buf += chunk
+        parts = buf.split(b"\n")
+        buf = parts.pop()
+        for part in parts:
+            i += 1
+            yield i, part.decode("utf-8", errors="replace").rstrip("\r")
+    if buf:
+        i += 1
+        yield i, buf.decode("utf-8", errors="replace").rstrip("\r")
+
+
+def _iter_remote_lines(fname: str) -> Iterator[tuple[int, str]]:
+    """Streamed lines via pyarrow.fs — usable on EXECUTORS (Python
     DataSource workers have no JVM gateway, so the Hadoop FileSystem
-    route used at bind time is not available here). One whole-file read
-    per partition matches this source's one-partition-per-file
-    granularity."""
+    route used at bind time is not available here). Memory is
+    O(chunk), never O(file): raw-mode reads of multi-GB remote logs
+    stream through the same 2 MiB buffer as local ones. gzip is
+    inflated incrementally (multi-member aware, like gzip.decompress)."""
+    import zlib
+
     from .fs import _pyarrow_fs
 
     fs, rel, _, _ = _pyarrow_fs(fname)
     with fs.open_input_stream(rel) as stream:
-        return stream.read()
+        first = stream.read(2)
+
+        def raw_chunks():
+            if first:
+                yield first
+            while True:
+                c = stream.read(_STREAM_CHUNK)
+                if not c:
+                    break
+                yield c
+
+        if first == b"\x1f\x8b":
+
+            def gz_chunks():
+                d = zlib.decompressobj(wbits=31)
+                data = first
+                while True:
+                    if not data:
+                        data = stream.read(_STREAM_CHUNK)
+                        if not data:
+                            break
+                    if d.eof:  # next gzip member in a concatenated file
+                        d = zlib.decompressobj(wbits=31)
+                    out = d.decompress(data)
+                    if out:
+                        yield out
+                    data = d.unused_data
+
+            chunks = gz_chunks()
+        else:
+            chunks = raw_chunks()
+        yield from _iter_byte_lines(chunks)
 
 
 def iter_log_lines(fname: str) -> Iterator[tuple[int, str]]:
     """(1-based line_number, CR-stripped line) pairs; gzip sniffed by
     magic bytes like the reference's AUTO_DETECT compression. Paths with
-    a URI scheme read through pyarrow.fs (file/s3/hdfs/gcs); local paths
-    stream lazily."""
+    a URI scheme stream through pyarrow.fs (file/s3/hdfs/gcs); local
+    paths stream through buffered python I/O. Either way memory is
+    bounded by the 2 MiB buffer, never file size."""
     from .fs import has_scheme
 
     if has_scheme(fname):
-        data = _read_remote_bytes(fname)
-        if data[:2] == b"\x1f\x8b":
-            data = _gzip.decompress(data)
-        lines = data.decode("utf-8", errors="replace").split("\n")
-        if lines and lines[-1] == "":
-            lines.pop()
-        for i, line in enumerate(lines, start=1):
-            yield i, line.rstrip("\r")
+        yield from _iter_remote_lines(fname)
         return
     with open(fname, "rb") as fh:
         magic = fh.read(2)

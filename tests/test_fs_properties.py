@@ -135,3 +135,38 @@ def test_glob_regex_matches_python_glob(tp):
             if rx.match(f)
         )
         assert got == expected, (files, pattern)
+
+
+def test_iter_byte_lines_chunk_boundaries():
+    """The streamed splitter must be byte-chunking-invariant: any chunk
+    partition of the same bytes yields identical (line_number, line)
+    pairs — including a multi-byte UTF-8 code point split across
+    chunks, CRLF endings, and a trailing newline producing no phantom
+    line."""
+    from duckdb_httpd_log_spark.sources.pyconvert import _iter_byte_lines
+
+    text = "alpha β\r\nmiddle é line\nlast"  # no trailing newline
+    data = text.encode("utf-8")
+    expected = [(1, "alpha β"), (2, "middle é line"), (3, "last")]
+    for size in (1, 2, 3, 7, len(data)):
+        chunks = [data[i : i + size] for i in range(0, len(data), size)]
+        assert list(_iter_byte_lines(iter(chunks))) == expected, size
+    # trailing newline: same lines, no phantom 4th
+    data2 = (text + "\n").encode("utf-8")
+    assert list(_iter_byte_lines(iter([data2]))) == expected
+
+
+def test_iter_remote_lines_streams_multimember_gzip(tmp_path):
+    """file:// URIs route through the pyarrow streaming reader; a
+    concatenated two-member gzip must decode fully (gzip.decompress
+    semantics) with continuous line numbers."""
+    import gzip
+
+    from duckdb_httpd_log_spark.sources.pyconvert import iter_log_lines
+
+    p = tmp_path / "multi.log.gz"
+    with open(p, "wb") as fh:
+        fh.write(gzip.compress(b"one\ntwo\n"))
+        fh.write(gzip.compress(b"three\nfour"))
+    got = list(iter_log_lines(f"file://{p}"))
+    assert got == [(1, "one"), (2, "two"), (3, "three"), (4, "four")]
