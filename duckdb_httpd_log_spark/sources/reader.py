@@ -15,10 +15,12 @@ per-file, identical granularity).
 
 Raw mode (`raw=True`) needs deterministic per-file `line_number`s that
 count empty and unparseable lines (`src/httpd_log_file_reader.cpp:377-392`).
-Spark's splittable text scan has no per-file ordering, so raw mode reads
-`wholetext` (one partition per file — the same granularity the reference
-uses for every read) and derives line numbers with posexplode. The fast
-splittable path is used whenever `raw=False`.
+Spark's splittable text scan has no per-file ordering, so raw mode
+streams each file through a per-task line reader (one file per task —
+the same granularity the reference uses for every read, buffered like
+its 2 MB reader) that numbers lines as it goes and ships bounded Arrow
+batches; the typed parse stays in the codegen'd Catalyst projection.
+The fast splittable path is used whenever `raw=False`.
 """
 
 from __future__ import annotations
@@ -402,41 +404,12 @@ def _parse_columns(parsed: ParsedFormat, value):
     return ok, parts
 
 
-def _lines_array_expr() -> "F.Column":
-    """Split a wholetext ``value`` into lines: strip trailing ``\\r``; a
-    trailing newline does not produce a phantom final line."""
-    lines = F.expr(r"transform(split(value, '\n'), x -> regexp_replace(x, '\r$', ''))")
-    return F.when(
-        F.col("value").endswith("\n"), F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0)))
-    ).otherwise(lines)
-
-
-def _gunzip_wholetext_df(spark: SparkSession, files: list[str]) -> DataFrame:
-    """DataFrame[(log_file, value)] for gzip files whose NAMES Spark's
-    extension-based codec resolution would misread as raw bytes.
-
-    Distributed: one binaryFile row per file, gunzipped executor-side in
-    an Arrow ``mapInPandas`` — the same one-partition-per-file
-    granularity gzip gets on the extension path (gzip is unsplittable)."""
-    import pandas as pd
-
-    def gunzip(batches):
-        for pdf in batches:
-            texts = [
-                _gzip.decompress(bytes(c)).decode("utf-8", errors="replace")
-                for c in pdf["content"]
-            ]
-            yield pd.DataFrame({"log_file": pdf["path"], "value": texts})
-
-    bdf = spark.read.format("binaryFile").load(files).select("path", "content")
-    out = bdf.mapInPandas(gunzip, schema="log_file string, value string")
-    return out.select(_normalize_file_uri(F.col("log_file")).alias("log_file"), "value")
-
-
 def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     """DataFrame[(value, __f)] of raw lines: the splittable text scan for
-    extension-routed files, unioned with the gunzip branch for
-    content-detected gzip files lacking a codec extension."""
+    extension-routed files, unioned with a streamed-decompress branch
+    for content-detected gzip files lacking a codec extension (the
+    per-file streaming reader inflates through a 2 MiB buffer — no
+    whole-file value row, same memory contract as the raw path)."""
     plain, misnamed = _split_misnamed_gzip(files, spark)
     dfs = []
     if plain:
@@ -446,10 +419,9 @@ def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
             )
         )
     if misnamed:
-        whole = _gunzip_wholetext_df(spark, misnamed)
         dfs.append(
-            whole.select(
-                F.explode(_lines_array_expr()).alias("value"), F.col("log_file").alias("__f")
+            _raw_lines_df(spark, misnamed).select(
+                F.col("line").alias("value"), F.col("log_file").alias("__f")
             )
         )
     df = dfs[0]
@@ -499,8 +471,8 @@ def _raw_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     the reference streams lines through a 2 MB buffer,
     src/httpd_log_buffered_reader.cpp:5-57). Here each task streams its
     files through `iter_log_lines` (lazy local read, gzip sniffed by
-    magic bytes, CR/trailing-newline semantics identical to
-    `_lines_array_expr`) and ships bounded Arrow batches — memory is
+    magic bytes, CR-stripped lines, no phantom line after a trailing
+    newline) and ships bounded Arrow batches — memory is
     O(batch), not O(file). One file per task preserves the reference's
     one-reader-per-file parallelism unit; line parsing stays downstream
     in the codegen'd Catalyst projection.
