@@ -44,6 +44,9 @@ _PRIORITY = [
     "text_ngram_novelty",
     "q44_rfm",
     "q20_approx_distinct",
+    # never-sampled SURVEY §2.B rows, called out by the r4 verdict
+    "q47_set_ops_all",
+    "q50_array_agg",
     # never driver-sampled (the r4 verification backlog; 85 entries
     # drain over r5-r6 at 50 samples/round)
     "corpus_good_turing",
@@ -129,8 +132,6 @@ _PRIORITY = [
     "text_entropy_rate",
     "source_vocab_similarity",
     "text_heaps_law",
-    "q47_set_ops_all",
-    "q50_array_agg",
     # cumulative driver-green union (resampling tail)
     "ann_cosine_topk",
     "ann_lsh_topk",
