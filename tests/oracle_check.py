@@ -58,7 +58,13 @@ def main():
     from duckdb_httpd_log_spark.plans.registry import REGISTRY, TABLES
     import duckdb_httpd_log_spark.operators  # noqa: F401  (registers queries)
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # ORACLE_MASTER / ORACLE_PARTS override the session shape so the
+    # replica can also prove partition-count invariance (the driver's
+    # session is local[32]/32; results must not depend on parallelism)
+    spark = get_spark(
+        master=os.environ.get("ORACLE_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("ORACLE_PARTS", "8")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
