@@ -310,6 +310,29 @@ EMB_COS_THRESHOLD = 0.4  # synthetic embeddings top out near cosine 0.51
 
 _EMB_PLANES = hyperplanes(EMB_PLANES, EMB_DIM, salt="emb-dedup:")
 
+# Adaptive banding: with a FIXED plane count the band-bucket space is
+# constant (4 bands x 2^4 keys), so candidate pairs grow as |V|^2 /
+# buckets — the 10x scale rehearsal measured dedup_semantic_clusters at
+# 18x wall-clock on 10x data because of exactly this. Cost stays linear
+# only if the bucket count grows with the corpus: bits-per-band =
+# ceil(log2(|V| / _EMB_TARGET_BUCKET)), i.e. expected bucket size stays
+# ~_EMB_TARGET_BUCKET and per-vector candidate work is ~constant. At
+# the oracle-tested scales (<= 2000 vectors at sf0.1) the formula
+# floors at EMB_PLANES_PER_BAND, so the plane set — and therefore the
+# candidate set — is bit-identical to the static oracle SQL. Growing
+# bits at fixed band count trades recall for linear cost (standard LSH
+# practice; raise EMB_BANDS for recall at extra cost).
+_EMB_TARGET_BUCKET = 256
+
+
+def _emb_plane_count(n_vecs: int) -> int:
+    import math
+
+    bits = EMB_PLANES_PER_BAND
+    if n_vecs > _EMB_TARGET_BUCKET:
+        bits = max(bits, math.ceil(math.log2(n_vecs / _EMB_TARGET_BUCKET)))
+    return EMB_BANDS * bits
+
 
 def _emb_cosine_sql(a: str, b: str) -> str:
     dot = f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, {EMB_DIM + 1})])"
@@ -364,32 +387,69 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic, matching the oracle's ::DOUBLE casts; round(4) absorbs
     # sub-ulp summation-order differences.
     emb = table(spark, sf_dir, "embeddings")
-    planes_t = np.array(_EMB_PLANES, dtype=np.float64).T  # dim x n_planes
-
-    @F.pandas_udf("long")
-    def signature(embedding: pd.Series) -> pd.Series:
-        mat = np.stack(embedding.values).astype(np.float64)
-        bits = _round_half_away(mat @ planes_t, 6) >= 0  # n x n_planes
-        weights = 1 << np.arange(EMB_PLANES, dtype=np.int64)
-        return pd.Series((bits * weights).sum(axis=1))
-
-    # sigs feeds both sides of the band self-join; the alias renames
-    # defeat exchange reuse, so without materialization the signature
-    # UDF (full embedding scan) runs twice.
-    sigs = emb.select("vec_id", signature("embedding").alias("sig")).localCheckpoint(
-        eager=False
+    # corpus-sized banding (see _emb_plane_count): 16 planes at the
+    # oracle-tested scales — identical candidates to the static SQL —
+    # growing logarithmically beyond so bucket sizes stay ~constant and
+    # the band self-join stays linear in |V|
+    n_vecs = emb.count()
+    n_planes = _emb_plane_count(n_vecs)
+    plane_list = (
+        _EMB_PLANES
+        if n_planes == EMB_PLANES
+        else hyperplanes(n_planes, EMB_DIM, salt="emb-dedup:")
     )
-    # one band key per EMB_PLANES_PER_BAND-bit slice of the signature
-    band_keys = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.shiftright(F.col("sig"), b * EMB_PLANES_PER_BAND).bitwiseAND(
-                (1 << EMB_PLANES_PER_BAND) - 1
-            ),
+    planes_t = np.array(plane_list, dtype=np.float64).T  # dim x n_planes
+    bits_per_band = n_planes // EMB_BANDS
+
+    if n_planes <= 63:
+        # signatures pack into one long; band keys are JVM-side shifts
+        # (the cheapest path, and bit-identical to the oracle at the
+        # 16-plane floor)
+        @F.pandas_udf("long")
+        def signature(embedding: pd.Series) -> pd.Series:
+            mat = np.stack(embedding.values).astype(np.float64)
+            bits = _round_half_away(mat @ planes_t, 6) >= 0  # n x n_planes
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            return pd.Series((bits * weights).sum(axis=1))
+
+        # sigs feeds both sides of the band self-join; the alias renames
+        # defeat exchange reuse, so without materialization the signature
+        # UDF (full embedding scan) runs twice.
+        sigs = emb.select("vec_id", signature("embedding").alias("sig")).localCheckpoint(
+            eager=False
         )
-        for b in range(EMB_BANDS)
-    ]
-    bands = sigs.select("vec_id", F.explode(F.array(*band_keys)).alias("band_key"))
+        band_keys = [
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(
+                    (1 << bits_per_band) - 1
+                ),
+            )
+            for b in range(EMB_BANDS)
+        ]
+        bands = sigs.select("vec_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    else:
+        # >63 planes (corpora beyond ~10^21 / very fine buckets): pack
+        # per-band keys directly, no single-long signature cap
+        @F.pandas_udf("array<string>")
+        def band_keys_of(embedding: pd.Series) -> pd.Series:
+            mat = np.stack(embedding.values).astype(np.float64)
+            bits = _round_half_away(mat @ planes_t, 6) >= 0
+            w = 1 << np.arange(bits_per_band, dtype=np.int64)
+            per_band = [
+                (bits[:, b * bits_per_band : (b + 1) * bits_per_band] * w).sum(axis=1)
+                for b in range(EMB_BANDS)
+            ]
+            return pd.Series(
+                [
+                    [f"{b}:{per_band[b][i]}" for b in range(EMB_BANDS)]
+                    for i in range(mat.shape[0])
+                ]
+            )
+
+        bands = emb.select(
+            "vec_id", F.explode(band_keys_of("embedding")).alias("band_key")
+        ).localCheckpoint(eager=False)
     cands = (
         bands.select(F.col("vec_id").alias("vec_a"), "band_key")
         .join(bands.select(F.col("vec_id").alias("vec_b"), "band_key"), "band_key")
