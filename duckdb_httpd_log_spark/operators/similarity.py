@@ -104,6 +104,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark-specific, but the output contract matches ann_cosine_topk's shape)
 # ---------------------------------------------------------------------------
 N_PLANES = 4  # 16 buckets; multi-probe Hamming<=1 visits 5 of them
+# (floor; the bucket space grows with the corpus via _lsh_n_planes so a
+# probe set stays a ~constant FRACTION of buckets instead of the fixed
+# 5/16 = 31% of the corpus a static plane count degrades to at scale)
+
+
+def _lsh_n_planes(n_vecs: int) -> int:
+    """max(N_PLANES, ceil(log2(|V|/256))) — expected bucket ~256 vectors,
+    so each Hamming<=1 probe set scans ~(planes+1)*256 candidates
+    regardless of corpus size. Floored at N_PLANES=4 through the
+    oracle-tested scales (<= 2000 vectors at sf0.1), where the bucket
+    assignment is bit-identical to the static 4-plane oracle SQL."""
+    import math
+
+    bits = N_PLANES
+    if n_vecs > 256:
+        bits = max(bits, math.ceil(math.log2(n_vecs / 256.0)))
+    return min(bits, 62)
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, salt: str = ""):
@@ -181,14 +198,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted higher-order functions are ~100x slower on dense
     # 64-dim float math, and literal-heavy plans are slow to analyze).
     emb = table(spark, sf_dir, "embeddings")
-    planes_t = np.array(_hyperplanes(), dtype=np.float64).T  # dim x n_planes
+    n_planes = _lsh_n_planes(emb.count())
+    planes_t = np.array(
+        _hyperplanes(n_planes) if n_planes != N_PLANES else _hyperplanes(),
+        dtype=np.float64,
+    ).T  # dim x n_planes
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def bucket_of(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         bits = _round_half_away(mat @ planes_t, 6) >= 0
-        weights = 1 << np.arange(N_PLANES, dtype=np.int32)
-        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
@@ -214,7 +235,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "qe",
         F.explode(
-            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(N_PLANES)])
+            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(n_planes)])
         ).alias("bucket"),
     )
     scored = (
@@ -236,8 +257,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-bucketed ANN (alternative scale path; rows-only check + recall
 # test vs the brute-force baseline in tests/test_operators.py)
 # ---------------------------------------------------------------------------
-IVF_NLIST = 16  # coarse cells
+IVF_NLIST = 16  # coarse cells (floor; adaptive growth beyond, see _ivf_nlist)
 IVF_NPROBE = 6  # cells each query visits
+
+
+def _ivf_nlist(n_vecs: int) -> int:
+    """Corpus-sized coarse-cell count: ~sqrt(|V|)/4 rounded to a power
+    of two. A FIXED nlist means each query probes IVF_NPROBE/nlist of
+    the corpus — 6/16 = 37% at any scale, which stops being an index
+    long before 100 TB; growing nlist ~sqrt keeps both the per-cell
+    scan and the centroid table balanced (the classic IVF sizing).
+    Floored at IVF_NLIST so every oracle-tested scale (<= 2000 vectors
+    at sf0.1 -> 16 cells) trains and probes the exact chain the static
+    SQL pins; capped at 2048 — beyond that the dense distance matrix in
+    the assignment UDF outgrows an Arrow batch, and a production
+    deployment would shift to MLlib KMeans + repartition-by-cell."""
+    import math
+
+    bits = math.ceil(math.log2(max(math.sqrt(n_vecs) / 4.0, 1.0)))
+    return max(IVF_NLIST, min(2048, 1 << bits))
 
 # The KMEANS_ITERS=2 training loop unrolled as oracle CTEs — seed sample
 # -> assign (round-6 distances, cell tie-break) -> per-(cell,dim) means
@@ -307,10 +345,11 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
     if sf_dir in _CENTROID_CACHE:
         return _CENTROID_CACHE[sf_dir]
     emb = table(spark, sf_dir, "embeddings")
+    nlist = _ivf_nlist(emb.count())
     rows = (
         emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
-        .limit(IVF_NLIST)
+        .limit(nlist)
         .collect()
     )
     _CENTROID_CACHE[sf_dir] = [[float(x) for x in r["embedding"]] for r in rows]
@@ -657,14 +696,18 @@ RADIUS_THRESHOLD = 0.35
 )
 def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    planes_t = np.array(_hyperplanes(), dtype=np.float64).T
+    n_planes = _lsh_n_planes(emb.count())
+    planes_t = np.array(
+        _hyperplanes(n_planes) if n_planes != N_PLANES else _hyperplanes(),
+        dtype=np.float64,
+    ).T
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def bucket_of(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         bits = _round_half_away(mat @ planes_t, 6) >= 0
-        weights = 1 << np.arange(N_PLANES, dtype=np.int32)
-        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
@@ -689,7 +732,7 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "qe",
         F.explode(
-            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(N_PLANES)])
+            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(n_planes)])
         ).alias("bucket"),
     )
     return (
