@@ -3179,6 +3179,11 @@ _TRAINED_PLANES_CACHE: dict = {}
 def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import similarity as _s
 
+    emb = table(spark, sf_dir, "embeddings")
+    # corpus-sized plane count (similarity._lsh_n_planes: floor 4 at the
+    # oracle-tested scales, log2 growth beyond) — the trained PCA plane
+    # is always plane 0, md5 planes fill the rest
+    n_planes = _s._lsh_n_planes(emb.count())
     if sf_dir not in _TRAINED_PLANES_CACHE:
         # 64-value model fetch (the trained-index artifact; same pattern
         # as similarity._trained_model for IVF)
@@ -3186,18 +3191,16 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["loading"]
             for r in emb_pca_power_step(spark, sf_dir).orderBy("pos").collect()
         ]
-        planes = [loadings] + _s.hyperplanes()[1:]
+        planes = [loadings] + _s.hyperplanes(n_planes)[1:]
         _TRAINED_PLANES_CACHE[sf_dir] = planes
     planes_t = np.array(_TRAINED_PLANES_CACHE[sf_dir], dtype=np.float64).T
 
-    emb = table(spark, sf_dir, "embeddings")
-
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def bucket_of(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         bits = _s._round_half_away(mat @ planes_t, 6) >= 0
-        weights = 1 << np.arange(_s.N_PLANES, dtype=np.int32)
-        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
@@ -3224,7 +3227,7 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.col("qbucket"),
-                *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(_s.N_PLANES)],
+                *[F.col("qbucket").bitwiseXOR(1 << p) for p in range(n_planes)],
             )
         ).alias("bucket"),
     )
