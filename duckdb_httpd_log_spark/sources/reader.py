@@ -487,8 +487,13 @@ def _raw_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     # absolutize local paths so log_file matches the fast path's
     # normalized input_file_name form (absolute, file: URI stripped)
     files = [f if has_scheme(f) else os.path.abspath(f) for f in files]
+    # one file per task up to a cap: a task streams its files
+    # sequentially (per-file numbering is inside the iterator), so a
+    # million rotated logs become a bounded number of tasks instead of
+    # a million
+    n_tasks = min(len(files), max(spark.sparkContext.defaultParallelism * 4, 32))
     paths = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        len(files)
+        n_tasks
     )
 
     def stream(batches):
