@@ -596,3 +596,28 @@ def test_size_outliers_detect_planted_outlier(spark):
     flat = spark.createDataFrame([("audio", 300 + (i % 7)) for i in range(100)],
                                  "kind string, b long")
     assert size_outlier_stats(flat).collect()[0].n_outliers == 0
+
+
+def test_adaptive_index_sizes_floor_at_tested_scales():
+    """The adaptive LSH/IVF sizing formulas MUST floor at the static
+    sizes the oracle SQL pins for every corpus size the driver or the
+    local replica tests (500 vectors at sf0.001/sf0.01, 2000 at sf0.1)
+    — otherwise Spark's candidate sets silently diverge from the
+    oracle. Growth beyond the tested scales is the point of the
+    formulas; these pins only protect the parity floor."""
+    from duckdb_httpd_log_spark.operators.dedup import EMB_PLANES, _emb_plane_count
+    from duckdb_httpd_log_spark.operators.similarity import (
+        IVF_NLIST,
+        N_PLANES,
+        _ivf_nlist,
+        _lsh_n_planes,
+    )
+
+    for n in (1, 500, 2000):
+        assert _emb_plane_count(n) == EMB_PLANES, n
+        assert _ivf_nlist(n) == IVF_NLIST, n
+        assert _lsh_n_planes(n) == N_PLANES, n
+    # and they really do grow past the tested scales
+    assert _emb_plane_count(20_000) > EMB_PLANES
+    assert _ivf_nlist(20_000) > IVF_NLIST
+    assert _lsh_n_planes(20_000) > N_PLANES
