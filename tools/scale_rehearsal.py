@@ -44,6 +44,16 @@ SLATE = [
     "events_session_stats",
     "orders_customer_lifespan",
     "q44_rfm",
+    "ann_radius_search",
+    "multimodal_features",
+    "multimodal_dedup",
+    "text_contamination",
+    "text_tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "events_funnel_latency",
+    "q49_equidepth_histogram",
+    "orders_rolling_median",
+    "corpus_good_turing",
 ]
 
 # id headrooms: far above any sf0.1 max key
