@@ -621,3 +621,25 @@ def test_adaptive_index_sizes_floor_at_tested_scales():
     assert _emb_plane_count(20_000) > EMB_PLANES
     assert _ivf_nlist(20_000) > IVF_NLIST
     assert _lsh_n_planes(20_000) > N_PLANES
+
+
+def test_emb_dedup_array_band_path(spark, monkeypatch):
+    """Corpora past ~8M vectors use the >63-plane per-band-key path
+    (one long can't hold the signature); force it on the small fixture
+    and check the contract still holds: every emitted pair is above
+    threshold, deduped (a<b), and a SUBSET of the 16-plane candidate
+    set's verified pairs' universe (more planes can only shrink
+    candidates, never invent pairs)."""
+    import duckdb_httpd_log_spark.operators.dedup as D
+
+    baseline = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding"].spark_fn(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(D, "_emb_plane_count", lambda n: 68)  # 4 bands x 17 bits
+    forced = D.dedup_embedding(spark, SF_DIR)
+    rows = forced.collect()
+    pairs = {(r.vec_a, r.vec_b) for r in rows}
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(r.cosine >= D.EMB_COS_THRESHOLD for r in rows)
+    assert pairs <= baseline
