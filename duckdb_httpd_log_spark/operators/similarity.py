@@ -41,6 +41,27 @@ def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
     scale = 10.0**decimals
     return np.floor(x * scale + 0.5) / scale
 
+
+def _d2_matrix(mat: "np.ndarray", cen: "np.ndarray") -> "np.ndarray":
+    """Squared distances rows x cells via the DIRECT (a-b)^2 kernel —
+    the same float path as the oracle's list_sum, never the
+    -2ab + |a|^2 + |b|^2 expansion (different rounding error can flip
+    near-tied cell assignments). The 3-D (rows, cells, dim) temp is
+    computed in ROW chunks so memory stays ~256 MB regardless of the
+    adaptive cell count (10k rows x 2048 cells x 64 dims would
+    otherwise be a 10 GB allocation); per-(row, cell) reductions are
+    independent, so chunking is bit-identical to the full-array form."""
+    n, dim = mat.shape
+    k = cen.shape[0]
+    rows_per = max(1, (256 << 20) // max(k * dim * 8, 1))
+    if n <= rows_per:
+        return ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    out = np.empty((n, k), dtype=np.float64)
+    for s in range(0, n, rows_per):
+        blk = mat[s : s + rows_per]
+        out[s : s + len(blk)] = ((blk[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    return out
+
 _DOT = (
     "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -450,13 +471,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("int")
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_matrix(mat, cen)
         return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_matrix(mat, cen)
         order = np.argsort(_round_half_away(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
         return pd.Series(list(ids[order]))
 
@@ -549,7 +570,7 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assigned_cell(embedding: pd.Series) -> pd.Series:
         c = b_cen.value
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_matrix(mat, c)
         # round-6 then argmin (first minimum = lowest cell) — the exact
         # tie/precision contract the oracle's ORDER BY d2, cell encodes
         return pd.Series(_round_half_away(d2, 6).argmin(axis=1).astype("int32"))
@@ -627,7 +648,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         def assigned_cell(embedding: pd.Series) -> pd.Series:
             ids, c = b.value
             mat = np.stack(embedding.values).astype(np.float64)
-            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_matrix(mat, c)
             return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
 
         assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
@@ -645,7 +666,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     def final_cell(embedding: pd.Series) -> pd.Series:
         ids, c = b_fin.value
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_matrix(mat, c)
         return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
 
     assigned = emb.select(final_cell("embedding").alias("cell"), "embedding")

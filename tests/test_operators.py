@@ -643,3 +643,20 @@ def test_emb_dedup_array_band_path(spark, monkeypatch):
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(r.cosine >= D.EMB_COS_THRESHOLD for r in rows)
     assert pairs <= baseline
+
+
+def test_d2_matrix_chunking_bit_identical():
+    """The row-chunked distance kernel must be bit-identical to the
+    full-array form (chunking exists purely to bound the 3-D temp's
+    memory at large adaptive cell counts)."""
+    import numpy as np
+
+    from duckdb_httpd_log_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(5000, 64))
+    cen = rng.normal(size=(1024, 64))  # rows_per = 256MB/(1024*512) = 512 -> chunks
+    full = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    chunked = S._d2_matrix(mat, cen)
+    assert chunked.shape == full.shape
+    assert np.array_equal(chunked, full)
