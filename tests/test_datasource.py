@@ -194,3 +194,44 @@ def test_streaming_datasource_empty_start_explicit_format(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM ds_stream_empty").count() == 0
+
+
+def test_streaming_datasource_raw_mode_matches_batch(spark, tmp_path):
+    """readStream.format("httpd_log") with raw=true: the stream reader's
+    raw branch must reproduce the batch raw contract — per-file
+    line_numbers counting empty/unparseable lines, parse_error rows
+    kept with their raw text."""
+    import shutil
+
+    logdir = tmp_path / "dsraw"
+    logdir.mkdir()
+    shutil.copy(data("common", "with_errors.log"), logdir / "a.log")
+
+    stream = (
+        spark.readStream.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+        .option("raw", "true")
+        .load()
+    )
+    assert stream.isStreaming
+    for col in ("line_number", "parse_error", "raw_line"):
+        assert col in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_stream_raw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.line_number, r.parse_error, r.raw_line)
+        for r in spark.sql("SELECT * FROM ds_stream_raw").collect()
+    }
+    want = {
+        (r.line_number, r.parse_error, r.raw_line)
+        for r in read_httpd_log(spark, str(logdir), format_type="common", raw=True).collect()
+    }
+    assert got == want
+    assert any(err for (_n, err, _l) in got)  # error rows survive
