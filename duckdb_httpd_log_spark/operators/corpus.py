@@ -3183,7 +3183,7 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized plane count (similarity._lsh_n_planes: floor 4 at the
     # oracle-tested scales, log2 growth beyond) — the trained PCA plane
     # is always plane 0, md5 planes fill the rest
-    n_planes = _s._lsh_n_planes(emb.count())
+    n_planes = _s._lsh_n_planes(_s.corpus_vec_count(spark, sf_dir))
     if sf_dir not in _TRAINED_PLANES_CACHE:
         # 64-value model fetch (the trained-index artifact; same pattern
         # as similarity._trained_model for IVF)

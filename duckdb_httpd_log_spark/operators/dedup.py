@@ -391,7 +391,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-tested scales — identical candidates to the static SQL —
     # growing logarithmically beyond so bucket sizes stay ~constant and
     # the band self-join stays linear in |V|
-    n_vecs = emb.count()
+    from .similarity import corpus_vec_count
+
+    n_vecs = corpus_vec_count(spark, sf_dir)
     n_planes = _emb_plane_count(n_vecs)
     plane_list = (
         _EMB_PLANES

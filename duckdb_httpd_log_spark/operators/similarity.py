@@ -130,6 +130,19 @@ N_PLANES = 4  # 16 buckets; multi-probe Hamming<=1 visits 5 of them
 # 5/16 = 31% of the corpus a static plane count degrades to at scale)
 
 
+_VEC_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_vec_count(spark: SparkSession, sf_dir: str) -> int:
+    """|embeddings| for the adaptive index-size formulas, memoized per
+    sf_dir (a parquet metadata count, but no reason to re-run it on
+    every operator invocation; deterministic for a given corpus, so the
+    cache never changes results)."""
+    if sf_dir not in _VEC_COUNT_CACHE:
+        _VEC_COUNT_CACHE[sf_dir] = table(spark, sf_dir, "embeddings").count()
+    return _VEC_COUNT_CACHE[sf_dir]
+
+
 def _lsh_n_planes(n_vecs: int) -> int:
     """max(N_PLANES, ceil(log2(|V|/256))) — expected bucket ~256 vectors,
     so each Hamming<=1 probe set scans ~(planes+1)*256 candidates
@@ -219,7 +232,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted higher-order functions are ~100x slower on dense
     # 64-dim float math, and literal-heavy plans are slow to analyze).
     emb = table(spark, sf_dir, "embeddings")
-    n_planes = _lsh_n_planes(emb.count())
+    n_planes = _lsh_n_planes(corpus_vec_count(spark, sf_dir))
     planes_t = np.array(
         _hyperplanes(n_planes) if n_planes != N_PLANES else _hyperplanes(),
         dtype=np.float64,
@@ -366,7 +379,7 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
     if sf_dir in _CENTROID_CACHE:
         return _CENTROID_CACHE[sf_dir]
     emb = table(spark, sf_dir, "embeddings")
-    nlist = _ivf_nlist(emb.count())
+    nlist = _ivf_nlist(corpus_vec_count(spark, sf_dir))
     rows = (
         emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
@@ -717,7 +730,7 @@ RADIUS_THRESHOLD = 0.35
 )
 def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    n_planes = _lsh_n_planes(emb.count())
+    n_planes = _lsh_n_planes(corpus_vec_count(spark, sf_dir))
     planes_t = np.array(
         _hyperplanes(n_planes) if n_planes != N_PLANES else _hyperplanes(),
         dtype=np.float64,
