@@ -1,0 +1,106 @@
+"""Engine-portable transcendental functions as pinned SQL expression
+forms.
+
+Why this exists (CORRECTNESS_r05 post-mortem): libm's ln/exp are NOT
+correctly rounded — IEEE-754 only mandates correct rounding for the
+basic ops (+, -, *, /, sqrt, floor, int<->double casts). Two healthy
+engines can disagree by 1 ulp on ln(x), and with ~1e5 quantized
+c*ln(c) terms per query some term always lands inside the ulp band of
+a floor(x*1e6 + 0.5) boundary, flipping the driver's value hash.
+The floor-form quantization (plans/registry.fround) fixed tie
+RESOLUTION but cannot fix divergent INPUTS.
+
+The escape: define the operators' semantics via fixed polynomials
+built ONLY from correctly-rounded basic ops, emitted as one canonical
+SQL string that both Spark (via F.expr) and the DuckDB oracle parse
+into the same arithmetic DAG. Same expression tree + correctly-rounded
+ops = bit-identical doubles on ANY IEEE engine. The ~1e-10
+approximation error vs true ln is irrelevant: both engines make the
+SAME error, and the polynomial *defines* the operator.
+
+pln(k) — natural log of a positive BIGINT expression:
+    e = length(bin(k)) - 1            (floor(log2 k), exact via the
+                                       binary-string trick; both
+                                       engines' bin() render BIGINT
+                                       as minimal binary digits)
+    m = k / 2^e  in [1, 2)            (2^e via BIGINT << — exact)
+    z = (m-1)/(m+1)  in [0, 1/3)
+    ln k = e*LN2 + 2z*(1 + z^2/3 + z^4/5 + ... + z^16/17)
+    truncation error <= 2*(1/3)^19/19 ~ 9.1e-11.
+
+pexp(x) — e^x for |x| <= ~85 (beyond that it saturates identically on
+both engines — callers must keep semantic inputs in range):
+    n = round(x / LN2)  (floor form), r = x - n*LN2, |r| <= 0.3466
+    e^x = 2^a * 2^b * P(r),  a = clamp(n, ±62), b = n - a
+    P(r) = Taylor to r^11/11!, truncation error ~ 6e-15.
+
+Both dialect primitives were verified identical on Spark 4.1 and
+DuckDB: length(bin(CAST(k AS BIGINT))), CAST(1 AS BIGINT) << e,
+floor, GREATEST/LEAST, CASE WHEN, arithmetic and casts.
+
+Usage pattern: stage the integer argument as a plain CTE/withColumn
+column first (the argument snippet is textually repeated ~17x), then
+splice pln("col") verbatim into BOTH the oracle SQL f-string and
+F.expr(...) on the Spark side, so the two surfaces cannot drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+# Shortest-exact reprs; these literals ARE the semantics.
+LN2 = repr(math.log(2.0))  # 0.6931471805599453
+LOG2E = repr(1.0 / math.log(2.0))  # 1.4426950408889634
+
+# atanh-series coefficients 1/(2i+1), i = 1..8
+_LN_COEFFS = [repr(1.0 / k) for k in (3, 5, 7, 9, 11, 13, 15, 17)]
+# exp Taylor coefficients 1/k!, k = 2..11
+_EXP_COEFFS = [repr(1.0 / math.factorial(k)) for k in range(2, 12)]
+
+
+def pln(k: str) -> str:
+    """SQL for ln(k), k a positive-BIGINT expression (ideally a bare
+    column name — it is repeated many times in the expansion)."""
+    e = f"(length(bin(CAST({k} AS BIGINT))) - 1)"
+    p2 = f"CAST(CAST(1 AS BIGINT) << {e} AS DOUBLE)"
+    m = f"(CAST({k} AS DOUBLE) / {p2})"
+    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    zz = f"({z} * {z})"
+    # Horner over z^2: 2z*(1 + zz*(1/3 + zz*(1/5 + ...)))
+    acc = _LN_COEFFS[-1]
+    for c in reversed(_LN_COEFFS[:-1]):
+        acc = f"({c} + {zz} * {acc})"
+    poly = f"(2.0 * {z} * (1.0 + {zz} * {acc}))"
+    return f"(CAST({e} AS DOUBLE) * {LN2} + {poly})"
+
+
+def pln_ratio(a: str, b: str) -> str:
+    """SQL for ln(a/b) of two positive-BIGINT expressions, defined as
+    pln(a) - pln(b) (the definition; NOT ln of the double quotient)."""
+    return f"({pln(a)} - {pln(b)})"
+
+
+def pexp(x: str) -> str:
+    """SQL for e^x, x a DOUBLE expression (ideally a bare column name).
+    Valid (non-saturating) for |x| <= ~85; both engines saturate the
+    same way outside."""
+    n = f"CAST(floor(({x}) * {LOG2E} + 0.5) AS BIGINT)"
+    r = f"(({x}) - CAST({n} AS DOUBLE) * {LN2})"
+    a = f"GREATEST(CAST(-62 AS BIGINT), LEAST(CAST(62 AS BIGINT), {n}))"
+    b = f"({n} - {a})"
+    pow2a = _pow2(a)
+    pow2b = _pow2(b)
+    # Taylor Horner: 1 + r*(1 + r*(1/2 + r*(1/6 + ...)))
+    acc = _EXP_COEFFS[-1]
+    for c in reversed(_EXP_COEFFS[:-1]):
+        acc = f"({c} + {r} * {acc})"
+    poly = f"(1.0 + {r} * (1.0 + {r} * {acc}))"
+    return f"(({pow2a} * {pow2b}) * {poly})"
+
+
+def _pow2(m: str) -> str:
+    """SQL for 2^m, m a BIGINT expression in [-62, 62]."""
+    return (
+        f"(CASE WHEN {m} >= 0 THEN CAST(CAST(1 AS BIGINT) << {m} AS DOUBLE) "
+        f"ELSE 1.0 / CAST(CAST(1 AS BIGINT) << (0 - {m}) AS DOUBLE) END)"
+    )
