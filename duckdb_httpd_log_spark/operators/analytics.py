@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.portable import dlit, pexp, pln, pln_ratio
 from ..plans.registry import fround, register, table
+
+# Portable-transcendental snippets (plans/portable.py): spliced
+# verbatim into BOTH the oracle SQL and F.expr so neither engine's
+# libm can reach a hashed output.
+_PLN_C = pln("c")
+_PLN_N = pln("n")
 
 # ---------------------------------------------------------------------------
 # Good-Turing frequency-of-frequencies — the smoothing table every
@@ -284,12 +291,12 @@ USER_ENTROPY_TOP = 100
     ),
     agg AS (
         SELECT user_id, sum(c) AS n, count(*) AS n_types,
-               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
+               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY user_id
     )
     SELECT user_id, n AS n_events, n_types,
-           floor((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
+           floor(({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS type_entropy
     FROM agg
     ORDER BY type_entropy DESC, user_id
@@ -301,13 +308,13 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
     cd = F.col("c").cast("double")
-    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("user_id").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("n_types"),
         F.sum(term6).alias("s6"),
     )
-    entropy = F.log(F.col("n").cast("double")) - (
+    entropy = F.expr(_PLN_N) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return (
@@ -439,6 +446,17 @@ PSI_MAX_BIN = 12
 PSI_REF_SOURCE = "src0"
 
 
+def _psi_t8(a: str, n1: str, b: str, n2: str) -> str:
+    """Per-bin PSI term (p - q) * ln(p/q) quantized to a 1e-8-scaled
+    BIGINT, from INTEGER smoothed counts a/n1 (source) and b/n2 (ref):
+    ln(p/q) = (pln(a) + pln(n2)) - (pln(b) + pln(n1)) — portable ln of
+    integers only, identical op DAG on both engines."""
+    p = f"(CAST({a} AS DOUBLE) / {n1})"
+    q = f"(CAST({b} AS DOUBLE) / {n2})"
+    lnpq = f"(({pln(a)} + {pln(n2)}) - ({pln(b)} + {pln(n1)}))"
+    return f"CAST(floor(((({p} - {q}) * {lnpq}) * 100000000.0) + 0.5) AS BIGINT)"
+
+
 @register(
     "drift_psi_chars",
     f"""
@@ -455,16 +473,16 @@ PSI_REF_SOURCE = "src0"
     ),
     smoothed AS (
         SELECT sp.source, sp.bin,
-               (CAST(coalesce(c.c, 0) + 1 AS DOUBLE))
-                   / (t.n + {PSI_MAX_BIN + 1}) AS p
+               CAST(coalesce(c.c, 0) + 1 AS BIGINT) AS a,
+               CAST(t.n + {PSI_MAX_BIN + 1} AS BIGINT) AS n1
         FROM spine sp
         LEFT JOIN counts c ON sp.source = c.source AND sp.bin = c.bin
         JOIN tot t ON sp.source = t.source
     ),
-    ref AS (SELECT bin, p AS q FROM smoothed WHERE source = '{PSI_REF_SOURCE}'),
+    ref AS (SELECT bin, a AS b, n1 AS n2 FROM smoothed WHERE source = '{PSI_REF_SOURCE}'),
     terms AS (
         SELECT s.source,
-               CAST(floor(((s.p - r.q) * ln(s.p / r.q) * 100000000.0) + 0.5) AS BIGINT) AS t8
+               {_psi_t8('s.a', 's.n1', 'r.b', 'r.n2')} AS t8
         FROM smoothed s JOIN ref r ON s.bin = r.bin
         WHERE s.source <> '{PSI_REF_SOURCE}'
     )
@@ -500,23 +518,18 @@ def drift_psi_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "bin",
-            (
-                (F.coalesce("c", F.lit(0)) + 1).cast("double")
-                / (F.col("n") + F.lit(PSI_MAX_BIN + 1))
-            ).alias("p"),
+            (F.coalesce("c", F.lit(0)) + 1).cast("long").alias("a"),
+            (F.col("n") + F.lit(PSI_MAX_BIN + 1)).cast("long").alias("n1"),
         )
         .localCheckpoint(eager=False)
     )
     ref = smoothed.filter(F.col("source") == PSI_REF_SOURCE).select(
-        "bin", F.col("p").alias("q")
+        "bin", F.col("a").alias("b"), F.col("n1").alias("n2")
     )
-    t8 = fround(
-        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * F.lit(100000000.0)
-    ).cast("long")
     terms = (
         smoothed.filter(F.col("source") != PSI_REF_SOURCE)
         .join(F.broadcast(ref), "bin")
-        .select("source", t8.alias("t8"))
+        .select("source", F.expr(_psi_t8("a", "n1", "b", "n2")).alias("t8"))
     )
     return (
         terms.groupBy("source")
@@ -957,7 +970,7 @@ TFIDF_PAIR_TOP = 50
     df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
     wts AS (
         SELECT t.doc_id, t.w,
-               CAST(floor((t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 10000.0) + 0.5) AS BIGINT) AS w4
+               CAST(floor((t.tf * ({pln_ratio('n.n', 'd.df')}) * 10000.0) + 0.5) AS BIGINT) AS w4
         FROM tf t JOIN df d ON t.w = d.w, n_docs n
         WHERE d.df <= {TFIDF_DF_CAP}
     ),
@@ -1000,7 +1013,7 @@ def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     w4 = fround(
-        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * F.lit(10000.0)
+        F.col("tf") * F.expr(pln_ratio("n", "df")) * F.lit(10000.0)
     ).cast("long")
     # lazy checkpoint: wts feeds norms and BOTH pair-join sides; without
     # it the tokenize + two hash aggs re-run three times (12 parquet
@@ -1133,7 +1146,7 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "events_markov_entropy",
-    """
+    f"""
     WITH seq AS (
         SELECT event_type AS cur,
                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
@@ -1142,13 +1155,13 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
     agg AS (
         SELECT cur, sum(c) AS n,
-               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
+               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY cur
     ),
     pertype AS (
         SELECT cur, n,
-               CAST(floor(((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
+               CAST(floor((({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
                           * 10000.0) + 0.5) AS BIGINT) AS h4
         FROM agg
     )
@@ -1170,11 +1183,11 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
     cd = F.col("c").cast("double")
-    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("cur").agg(F.sum("c").alias("n"), F.sum(term6).alias("s6"))
     h4 = fround(
         (
-            F.log(F.col("n").cast("double"))
+            F.expr(_PLN_N)
             - (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n")
         )
         * F.lit(10000.0)
@@ -1611,7 +1624,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "emb_cluster_purity",
-    """
+    f"""
     WITH b AS (
         SELECT CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
                     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
@@ -1623,7 +1636,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY bucket, label),
     agg AS (
         SELECT bucket, sum(c) AS n, max(c) AS maxc,
-               sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
+               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM ct GROUP BY bucket
     ),
@@ -1636,7 +1649,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.bucket, a.n AS n_vecs, m.majority_label,
            CAST(floor((CAST(a.maxc AS DOUBLE) * 1000000.0 / a.n) + 0.5) AS BIGINT)
                / 1000000.0 AS majority_share,
-           floor((ln(CAST(a.n AS DOUBLE)) - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n) * 1e4 + 0.5) / 1e4
+           floor(({pln('a.n')} - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n) * 1e4 + 0.5) / 1e4
                AS label_entropy
     FROM agg a JOIN maj m ON a.bucket = m.bucket
     ORDER BY a.bucket
@@ -1659,7 +1672,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds agg AND the majority pick
     )
     cd = F.col("c").cast("double")
-    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
     agg = ct.groupBy("bucket").agg(
         F.sum("c").alias("n"), F.max("c").alias("maxc"), F.sum(term6).alias("s6")
     )
@@ -1673,7 +1686,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
-    entropy = F.log(F.col("n").cast("double")) - (
+    entropy = F.expr(_PLN_N) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return (
@@ -2505,6 +2518,14 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECAY_WINDOW_US = 24 * 3600 * 1_000_000
 DECAY_HALFLIFE_US = 6 * 3600 * 1_000_000
 _LN2 = 0.6931471805599453
+# decay exponent per µs of touch age, pre-folded to one pinned DOUBLE
+# literal so the weight is exp(-d_us * RATE): one int->double cast, one
+# multiply, then the portable exp polynomial — no libm on either engine
+_DECAY_RATE = dlit(_LN2 / DECAY_HALFLIFE_US)
+_DECAY_W6 = (
+    f"CAST(floor(({pexp(f'(0.0e0 - (CAST(d_us AS DOUBLE) * {_DECAY_RATE}))')}"
+    f" * 1000000.0) + 0.5) AS BIGINT)"
+)
 
 
 @register(
@@ -2529,16 +2550,19 @@ _LN2 = 0.6931471805599453
     ),
     matched AS (
         SELECT pr.user_id, pr.event_id, pr.cents, t.event_type AS channel,
-               CAST(floor((exp(-(CAST(pr.p_us - t.t_us AS DOUBLE) * {_LN2}
-                               / {DECAY_HALFLIFE_US})) * 1000000.0) + 0.5) AS BIGINT) AS w6
+               pr.p_us - t.t_us AS d_us
         FROM probe pr
         JOIN touches t ON t.user_id = pr.user_id AND t.bin = pr.bin
         WHERE t.t_us < pr.p_us AND pr.p_us - t.t_us <= {DECAY_WINDOW_US}
     ),
+    weighted AS (
+        SELECT user_id, event_id, cents, channel, {_DECAY_W6} AS w6
+        FROM matched
+    ),
     per_purchase AS (
         SELECT user_id, event_id, cents, channel, sum(w6) AS wc,
                sum(sum(w6)) OVER (PARTITION BY user_id, event_id) AS wt
-        FROM matched
+        FROM weighted
         GROUP BY user_id, event_id, cents, channel
     ),
     credited AS (
@@ -2579,23 +2603,20 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    w6 = fround(
-        F.exp(
-            -(
-                (F.col("p_us") - F.col("t_us")).cast("double")
-                * F.lit(_LN2)
-                / F.lit(float(DECAY_HALFLIFE_US))
-            )
-        )
-        * F.lit(1000000.0)
-    ).cast("long")
     matched = (
         probe.join(touches, ["user_id", "bin"])
         .filter(
             (F.col("t_us") < F.col("p_us"))
             & (F.col("p_us") - F.col("t_us") <= DECAY_WINDOW_US)
         )
-        .select("user_id", "event_id", "cents", "channel", w6.alias("w6"))
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            "channel",
+            (F.col("p_us") - F.col("t_us")).alias("d_us"),
+        )
+        .select("user_id", "event_id", "cents", "channel", F.expr(_DECAY_W6).alias("w6"))
     )
     wp = Window.partitionBy("user_id", "event_id")
     per_purchase = (

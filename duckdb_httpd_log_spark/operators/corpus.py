@@ -28,7 +28,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.portable import LN2, pln
 from ..plans.registry import fround, REGISTRY, register, table
+
+# Portable-ln snippets (plans/portable.py) spliced verbatim into both
+# the oracle SQL and F.expr — no libm reaches a hashed output.
+_PLN_C = pln("c")
+_PLN_RK = pln("rk")
 from . import dedup as _dedup
 
 # ---------------------------------------------------------------------------
@@ -294,11 +300,11 @@ ZIPF_TOP_RANKS = 500
     ),
     terms AS (
         SELECT source,
-               CAST(floor((ln(CAST(rk AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS x6,
-               CAST(floor((ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS y6,
-               CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
+               CAST(floor(({_PLN_RK} * 1000000.0) + 0.5) AS BIGINT) AS x6,
+               CAST(floor(({_PLN_C} * 1000000.0) + 0.5) AS BIGINT) AS y6,
+               CAST(floor(({_PLN_RK} * {_PLN_C} * 1000000.0) + 0.5)
                     AS BIGINT) AS xy6,
-               CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1000000.0) + 0.5)
+               CAST(floor(({_PLN_RK} * {_PLN_RK} * 1000000.0) + 0.5)
                     AS BIGINT) AS xx6
         FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}
     )
@@ -324,8 +330,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tc.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= ZIPF_TOP_RANKS
     )
-    x = F.log(F.col("rk").cast("double"))
-    y = F.log(F.col("c").cast("double"))
+    x = F.expr(_PLN_RK)
+    y = F.expr(_PLN_C)
     m = F.lit(1000000.0)
     terms = ranked.select(
         "source",
@@ -825,6 +831,17 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_EPSILON = 1.0
 DP_SALT = "dp-release-1:"
 
+# Laplace inverse-CDF noise from the integer hash draw v in [0, 2^32):
+# u = (v + 0.5)/2^32, so 2u = (2v+1)/2^32 and 2(1-u) = (2^33-(2v+1))/2^32
+# — both ODD INTEGER numerators, so ln goes through the portable
+# integer form: ln(num) - 32 ln2 (32*LN2 is exact: a power-of-two
+# scaling of the literal). No libm on either engine.
+_DP_NOISE = (
+    f"(CASE WHEN v < 2147483648 "
+    f"THEN ({pln('(2 * v + 1)')} - 32.0 * {LN2}) / {DP_EPSILON} "
+    f"ELSE (0.0e0 - ({pln('(8589934592 - (2 * v + 1))')} - 32.0 * {LN2})) / {DP_EPSILON} END)"
+)
+
 
 @register(
     "dp_noisy_counts",
@@ -836,18 +853,13 @@ DP_SALT = "dp-release-1:"
     ),
     drawn AS (
         SELECT source, n_docs, n_chars_total,
-               (('0x' || substr(md5('{DP_SALT}' || source), 1, 8))::BIGINT + 0.5)
-                   / 4294967296.0 AS u
+               ('0x' || substr(md5('{DP_SALT}' || source), 1, 8))::BIGINT AS v
         FROM base
     )
     SELECT source,
-           floor((n_docs + CASE WHEN u < 0.5
-                               THEN ln(2.0 * u) / {DP_EPSILON}
-                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END) * 1e4 + 0.5) / 1e4
+           floor((n_docs + {_DP_NOISE}) * 1e4 + 0.5) / 1e4
                AS noisy_n_docs,
-           floor((n_chars_total + CASE WHEN u < 0.5
-                               THEN ln(2.0 * u) / {DP_EPSILON}
-                               ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON} END) * 1e4 + 0.5) / 1e4
+           floor((n_chars_total + {_DP_NOISE}) * 1e4 + 0.5) / 1e4
                AS noisy_n_chars
     FROM drawn
     ORDER BY source
@@ -865,12 +877,8 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    u = (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    noise = (
-        F.when(u < 0.5, F.log(F.lit(2.0) * u) / F.lit(DP_EPSILON))
-        .otherwise(-F.log(F.lit(2.0) * (F.lit(1.0) - u)) / F.lit(DP_EPSILON))
-    )
-    return base.select(
+    noise = F.expr(_DP_NOISE)
+    return base.withColumn("v", v).select(
         "source",
         fround(F.col("n_docs") + noise, 4).alias("noisy_n_docs"),
         fround(F.col("n_chars_total") + noise, 4).alias("noisy_n_chars"),
@@ -2681,6 +2689,15 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 KL_VOCAB_K = 1000
 
+# per-term smoothed KL contribution p*ln(p/q) from INTEGER numerators/
+# denominators (a/n1 = corpus, b/n2 = source): ln(p/q) =
+# (pln(a) + pln(n2)) - (pln(b) + pln(n1)) — portable ln only
+_KL_T9 = (
+    f"CAST(floor((((CAST(a AS DOUBLE) / n1)"
+    f" * (({pln('a')} + {pln('n2')}) - ({pln('b')} + {pln('n1')})))"
+    f" * 1000000000.0) + 0.5) AS BIGINT)"
+)
+
 
 @register(
     "text_kl_divergence",
@@ -2701,18 +2718,19 @@ KL_VOCAB_K = 1000
         GROUP BY t.source, v.w
     ),
     src_tot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM src GROUP BY source),
-    terms AS (
+    staged AS (
         SELECT s.source,
-               CAST(floor((((v.c_all + 1.0) / (nv.n_all + nv.k))
-                 * ln(((v.c_all + 1.0) / (nv.n_all + nv.k))
-                      / ((coalesce(s2.c_src, 0) + 1.0) / (st.n_src + nv.k)))
-                 * 1000000000.0) + 0.5) AS BIGINT) AS t9
+               CAST(v.c_all + 1 AS BIGINT) AS a,
+               CAST(nv.n_all + nv.k AS BIGINT) AS n1,
+               CAST(coalesce(s2.c_src, 0) + 1 AS BIGINT) AS b,
+               CAST(st.n_src + nv.k AS BIGINT) AS n2
         FROM src_tot st
         CROSS JOIN vocab v
         CROSS JOIN nv
         JOIN (SELECT DISTINCT source FROM src) s ON s.source = st.source
         LEFT JOIN src s2 ON s2.source = st.source AND s2.w = v.w
-    )
+    ),
+    terms AS (SELECT source, {_KL_T9} AS t9 FROM staged)
     SELECT source,
            CAST(sum(t9) AS BIGINT) / 1000000000.0 AS kl_corpus_vs_source
     FROM terms
@@ -2745,12 +2763,15 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_tot = src.groupBy("source").agg(F.sum("c_src").cast("long").alias("n_src"))
     grid = src_tot.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(nv))
-    joined = grid.join(src, ["source", "w"], "left")
-    p = (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.col("k"))
-    q = (F.coalesce(F.col("c_src"), F.lit(0)) + F.lit(1.0)) / (F.col("n_src") + F.col("k"))
-    t9 = fround(p * F.log(p / q) * F.lit(1000000000.0)).cast("long")
+    joined = grid.join(src, ["source", "w"], "left").select(
+        "source",
+        (F.col("c_all") + 1).cast("long").alias("a"),
+        (F.col("n_all") + F.col("k")).cast("long").alias("n1"),
+        (F.coalesce(F.col("c_src"), F.lit(0)) + 1).cast("long").alias("b"),
+        (F.col("n_src") + F.col("k")).cast("long").alias("n2"),
+    )
     return (
-        joined.select("source", t9.alias("t9"))
+        joined.select("source", F.expr(_KL_T9).alias("t9"))
         .groupBy("source")
         .agg((F.sum("t9").cast("long") / F.lit(1000000000.0)).alias("kl_corpus_vs_source"))
         .orderBy("source")
@@ -3395,9 +3416,15 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term quantizes to a scaled BIGINT before the corpus-wide integer
 # sum; ONE final division by the bigram total.
 # ---------------------------------------------------------------------------
+_ER_T6 = (
+    f"CAST(floor((((0 - c12) * ({pln('c12')} - {pln('c1')}))"
+    f" * 1000000.0) + 0.5) AS BIGINT)"
+)
+
+
 @register(
     "text_entropy_rate",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     bg AS (
         SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
@@ -3409,10 +3436,11 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
     tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bc),
-    terms AS (
-        SELECT CAST(floor((-b.c12 * ln(b.c12 * 1.0 / u.c1) * 1000000.0) + 0.5) AS BIGINT) AS t6
+    staged AS (
+        SELECT b.c12 AS c12, u.c1 AS c1
         FROM bc b JOIN uc u ON b.w1 = u.w1
-    )
+    ),
+    terms AS (SELECT {_ER_T6} AS t6 FROM staged)
     SELECT t.n_bigrams,
            floor(((CAST(sum(m.t6) AS DOUBLE) / 1000000.0) / t.n_bigrams) * 1e4 + 0.5) / 1e4
                AS entropy_rate_nats
@@ -3438,10 +3466,7 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     tot = bc.agg(F.sum("c12").cast("long").alias("n_bigrams"))
-    t6 = fround(
-        -F.col("c12") * F.log(F.col("c12") * F.lit(1.0) / F.col("c1")) * F.lit(1000000.0)
-    ).cast("long")
-    terms = bc.join(uc, "w1").select(t6.alias("t6"))
+    terms = bc.join(uc, "w1").select(F.expr(_ER_T6).alias("t6"))
     return (
         terms.agg(F.sum("t6").alias("s6"))
         .crossJoin(F.broadcast(tot))
@@ -3579,11 +3604,11 @@ HEAPS_RUNGS = 10
         FROM rungs r
     ),
     terms AS (
-        SELECT CAST(floor((ln(CAST(n_stream AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS x6,
-               CAST(floor((ln(CAST(v_vocab AS DOUBLE)) * 1000000.0) + 0.5) AS BIGINT) AS y6,
-               CAST(floor((ln(CAST(n_stream AS DOUBLE)) * ln(CAST(v_vocab AS DOUBLE))
+        SELECT CAST(floor(({pln('n_stream')} * 1000000.0) + 0.5) AS BIGINT) AS x6,
+               CAST(floor(({pln('v_vocab')} * 1000000.0) + 0.5) AS BIGINT) AS y6,
+               CAST(floor(({pln('n_stream')} * {pln('v_vocab')}
                           * 1000000.0) + 0.5) AS BIGINT) AS xy6,
-               CAST(floor((ln(CAST(n_stream AS DOUBLE)) * ln(CAST(n_stream AS DOUBLE))
+               CAST(floor(({pln('n_stream')} * {pln('n_stream')}
                           * 1000000.0) + 0.5) AS BIGINT) AS xx6
         FROM points WHERE n_stream > 0 AND v_vocab > 0
     )
@@ -3630,8 +3655,8 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = n_pts.join(v_pts, "rung").filter(
         (F.col("n_stream") > 0) & (F.col("v_vocab") > 0)
     )
-    x = F.log(F.col("n_stream").cast("double"))
-    y = F.log(F.col("v_vocab").cast("double"))
+    x = F.expr(pln("n_stream"))
+    y = F.expr(pln("v_vocab"))
     m = F.lit(1000000.0)
     terms = points.select(
         fround(x * m).cast("long").alias("x6"),

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.portable import LN2, pexp, pln, pln_ratio
 from ..plans.registry import fround, register, table
+
+# Shared portable-transcendental snippets (see plans/portable.py): each
+# is ONE SQL string spliced verbatim into BOTH the oracle SQL and the
+# Spark plan via F.expr, so the two surfaces cannot diverge by a libm
+# ulp. The polynomial IS the operator's semantics.
+_PLN_C = pln("c")
+_PLN_N = pln("n")
 
 # tiny deterministic stopword lists for the n-gram language heuristic
 STOPWORDS = {
@@ -856,7 +864,7 @@ TFIDF_TOP = 3
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               floor((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1e4 + 0.5) / 1e4 AS tfidf
+               floor((tf.tf * (({pln_ratio('(n.n_docs + 1)', '(df.df + 1)')}) + 1.0)) * 1e4 + 0.5) / 1e4 AS tfidf
         FROM tf JOIN df USING (term), n
     )
     SELECT doc_id, term, tfidf
@@ -884,12 +892,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # driver-side scalar: one tiny count job
+    idf = F.expr(pln_ratio(f"({n_docs} + 1)", "(df + 1)"))
     scored = tf.join(F.broadcast(df_counts), "term").select(
         "doc_id",
         "term",
-        fround(
-            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
-        ).alias("tfidf"),
+        fround(F.col("tf") * (idf + F.lit(1.0)), 4).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -912,6 +919,17 @@ PMI_MIN_COUNT = 5
 PMI_TOP = 50
 
 
+def _pmi_pln(c_ab: str, n_uni: str, n_bi: str, c_a: str, c_b: str) -> str:
+    """PMI as a pinned left-associated sum/difference of portable lns:
+    ln(c_ab) + 2 ln(n_uni) - ln(n_bi) - ln(c_a) - ln(c_b). Called with
+    each surface's local column names; the STRUCTURE is identical, so
+    both engines evaluate the same correctly-rounded op DAG."""
+    return (
+        f"((((({pln(c_ab)} + {pln(n_uni)}) + {pln(n_uni)})"
+        f" - {pln(n_bi)}) - {pln(c_a)}) - {pln(c_b)})"
+    )
+
+
 @register(
     "token_bigram_pmi",
     f"""
@@ -925,8 +943,7 @@ PMI_TOP = 50
     ucnt AS (SELECT w, count(*) AS c_w FROM uc GROUP BY w),
     tot AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bi, (SELECT sum(c_w) FROM ucnt) AS n_uni)
     SELECT b.bigram, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
-           floor((ln(((CAST(b.c_ab AS DOUBLE) * t.n_uni) * t.n_uni)
-                    / ((CAST(t.n_bi AS DOUBLE) * ua.c_w) * ub.c_w))) * 1e4 + 0.5) / 1e4 AS pmi
+           floor(({_pmi_pln('b.c_ab', 't.n_uni', 't.n_bi', 'ua.c_w', 'ub.c_w')}) * 1e4 + 0.5) / 1e4 AS pmi
     FROM bc b
     CROSS JOIN tot t
     JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1]
@@ -969,13 +986,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
     )
-    pmi = fround(
-        F.log(
-            ((F.col("c_ab").cast("double") * F.col("n_uni")) * F.col("n_uni"))
-            / ((F.col("n_bi").cast("double") * F.col("c_a")) * F.col("c_b"))
-        ),
-        4,
-    )
+    pmi = fround(F.expr(_pmi_pln("c_ab", "n_uni", "n_bi", "c_a", "c_b")), 4)
     return (
         scored.select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "bigram")
@@ -996,15 +1007,15 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "text_token_entropy",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
     agg AS (SELECT doc_id, sum(c) AS n,
-                   sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) + 0.5)
+                   sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                             AS BIGINT)) AS s6
             FROM tc GROUP BY doc_id)
     SELECT doc_id, n AS n_tokens,
-           floor((ln(CAST(n AS DOUBLE)) - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
+           floor(({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS token_entropy
     FROM agg
     ORDER BY doc_id
@@ -1019,12 +1030,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cd = F.col("c").cast("double")
-    term6 = fround(cd * F.log(cd) * F.lit(1000000.0)).cast("long")
+    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
     agg = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.sum(term6).alias("s6"),
     )
-    entropy = F.log(F.col("n").cast("double")) - (
+    entropy = F.expr(_PLN_N) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return agg.select(
@@ -1057,7 +1068,7 @@ WSAMPLE_SALT = "wsample:"
         WHERE n_chars > 0
     )
     SELECT doc_id, lang, n_chars,
-           floor((-ln(CAST(v + 1 AS DOUBLE) / 4294967296.0) / n_chars) * 1e8 + 0.5) / 1e8 AS priority
+           floor((((32.0 * {LN2} - {pln("(v + 1)")}) / n_chars)) * 1e8 + 0.5) / 1e8 AS priority
     FROM keyed
     ORDER BY priority, doc_id
     LIMIT {WSAMPLE_K}
@@ -1075,10 +1086,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    u = (v + F.lit(1)).cast("double") / F.lit(4294967296.0)
-    priority = fround(-F.log(u) / F.col("n_chars"), 8)
+    # -ln((v+1)/2^32) = 32 ln2 - ln(v+1), via the portable form so both
+    # engines compute bit-identical priorities (v+1 >= 1 always)
+    priority = fround(
+        F.expr(f"(((32.0 * {LN2} - {pln('(v + 1)')}) / n_chars))"), 8
+    )
     return (
         docs.filter(F.col("n_chars") > 0)
+        .withColumn("v", v)
         .select("doc_id", "lang", "n_chars", priority.alias("priority"))
         .orderBy("priority", "doc_id")
         .limit(WSAMPLE_K)
@@ -1094,9 +1109,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count tables are exactly the "LM stats" artifact a pipeline would
 # snapshot and broadcast.
 # ---------------------------------------------------------------------------
+_LM_AVG = "((CAST(s6 AS DOUBLE) / 1000000.0) / n_bigrams)"
+
+
 @register(
     "text_lm_score",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     bg AS (
         SELECT doc_id,
@@ -1108,16 +1126,16 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
     scored AS (
         SELECT g.doc_id,
-               CAST(floor((ln(CAST(c.c_ab AS DOUBLE) / u.c_w) * 1000000.0) + 0.5) AS BIGINT) AS lp6
+               CAST(floor((({pln_ratio('c.c_ab', 'u.c_w')}) * 1000000.0) + 0.5) AS BIGINT) AS lp6
         FROM bg g
         JOIN bc c USING (bigram)
         JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]
-    )
-    SELECT doc_id, count(*) AS n_bigrams,
-           floor(((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob,
-           floor((exp(-((CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)))) * 1e4 + 0.5) / 1e4 AS ppl
-    FROM scored
-    GROUP BY doc_id
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6 FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           floor(({_LM_AVG}) * 1e4 + 0.5) / 1e4 AS avg_logprob,
+           floor(({pexp(f'(0.0 - {_LM_AVG})')}) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM agg
     ORDER BY doc_id
     """,
     "per-doc bigram-LM score + perplexity proxy under corpus MLE counts",
@@ -1147,25 +1165,22 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division pinned identically in the oracle SQL (same discipline as
     # text_token_entropy — a double sum(lp) flips round(,4) on boundary
     # docs between engines).
-    lp6 = fround(
-        F.log(F.col("c_ab").cast("double") / F.col("c_w")) * F.lit(1000000.0)
-    ).cast("long")
+    lp6 = fround(F.expr(pln_ratio("c_ab", "c_w")) * F.lit(1000000.0)).cast("long")
     scored = (
         bg.join(bc, "bigram")
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .join(uc, "w1")
         .select("doc_id", lp6.alias("lp6"))
     )
-    avg_lp = (F.sum("lp6").cast("double") / F.lit(1000000.0)) / F.count(F.lit(1))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            fround(avg_lp, 4).alias("avg_logprob"),
-            fround(F.exp(-avg_lp), 4).alias("ppl"),
-        )
-        .orderBy("doc_id")
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("s6")
     )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        fround(F.expr(_LM_AVG), 4).alias("avg_logprob"),
+        fround(F.expr(pexp(f"(0.0 - {_LM_AVG})")), 4).alias("ppl"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -48,14 +48,24 @@ from __future__ import annotations
 
 import math
 
+
+def dlit(x: float) -> str:
+    """Shortest-exact DOUBLE literal. The exponent suffix matters:
+    DuckDB parses bare decimal literals as DECIMAL (where literal *
+    literal arithmetic overflows and promotion rules differ), while
+    e-notation literals are DOUBLE in both engines."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 # Shortest-exact reprs; these literals ARE the semantics.
-LN2 = repr(math.log(2.0))  # 0.6931471805599453
-LOG2E = repr(1.0 / math.log(2.0))  # 1.4426950408889634
+LN2 = dlit(math.log(2.0))  # 0.6931471805599453e0
+LOG2E = dlit(1.0 / math.log(2.0))  # 1.4426950408889634e0
 
 # atanh-series coefficients 1/(2i+1), i = 1..8
-_LN_COEFFS = [repr(1.0 / k) for k in (3, 5, 7, 9, 11, 13, 15, 17)]
+_LN_COEFFS = [dlit(1.0 / k) for k in (3, 5, 7, 9, 11, 13, 15, 17)]
 # exp Taylor coefficients 1/k!, k = 2..11
-_EXP_COEFFS = [repr(1.0 / math.factorial(k)) for k in range(2, 12)]
+_EXP_COEFFS = [dlit(1.0 / math.factorial(k)) for k in range(2, 12)]
 
 
 def pln(k: str) -> str:
@@ -64,13 +74,13 @@ def pln(k: str) -> str:
     e = f"(length(bin(CAST({k} AS BIGINT))) - 1)"
     p2 = f"CAST(CAST(1 AS BIGINT) << {e} AS DOUBLE)"
     m = f"(CAST({k} AS DOUBLE) / {p2})"
-    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    z = f"(({m} - 1.0e0) / ({m} + 1.0e0))"
     zz = f"({z} * {z})"
     # Horner over z^2: 2z*(1 + zz*(1/3 + zz*(1/5 + ...)))
     acc = _LN_COEFFS[-1]
     for c in reversed(_LN_COEFFS[:-1]):
         acc = f"({c} + {zz} * {acc})"
-    poly = f"(2.0 * {z} * (1.0 + {zz} * {acc}))"
+    poly = f"(2.0e0 * {z} * (1.0e0 + {zz} * {acc}))"
     return f"(CAST({e} AS DOUBLE) * {LN2} + {poly})"
 
 
@@ -84,7 +94,7 @@ def pexp(x: str) -> str:
     """SQL for e^x, x a DOUBLE expression (ideally a bare column name).
     Valid (non-saturating) for |x| <= ~85; both engines saturate the
     same way outside."""
-    n = f"CAST(floor(({x}) * {LOG2E} + 0.5) AS BIGINT)"
+    n = f"CAST(floor(({x}) * {LOG2E} + 0.5e0) AS BIGINT)"
     r = f"(({x}) - CAST({n} AS DOUBLE) * {LN2})"
     a = f"GREATEST(CAST(-62 AS BIGINT), LEAST(CAST(62 AS BIGINT), {n}))"
     b = f"({n} - {a})"
@@ -94,7 +104,7 @@ def pexp(x: str) -> str:
     acc = _EXP_COEFFS[-1]
     for c in reversed(_EXP_COEFFS[:-1]):
         acc = f"({c} + {r} * {acc})"
-    poly = f"(1.0 + {r} * (1.0 + {r} * {acc}))"
+    poly = f"(1.0e0 + {r} * (1.0e0 + {r} * {acc}))"
     return f"(({pow2a} * {pow2b}) * {poly})"
 
 
@@ -102,5 +112,5 @@ def _pow2(m: str) -> str:
     """SQL for 2^m, m a BIGINT expression in [-62, 62]."""
     return (
         f"(CASE WHEN {m} >= 0 THEN CAST(CAST(1 AS BIGINT) << {m} AS DOUBLE) "
-        f"ELSE 1.0 / CAST(CAST(1 AS BIGINT) << (0 - {m}) AS DOUBLE) END)"
+        f"ELSE 1.0e0 / CAST(CAST(1 AS BIGINT) << (0 - {m}) AS DOUBLE) END)"
     )

@@ -44,8 +44,10 @@ def _duck(sql: str, rows, decl: str):
 
 def test_pinned_literals():
     # the literals ARE the semantics; a repr change is a contract change
-    assert LN2 == "0.6931471805599453"
-    assert LOG2E == "1.4426950408889634"
+    # e-notation forces DOUBLE parsing in both engines (bare decimal
+    # literals are DECIMAL in DuckDB, with different promotion rules)
+    assert LN2 == "0.6931471805599453e0"
+    assert LOG2E == "1.4426950408889634e0"
 
 
 def test_pln_bit_identical_across_engines(spark):

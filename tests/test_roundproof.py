@@ -118,41 +118,53 @@ def test_fround_matches_sql_floor_form(spark):
     assert srows == [(a, b) for a, b in orows]
 
 
+# --- libm guard (round 6) ---------------------------------------------------
+# CORRECTNESS_r05 proved floor-form quantization is not enough when the
+# quantized INPUT comes from libm: ln/exp are not correctly rounded, so
+# the driver's engine build can differ by an ulp and flip a boundary.
+# Every transcendental on a hashed surface must go through the pinned
+# polynomial forms in plans/portable.py (pln/pexp — basic IEEE ops
+# only, bit-identical across engines). This scan bans the libm
+# functions outright in oracle SQL and in operator source code.
+# (sqrt is correctly rounded BY SPEC — the cosine family keeps it.)
+
+_LIBM_SQL = re.compile(r"(?<![\w.])(ln|log|log2|log10|log1p|log1{0,2}p?|exp|expm1|pow|power)\s*\(", re.IGNORECASE)
+# Spark-side: F.log/F.exp/F.pow and their expr-string spellings.
+# F.expr( / F.explode( must NOT trip the scan, hence the word boundary.
+_LIBM_PY = re.compile(r"F\.(log|log2|log10|log1p|exp|expm1|pow|power)\(")
+
+
+def test_no_libm_in_oracle_sql():
+    bad = [
+        name
+        for name, qd in REGISTRY.items()
+        if qd.oracle_sql and name not in ALLOWLIST and _LIBM_SQL.search(qd.oracle_sql)
+    ]
+    assert not bad, (
+        f"libm transcendental in oracle SQL of {bad}: use plans/portable.py "
+        f"pln/pexp (pinned polynomial, bit-identical across engines)"
+    )
+
+
+_SQLISH = re.compile(r"SELECT\s|floor\s*\(|CAST\s*\(", re.IGNORECASE)
+
+
+def test_no_libm_in_operator_sources():
+    """Code must not call F.log/F.exp/F.pow; SQL-bearing strings (the
+    oracle SQL and F.expr snippets — identified by SELECT/floor/CAST
+    markers) must not embed libm calls. Docstring PROSE mentioning
+    ln(p/q) is exempt via the SQL-marker requirement."""
+    offenders = []
+    for path in sorted(OPS_DIR.glob("*.py")):
+        for kind, seg in _code_and_string_segments(path.read_text()):
+            if kind == "code" and _LIBM_PY.search(seg):
+                offenders.append(f"{path.name}: {_LIBM_PY.search(seg).group(0)}")
+            elif kind == "string" and _SQLISH.search(seg) and _LIBM_SQL.search(seg):
+                offenders.append(
+                    f"{path.name}: libm {_LIBM_SQL.search(seg).group(0)!r} in string {seg[:60]!r}"
+                )
+    assert not offenders, offenders
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
-
-
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
-def test_transcendental_quantization_margins(sf_dir):
-    """The only engine-dependence left after the floor-form sweep is a
-    transcendental (ln) INSIDE a quantized term: if the oracle host's
-    libm differs from the JVM's by an ulp, a value sitting close enough
-    to a floor boundary could flip. Assert the actual data keeps a wide
-    margin (>=1e-3 of the boundary spacing; observed minimums are 0.03
-    for the inner scaled-integer terms and 2.7e-4*10 for the final
-    1e4 quantization vs ulp-scale perturbations of ~1e-12) so the
-    entropy family is provably immune to cross-build libm variance."""
-    import math
-
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-    )
-    cs = [
-        r[0]
-        for r in con.execute(
-            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),"
-            " tc AS (SELECT doc_id, w, count(*) c FROM toks GROUP BY 1,2)"
-            " SELECT DISTINCT c FROM tc"
-        ).fetchall()
-    ]
-    assert cs
-    for c in cs:
-        x = c * math.log(c) * 1e6 + 0.5
-        frac = x - math.floor(x)
-        dist = min(frac, 1 - frac)
-        # a 1-ulp ln difference perturbs x by ~x*2^-52; demand 4+ orders
-        # of safety margin over that
-        assert dist > 1e4 * math.ulp(x), (c, dist)
