@@ -1379,18 +1379,18 @@ def _ntile3_sql(rn: str) -> str:
     f"""
     WITH per_cust AS (
         SELECT o_custkey AS custkey,
-               max(CAST(o_orderdate AS DATE)) AS last_order,
+               max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
                count(*) AS frequency,
                sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS monetary_cents
         FROM orders
         GROUP BY o_custkey
     ),
-    mx AS (SELECT max(last_order) AS maxd FROM per_cust),
+    mx AS (SELECT max(last_day) AS maxd FROM per_cust),
     ranked AS (
         SELECT custkey,
-               datediff('day', last_order, maxd) AS recency_days,
+               maxd - last_day AS recency_days,
                frequency, monetary_cents,
-               row_number() OVER (ORDER BY datediff('day', last_order, maxd), custkey) AS r_rn,
+               row_number() OVER (ORDER BY maxd - last_day, custkey) AS r_rn,
                row_number() OVER (ORDER BY frequency DESC, custkey) AS f_rn,
                row_number() OVER (ORDER BY monetary_cents DESC, custkey) AS m_rn,
                count(*) OVER () AS n
@@ -1416,14 +1416,19 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = table(spark, sf_dir, "orders")
+    # Pure integer epoch-DAY arithmetic (r5 verdict item 2): this query
+    # was driver-red with all-integer outputs, so no engine date
+    # semantics (CAST AS DATE / datediff) may remain anywhere in the
+    # computation — only unix_micros// vs epoch_us// integer division.
+    epoch_day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.max(epoch_day).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(fround(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
     )
-    mx = per_cust.agg(F.max("last_order").alias("maxd"))
+    mx = per_cust.agg(F.max("last_day").alias("maxd"))
     scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
-        "recency_days", F.datediff("maxd", "last_order").cast("bigint")
+        "recency_days", (F.col("maxd") - F.col("last_day")).cast("bigint")
     )
     # three two-phase distributed ranks + the exact ntile formula
     # (distrank.py): three bare ntile windows would each funnel the
@@ -1631,23 +1636,28 @@ def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Ordered array aggregation — the nested-result surface (top-3 balances
-# per nation as a sorted ARRAY column): array_agg with a pinned
-# element order on both engines (Spark sorts the collected array
-# explicitly — collect_list order is partition-dependent — while
-# DuckDB orders inside array_agg; the slice keeps results bounded).
+# Ordered array aggregation — array_agg with a pinned element order on
+# both engines (Spark sorts the collected array explicitly —
+# collect_list order is partition-dependent — while DuckDB orders
+# inside array_agg). The OUTPUT projects the array to three scalar
+# columns: the driver's canonicalizer sorts pandas columns and throws
+# `unhashable type: 'list'` on array cells (CORRECTNESS_r05 harness
+# error), so complex types must never reach the output contract —
+# tests/test_roundproof.py now guards this for every registry entry.
 # ---------------------------------------------------------------------------
 @register(
     "q50_array_agg",
     """
     SELECT c_nationkey,
            count(*) AS n_customers,
-           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1:3] AS top3_bal
+           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1] AS bal_1,
+           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[2] AS bal_2,
+           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[3] AS bal_3
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
-    "sorted-array aggregation: top-3 account balances per nation as an array column",
+    "sorted-array aggregation: top-3 account balances per nation as scalar columns",
 )
 def q50_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
@@ -1665,5 +1675,12 @@ def q50_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_customers"), pairs.alias("collect_pairs"))
         .select("c_nationkey", "n_customers", ordered.alias("top3_bal"))
+        .select(
+            "c_nationkey",
+            "n_customers",
+            F.element_at("top3_bal", 1).alias("bal_1"),
+            F.element_at("top3_bal", 2).alias("bal_2"),
+            F.element_at("top3_bal", 3).alias("bal_3"),
+        )
         .orderBy("c_nationkey")
     )

@@ -808,13 +808,18 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_mix_weights",
     """
-    WITH c AS (SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
-               FROM documents GROUP BY lang)
+    WITH c AS (SELECT lang, count(*) AS n_docs,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY lang),
+    t AS (SELECT lang, n_docs, n_tokens,
+                 CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+                 CAST(count(*) OVER () AS BIGINT) AS n_langs
+          FROM c)
     SELECT lang, n_docs, n_tokens,
-           floor((CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS doc_frac,
-           floor((CAST(sum(n_docs) OVER () AS DOUBLE)
-                 / CAST(count(*) OVER () * n_docs AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS resample_weight
-    FROM c
+           CAST((n_docs * 20000 + total) // (2 * total) AS BIGINT) AS doc_frac_e4,
+           CAST((total * 2000000 + n_langs * n_docs) // (2 * (n_langs * n_docs)) AS BIGINT)
+               AS resample_e6
+    FROM t
     ORDER BY lang
     """,
     "per-language corpus shares + resampling weights toward a uniform mix",
@@ -825,23 +830,26 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy()
-    # Integer-first single-division form, pinned identically in the oracle
-    # SQL above: every operand stays integral until exactly one DOUBLE
-    # division, so Spark and DuckDB produce bit-identical doubles and
-    # round(x, 4) can't flip on a last-ulp boundary (round-2 ADVICE).
-    total = F.sum("n_docs").over(w)
-    n_langs = F.count(F.lit(1)).over(w)
-    doc_frac = F.col("n_docs").cast("double") / total.cast("double")
-    resample = total.cast("double") / (n_langs * F.col("n_docs")).cast("double")
-    return c.select(
+    # ALL-INTEGER output contract (r5 verdict item 2): this query was
+    # driver-red three rounds running despite bit-exact local parity on
+    # a pure basic-op double form, so no engine-derived DOUBLE may
+    # reach the hash at all. The shares are round-half-up scaled
+    # integers computed in exact BIGINT arithmetic ((a*2s + b) div 2b);
+    # Spark `div` and DuckDB `//` agree on non-negative operands.
+    total = F.sum("n_docs").over(w).cast("long")
+    n_langs = F.count(F.lit(1)).over(w).cast("long")
+    t = c.select("lang", "n_docs", "n_tokens", total.alias("total"), n_langs.alias("n_langs"))
+    return t.select(
         "lang",
         "n_docs",
         "n_tokens",
-        fround(doc_frac, 4).alias("doc_frac"),
-        fround(resample, 4).alias("resample_weight"),
+        F.expr("(n_docs * 20000 + total) div (2 * total)").cast("long").alias("doc_frac_e4"),
+        F.expr("(total * 2000000 + n_langs * n_docs) div (2 * (n_langs * n_docs))")
+        .cast("long")
+        .alias("resample_e6"),
     ).orderBy("lang")
 
 
@@ -1485,7 +1493,7 @@ def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_novel,
-           floor((n_novel * 1.0 / n_grams) * 1e4 + 0.5) / 1e4 AS novelty
+           CAST((n_novel * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novelty_e4
     FROM per_doc
     ORDER BY doc_id
     """,
@@ -1516,9 +1524,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)).alias("n_novel"),
         )
     )
+    # ALL-INTEGER output (r5 verdict item 2): novelty as a round-half-up
+    # scaled BIGINT — no engine-derived DOUBLE reaches the driver hash
     return per_doc.select(
         "doc_id",
         "n_grams",
         "n_novel",
-        fround(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+        F.expr("(n_novel * 20000 + n_grams) div (2 * n_grams)")
+        .cast("long")
+        .alias("novelty_e4"),
     ).orderBy("doc_id")

@@ -166,5 +166,26 @@ def test_no_libm_in_operator_sources():
     assert not offenders, offenders
 
 
+def test_no_complex_types_in_output_contract(spark):
+    """The driver canonicalizes results through pandas sort_values,
+    which throws `unhashable type: 'list'` on array/map/struct cells
+    (q50_array_agg crashed the r5 harness). Every registry query must
+    emit scalar columns only. Schema-analysis only — no jobs run for
+    the overwhelming majority (a few queries fetch a driver-side
+    scalar at plan-build time, which is why this uses sf0.001)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, qd in REGISTRY.items():
+        df = qd.spark_fn(spark, "/root/testdata/sf0.001")
+        for fld in df.schema.fields:
+            if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{fld.name}: {fld.dataType.simpleString()}")
+    assert not bad, (
+        f"complex output types break the driver canonicalizer: {bad}; "
+        f"project arrays to scalar columns or concat_ws strings"
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
