@@ -28,70 +28,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Front-loads the driver's 50-query CORRECTNESS sample (taken in dict
-# order). Round-5 ordering: the four r4 red rows first (root cause —
-# round() boundary flips against the driver's engine build — fixed
-# structurally by the floor-form quantization sweep, see
-# plans/registry.py docstring and tools/roundproof.py), then
-# q20_approx_distinct (contract rewritten to hashable integers), then
-# every entry the driver has NEVER sampled (the r4 backlog), then the
-# cumulative-green tail. The registry is FROZEN this round: no new
-# operators until the backlog drains (r4 verdict item 2).
+# order). Round-6 ordering (r5 verdict items 4 and 6): the 8 r5 red
+# rows first — all restructured this round (the 4 entropy-family
+# queries via the portable-ln polynomial sweep, plans/portable.py; the
+# 3 non-libm reds via all-integer output contracts; q50 via scalar
+# columns) — then the 40 never-sampled entries with the three
+# libm-converted ones leading (48 slots: the backlog finishes this
+# round), then the 10 previously-green libm queries whose green rows
+# were coin flips before conversion (re-verified r6/r7), then the
+# cumulative-green tail. Registry still FROZEN at 208.
 _PRIORITY = [
-    # r4 red rows, re-verified bit-exact under the strict local
-    # replica after the floor-form quantization sweep
+    # r5 red rows, every one restructured (portable ln / integer
+    # outputs / scalar columns) and bit-exact under the strict local
+    # replica incl. varied session shapes
     "text_token_entropy",
+    "events_user_entropy",
+    "events_markov_entropy",
+    "emb_cluster_purity",
     "text_mix_weights",
     "text_ngram_novelty",
     "q44_rfm",
-    "q20_approx_distinct",
-    # never-sampled SURVEY §2.B rows, called out by the r4 verdict
-    "q47_set_ops_all",
     "q50_array_agg",
-    # never driver-sampled (the r4 verification backlog; 85 entries
-    # drain over r5-r6 at 50 samples/round)
-    "corpus_good_turing",
-    "text_winnowing",
-    "events_bounce_rate",
-    "events_user_entropy",
-    "q51_moments",
-    "drift_psi_chars",
-    "basket_rules",
-    "events_funnel_latency",
-    "ann_pq_topk",
-    "corpus_tfidf_pairs",
-    "events_session_patterns",
-    "events_markov_entropy",
-    "orders_repeat_gap",
-    "multimodal_caption_pairs",
-    "q52_percentile_cont",
-    "orders_rfm_migration",
-    "dq_skew_report",
-    "emb_cluster_purity",
-    "events_sla_burn",
-    "events_funnel_dropoff",
-    "orders_abc_analysis",
-    "emb_dim_profile",
-    "events_new_vs_returning",
-    "orders_daily_delta",
-    "dedup_semantic_clusters",
-    "dedup_cross_split_near",
-    "ann_filtered_topk",
-    "orders_ship_latency",
-    "text_langid_confusion",
-    "events_attribution_decay",
-    "events_session_stats",
-    "dedup_rate_by_source",
-    "emb_label_separation",
-    "lineitem_discount_uplift",
-    "supplier_hhi",
-    "q53_percent_rank",
-    "orders_returns_trend",
-    "emb_knn_consistency",
-    "pipeline_dedup_account",
-    "events_load_heatmap",
-    "events_error_precursors",
-    "text_ascii_profile",
-    "orders_customer_lifespan",
+    # never driver-sampled backlog (40) — libm-converted first
+    "text_kl_divergence",
+    "text_entropy_rate",
+    "text_heaps_law",
     "text_quality_by_source",
     "events_session_transitions",
     "events_power_users_share",
@@ -120,7 +81,6 @@ _PRIORITY = [
     "events_attribution",
     "events_activity_gini",
     "dq_expectations",
-    "text_kl_divergence",
     "dedup_threshold_curve",
     "orders_seasonality_index",
     "events_attribution_linear",
@@ -129,10 +89,59 @@ _PRIORITY = [
     "ann_lsh_trained_topk",
     "events_survival_curve",
     "events_arrival_stats",
-    "text_entropy_rate",
     "source_vocab_similarity",
-    "text_heaps_law",
+    # previously-green libm queries, re-sampled after the portable-ln
+    # conversion (their old green rows were luck, not safety)
+    "corpus_tfidf_pairs",
+    "dp_noisy_counts",
+    "drift_psi_chars",
+    "events_attribution_decay",
+    "sample_weighted",
+    "text_ccnet_bucket",
+    "text_lm_score",
+    "text_tfidf_top_terms",
+    "text_zipf_slope",
+    "token_bigram_pmi",
     # cumulative driver-green union (resampling tail)
+    "q20_approx_distinct",
+    "q47_set_ops_all",
+    "corpus_good_turing",
+    "text_winnowing",
+    "events_bounce_rate",
+    "q51_moments",
+    "basket_rules",
+    "events_funnel_latency",
+    "ann_pq_topk",
+    "events_session_patterns",
+    "orders_repeat_gap",
+    "multimodal_caption_pairs",
+    "q52_percentile_cont",
+    "orders_rfm_migration",
+    "dq_skew_report",
+    "events_sla_burn",
+    "events_funnel_dropoff",
+    "orders_abc_analysis",
+    "emb_dim_profile",
+    "events_new_vs_returning",
+    "orders_daily_delta",
+    "dedup_semantic_clusters",
+    "dedup_cross_split_near",
+    "ann_filtered_topk",
+    "orders_ship_latency",
+    "text_langid_confusion",
+    "events_session_stats",
+    "dedup_rate_by_source",
+    "emb_label_separation",
+    "lineitem_discount_uplift",
+    "supplier_hhi",
+    "q53_percent_rank",
+    "orders_returns_trend",
+    "emb_knn_consistency",
+    "pipeline_dedup_account",
+    "events_load_heatmap",
+    "events_error_precursors",
+    "text_ascii_profile",
+    "orders_customer_lifespan",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -160,10 +169,6 @@ _PRIORITY = [
     "pipeline_curate",
     "text_edit_distance",
     "text_repetition",
-    "text_tfidf_top_terms",
-    "token_bigram_pmi",
-    "sample_weighted",
-    "text_lm_score",
     "text_length_stats",
     "shard_assign",
     "curriculum_bins",
@@ -177,15 +182,12 @@ _PRIORITY = [
     "dedup_keep_best",
     "embedding_quantize",
     "source_overlap_matrix",
-    "text_zipf_slope",
     "token_hapax_rate",
     "dedup_incremental",
     "q45_date_fill",
     "events_json_extract",
     "emb_pca_power_step",
-    "text_ccnet_bucket",
     "tokenizer_vocab_coverage",
-    "dp_noisy_counts",
     "dedup_minhash_eval",
     "basket_part_pairs",
     "emb_outlier_filter",
