@@ -3219,7 +3219,7 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def bucket_of(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        bits = _s._round_half_away(mat @ planes_t, 6) >= 0
+        bits = _s._quantize_floor_form(mat @ planes_t, 6) >= 0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
@@ -3230,7 +3230,7 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = np.einsum("ij,ij->i", a, b)
         na = np.sqrt(np.einsum("ij,ij->i", a, a))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(_s._round_half_away(dot / (na * nb), 4))
+        return pd.Series(_s._quantize_floor_form(dot / (na * nb), 4))
 
     corpus_side = emb.select(
         F.col("vec_id").alias("c_id"),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import fround, register, table
-from .similarity import _round_half_away, hyperplanes
+from .similarity import _quantize_floor_form, hyperplanes
 
 # --- shared shingling parameters (MUST match the SQL oracles below) --------
 NGRAM = 3
@@ -410,7 +410,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         @F.pandas_udf("long")
         def signature(embedding: pd.Series) -> pd.Series:
             mat = np.stack(embedding.values).astype(np.float64)
-            bits = _round_half_away(mat @ planes_t, 6) >= 0  # n x n_planes
+            bits = _quantize_floor_form(mat @ planes_t, 6) >= 0  # n x n_planes
             weights = 1 << np.arange(n_planes, dtype=np.int64)
             return pd.Series((bits * weights).sum(axis=1))
 
@@ -436,7 +436,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         @F.pandas_udf("array<string>")
         def band_keys_of(embedding: pd.Series) -> pd.Series:
             mat = np.stack(embedding.values).astype(np.float64)
-            bits = _round_half_away(mat @ planes_t, 6) >= 0
+            bits = _quantize_floor_form(mat @ planes_t, 6) >= 0
             w = 1 << np.arange(bits_per_band, dtype=np.int64)
             per_band = [
                 (bits[:, b * bits_per_band : (b + 1) * bits_per_band] * w).sum(axis=1)
@@ -477,7 +477,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = np.einsum("ij,ij->i", a, b)
         na = np.sqrt(np.einsum("ij,ij->i", a, a))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(_round_half_away(dot / (na * nb), 4))
+        return pd.Series(_quantize_floor_form(dot / (na * nb), 4))
 
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -30,7 +30,7 @@ TOP_K = 5
 DIM = 64
 
 
-def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+def _quantize_floor_form(x: np.ndarray, decimals: int) -> np.ndarray:
     """Quantize exactly like registry.fround / the oracle SQL's
     floor(x*10^k + 0.5)/10^k: floor plus IEEE basic ops, ties toward
     +inf — bit-identical to what Spark expressions and DuckDB compute,
@@ -40,6 +40,106 @@ def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
     comparisons canonicalizes everything beyond that.)"""
     scale = 10.0**decimals
     return np.floor(x * scale + 0.5) / scale
+
+
+# Deprecated alias (r5 ADVICE): the old name promised round-half-AWAY,
+# but the implementation is the floor form (ties toward +inf).
+_round_half_away = _quantize_floor_form
+
+
+# Above this cell count, assignment goes through the two-level coarse
+# quantizer below instead of the dense n x k distance matrix. Every
+# oracle-tested scale (nlist floored at 16; 64 cells at the 10x
+# rehearsal) stays on the dense-exact path, so the round-6/tie contract
+# the oracle SQL pins is untouched where it is checked.
+_HIER_MAX_DENSE_CELLS = 64
+_HIER_SUPER_PROBES_ASSIGN = 2
+_HIER_SUPER_PROBES_LIST = 3
+
+
+def _coarse_model(cen: "np.ndarray"):
+    """Driver-side two-level coarse quantizer over the centroid table:
+    ~sqrt(k) super-centroids from 3 deterministic Lloyd iterations
+    (init = every (k//g)-th centroid in id order — no randomness), plus
+    a (g, mmax) member-index table padded with -1. None when k is small
+    enough for dense-exact assignment. O(k * sqrt(k) * d) to build —
+    driver-side trivial even at k = 2^18 — and the executor-side
+    assignment drops from O(n k d) to O(n sqrt(k) d): the hand-off that
+    removes the old 2048-cell cap (a 100 TB corpus wants k ~ sqrt(n),
+    so dense assignment would be O(n^1.5))."""
+    k = cen.shape[0]
+    if k <= _HIER_MAX_DENSE_CELLS:
+        return None
+    g = 1 << ((k.bit_length() + 1) // 2)  # ~sqrt(k), power of two
+    g = min(g, k)
+    sup = cen[:: max(1, k // g)][:g].copy()
+    for _ in range(3):
+        a = _d2_matrix(cen, sup).argmin(axis=1)
+        for j in range(g):
+            m = a == j
+            if m.any():
+                sup[j] = cen[m].mean(axis=0)
+    a = _d2_matrix(cen, sup).argmin(axis=1)
+    groups = [np.flatnonzero(a == j) for j in range(g)]
+    keep = [j for j, gr in enumerate(groups) if len(gr)]  # drop empty supers
+    sup = sup[keep]
+    groups = [groups[j] for j in keep]
+    mmax = max(1, max(len(gr) for gr in groups))
+    members = np.full((len(groups), mmax), -1, dtype=np.int64)
+    for j, gr in enumerate(groups):
+        members[j, : len(gr)] = gr
+    return sup, members
+
+
+def _assign_cells(
+    mat: "np.ndarray",
+    ids: "np.ndarray",
+    cen: "np.ndarray",
+    coarse,
+    nprobe: int = 1,
+) -> "np.ndarray":
+    """Nearest-cell assignment (nprobe=1 -> (n,) cell ids) or ordered
+    probe lists (nprobe>1 -> (n, nprobe) cell ids), tie-broken by the
+    LOWEST cell id at round-6 distance — the oracle chain's exact
+    contract on the dense path. The coarse path prunes candidates to
+    the members of the nearest 2-3 super-cells (per-row independent, so
+    results are identical under any batch/partition shape)."""
+    if coarse is None:
+        d2 = _quantize_floor_form(_d2_matrix(mat, cen), 6)
+        if nprobe == 1:
+            return ids[d2.argmin(axis=1)]
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return ids[order]
+    sup, members = coarse
+    s = _HIER_SUPER_PROBES_ASSIGN if nprobe == 1 else _HIER_SUPER_PROBES_LIST
+    s = min(s, sup.shape[0])
+    n, dim = mat.shape
+    cand_w = s * members.shape[1]
+    out = np.empty((n, nprobe), dtype=ids.dtype) if nprobe > 1 else np.empty(n, dtype=ids.dtype)
+    rows_per = max(1, (256 << 20) // max(cand_w * dim * 8, 1))
+    big = np.iinfo(np.int64).max
+    for st in range(0, n, rows_per):
+        blk = mat[st : st + rows_per]
+        d2s = _d2_matrix(blk, sup)
+        sup_pick = np.argsort(d2s, axis=1, kind="stable")[:, :s]
+        cand = members[sup_pick].reshape(len(blk), cand_w)
+        valid = cand >= 0
+        cand_safe = np.where(valid, cand, 0)
+        diff = blk[:, None, :] - cen[cand_safe]
+        d2c = _quantize_floor_form((diff * diff).sum(axis=2), 6)
+        d2c[~valid] = np.inf
+        cid = np.where(valid, ids[cand_safe].astype(np.int64), big)
+        if nprobe == 1:
+            minv = d2c.min(axis=1, keepdims=True)
+            out[st : st + len(blk)] = np.where(d2c == minv, cid, big).min(axis=1)
+        else:
+            order = np.lexsort((cid, d2c))[:, :nprobe]
+            sel = np.take_along_axis(cid, order, axis=1)
+            # a row with fewer valid candidates than nprobe repeats its
+            # best cell; the caller dedupes (q, c) pairs after the join
+            sel = np.where(sel == big, sel[:, :1], sel)
+            out[st : st + len(blk)] = sel
+    return out
 
 
 def _d2_matrix(mat: "np.ndarray", cen: "np.ndarray") -> "np.ndarray":
@@ -303,13 +403,15 @@ def _ivf_nlist(n_vecs: int) -> int:
     scan and the centroid table balanced (the classic IVF sizing).
     Floored at IVF_NLIST so every oracle-tested scale (<= 2000 vectors
     at sf0.1 -> 16 cells) trains and probes the exact chain the static
-    SQL pins; capped at 2048 — beyond that the dense distance matrix in
-    the assignment UDF outgrows an Arrow batch, and a production
-    deployment would shift to MLlib KMeans + repartition-by-cell."""
+    SQL pins. No upper cap: past _HIER_MAX_DENSE_CELLS the assignment
+    kernel switches to the two-level coarse quantizer (_coarse_model /
+    _assign_cells), whose per-row candidate set is O(sqrt(nlist)) —
+    the dense n x nlist distance matrix that forced the old 2048-cell
+    cap never materializes."""
     import math
 
     bits = math.ceil(math.log2(max(math.sqrt(n_vecs) / 4.0, 1.0)))
-    return max(IVF_NLIST, min(2048, 1 << bits))
+    return max(IVF_NLIST, 1 << bits)
 
 # The KMEANS_ITERS=2 training loop unrolled as oracle CTEs — seed sample
 # -> assign (round-6 distances, cell tie-break) -> per-(cell,dim) means
@@ -475,24 +577,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row -> surviving cell id (a cell emptied during training drops
     # out of the model).
     ids, cen = _trained_model(spark, sf_dir)
+    coarse = _coarse_model(cen)
 
     # same distance/tie contract as kmeans_update_step (and the oracle):
     # direct squared distance, rounded to 6 decimals, ties broken by the
-    # lowest cell index. (The -2·v·c + ||c||² expansion is the faster
-    # kernel at scale but carries different float error, which can flip
-    # near-tied cell assignments vs the oracle's list_sum.)
+    # lowest cell index — dense-exact at oracle-tested cell counts; the
+    # two-level coarse quantizer past _HIER_MAX_DENSE_CELLS. (The
+    # -2·v·c + ||c||² expansion is the faster dense kernel but carries
+    # different float error, which can flip near-tied cell assignments
+    # vs the oracle's list_sum.)
     @F.pandas_udf("int")
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = _d2_matrix(mat, cen)
-        return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
+        return pd.Series(_assign_cells(mat, ids, cen, coarse).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = _d2_matrix(mat, cen)
-        order = np.argsort(_round_half_away(d2, 6), axis=1, kind="stable")[:, :IVF_NPROBE]
-        return pd.Series(list(ids[order]))
+        picks = _assign_cells(mat, ids, cen, coarse, nprobe=IVF_NPROBE)
+        return pd.Series(list(picks.astype("int32")))
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
@@ -520,6 +623,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(corpus, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+        # no-op on the dense-exact path (probe cells are distinct); on
+        # the coarse path a short candidate row may repeat its best cell
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -577,16 +683,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
-    b_cen = spark.sparkContext.broadcast(cen)
+    cell_ids = np.arange(cen.shape[0], dtype=np.int32)
+    b_cen = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
 
     @F.pandas_udf("int")
     def assigned_cell(embedding: pd.Series) -> pd.Series:
-        c = b_cen.value
+        ids, c, coarse = b_cen.value
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = _d2_matrix(mat, c)
-        # round-6 then argmin (first minimum = lowest cell) — the exact
-        # tie/precision contract the oracle's ORDER BY d2, cell encodes
-        return pd.Series(_round_half_away(d2, 6).argmin(axis=1).astype("int32"))
+        # round-6 then lowest-cell tie-break — the exact tie/precision
+        # contract the oracle's ORDER BY d2, cell encodes (dense path);
+        # coarse-quantizer pruning past _HIER_MAX_DENSE_CELLS
+        return pd.Series(_assign_cells(mat, ids, c, coarse).astype("int32"))
 
     # Partial-aggregate shape: one groupBy(cell) with DIM avg() columns.
     # Spark's Average runs map-side partial aggregation, so the shuffle
@@ -655,14 +762,13 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_ids = np.arange(cen.shape[0], dtype=np.int32)
 
     for _ in range(KMEANS_ITERS - 1):
-        b = spark.sparkContext.broadcast((cell_ids, cen))
+        b = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
 
         @F.pandas_udf("int")
         def assigned_cell(embedding: pd.Series) -> pd.Series:
-            ids, c = b.value
+            ids, c, coarse = b.value
             mat = np.stack(embedding.values).astype(np.float64)
-            d2 = _d2_matrix(mat, c)
-            return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
+            return pd.Series(_assign_cells(mat, ids, c, coarse).astype("int32"))
 
         assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
         model = _cell_means(assigned).collect()  # nlist x DIM model rows
@@ -673,14 +779,13 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cen = np.array([[by_cell[c][j] for j in range(DIM)] for c in cells], dtype=np.float64)
         cell_ids = np.array(cells, dtype=np.int32)
 
-    b_fin = spark.sparkContext.broadcast((cell_ids, cen))
+    b_fin = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
 
     @F.pandas_udf("int")
     def final_cell(embedding: pd.Series) -> pd.Series:
-        ids, c = b_fin.value
+        ids, c, coarse = b_fin.value
         mat = np.stack(embedding.values).astype(np.float64)
-        d2 = _d2_matrix(mat, c)
-        return pd.Series(ids[_round_half_away(d2, 6).argmin(axis=1)])
+        return pd.Series(_assign_cells(mat, ids, c, coarse).astype("int32"))
 
     assigned = emb.select(final_cell("embedding").alias("cell"), "embedding")
     return _cell_means(assigned)

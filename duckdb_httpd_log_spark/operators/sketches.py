@@ -106,8 +106,10 @@ def q19_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "HyperLogLog++ approx distinct with a hashable tolerance contract: exact "
     "counts + integer within-10%% indicators (each engine checks its OWN "
-    "sketch against the exact count; 10%% = 5 sigma at rsd 0.02, so the "
-    "indicator is deterministically 1 on any healthy HLL implementation)",
+    "sketch against the exact count; 10%% is ~5 sigma at rsd 0.02 — "
+    "overwhelmingly likely to be 1, though HLL error tails are not strictly "
+    "Gaussian, so a pathological key distribution on some engine build could "
+    "in principle flip an indicator)",
 )
 def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

@@ -409,6 +409,11 @@ def _iter_remote_lines(fname: str) -> Iterator[tuple[int, str]]:
                     if out:
                         yield out
                     data = d.unused_data
+                if not d.eof:
+                    # stream ended mid-member: match the local gzip.open
+                    # path (and gzip.decompress) instead of silently
+                    # yielding a truncated tail
+                    raise EOFError(f"truncated gzip stream: {fname}")
 
             chunks = gz_chunks()
         else:

@@ -413,8 +413,20 @@ def _fast_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     plain, misnamed = _split_misnamed_gzip(files, spark)
     dfs = []
     if plain:
+        # scheme-less paths were expanded against the LOCAL filesystem
+        # at bind time (fs.expand_paths), so qualify them as file: URIs
+        # here: on a cluster whose defaultFS is hdfs, a bare absolute
+        # path would otherwise resolve to a DIFFERENT filesystem than
+        # both the bind-time sampling and raw mode's iter_log_lines
+        # (r5 ADVICE). log_file output is unchanged — the file: prefix
+        # is stripped by _normalize_file_uri.
+        from .fs import has_scheme
+
+        import os.path
+
+        qualified = [p if has_scheme(p) else f"file://{os.path.abspath(p)}" for p in plain]
         dfs.append(
-            spark.read.text(plain).select(
+            spark.read.text(qualified).select(
                 "value", _normalize_file_uri(F.input_file_name()).alias("__f")
             )
         )

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.registry import fround
 from ..sources import exprs as X
 from ..sources.logformat import COMBINED_FORMAT, COMMON_FORMAT, parse_format_string
 from ..sources.reader import _normalize_file_uri, _projection
@@ -122,7 +123,7 @@ def error_rate_alerts(
         F.col("w.end").alias("window_end"),
         "n_requests",
         "n_5xx",
-        F.round(F.col("n_5xx") / F.col("n_requests"), 4).alias("error_rate"),
+        fround(F.col("n_5xx") / F.col("n_requests"), 4).alias("error_rate"),
     )
 
 
@@ -225,7 +226,7 @@ def flag_contaminated_stream(
         *extra,
         "n_grams",
         "n_hit",
-        F.round(contamination, 4).alias("contamination"),
+        fround(contamination, 4).alias("contamination"),
         (contamination >= threshold).alias("contaminated"),
     )
 

@@ -243,6 +243,31 @@ def test_iter_log_lines_remote_gzip():
     assert loc == rem and len(rem) > 0
 
 
+def test_iter_log_lines_remote_truncated_gzip_raises(tmp_path):
+    """Remote and local reads must agree on corrupt input: the streaming
+    gz path raises like gzip.open/gzip.decompress instead of silently
+    yielding the partial tail (r5 ADVICE)."""
+    import pytest
+
+    from duckdb_httpd_log_spark.sources.pyconvert import iter_log_lines
+
+    whole = open(data("compressed", "access.log.gz"), "rb").read()
+    # .gz extension: pyarrow's transparent codec raises OSError itself
+    trunc = tmp_path / "trunc.log.gz"
+    trunc.write_bytes(whole[: len(whole) - 7])
+    with pytest.raises((EOFError, OSError)):
+        list(iter_log_lines(f"file://{trunc}"))
+    # misnamed (no extension): the magic-sniffing gz_chunks path must
+    # raise EOFError like the local gzip.open route, not yield a
+    # silently truncated tail
+    misnamed = tmp_path / "trunc.log"
+    misnamed.write_bytes(whole[: len(whole) - 7])
+    with pytest.raises(EOFError):
+        list(iter_log_lines(f"file://{misnamed}"))
+    with pytest.raises((EOFError, OSError)):
+        list(iter_log_lines(str(trunc)))
+
+
 def test_pa_scheme_translation():
     from duckdb_httpd_log_spark.sources.fs import _PA_SCHEME_MAP
 

@@ -60,7 +60,7 @@ SLATE = [
 K = 10_000_000
 
 
-def build(spark, out_dir: str, copies: int) -> None:
+def build(spark, out_dir: str, copies: int, tables=None) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -93,12 +93,17 @@ def build(spark, out_dir: str, copies: int) -> None:
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copyfile(src, dst)
-    replicate("customer", remap=["c_custkey"])
-    replicate("orders", remap=["o_orderkey", "o_custkey"])
-    replicate("lineitem", remap=["l_orderkey"])
-    replicate("events", remap=["event_id", "user_id"])
-    replicate("documents", remap=["doc_id"], text_prefix="text")
-    replicate("embeddings", remap=["vec_id"], perturb_emb=True)
+    fact_specs = {
+        "customer": dict(remap=["c_custkey"]),
+        "orders": dict(remap=["o_orderkey", "o_custkey"]),
+        "lineitem": dict(remap=["l_orderkey"]),
+        "events": dict(remap=["event_id", "user_id"]),
+        "documents": dict(remap=["doc_id"], text_prefix="text"),
+        "embeddings": dict(remap=["vec_id"], perturb_emb=True),
+    }
+    for name in tables if tables else fact_specs:
+        if name in fact_specs and not os.path.exists(f"{out_dir}/{name}.parquet"):
+            replicate(name, **fact_specs[name])
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
@@ -115,8 +120,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--dir", default="/tmp/pseudo_sf1")
+    ap.add_argument("--dir", default=None, help="default: /tmp/pseudo_sfx{copies}")
+    ap.add_argument(
+        "--slate",
+        default=None,
+        help="comma-separated query subset (default: the full heavyweight slate)",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated fact tables to replicate (default: all; use with "
+        "--slate for targeted very-large-copies runs, e.g. embeddings at 1000x)",
+    )
     args = ap.parse_args()
+    if args.dir is None:
+        args.dir = f"/tmp/pseudo_sfx{args.copies}"
+    slate = args.slate.split(",") if args.slate else SLATE
+    tables = args.tables.split(",") if args.tables else None
 
     from duckdb_httpd_log_spark import get_spark
     import duckdb_httpd_log_spark.operators  # noqa: F401
@@ -125,18 +145,19 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{args.dir}/lineitem.parquet"):
-        print(f"building pseudo-sf1 ({args.copies}x sf0.1) at {args.dir} ...")
-        build(spark, args.dir, args.copies)
+    probe_tbl = (tables or ["lineitem"])[0]
+    if not os.path.exists(f"{args.dir}/{probe_tbl}.parquet"):
+        print(f"building pseudo-sf ({args.copies}x sf0.1) at {args.dir} ...")
+        build(spark, args.dir, args.copies, tables)
 
     rows = []
-    for name in SLATE:
+    for name in slate:
         fn = REGISTRY[name].spark_fn
         small = time_query(fn, spark, SRC)
         big = time_query(fn, spark, args.dir)
         ratio = big / small if small > 0 else float("inf")
         rows.append((name, small, big, ratio))
-        print(f"{name:28s} sf0.1 {small:7.2f}s   10x {big:8.2f}s   ratio {ratio:5.1f}x")
+        print(f"{name:28s} sf0.1 {small:7.2f}s   {args.copies}x {big:8.2f}s   ratio {ratio:5.1f}x")
 
     if args.out:
         with open(args.out, "w") as fh:
