@@ -28,8 +28,15 @@ pln(k) — natural log of a positive BIGINT expression:
     ln k = e*LN2 + 2z*(1 + z^2/3 + z^4/5 + ... + z^16/17)
     truncation error <= 2*(1/3)^19/19 ~ 9.1e-11.
 
-pexp(x) — e^x for |x| <= ~85 (beyond that it saturates identically on
-both engines — callers must keep semantic inputs in range):
+pexp(x) — e^x for |x| <= ~85. OUTSIDE that range the engines DIVERGE
+HARD: |n| > 124 makes |b| = |n - a| exceed 62, and DuckDB raises
+Out of Range on BIGINT << past 62 while the JVM wraps the shift
+mod 64 — so an out-of-domain input is an oracle ERROR, not a shared
+saturation (tests/test_portable.py pins this). Callers must prove the
+bound: the two registry call sites are events_attribution_decay
+(x = -d_us·DECAY_RATE, d_us <= 24 h in µs -> |x| <= 2.8) and
+text_lm_score's perplexity (x = -avg bigram logprob; per-bigram
+|ln(c_ab/c_w)| <= ln(corpus tokens) ~ 28 even at 1e12 tokens):
     n = round(x / LN2)  (floor form), r = x - n*LN2, |r| <= 0.3466
     e^x = 2^a * 2^b * P(r),  a = clamp(n, ±62), b = n - a
     P(r) = Taylor to r^11/11!, truncation error ~ 6e-15.
@@ -92,8 +99,9 @@ def pln_ratio(a: str, b: str) -> str:
 
 def pexp(x: str) -> str:
     """SQL for e^x, x a DOUBLE expression (ideally a bare column name).
-    Valid (non-saturating) for |x| <= ~85; both engines saturate the
-    same way outside."""
+    Valid ONLY for |x| <= ~85: beyond that DuckDB raises on the <<
+    while the JVM wraps it mod 64 (see module docstring) — every call
+    site must carry a proof of its input bound."""
     n = f"CAST(floor(({x}) * {LOG2E} + 0.5e0) AS BIGINT)"
     r = f"(({x}) - CAST({n} AS DOUBLE) * {LN2})"
     a = f"GREATEST(CAST(-62 AS BIGINT), LEAST(CAST(62 AS BIGINT), {n}))"

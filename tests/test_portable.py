@@ -94,6 +94,38 @@ def test_pexp_accuracy_vs_libm():
     assert err < 1e-12, err
 
 
+def test_pexp_out_of_domain_is_an_oracle_error_not_saturation():
+    """|x| > ~86 pushes |b| = |n - a| past 62, where the engines
+    DIVERGE on BIGINT <<: DuckDB raises Out of Range while the JVM
+    wraps the shift mod 64. This pins the failure mode so nobody
+    'fixes' a driver red by widening a call site's domain: an
+    out-of-range pexp input means the ORACLE ERRORS — the cure is
+    bounding the input (see the call-site proofs in portable.py),
+    never relying on shared saturation."""
+    import duckdb
+
+    con = duckdb.connect()
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(f"SELECT {pexp('x')} FROM (SELECT -700.0e0 AS x) t").fetchone()
+
+
+def test_pexp_call_site_inputs_are_bounded():
+    """The two registry call sites' worst-case |x|, re-derived from the
+    pinned constants — if someone widens a window or half-life, this
+    recomputes the proof."""
+    from duckdb_httpd_log_spark.operators.analytics import (
+        DECAY_WINDOW_US,
+        _DECAY_RATE,
+    )
+
+    # dlit strings ('3.2e-11', '0.69...e0') are valid float syntax
+    worst_decay = DECAY_WINDOW_US * float(_DECAY_RATE)
+    assert worst_decay < 85.0, worst_decay
+    # text_lm_score: |x| = |avg per-bigram ln(c_ab/c_w)| <= ln(total
+    # corpus tokens); even a 1e15-token corpus keeps it under 35
+    assert math.log(1e15) < 85.0
+
+
 def test_pln_ratio_is_difference_of_plns():
     import duckdb
 
