@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,7 +160,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gh"),
     ).distinct()
     hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
-    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(eager=False)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
@@ -230,7 +233,7 @@ def _minhash_docs_and_cands(spark: SparkSession, sf_dir: str):
     # renames defeat Catalyst exchange reuse — without this the gram
     # pipeline is scanned and shuffled 3x. localCheckpoint materializes
     # it once, truncates lineage, and is GC'd with the DataFrame.
-    docs = docs.localCheckpoint(eager=False)
+    docs = docs.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # band identity as a 64-bit hash (the oracle's band_key md5 string is
     # only an equality key there too — identity, not content)
     band_keys = [
@@ -418,7 +421,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         # defeat exchange reuse, so without materialization the signature
         # UDF (full embedding scan) runs twice.
         sigs = emb.select("vec_id", signature("embedding").alias("sig")).localCheckpoint(
-            eager=False
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
         band_keys = [
             F.concat(
@@ -451,7 +454,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         bands = emb.select(
             "vec_id", F.explode(band_keys_of("embedding")).alias("band_key")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     cands = (
         bands.select(F.col("vec_id").alias("vec_a"), "band_key")
         .join(bands.select(F.col("vec_id").alias("vec_b"), "band_key"), "band_key")
@@ -638,7 +641,9 @@ def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> 
     (eager localCheckpoint cuts lineage and runs the round), O(diameter)
     rounds, loud failure on non-convergence. Returns (id_out, cluster_id,
     cluster_size) for every node with >= 1 edge."""
-    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=False)
+    pairs = pairs.select(a_col, b_col).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     edges = pairs.union(
         pairs.select(F.col(b_col).alias(a_col), F.col(a_col).alias(b_col))
     ).withColumnsRenamed({a_col: "a", b_col: "b"})
@@ -772,7 +777,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here beats checkpointing per_doc — the (doc_id, gh, df) rows are
     # the smaller payload.
     freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = grams.join(freq, "gh").localCheckpoint(eager=False)
+    ranked = grams.join(freq, "gh").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("df", "gh")
@@ -873,7 +880,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gh"),
     ).distinct()
     hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
-    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(eager=False)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))

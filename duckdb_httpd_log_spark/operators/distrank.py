@@ -44,14 +44,26 @@ def with_global_rank(
     pass ``F.col(...).desc()`` columns for descending components (the
     same Column list feeds repartitionByRange AND the local window).
     """
+    from pyspark import StorageLevel
+
     nparts = max(spark.sparkContext.defaultParallelism, 1)
     d = (
         df.repartitionByRange(nparts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         # both passes (per-partition totals + the local scan) must see
-        # the SAME partitioning; the lazy checkpoint pins it and runs
-        # the range shuffle once
-        .localCheckpoint(eager=False)
+        # the SAME partitioning — repartitionByRange SAMPLES its bounds,
+        # so two independent evaluations could disagree on __pid. The
+        # lazy checkpoint pins it and runs the range shuffle once.
+        # Explicit SERIALIZED MEMORY_AND_DISK, not localCheckpoint's
+        # MEMORY_AND_DISK_DESER default: deserialized in-heap
+        # materialization of a fact-scale table OOM'd the 1000x events
+        # rehearsal (100M rows, 8g heap) — serialized blocks unroll
+        # byte-incrementally and spill cleanly. localCheckpoint rather
+        # than persist(): persist registers in the CacheManager, whose
+        # canonical-plan matching would silently serve every later
+        # identically-shaped query (and benchmark rerun) from this
+        # cache and leak the entry for the session's lifetime.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     aggs = [F.count(F.lit(1)).alias("__c")]
     if cum_src is not None:

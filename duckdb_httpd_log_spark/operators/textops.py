@@ -9,6 +9,7 @@ computing the same formulas.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel as _StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -519,7 +520,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two consumers (per-partition totals + the cumsum pass) must see
         # identical partitioning; checkpoint pins it and runs the range
         # shuffle once
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_StorageLevel.MEMORY_AND_DISK)
     )
     totals = {r.pid: r.s for r in d.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()}
     offsets, acc = {}, 0

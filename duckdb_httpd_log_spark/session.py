@@ -38,7 +38,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs everything in one JVM, so this IS the executor
+        # heap; 16g leaves headroom for 32 concurrent tasks' shuffle and
+        # window state at rehearsal scales (the 1000x events probe OOM'd
+        # at 8g). Applies only when this process launches the JVM; an
+        # externally created session keeps its own sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
