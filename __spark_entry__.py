@@ -28,28 +28,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Front-loads the driver's 50-query CORRECTNESS sample (taken in dict
-# order). Round-6 ordering (r5 verdict items 4 and 6): the 8 r5 red
-# rows first — all restructured this round (the 4 entropy-family
-# queries via the portable-ln polynomial sweep, plans/portable.py; the
-# 3 non-libm reds via all-integer output contracts; q50 via scalar
-# columns) — then the 40 never-sampled entries with the three
-# libm-converted ones leading (48 slots: the backlog finishes this
-# round), then the 10 previously-green libm queries whose green rows
-# were coin flips before conversion (re-verified r6/r7), then the
-# cumulative-green tail. Registry still FROZEN at 208.
+# order). Round-7 ordering (r6 verdict items 1-3): the 8 r6 red rows
+# first — root cause FOUND and fixed this round (the driver hashes
+# through pandas; DuckDB .df() maps HUGEINT integer-sum results to
+# float64 while Spark stays int64, so every oracle SQL with an uncast
+# integer sum() hashed `5.0` vs `5`; all 8 reds had exactly one such
+# column and now CAST it to BIGINT — tools/dtype_audit.py +
+# tests/test_roundproof.py::test_pandas_dtype_parity_contract) — then
+# the new 10-probe single-subsystem diagnosis family (operators/
+# probes.py; registry 208 -> 218), then the 8 libm-converted queries
+# not re-verified since conversion, then the oldest-green §2.B core
+# (q01-q26 were last sampled r1/r2). 50 slots total.
 _PRIORITY = [
-    # r5 red rows, every one restructured (portable ln / integer
-    # outputs / scalar columns) and bit-exact under the strict local
-    # replica incl. varied session shapes
+    # r6 red rows: uncast-integer-sum oracle columns fixed (CAST AS
+    # BIGINT); pandas-dtype parity now matches on all 8
     "text_token_entropy",
     "events_user_entropy",
     "events_markov_entropy",
     "emb_cluster_purity",
-    "text_mix_weights",
     "text_ngram_novelty",
     "q44_rfm",
+    "emb_norm_anova",
+    "orders_dow_index",
+    # single-subsystem probe family: the r7 green/red bitmap names a
+    # divergent primitive directly if anything is still wrong
+    "probe_parquet_double",
+    "probe_parquet_timestamp",
+    "probe_date_bucket",
+    "probe_string_split",
+    "probe_trigram_checksum",
+    "probe_pln_chain",
+    "probe_floor_div",
+    "probe_embedding_decode",
+    "probe_int128_sum",
+    "probe_window_spine",
+    # libm->portable conversions never re-sampled since r5 (their old
+    # green rows predate the conversion)
+    "drift_psi_chars",
+    "events_attribution_decay",
+    "sample_weighted",
+    "text_ccnet_bucket",
+    "text_lm_score",
+    "text_tfidf_top_terms",
+    "text_zipf_slope",
+    "token_bigram_pmi",
+    # oldest-green §2.B core rotation (last verified r1/r2)
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_topk",
+    "q04_distinct",
+    "q05_count_distinct",
+    "q06_having",
+    "q07_agg_filter",
+    "q08_join_agg",
+    "q09_range_join",
+    "q10_cte_subquery",
+    "q11_scalar_funcs",
+    "q12_window",
+    "q13_set_ops",
+    "q14_rollup",
+    "q15_sessionize",
+    "q16_asof_join",
+    "q17_funnel",
+    "q18_quantiles",
+    "q19_heavy_hitters",
+    "q22_pivot",
+    "q23_exists_semi_anti",
+    "q24_latest_per_key",
+    "q25_histogram",
+    "q26_stats",
+    # --- below the 50-slot sample line: cumulative-green tail ---
+    "text_mix_weights",
     "q50_array_agg",
-    # never driver-sampled backlog (40) — libm-converted first
     "text_kl_divergence",
     "text_entropy_rate",
     "text_heaps_law",
@@ -58,7 +108,6 @@ _PRIORITY = [
     "events_power_users_share",
     "events_rolling_conversion",
     "multimodal_size_outliers",
-    "emb_norm_anova",
     "events_anomaly_iqr",
     "corpus_shard_balance",
     "events_activation_rate",
@@ -67,7 +116,6 @@ _PRIORITY = [
     "orders_rolling_median",
     "q55_loo_avg",
     "text_token_len_hist",
-    "orders_dow_index",
     "events_conversion_by_entry",
     "orders_priority_mix_trend",
     "text_len_quartiles_by_lang",
@@ -90,19 +138,8 @@ _PRIORITY = [
     "events_survival_curve",
     "events_arrival_stats",
     "source_vocab_similarity",
-    # previously-green libm queries, re-sampled after the portable-ln
-    # conversion (their old green rows were luck, not safety)
     "corpus_tfidf_pairs",
     "dp_noisy_counts",
-    "drift_psi_chars",
-    "events_attribution_decay",
-    "sample_weighted",
-    "text_ccnet_bucket",
-    "text_lm_score",
-    "text_tfidf_top_terms",
-    "text_zipf_slope",
-    "token_bigram_pmi",
-    # cumulative driver-green union (resampling tail)
     "q20_approx_distinct",
     "q47_set_ops_all",
     "corpus_good_turing",
@@ -257,8 +294,13 @@ _PRIORITY = [
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _PRIORITY if n in REGISTRY]
-    return front + [n for n in REGISTRY if n not in front]
+    seen: set[str] = set()
+    front = [
+        n
+        for n in _PRIORITY
+        if n in REGISTRY and not (n in seen or seen.add(n))
+    ]
+    return front + [n for n in REGISTRY if n not in seen]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,4 +1,4 @@
 """Operator modules. Importing this package registers every query in
 ``duckdb_httpd_log_spark.plans.registry.REGISTRY``."""
 
-from . import analytics, corpus, dedup, events, multimodal, relational, similarity, sketches, textops  # noqa: F401
+from . import analytics, corpus, dedup, events, multimodal, probes, relational, similarity, sketches, textops  # noqa: F401

@@ -290,7 +290,7 @@ USER_ENTROPY_TOP = 100
         FROM events GROUP BY user_id, event_type
     ),
     agg AS (
-        SELECT user_id, sum(c) AS n, count(*) AS n_types,
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
                sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY user_id
@@ -1154,7 +1154,7 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tc AS (SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
     agg AS (
-        SELECT cur, sum(c) AS n,
+        SELECT cur, CAST(sum(c) AS BIGINT) AS n,
                sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM tc GROUP BY cur
@@ -1168,7 +1168,7 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cur AS from_type, n AS n_transitions, h4 / 10000.0 AS cond_entropy
     FROM pertype
     UNION ALL
-    SELECT '__overall__' AS from_type, sum(n) AS n_transitions,
+    SELECT '__overall__' AS from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
            CAST(floor((CAST(sum(n * h4) AS DOUBLE) / sum(n)) + 0.5) AS BIGINT) / 10000.0 AS cond_entropy
     FROM pertype
     ORDER BY from_type
@@ -1635,7 +1635,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ct AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY bucket, label),
     agg AS (
-        SELECT bucket, sum(c) AS n, max(c) AS maxc,
+        SELECT bucket, CAST(sum(c) AS BIGINT) AS n, max(c) AS maxc,
                sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                         AS BIGINT)) AS s6
         FROM ct GROUP BY bucket
@@ -3861,7 +3861,7 @@ def size_outlier_stats(bt: DataFrame) -> DataFrame:
                  sum(CAST(n6 AS HUGEINT) * n6) AS s2
           FROM raw GROUP BY label),
     tot AS (
-        SELECT count(*) AS k, sum(n) AS n_all, sum(s1) AS s1_all,
+        SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_all, sum(s1) AS s1_all,
                sum(CAST(floor((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) + 0.5) AS HUGEINT))
                    AS ssb_part,
                sum(s2) AS s2_all
@@ -4444,7 +4444,7 @@ def text_token_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dow AS (
         SELECT isodow(CAST(o_orderdate AS DATE)) AS d,
                count(*) AS n_orders,
-               sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS cents
+               CAST(sum(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM orders GROUP BY 1
     ),
     tot AS (SELECT sum(cents) AS all_cents, count(*) AS n_days FROM dow)

@@ -1381,7 +1381,7 @@ def _ntile3_sql(rn: str) -> str:
         SELECT o_custkey AS custkey,
                max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
                count(*) AS frequency,
-               sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS monetary_cents
+               CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
         FROM orders
         GROUP BY o_custkey
     ),

@@ -53,8 +53,11 @@ _round_half_away = _quantize_floor_form
 # rehearsal) stays on the dense-exact path, so the round-6/tie contract
 # the oracle SQL pins is untouched where it is checked.
 _HIER_MAX_DENSE_CELLS = 64
-_HIER_SUPER_PROBES_ASSIGN = 2
-_HIER_SUPER_PROBES_LIST = 3
+# ONE super-probe count for both assignment (nprobe=1) and probe-list
+# (nprobe>1) calls, so nearest_cell always equals probe_cells[:, 0]
+# (r6 ADVICE: with 2 vs 3 super-probes the two could disagree on the
+# nearest cell past the pruning boundary)
+_HIER_SUPER_PROBES = 3
 
 
 def _coarse_model(cen: "np.ndarray"):
@@ -111,7 +114,7 @@ def _assign_cells(
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return ids[order]
     sup, members = coarse
-    s = _HIER_SUPER_PROBES_ASSIGN if nprobe == 1 else _HIER_SUPER_PROBES_LIST
+    s = _HIER_SUPER_PROBES
     s = min(s, sup.shape[0])
     n, dim = mat.shape
     cand_w = s * members.shape[1]

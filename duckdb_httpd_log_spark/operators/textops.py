@@ -13,7 +13,7 @@ from pyspark import StorageLevel as _StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.portable import LN2, pexp, pln, pln_ratio
+from ..plans.portable import LN2, pexp, pln, pln_ratio, pln_stages, stage_subselects
 from ..plans.registry import fround, register, table
 
 # Shared portable-transcendental snippets (see plans/portable.py): each
@@ -840,6 +840,12 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reach the hash at all. The shares are round-half-up scaled
     # integers computed in exact BIGINT arithmetic ((a*2s + b) div 2b);
     # Spark `div` and DuckDB `//` agree on non-negative operands.
+    # Bound proof (r6 ADVICE, same discipline as pexp's call sites):
+    # resample_e6's numerator total * 2e6 stays in BIGINT while
+    # total < 2^62 / 2e6 ~ 2.3e12 docs — far past any real corpus
+    # (100 TB at 10 KB/doc is 1e10 docs); revisit the numerator as
+    # (total div d)*2e6 + ((total mod d)*2e6 + d) div (2*d) only if
+    # that ever changes.
     total = F.sum("n_docs").over(w).cast("long")
     n_langs = F.count(F.lit(1)).over(w).cast("long")
     t = c.select("lang", "n_docs", "n_tokens", total.alias("total"), n_langs.alias("n_langs"))
@@ -928,15 +934,22 @@ PMI_MIN_COUNT = 5
 PMI_TOP = 50
 
 
-def _pmi_pln(c_ab: str, n_uni: str, n_bi: str, c_a: str, c_b: str) -> str:
-    """PMI as a pinned left-associated sum/difference of portable lns:
-    ln(c_ab) + 2 ln(n_uni) - ln(n_bi) - ln(c_a) - ln(c_b). Called with
-    each surface's local column names; the STRUCTURE is identical, so
-    both engines evaluate the same correctly-rounded op DAG."""
-    return (
-        f"((((({pln(c_ab)} + {pln(n_uni)}) + {pln(n_uni)})"
-        f" - {pln(n_bi)}) - {pln(c_a)}) - {pln(c_b)})"
-    )
+# PMI as a pinned left-associated sum/difference of portable lns:
+# ln(c_ab) + 2 ln(n_uni) - ln(n_bi) - ln(c_a) - ln(c_b). The five lns
+# are STAGED columns (r6 verdict item 4: the macro form expanded pln
+# six times here and ran 2.1x the r5 wall time in pure Catalyst tree
+# overhead); the combining expression is identical on both surfaces,
+# so both engines evaluate the same correctly-rounded op DAG.
+_PMI_STAGES: list[tuple[str, str]] = []
+for _arg, _pfx in (
+    ("c_ab", "lab"),
+    ("n_uni", "lnu"),
+    ("n_bi", "lnb"),
+    ("c_a", "la"),
+    ("c_b", "lb"),
+):
+    _PMI_STAGES.extend(pln_stages(_arg, _pfx)[0])
+_PMI_EXPR = "(((((lab_ln + lnu_ln) + lnu_ln) - lnb_ln) - la_ln) - lb_ln)"
 
 
 @register(
@@ -950,14 +963,21 @@ def _pmi_pln(c_ab: str, n_uni: str, n_bi: str, c_a: str, c_b: str) -> str:
     bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
     uc AS (SELECT unnest(t) AS w FROM toks),
     ucnt AS (SELECT w, count(*) AS c_w FROM uc GROUP BY w),
-    tot AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bi, (SELECT sum(c_w) FROM ucnt) AS n_uni)
-    SELECT b.bigram, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
-           floor(({_pmi_pln('b.c_ab', 't.n_uni', 't.n_bi', 'ua.c_w', 'ub.c_w')}) * 1e4 + 0.5) / 1e4 AS pmi
-    FROM bc b
-    CROSS JOIN tot t
-    JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1]
-    JOIN ucnt ub ON ub.w = string_split(b.bigram, ' ')[2]
-    WHERE b.c_ab >= {PMI_MIN_COUNT}
+    tot AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bi, (SELECT sum(c_w) FROM ucnt) AS n_uni),
+    staged AS (
+        {stage_subselects(
+            f"SELECT b.bigram, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b, t.n_uni, t.n_bi "
+            f"FROM bc b "
+            f"CROSS JOIN tot t "
+            f"JOIN ucnt ua ON ua.w = string_split(b.bigram, ' ')[1] "
+            f"JOIN ucnt ub ON ub.w = string_split(b.bigram, ' ')[2] "
+            f"WHERE b.c_ab >= {PMI_MIN_COUNT}",
+            _PMI_STAGES,
+        )}
+    )
+    SELECT bigram, c_ab, c_a, c_b,
+           floor(({_PMI_EXPR}) * 1e4 + 0.5) / 1e4 AS pmi
+    FROM staged
     ORDER BY pmi DESC, bigram
     LIMIT {PMI_TOP}
     """,
@@ -995,7 +1015,9 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
     )
-    pmi = fround(F.expr(_pmi_pln("c_ab", "n_uni", "n_bi", "c_a", "c_b")), 4)
+    for col, sql in _PMI_STAGES:
+        scored = scored.withColumn(col, F.expr(sql))
+    pmi = fround(F.expr(_PMI_EXPR), 4)
     return (
         scored.select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "bigram")
@@ -1019,7 +1041,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-    agg AS (SELECT doc_id, sum(c) AS n,
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
                    sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
                             AS BIGINT)) AS s6
             FROM tc GROUP BY doc_id)
@@ -1489,7 +1511,7 @@ def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc AS (
         SELECT gr.doc_id,
                count(*) AS n_grams,
-               sum(CASE WHEN fo.owner = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+               CAST(sum(CASE WHEN fo.owner = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         FROM grams gr JOIN first_owner fo USING (g)
         GROUP BY gr.doc_id
     )

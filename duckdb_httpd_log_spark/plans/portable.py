@@ -91,6 +91,52 @@ def pln(k: str) -> str:
     return f"(CAST({e} AS DOUBLE) * {LN2} + {poly})"
 
 
+def pln_stages(k: str, prefix: str) -> tuple[list[tuple[str, str]], str]:
+    """Staged-column form of pln(k): ([(col, sql), ...], value_col).
+
+    Same arithmetic DAG as pln(k) computed through named intermediate
+    columns instead of macro substitution, so the values are
+    bit-identical (every step is the identical correctly-rounded op
+    sequence — tests/test_portable.py::test_pln_stages_bit_identical
+    sweeps it) while the expression trees shrink ~5x. The macro form
+    cost a flat ~0.3-0.7 s of Catalyst analysis/codegen per query on
+    the r6 bench board (dp_noisy_counts 3.1x, token_bigram_pmi 2.1x
+    vs r5); Spark's CollapseProject keeps this staging because z/zz
+    are referenced more than once and are not cheap to duplicate.
+
+    Use: chain the (col, sql) pairs with .withColumn on the Spark side
+    and `SELECT *, <sql> AS <col>` sub-selects (or CTE steps) in the
+    oracle SQL, then reference the returned value column.
+    """
+    e, m, z, zz, v = (f"{prefix}_{s}" for s in ("e", "m", "z", "zz", "ln"))
+    acc = _LN_COEFFS[-1]
+    for c in reversed(_LN_COEFFS[:-1]):
+        acc = f"({c} + {zz} * {acc})"
+    return (
+        [
+            (e, f"(length(bin(CAST({k} AS BIGINT))) - 1)"),
+            (m, f"(CAST({k} AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {e} AS DOUBLE))"),
+            (z, f"(({m} - 1.0e0) / ({m} + 1.0e0))"),
+            (zz, f"({z} * {z})"),
+            (
+                v,
+                f"(CAST({e} AS DOUBLE) * {LN2}"
+                f" + (2.0e0 * {z} * (1.0e0 + {zz} * {acc})))",
+            ),
+        ],
+        v,
+    )
+
+
+def stage_subselects(inner: str, stages: list[tuple[str, str]]) -> str:
+    """Wrap an inner `SELECT ... FROM ...` in one nested sub-select per
+    stage column — the SQL mirror of a Spark .withColumn chain."""
+    out = inner
+    for col, sql in stages:
+        out = f"SELECT *, {sql} AS {col} FROM ({out})"
+    return out
+
+
 def pln_ratio(a: str, b: str) -> str:
     """SQL for ln(a/b) of two positive-BIGINT expressions, defined as
     pln(a) - pln(b) (the definition; NOT ln of the double quotient)."""
@@ -101,7 +147,12 @@ def pexp(x: str) -> str:
     """SQL for e^x, x a DOUBLE expression (ideally a bare column name).
     Valid ONLY for |x| <= ~85: beyond that DuckDB raises on the <<
     while the JVM wraps it mod 64 (see module docstring) — every call
-    site must carry a proof of its input bound."""
+    site must carry a proof of its input bound. Defense-in-depth on
+    top of those proofs (r6 ADVICE): the emitted expression guards the
+    domain itself with 0.0/0.0 — NULL on BOTH engines (verified: both
+    return NULL for double zero-over-zero) — so a future out-of-bound
+    call site degrades identically on the two surfaces instead of
+    DuckDB erroring while the JVM silently wraps the shift."""
     n = f"CAST(floor(({x}) * {LOG2E} + 0.5e0) AS BIGINT)"
     r = f"(({x}) - CAST({n} AS DOUBLE) * {LN2})"
     a = f"GREATEST(CAST(-62 AS BIGINT), LEAST(CAST(62 AS BIGINT), {n}))"
@@ -113,7 +164,11 @@ def pexp(x: str) -> str:
     for c in reversed(_EXP_COEFFS[:-1]):
         acc = f"({c} + {r} * {acc})"
     poly = f"(1.0e0 + {r} * (1.0e0 + {r} * {acc}))"
-    return f"(({pow2a} * {pow2b}) * {poly})"
+    body = f"(({pow2a} * {pow2b}) * {poly})"
+    return (
+        f"(CASE WHEN abs({x}) > 85.0e0 THEN (0.0e0 / 0.0e0) "
+        f"ELSE {body} END)"
+    )
 
 
 def _pow2(m: str) -> str:

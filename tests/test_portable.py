@@ -94,19 +94,28 @@ def test_pexp_accuracy_vs_libm():
     assert err < 1e-12, err
 
 
-def test_pexp_out_of_domain_is_an_oracle_error_not_saturation():
-    """|x| > ~86 pushes |b| = |n - a| past 62, where the engines
-    DIVERGE on BIGINT <<: DuckDB raises Out of Range while the JVM
-    wraps the shift mod 64. This pins the failure mode so nobody
-    'fixes' a driver red by widening a call site's domain: an
-    out-of-range pexp input means the ORACLE ERRORS — the cure is
-    bounding the input (see the call-site proofs in portable.py),
-    never relying on shared saturation."""
+def test_pexp_out_of_domain_is_null_on_both_engines(spark):
+    """|x| > ~86 pushes |b| = |n - a| past 62, where the engines would
+    DIVERGE on BIGINT << (DuckDB raises Out of Range, the JVM wraps
+    the shift mod 64) — so pexp now emits its own abs(x) > 85 guard
+    (r6 ADVICE): out-of-domain inputs produce NULL on BOTH engines
+    (double 0.0/0.0 is NULL in DuckDB and non-ANSI Spark alike)
+    instead of an engine-dependent error/garbage split. Call-site
+    bound proofs remain the first line of defense; this pins the
+    identical degraded behavior behind them."""
     import duckdb
+    from pyspark.sql import functions as F
 
     con = duckdb.connect()
-    with pytest.raises(duckdb.OutOfRangeException):
-        con.execute(f"SELECT {pexp('x')} FROM (SELECT -700.0e0 AS x) t").fetchone()
+    for x in ("-700.0e0", "86.0e0", "700.0e0"):
+        row = con.execute(f"SELECT {pexp('x')} FROM (SELECT {x} AS x) t").fetchone()
+        assert row[0] is None, (x, row)
+    sdf = spark.createDataFrame([(-700.0,), (86.0,), (700.0,)], "x double").select(
+        F.expr(pexp("x")).alias("v")
+    )
+    assert [r.v for r in sdf.collect()] == [None, None, None]
+    # in-domain boundary stays live on both engines
+    assert con.execute(f"SELECT {pexp('x')} FROM (SELECT 85.0e0 AS x) t").fetchone()[0] is not None
 
 
 def test_pexp_call_site_inputs_are_bounded():
@@ -155,3 +164,40 @@ def test_quantized_entropy_term_bit_identical(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_pln_stages_bit_identical(spark):
+    """The staged-column form (pln_stages) must produce the exact bit
+    pattern of the macro form (pln) on BOTH engines — it is the same
+    arithmetic DAG computed through named intermediates, so any
+    difference is a transcription bug in one of the two forms."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.plans.portable import pln_stages, stage_subselects
+
+    stages, val = pln_stages("k", "p")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS k", [K_SWEEP])
+    staged_sql = stage_subselects("SELECT k FROM t", stages)
+    duck_staged = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {val} FROM ({staged_sql}) ORDER BY k"
+        ).fetchall()
+    ]
+    duck_macro = _duck(pln("k"), K_SWEEP, "k")
+
+    sdf = spark.createDataFrame([(k,) for k in K_SWEEP], "k long")
+    for col, sql in stages:
+        sdf = sdf.withColumn(col, F.expr(sql))
+    spark_staged = [r.v for r in sdf.select("k", F.col(val).alias("v")).orderBy("k").collect()]
+
+    assert len(duck_staged) == len(duck_macro) == len(spark_staged) == len(K_SWEEP)
+    bad = [
+        (k, dm, ds, ss)
+        for k, dm, ds, ss in zip(sorted(K_SWEEP), duck_macro, duck_staged, spark_staged)
+        if not (_bits(dm) == _bits(ds) == _bits(ss))
+    ]
+    assert not bad, bad[:5]

@@ -161,13 +161,19 @@ def main() -> None:
 
     if args.out:
         with open(args.out, "w") as fh:
+            scope = (
+                f"tables {', '.join(tables)}" if tables else "all fact tables"
+            )
             fh.write(
-                "# Scale rehearsal — pseudo-sf1 (10x sf0.1, key-remapped,\n"
-                "near-dup-free growth), local[32]\n\n"
-                "GENERATED by `python tools/scale_rehearsal.py`. A healthy\n"
-                "operator's wall-clock ratio is ~10x or below (fixed overheads\n"
-                "amortize); super-linear ratios flag candidate-pair or shuffle\n"
-                "blowups that 100 TB would amplify.\n\n"
+                f"# Scale rehearsal — pseudo-sf ({args.copies}x sf0.1,\n"
+                f"key-remapped, near-dup-free growth; {scope};\n"
+                f"{len(slate)}-query slate), local[32]\n\n"
+                f"GENERATED by `python tools/scale_rehearsal.py"
+                f"{' --copies ' + str(args.copies) if args.copies != 10 else ''}"
+                f"`. A healthy\n"
+                f"operator's wall-clock ratio is ~{args.copies}x or below (fixed\n"
+                "overheads amortize); super-linear ratios flag candidate-pair or\n"
+                "shuffle blowups that 100 TB would amplify.\n\n"
                 "History: the first run of this rehearsal caught\n"
                 "`dedup_semantic_clusters` at **18.4x** on 10x data — the\n"
                 "fixed 16-plane LSH banding keeps the bucket space constant,\n"
@@ -176,7 +182,7 @@ def main() -> None:
                 "the oracle-tested 16 planes, so candidate sets at sf<=0.1\n"
                 "are bit-identical), which holds expected bucket size — and\n"
                 "per-vector candidate work — constant. Post-fix ratio: 3.6x.\n\n"
-                "| query | sf0.1 (s) | 10x (s) | ratio |\n|---|---|---|---|\n"
+                f"| query | sf0.1 (s) | {args.copies}x (s) | ratio |\n|---|---|---|---|\n"
             )
             for name, small, big, ratio in rows:
                 fh.write(f"| `{name}` | {small:.2f} | {big:.2f} | {ratio:.1f}x |\n")
