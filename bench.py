@@ -230,6 +230,18 @@ BENCH_QUERIES = [
     "text_len_quartiles_by_lang",
     "events_value_log_hist",
     "orders_first_vs_ltv_corr",
+    # r7 probe family (operators/probes.py): diagnostic queries are on
+    # the board too so their cost stays visible (each is a single agg)
+    "probe_parquet_double",
+    "probe_parquet_timestamp",
+    "probe_date_bucket",
+    "probe_string_split",
+    "probe_trigram_checksum",
+    "probe_pln_chain",
+    "probe_floor_div",
+    "probe_embedding_decode",
+    "probe_int128_sum",
+    "probe_window_spine",
 ]
 
 
@@ -316,6 +328,19 @@ def main() -> None:
             read_httpd_log(spark, big_path, format_type="combined").count()
             runs.append(time.perf_counter() - t0)
         timings["log_scan_2m_single_file"] = round(statistics.median(runs), 4)
+
+        # raw=True on the same 2M-line file (r6 verdict stretch): the
+        # streamed per-file line_number path (_raw_lines_df) had no
+        # board entry — its scale behavior was only pinned by a
+        # bounded-memory test. Measures the Arrow-batched Python
+        # reader + error-row retention against the JVM fast path above.
+        read_httpd_log(spark, big_path, format_type="combined", raw=True).count()
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, big_path, format_type="combined", raw=True).count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_2m_raw"] = round(statistics.median(runs), 4)
 
         # gzip axis (BASELINE.md bench plan): same 200k-line file,
         # compressed — unsplittable, one task, decode inline

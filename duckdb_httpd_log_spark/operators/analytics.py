@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.portable import dlit, pexp, pln, pln_ratio
+from ..plans.portable import dlit, pexp, pln, pln_ratio, pln_stages, stage_subselects
 from ..plans.registry import fround, register, table
 
 # Portable-transcendental snippets (plans/portable.py): spliced
@@ -31,6 +31,11 @@ from ..plans.registry import fround, register, table
 # libm can reach a hashed output.
 _PLN_C = pln("c")
 _PLN_N = pln("n")
+# Staged-column variants (r6 verdict item 4): bit-identical to the
+# macros, ~5x smaller Catalyst trees; shared by the entropy family.
+_PC_STAGES, _PC_LN = pln_stages("c", "pc")
+_PN_STAGES, _PN_LN = pln_stages("n", "pn")
+_ENT_TERM6 = f"CAST(floor((CAST(c AS DOUBLE) * {_PC_LN} * 1000000.0) + 0.5) AS BIGINT)"
 
 # ---------------------------------------------------------------------------
 # Good-Turing frequency-of-frequencies — the smoothing table every
@@ -289,16 +294,17 @@ USER_ENTROPY_TOP = 100
         SELECT user_id, event_type, count(*) AS c
         FROM events GROUP BY user_id, event_type
     ),
+    tcs AS ({stage_subselects("SELECT user_id, c FROM tc", _PC_STAGES)}),
     agg AS (
         SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
-               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
-                        AS BIGINT)) AS s6
-        FROM tc GROUP BY user_id
-    )
+               sum({_ENT_TERM6}) AS s6
+        FROM tcs GROUP BY user_id
+    ),
+    aggs AS ({stage_subselects("SELECT user_id, n, n_types, s6 FROM agg", _PN_STAGES)})
     SELECT user_id, n AS n_events, n_types,
-           floor(({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
+           floor(({_PN_LN} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS type_entropy
-    FROM agg
+    FROM aggs
     ORDER BY type_entropy DESC, user_id
     LIMIT {USER_ENTROPY_TOP}
     """,
@@ -307,14 +313,16 @@ USER_ENTROPY_TOP = 100
 def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    cd = F.col("c").cast("double")
-    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
+    for col, sql in _PC_STAGES:
+        tc = tc.withColumn(col, F.expr(sql))
     agg = tc.groupBy("user_id").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("n_types"),
-        F.sum(term6).alias("s6"),
+        F.sum(F.expr(_ENT_TERM6)).alias("s6"),
     )
-    entropy = F.expr(_PLN_N) - (
+    for col, sql in _PN_STAGES:
+        agg = agg.withColumn(col, F.expr(sql))
+    entropy = F.col(_PN_LN) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return (
@@ -1153,17 +1161,18 @@ def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     tc AS (SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tcs AS ({stage_subselects("SELECT cur, c FROM tc", _PC_STAGES)}),
     agg AS (
         SELECT cur, CAST(sum(c) AS BIGINT) AS n,
-               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
-                        AS BIGINT)) AS s6
-        FROM tc GROUP BY cur
+               sum({_ENT_TERM6}) AS s6
+        FROM tcs GROUP BY cur
     ),
+    aggs AS ({stage_subselects("SELECT cur, n, s6 FROM agg", _PN_STAGES)}),
     pertype AS (
         SELECT cur, n,
-               CAST(floor((({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
+               CAST(floor((({_PN_LN} - (CAST(s6 AS DOUBLE) / 1000000.0) / n)
                           * 10000.0) + 0.5) AS BIGINT) AS h4
-        FROM agg
+        FROM aggs
     )
     SELECT cur AS from_type, n AS n_transitions, h4 / 10000.0 AS cond_entropy
     FROM pertype
@@ -1182,12 +1191,16 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"), F.lead("event_type").over(wseq).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    cd = F.col("c").cast("double")
-    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
-    agg = tc.groupBy("cur").agg(F.sum("c").alias("n"), F.sum(term6).alias("s6"))
+    for col, sql in _PC_STAGES:
+        tc = tc.withColumn(col, F.expr(sql))
+    agg = tc.groupBy("cur").agg(
+        F.sum("c").alias("n"), F.sum(F.expr(_ENT_TERM6)).alias("s6")
+    )
+    for col, sql in _PN_STAGES:
+        agg = agg.withColumn(col, F.expr(sql))
     h4 = fround(
         (
-            F.expr(_PLN_N)
+            F.col(_PN_LN)
             - (F.col("s6").cast("double") / F.lit(1000000.0)) / F.col("n")
         )
         * F.lit(10000.0)
@@ -1634,12 +1647,13 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     ct AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY bucket, label),
+    cts AS ({stage_subselects("SELECT bucket, c FROM ct", _PC_STAGES)}),
     agg AS (
         SELECT bucket, CAST(sum(c) AS BIGINT) AS n, max(c) AS maxc,
-               sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
-                        AS BIGINT)) AS s6
-        FROM ct GROUP BY bucket
+               sum({_ENT_TERM6}) AS s6
+        FROM cts GROUP BY bucket
     ),
+    aggs AS ({stage_subselects("SELECT bucket, n, maxc, s6 FROM agg", _PN_STAGES)}),
     maj AS (
         SELECT bucket, min(label) AS majority_label
         FROM ct JOIN agg USING (bucket)
@@ -1649,9 +1663,9 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.bucket, a.n AS n_vecs, m.majority_label,
            CAST(floor((CAST(a.maxc AS DOUBLE) * 1000000.0 / a.n) + 0.5) AS BIGINT)
                / 1000000.0 AS majority_share,
-           floor(({pln('a.n')} - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n) * 1e4 + 0.5) / 1e4
+           floor((a.{_PN_LN} - (CAST(a.s6 AS DOUBLE) / 1000000.0) / a.n) * 1e4 + 0.5) / 1e4
                AS label_entropy
-    FROM agg a JOIN maj m ON a.bucket = m.bucket
+    FROM aggs a JOIN maj m ON a.bucket = m.bucket
     ORDER BY a.bucket
     """,
     "clustering-quality eval: per-bucket majority label, share, and label entropy",
@@ -1671,22 +1685,27 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)  # feeds agg AND the majority pick
     )
-    cd = F.col("c").cast("double")
-    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
-    agg = ct.groupBy("bucket").agg(
-        F.sum("c").alias("n"), F.max("c").alias("maxc"), F.sum(term6).alias("s6")
+    cts = ct
+    for col, sql in _PC_STAGES:
+        cts = cts.withColumn(col, F.expr(sql))
+    agg = cts.groupBy("bucket").agg(
+        F.sum("c").alias("n"),
+        F.max("c").alias("maxc"),
+        F.sum(F.expr(_ENT_TERM6)).alias("s6"),
     )
     maj = (
-        ct.join(agg, "bucket")
+        ct.join(agg.select("bucket", "maxc"), "bucket")
         .filter(F.col("c") == F.col("maxc"))
         .groupBy("bucket")
         .agg(F.min("label").alias("majority_label"))
     )
+    for col, sql in _PN_STAGES:
+        agg = agg.withColumn(col, F.expr(sql))
     share = (
         fround(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)
     )
-    entropy = F.expr(_PLN_N) - (
+    entropy = F.col(_PN_LN) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return (

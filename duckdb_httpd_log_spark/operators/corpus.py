@@ -35,6 +35,10 @@ from ..plans.registry import fround, REGISTRY, register, table
 # the oracle SQL and F.expr — no libm reaches a hashed output.
 _PLN_C = pln("c")
 _PLN_RK = pln("rk")
+# Staged-column variants (r6 verdict item 4): bit-identical, ~5x
+# smaller Catalyst trees (see plans/portable.pln_stages).
+_PRK_STAGES, _PRK_LN = pln_stages("rk", "pr")
+_PC_STAGES, _PC_LN = pln_stages("c", "pc")
 from . import dedup as _dedup
 
 # ---------------------------------------------------------------------------
@@ -298,15 +302,19 @@ ZIPF_TOP_RANKS = 500
                row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
         FROM tc
     ),
+    staged AS ({stage_subselects(
+        f"SELECT source, c, rk FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}",
+        _PRK_STAGES + _PC_STAGES,
+    )}),
     terms AS (
         SELECT source,
-               CAST(floor(({_PLN_RK} * 1000000.0) + 0.5) AS BIGINT) AS x6,
-               CAST(floor(({_PLN_C} * 1000000.0) + 0.5) AS BIGINT) AS y6,
-               CAST(floor(({_PLN_RK} * {_PLN_C} * 1000000.0) + 0.5)
+               CAST(floor(({_PRK_LN} * 1000000.0) + 0.5) AS BIGINT) AS x6,
+               CAST(floor(({_PC_LN} * 1000000.0) + 0.5) AS BIGINT) AS y6,
+               CAST(floor(({_PRK_LN} * {_PC_LN} * 1000000.0) + 0.5)
                     AS BIGINT) AS xy6,
-               CAST(floor(({_PLN_RK} * {_PLN_RK} * 1000000.0) + 0.5)
+               CAST(floor(({_PRK_LN} * {_PRK_LN} * 1000000.0) + 0.5)
                     AS BIGINT) AS xx6
-        FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}
+        FROM staged
     )
     SELECT source, count(*) AS n_ranks,
            floor(((count(*) * (CAST(sum(xy6) AS DOUBLE) / 1000000.0)
@@ -330,8 +338,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tc.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= ZIPF_TOP_RANKS
     )
-    x = F.expr(_PLN_RK)
-    y = F.expr(_PLN_C)
+    for col, sql in _PRK_STAGES + _PC_STAGES:
+        ranked = ranked.withColumn(col, F.expr(sql))
+    x = F.col(_PRK_LN)
+    y = F.col(_PC_LN)
     m = F.lit(1000000.0)
     terms = ranked.select(
         "source",

@@ -22,6 +22,15 @@ from ..plans.registry import fround, register, table
 # ulp. The polynomial IS the operator's semantics.
 _PLN_C = pln("c")
 _PLN_N = pln("n")
+# Staged-column variants (r6 verdict item 4): same bit pattern as the
+# macros (tests/test_portable.py::test_pln_stages_bit_identical),
+# ~5x smaller Catalyst trees. `_ENT_TERM6` is the shared per-row
+# quantized entropy term over a staged pc_ln column.
+_PC_STAGES, _PC_LN = pln_stages("c", "pc")
+_PN_STAGES, _PN_LN = pln_stages("n", "pn")
+_ENT_TERM6 = f"CAST(floor((CAST(c AS DOUBLE) * {_PC_LN} * 1000000.0) + 0.5) AS BIGINT)"
+_IDF_A_STAGES, _IDF_A_LN = pln_stages("(n_docs + 1)", "pa")
+_IDF_B_STAGES, _IDF_B_LN = pln_stages("(df + 1)", "pb")
 
 # tiny deterministic stopword lists for the n-gram language heuristic
 STOPWORDS = {
@@ -877,10 +886,15 @@ TFIDF_TOP = 3
     tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     n AS (SELECT count(*) AS n_docs FROM documents),
+    staged AS ({stage_subselects(
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs "
+        "FROM tf JOIN df USING (term), n",
+        _IDF_A_STAGES + _IDF_B_STAGES,
+    )}),
     scored AS (
-        SELECT tf.doc_id, tf.term,
-               floor((tf.tf * (({pln_ratio('(n.n_docs + 1)', '(df.df + 1)')}) + 1.0)) * 1e4 + 0.5) / 1e4 AS tfidf
-        FROM tf JOIN df USING (term), n
+        SELECT doc_id, term,
+               floor((tf * ((({_IDF_A_LN} - {_IDF_B_LN})) + 1.0)) * 1e4 + 0.5) / 1e4 AS tfidf
+        FROM staged
     )
     SELECT doc_id, term, tfidf
     FROM (SELECT doc_id, term, tfidf,
@@ -907,8 +921,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # driver-side scalar: one tiny count job
-    idf = F.expr(pln_ratio(f"({n_docs} + 1)", "(df + 1)"))
-    scored = tf.join(F.broadcast(df_counts), "term").select(
+    joined = tf.join(F.broadcast(df_counts), "term").withColumn(
+        "n_docs", F.lit(n_docs).cast("long")
+    )
+    for col, sql in _IDF_A_STAGES + _IDF_B_STAGES:
+        joined = joined.withColumn(col, F.expr(sql))
+    idf = F.col(_IDF_A_LN) - F.col(_IDF_B_LN)
+    scored = joined.select(
         "doc_id",
         "term",
         fround(F.col("tf") * (idf + F.lit(1.0)), 4).alias("tfidf"),
@@ -1041,14 +1060,15 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    tcs AS ({stage_subselects("SELECT doc_id, c FROM tc", _PC_STAGES)}),
     agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-                   sum(CAST(floor((CAST(c AS DOUBLE) * {_PLN_C} * 1000000.0) + 0.5)
-                            AS BIGINT)) AS s6
-            FROM tc GROUP BY doc_id)
+                   sum({_ENT_TERM6}) AS s6
+            FROM tcs GROUP BY doc_id),
+    aggs AS ({stage_subselects("SELECT doc_id, n, s6 FROM agg", _PN_STAGES)})
     SELECT doc_id, n AS n_tokens,
-           floor(({_PLN_N} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
+           floor(({_PN_LN} - (CAST(s6 AS DOUBLE) / 1000000.0) / n) * 1e4 + 0.5) / 1e4
                AS token_entropy
-    FROM agg
+    FROM aggs
     ORDER BY doc_id
     """,
     "per-doc Shannon entropy over the token distribution (repetitiveness signal)",
@@ -1060,13 +1080,15 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cd = F.col("c").cast("double")
-    term6 = fround(cd * F.expr(_PLN_C) * F.lit(1000000.0)).cast("long")
+    for col, sql in _PC_STAGES:
+        tc = tc.withColumn(col, F.expr(sql))
     agg = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
-        F.sum(term6).alias("s6"),
+        F.sum(F.expr(_ENT_TERM6)).alias("s6"),
     )
-    entropy = F.expr(_PLN_N) - (
+    for col, sql in _PN_STAGES:
+        agg = agg.withColumn(col, F.expr(sql))
+    entropy = F.col(_PN_LN) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
     return agg.select(
@@ -1141,6 +1163,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot and broadcast.
 # ---------------------------------------------------------------------------
 _LM_AVG = "((CAST(s6 AS DOUBLE) / 1000000.0) / n_bigrams)"
+# staged pln chains for the per-bigram log-prob (r6 verdict item 4)
+_LM_A_STAGES, _LM_A_LN = pln_stages("c_ab", "pla")
+_LM_W_STAGES, _LM_W_LN = pln_stages("c_w", "plw")
+_LM_LP6 = (
+    f"CAST(floor(((({_LM_A_LN} - {_LM_W_LN})) * 1000000.0) + 0.5) AS BIGINT)"
+)
 
 
 @register(
@@ -1155,18 +1183,20 @@ _LM_AVG = "((CAST(s6 AS DOUBLE) / 1000000.0) / n_bigrams)"
     bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
     uc AS (SELECT w, count(*) AS c_w
            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-    scored AS (
-        SELECT g.doc_id,
-               CAST(floor((({pln_ratio('c.c_ab', 'u.c_w')}) * 1000000.0) + 0.5) AS BIGINT) AS lp6
-        FROM bg g
-        JOIN bc c USING (bigram)
-        JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]
-    ),
-    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6 FROM scored GROUP BY doc_id)
+    joined AS ({stage_subselects(
+        "SELECT g.doc_id, c.c_ab, u.c_w "
+        "FROM bg g "
+        "JOIN bc c USING (bigram) "
+        "JOIN uc u ON u.w = string_split(g.bigram, ' ')[1]",
+        _LM_A_STAGES + _LM_W_STAGES,
+    )}),
+    scored AS (SELECT doc_id, {_LM_LP6} AS lp6 FROM joined),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6 FROM scored GROUP BY doc_id),
+    aggx AS (SELECT doc_id, n_bigrams, s6, (0.0 - {_LM_AVG}) AS nx FROM agg)
     SELECT doc_id, n_bigrams,
            floor(({_LM_AVG}) * 1e4 + 0.5) / 1e4 AS avg_logprob,
-           floor(({pexp(f'(0.0 - {_LM_AVG})')}) * 1e4 + 0.5) / 1e4 AS ppl
-    FROM agg
+           floor(({pexp('nx')}) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM aggx
     ORDER BY doc_id
     """,
     "per-doc bigram-LM score + perplexity proxy under corpus MLE counts",
@@ -1196,21 +1226,23 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division pinned identically in the oracle SQL (same discipline as
     # text_token_entropy — a double sum(lp) flips round(,4) on boundary
     # docs between engines).
-    lp6 = fround(F.expr(pln_ratio("c_ab", "c_w")) * F.lit(1000000.0)).cast("long")
-    scored = (
+    joined = (
         bg.join(bc, "bigram")
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .join(uc, "w1")
-        .select("doc_id", lp6.alias("lp6"))
     )
+    for col, sql in _LM_A_STAGES + _LM_W_STAGES:
+        joined = joined.withColumn(col, F.expr(sql))
+    scored = joined.select("doc_id", F.expr(_LM_LP6).alias("lp6"))
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("s6")
     )
-    return agg.select(
+    aggx = agg.withColumn("nx", F.expr(f"(0.0 - {_LM_AVG})"))
+    return aggx.select(
         "doc_id",
         "n_bigrams",
         fround(F.expr(_LM_AVG), 4).alias("avg_logprob"),
-        fround(F.expr(pexp(f"(0.0 - {_LM_AVG})")), 4).alias("ppl"),
+        fround(F.expr(pexp("nx")), 4).alias("ppl"),
     ).orderBy("doc_id")
 
 

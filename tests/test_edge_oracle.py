@@ -95,6 +95,11 @@ _DOC_QUERIES = [
     "corpus_shard_balance",
     "text_token_len_hist",
     "text_len_quartiles_by_lang",
+    # r7 probe family members that read only documents — the unicode/
+    # empty/duplicated corpus is exactly the hostile input their
+    # split/trigram/md5 checksums must stay engine-identical on
+    "probe_string_split",
+    "probe_trigram_checksum",
 ]
 
 
