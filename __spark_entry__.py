@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the new 10-probe single-subsystem diagnosis family (operators/
 # probes.py; registry 208 -> 218), then the 8 libm-converted queries
 # not re-verified since conversion, then the oldest-green §2.B core
-# (q01-q26 were last sampled r1/r2). 50 slots total.
+# (q01-q19, last sampled r1/r2), then the 5 round-7 additions on
+# their first sample. 50 slots total.
 _PRIORITY = [
     # r6 red rows: uncast-integer-sum oracle columns fixed (CAST AS
     # BIGINT); pandas-dtype parity now matches on all 8
@@ -92,12 +93,19 @@ _PRIORITY = [
     "q17_funnel",
     "q18_quantiles",
     "q19_heavy_hitters",
+    # round-7 additions: first sample (dtype-audited + strict
+    # repr-level oracle-checked before pinning)
+    "q54_range_window",
+    "corpus_mix_temperature",
+    "text_boilerplate_prefix",
+    "events_gap_histogram",
+    "emb_norm_clip",
+    # --- below the 50-slot sample line: cumulative-green tail ---
     "q22_pivot",
     "q23_exists_semi_anti",
     "q24_latest_per_key",
     "q25_histogram",
     "q26_stats",
-    # --- below the 50-slot sample line: cumulative-green tail ---
     "text_mix_weights",
     "q50_array_agg",
     "text_kl_divergence",

@@ -230,6 +230,12 @@ BENCH_QUERIES = [
     "text_len_quartiles_by_lang",
     "events_value_log_hist",
     "orders_first_vs_ltv_corr",
+    # r7 additions
+    "q54_range_window",
+    "corpus_mix_temperature",
+    "text_boilerplate_prefix",
+    "events_gap_histogram",
+    "emb_norm_clip",
     # r7 probe family (operators/probes.py): diagnostic queries are on
     # the board too so their cost stays visible (each is a single agg)
     "probe_parquet_double",

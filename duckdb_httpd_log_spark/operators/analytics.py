@@ -4792,3 +4792,54 @@ def orders_first_vs_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return s.select(F.col("n").alias("n_customers"), r.alias("pearson_r"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram on a log2 scale: the arrival-process
+# fingerprint (bot traffic spikes the short buckets, organic sessions
+# spread the middle, churned-user returns fill the long tail). The
+# log2 bucket needs NO transcendental: for an integer gap in seconds,
+# floor(log2(gap)) == length(bin(gap)) - 1, and bin() (integer ->
+# binary string) is exact on both engines — so the whole query is
+# integer arithmetic end-to-end, no libm anywhere. Shape: a
+# per-user lag window over the fact table (same partitioning as
+# events_session_stats), then a ~40-bucket hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_histogram",
+    """
+    WITH g AS (
+        SELECT (epoch_us(ts)
+                - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT CAST(length(bin(gap_s)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "log2-bucketed inter-event gap histogram via the exact integer length(bin(n))-1 form (no libm)",
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        ).alias("gap_us")
+    ).select(F.expr("gap_us div 1000000").alias("gap_s"))
+    return (
+        g.filter(F.col("gap_s").isNotNull())
+        .groupBy(F.expr("cast(length(bin(gap_s)) - 1 as bigint)").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("bucket")
+    )

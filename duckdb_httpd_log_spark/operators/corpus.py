@@ -3694,3 +3694,54 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum("xx6").cast("double") / m
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return terms.agg(n.alias("n_points"), fround(slope, 4).alias("heaps_beta"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights — the multilingual-corpus
+# rebalancing rule (sample source i proportional to n_i^alpha, alpha =
+# 0.5): raises low-resource sources' share without flattening to
+# uniform. One hash aggregate over the corpus; the normalizing window
+# runs over the |sources|-row result (bounded). Parity: sqrt is an
+# IEEE-754 correctly-rounded basic op on both engines (unlike ln/exp),
+# quantized to an e6 BIGINT by the floor form; the share is then exact
+# integer arithmetic — round-half-up (a*2s + b) div 2b, the
+# text_mix_weights recipe. Bound: w_e6 * 2e6 needs sqrt(n_docs) * 1e6
+# * 2e6 < 2^63, i.e. n_docs < ~2.1e13 per source — far past any corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_mix_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w_e6
+          FROM c),
+    t AS (SELECT source, n_docs, w_e6,
+                 CAST(sum(w_e6) OVER () AS BIGINT) AS tot_e6
+          FROM w)
+    SELECT source, n_docs, w_e6,
+           CAST((w_e6 * 2000000 + tot_e6) // (2 * tot_e6) AS BIGINT) AS share_e6
+    FROM t
+    ORDER BY source
+    """,
+    "temperature-scaled (alpha=0.5) source sampling weights via portable sqrt + exact integer shares",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = c.select(
+        "source",
+        "n_docs",
+        F.expr("cast(floor(sqrt(cast(n_docs as double)) * 1e6 + 0.5) as bigint)").alias("w_e6"),
+    )
+    t = w.select(
+        "source", "n_docs", "w_e6",
+        F.sum("w_e6").over(Window.partitionBy()).cast("long").alias("tot_e6"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "w_e6",
+        F.expr("(w_e6 * 2000000 + tot_e6) div (2 * tot_e6)").cast("long").alias("share_e6"),
+    ).orderBy("source")

@@ -1684,3 +1684,63 @@ def q50_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-framed window (q54, filling the q-series gap): 7-day trailing
+# revenue per order day. Unlike the ROWS frames elsewhere (q30), the
+# frame here is VALUE-based — RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+# over an integer day key — so days absent from the data still shrink
+# the trailing window. Parity: days are exact integer div of epoch
+# micros, revenue is parquet-double cents (probe_parquet_double
+# contract), and the windowed sum is CAST AS BIGINT on the oracle side
+# (DuckDB sums BIGINT into HUGEINT, which pandas would surface as
+# float64 — the r3-r6 red-class). Scale: the window runs over the
+# |days| daily spine (~2.4k rows for 7 years), not the fact table —
+# the fact-scale work is the partial+final hash agg building it.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_range_window",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY day
+    )
+    SELECT day, rev_cents, n_orders,
+           CAST(sum(rev_cents) OVER (ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_cents,
+           CAST(count(*) OVER (ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_7d
+    FROM daily
+    ORDER BY day
+    """,
+    "7-day trailing revenue via a VALUE-based RANGE window frame over an integer day key",
+)
+def q54_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+            F.expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    # Unpartitioned RANGE window: runs over the bounded daily spine
+    # (one row per distinct order day), same contract as q45_date_fill.
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev_cents",
+        "n_orders",
+        F.sum("rev_cents").over(w).cast("long").alias("rev_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"),
+    ).orderBy("day")

@@ -565,7 +565,9 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     WHERE rn <= {TOP_K}
     ORDER BY q_id, cosine DESC, c_id
     """.replace("{KMEANS_CHAIN}", _KMEANS_CHAIN_SQL),
-    "IVF over TRAINED coarse centroids (kmeans_train model): corpus bucketed by nearest cell, queries probe 6",
+    "IVF over TRAINED coarse centroids (kmeans_train model): corpus bucketed by nearest cell, queries probe 6; "
+    "cell assignment is dense-exact (round-6/lowest-id tie contract) up to 64 cells — every oracle-tested scale — "
+    "and two-level pruned (~97% argmin agreement, 3 super-probes for both assignment and probe lists) beyond",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cell assignment and scoring run in Arrow-vectorized pandas UDFs
@@ -1044,4 +1046,86 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("q_id").alias("vec_id"), F.col("c_id").alias("nn_id"), "cosine")
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm clipping card: per label, the exact discrete p99 L2-norm (the
+# clip threshold an embedding pipeline applies before indexing — norm
+# outliers dominate inner products and poison IVF training) plus how
+# many vectors the clip would touch. The percentile is the q46
+# inverse-CDF form (positional window, no interpolation) over the
+# round-6 portable norm, then re-joined to count exceedances — two
+# partial+final aggs, no driver traffic. All-BIGINT output: the
+# threshold ships as an e6-scaled integer, the share as an exact
+# round-half-up e4 integer.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_norm_clip",
+    f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               floor((sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                    for i in range(1, {DIM + 1})]))) * 1e6 + 0.5) / 1e6 AS nrm
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT label, nrm,
+               row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rn,
+               count(*) OVER (PARTITION BY label) AS cnt
+        FROM n
+    ),
+    thr AS (
+        SELECT label, max(cnt) AS n_vecs,
+               min(CASE WHEN rn >= CAST(ceil(0.99 * cnt) AS BIGINT) THEN nrm END) AS p99
+        FROM ranked
+        GROUP BY label
+    )
+    SELECT CAST(t.label AS BIGINT) AS label,
+           CAST(t.n_vecs AS BIGINT) AS n_vecs,
+           CAST(floor(t.p99 * 1e6 + 0.5) AS BIGINT) AS clip_e6,
+           CAST(sum(CASE WHEN n.nrm > t.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST((CAST(sum(CASE WHEN n.nrm > t.p99 THEN 1 ELSE 0 END) AS BIGINT) * 20000
+                 + t.n_vecs) // (2 * t.n_vecs) AS BIGINT) AS clip_frac_e4
+    FROM thr t JOIN n ON n.label = t.label
+    GROUP BY t.label, t.n_vecs, t.p99
+    ORDER BY label
+    """,
+    "per-label exact discrete p99 norm clip threshold (e6 int) + clipped-vector counts/share",
+)
+def emb_norm_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", F.expr(_NORM_SELF).alias("nrm"))
+    wr = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    wc = Window.partitionBy("label")
+    ranked = n.select(
+        "label",
+        "nrm",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    thr = ranked.groupBy("label").agg(
+        F.max("cnt").alias("n_vecs"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(0.99) * F.col("cnt")).cast("long"), F.col("nrm"))
+        ).alias("p99"),
+    )
+    # |labels|-row threshold table: broadcast back onto the vector set.
+    joined = n.join(F.broadcast(thr), "label")
+    clipped = F.sum(F.when(F.col("nrm") > F.col("p99"), 1).otherwise(0)).cast("long")
+    return (
+        joined.groupBy("label", "n_vecs", "p99")
+        .agg(clipped.alias("n_clipped"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr("cast(floor(p99 * 1e6 + 0.5) as bigint)").alias("clip_e6"),
+            "n_clipped",
+            F.expr("(n_clipped * 20000 + n_vecs) div (2 * n_vecs)")
+            .cast("long")
+            .alias("clip_frac_e4"),
+        )
+        .orderBy("label")
     )

@@ -1589,3 +1589,65 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("novelty_e4"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-prefix detection: per source, the most common leading
+# trigram and the share of documents that open with it — high shares
+# flag templated/boilerplate sources that near-dup banding misses
+# (the shared span is too short to dominate a document signature).
+# Shape: per-(source, prefix) hash agg, then a per-source top-1 window
+# over the bounded distinct-prefix result. Parity: string_split and
+# list slicing agree (probe_string_split contract); the share is the
+# exact-integer round-half-up form.
+# ---------------------------------------------------------------------------
+@register(
+    "text_boilerplate_prefix",
+    """
+    WITH p AS (
+        SELECT source,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        FROM documents
+    ),
+    c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY source, prefix),
+    t AS (SELECT source, prefix, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rn,
+                 CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+          FROM c)
+    SELECT source, prefix AS top_prefix, n AS n_prefix, n_docs,
+           CAST((n * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS share_e4
+    FROM t
+    WHERE rn = 1
+    ORDER BY source
+    """,
+    "per-source most common leading trigram + share: templated/boilerplate source detector",
+)
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("prefix"),
+    )
+    c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("source").orderBy(F.col("n").desc(), "prefix")
+    ws = Window.partitionBy("source")
+    t = c.select(
+        "source",
+        "prefix",
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("n").over(ws).cast("long").alias("n_docs"),
+    )
+    return (
+        t.filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("n").alias("n_prefix"),
+            "n_docs",
+            F.expr("(n * 20000 + n_docs) div (2 * n_docs)").cast("long").alias("share_e4"),
+        )
+        .orderBy("source")
+    )

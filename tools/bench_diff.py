@@ -1,0 +1,70 @@
+"""Diff two bench_full.json boards (e.g. the current one vs a prior
+round's via `git show <rev>:bench_full.json > /tmp/old.json`).
+
+Prints per-query ratios sorted by regression, the shared-entry median
+ratio (the round-over-round number the verdicts grade), and flags
+entries beyond the noise band. This box's run-to-run variance is
+~±20%, so the default flag threshold is 1.35x.
+
+    python tools/bench_diff.py OLD.json [NEW.json] [--threshold 1.35]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument(
+        "new",
+        nargs="?",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench_full.json",
+        ),
+    )
+    ap.add_argument("--threshold", type=float, default=1.35)
+    args = ap.parse_args()
+
+    with open(args.old) as fh:
+        old = json.load(fh)["queries"]
+    with open(args.new) as fh:
+        new = json.load(fh)["queries"]
+
+    shared = sorted(set(old) & set(new))
+    ratios = {
+        k: (new[k] / old[k] if old[k] > 0 else float("inf")) for k in shared
+    }
+    med = statistics.median(ratios.values())
+    tot_old = sum(old[k] for k in shared)
+    tot_new = sum(new[k] for k in shared)
+
+    print(f"shared entries: {len(shared)}")
+    print(f"total {tot_old:.1f}s -> {tot_new:.1f}s ({tot_new / tot_old:.3f}x)")
+    print(f"median per-query ratio: {med:.3f}x")
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped entries: {', '.join(only_old)}")
+    if only_new:
+        print(f"new entries: {', '.join(f'{k} ({new[k]:.2f}s)' for k in only_new)}")
+
+    regress = [(k, r) for k, r in ratios.items() if r > args.threshold]
+    improve = [(k, r) for k, r in ratios.items() if r < 1 / args.threshold]
+    if regress:
+        print(f"\nregressions > {args.threshold}x:")
+        for k, r in sorted(regress, key=lambda kv: -kv[1]):
+            print(f"  {k:30s} {old[k]:7.3f}s -> {new[k]:7.3f}s  ({r:.2f}x)")
+    if improve:
+        print(f"\nimprovements > {args.threshold}x:")
+        for k, r in sorted(improve, key=lambda kv: kv[1]):
+            print(f"  {k:30s} {old[k]:7.3f}s -> {new[k]:7.3f}s  ({r:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
