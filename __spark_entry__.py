@@ -90,17 +90,20 @@ _PRIORITY = [
     "q14_rollup",
     "q15_sessionize",
     "q16_asof_join",
-    "q17_funnel",
-    "q18_quantiles",
-    "q19_heavy_hitters",
     # round-7 additions: first sample (dtype-audited + strict
     # repr-level oracle-checked before pinning)
+    "q56_ship_priority",
+    "q57_order_count_dist",
+    "q58_top_supplier",
     "q54_range_window",
     "corpus_mix_temperature",
     "text_boilerplate_prefix",
     "events_gap_histogram",
     "emb_norm_clip",
     # --- below the 50-slot sample line: cumulative-green tail ---
+    "q17_funnel",
+    "q18_quantiles",
+    "q19_heavy_hitters",
     "q22_pivot",
     "q23_exists_semi_anti",
     "q24_latest_per_key",

@@ -1744,3 +1744,171 @@ def q54_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(w).cast("long").alias("rev_7d_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape (q56): the one join topology the q-series still
+# lacked — FACT ⋈ FACT. q08/q42 are star joins (fact against broadcast
+# dims); here lineitem is pre-aggregated per order key (partial+final
+# hash agg BEFORE the join, shrinking the probe side from line items to
+# orders) and then shuffle-joined to orders on the same key. Customer
+# is filtered to one segment and joined without a broadcast hint — at
+# sf0.1 AQE turns it into a broadcast, at 100 TB (customer scales with
+# the corpus) it stays a shuffle join; expressing it declaratively
+# lets the planner pick per scale. Revenue is exact: per-row cents
+# quantization then BIGINT sums (probe_parquet_double contract) — not
+# quantize-after-double-sum, so the hash is partitioning-independent.
+# LIMIT needs a total order: (rev_cents DESC, o_orderkey) is one.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_ship_priority",
+    """
+    WITH r AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS order_day,
+           o.o_orderpriority,
+           r.rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN r ON r.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+    ORDER BY r.rev_cents DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3-style shipping priority: lineitem pre-agg then fact-to-fact shuffle join, exact cents revenue, top-10",
+)
+def q56_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    r = (
+        li.filter(F.col("l_shipdate") > cut)
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    return (
+        o.filter(F.col("o_orderdate") < cut)
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(r, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("order_day"),
+            "o_orderpriority",
+            "rev_cents",
+        )
+        .orderBy(F.col("rev_cents").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (q57): order-count distribution per customer — the
+# LEFT OUTER fact join + double aggregation topology. The scale trick:
+# aggregate orders per customer key FIRST (fact-scale partial+final
+# hash agg), then left-join the |customers|-sized count table — the
+# outer join never sees individual orders. coalesce(n, 0) preserves
+# the oracle's count(o_orderkey)=0 for order-less customers. All
+# output columns are BIGINT counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q57_order_count_dist",
+    """
+    WITH pc AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM pc
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "TPC-H Q13-style order-count distribution: pre-agg before the outer join, histogram of per-customer counts",
+)
+def q57_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pc = (
+        c.select("c_custkey")
+        .join(oc, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"))
+    )
+    return (
+        pc.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape (q58): top supplier by quarterly revenue — the
+# aggregate-then-match-global-max topology (Q15's revenue view + WHERE
+# total = (SELECT max(...))). Spark side: the per-supplier revenue agg
+# is computed once, its 1-row max is broadcast back as a cross join,
+# and the equality filter picks the winner(s) — no second scan of
+# lineitem, no correlated subquery. Revenue cents are exact BIGINTs.
+# ---------------------------------------------------------------------------
+@register(
+    "q58_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    "TPC-H Q15-style top supplier: one revenue agg reused for both the max and the match, broadcast 1-row max",
+)
+def q58_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(s.select("s_suppkey", "s_name"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )

@@ -1094,19 +1094,28 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-label exact discrete p99 norm clip threshold (e6 int) + clipped-vector counts/share",
 )
 def emb_norm_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .distrank import with_global_rank
 
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select("vec_id", "label", F.expr(_NORM_SELF).alias("nrm"))
-    wr = Window.partitionBy("label").orderBy("nrm", "vec_id")
-    wc = Window.partitionBy("label")
-    ranked = n.select(
-        "label",
-        "nrm",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    # Per-label rank WITHOUT a per-label window: a label column has ~16
+    # distinct values, so partitionBy("label") would sort the whole
+    # vector set in 16 tasks at the 100 TB design point. Instead rank
+    # globally under (label, nrm, vec_id) via the two-phase distrank
+    # scan, then rebase each label's ranks by its 1-row offset — the
+    # restriction of the global order to one label IS (nrm, vec_id)
+    # order, so rn is bit-identical to the oracle's per-label
+    # row_number.
+    ranked = with_global_rank(
+        spark, n, [F.col("label"), F.col("nrm"), F.col("vec_id")], rn_col="grn"
     )
-    thr = ranked.groupBy("label").agg(
+    base = ranked.groupBy("label").agg(
+        (F.min("grn") - 1).alias("off"), F.count(F.lit(1)).alias("cnt")
+    )
+    r = ranked.join(F.broadcast(base), "label").withColumn(
+        "rn", F.col("grn") - F.col("off")
+    )
+    thr = r.groupBy("label").agg(
         F.max("cnt").alias("n_vecs"),
         F.min(
             F.when(F.col("rn") >= F.ceil(F.lit(0.99) * F.col("cnt")).cast("long"), F.col("nrm"))

@@ -1623,31 +1623,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-source most common leading trigram + share: templated/boilerplate source detector",
 )
 def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents")
     p = docs.select(
         "source",
         F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("prefix"),
     )
     c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.partitionBy("source").orderBy(F.col("n").desc(), "prefix")
-    ws = Window.partitionBy("source")
-    t = c.select(
+    # Top-1 per source as a min-struct aggregate, not a window: the
+    # oracle's row_number() ORDER BY n DESC, prefix tie-break is exactly
+    # min over (-n, prefix) under lexicographic struct comparison (both
+    # engines compare strings bytewise), so the distinct-prefix set is
+    # never sorted — two hash aggs end-to-end.
+    t = c.groupBy("source").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("prefix").alias("prefix"),
+                F.col("n").alias("n"),
+            )
+        ).alias("top"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    return t.select(
         "source",
-        "prefix",
-        "n",
-        F.row_number().over(wr).alias("rn"),
-        F.sum("n").over(ws).cast("long").alias("n_docs"),
-    )
-    return (
-        t.filter(F.col("rn") == 1)
-        .select(
-            "source",
-            F.col("prefix").alias("top_prefix"),
-            F.col("n").alias("n_prefix"),
-            "n_docs",
-            F.expr("(n * 20000 + n_docs) div (2 * n_docs)").cast("long").alias("share_e4"),
-        )
-        .orderBy("source")
-    )
+        F.col("top.prefix").alias("top_prefix"),
+        F.col("top.n").alias("n_prefix"),
+        "n_docs",
+        F.expr("(top.n * 20000 + n_docs) div (2 * n_docs)").cast("long").alias("share_e4"),
+    ).orderBy("source")

@@ -660,3 +660,91 @@ def test_d2_matrix_chunking_bit_identical():
     chunked = S._d2_matrix(mat, cen)
     assert chunked.shape == full.shape
     assert np.array_equal(chunked, full)
+
+
+def test_q57_histogram_accounts_for_every_customer(spark):
+    """TPC-H Q13 shape: the order-count histogram must partition the
+    customer dimension exactly — sum(n_customers) == |customer| — and
+    the coalesce path must keep order-less customers as an n_orders=0
+    bucket when any exist."""
+    rows = REGISTRY["q57_order_count_dist"].spark_fn(spark, SF_DIR).collect()
+    total = sum(r.n_customers for r in rows)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total == n_cust
+    n_with_orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    zero_bucket = {r.n_orders: r.n_customers for r in rows}.get(0, 0)
+    assert zero_bucket == n_cust - n_with_orders
+
+
+def test_q56_top10_is_total_ordered_and_filtered(spark):
+    """LIMIT under the driver's order-insensitive hash is only stable
+    if the ORDER BY is a total order — assert strictly decreasing
+    (rev_cents, -o_orderkey) pairs and both date cutoffs."""
+    rows = REGISTRY["q56_ship_priority"].spark_fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    keys = [(-r.rev_cents, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
+    import datetime
+
+    cutoff = (datetime.date(1998, 6, 1) - datetime.date(1970, 1, 1)).days
+    assert all(r.order_day < cutoff for r in rows)
+
+
+def test_q58_winner_matches_brute_force(spark):
+    """Q15 shape: the broadcast-max match must equal a brute-force
+    max over the same revenue aggregate."""
+    out = REGISTRY["q58_top_supplier"].spark_fn(spark, SF_DIR).collect()
+    assert len(out) >= 1
+    con = _duck()
+    brute = con.execute(
+        """
+        SELECT CAST(max(total_cents) AS BIGINT) FROM (
+          SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        """
+    ).fetchone()[0]
+    assert all(r.total_cents == brute for r in out)
+
+
+def test_emb_norm_clip_share_is_about_one_percent(spark):
+    """The p99 clip: per label, clipped vectors are < 1% of the label
+    (strictly-greater comparison excludes the threshold row itself)
+    and the threshold is attained by at least one vector."""
+    rows = REGISTRY["emb_norm_clip"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_clipped < max(1, r.n_vecs // 50)  # well under 2%
+        assert r.clip_frac_e4 <= 200  # <= 2% in e4 units
+        assert r.clip_e6 > 0
+
+
+def test_boilerplate_prefix_share_bounds(spark):
+    """Top-prefix share must be a valid exact-integer e4 fraction and
+    n_prefix <= n_docs per source."""
+    rows = REGISTRY["text_boilerplate_prefix"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_prefix <= r.n_docs
+        expect = (r.n_prefix * 20000 + r.n_docs) // (2 * r.n_docs)
+        assert r.share_e4 == expect
+
+
+def test_gap_histogram_buckets_are_log2_exact(spark):
+    """bucket == floor(log2(gap)) via length(bin(n))-1: every bucket's
+    min/max must fall inside [2^b, 2^(b+1)) (gap 0 -> bucket -1 edge:
+    bin(0)='0', length 1, bucket 0 — DuckDB and Spark agree; assert
+    the invariant only for buckets >= 1 where the doubling law holds)."""
+    rows = REGISTRY["events_gap_histogram"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.bucket >= 1:
+            assert 2**r.bucket <= r.min_gap_s <= r.max_gap_s < 2 ** (r.bucket + 1)

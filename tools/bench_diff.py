@@ -32,9 +32,20 @@ def main() -> None:
     args = ap.parse_args()
 
     with open(args.old) as fh:
-        old = json.load(fh)["queries"]
+        old_doc = json.load(fh)
     with open(args.new) as fh:
-        new = json.load(fh)["queries"]
+        new_doc = json.load(fh)
+    old, new = old_doc["queries"], new_doc["queries"]
+
+    # Host-speed normalization: when both boards carry the fixed-work
+    # calibration block, report the host drift and divide it out of the
+    # per-query ratios so code drift is judged on equal hardware terms.
+    host = None
+    oc, nc = old_doc.get("calibration"), new_doc.get("calibration")
+    if oc and nc:
+        host = statistics.median(
+            nc[k] / oc[k] for k in set(oc) & set(nc) if oc.get(k)
+        )
 
     shared = sorted(set(old) & set(new))
     ratios = {
@@ -47,6 +58,12 @@ def main() -> None:
     print(f"shared entries: {len(shared)}")
     print(f"total {tot_old:.1f}s -> {tot_new:.1f}s ({tot_new / tot_old:.3f}x)")
     print(f"median per-query ratio: {med:.3f}x")
+    if host:
+        print(
+            f"host calibration drift: {host:.3f}x -> "
+            f"host-normalized median ratio: {med / host:.3f}x"
+        )
+        ratios = {k: r / host for k, r in ratios.items()}
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:

@@ -54,6 +54,13 @@ SLATE = [
     "q49_equidepth_histogram",
     "orders_rolling_median",
     "corpus_good_turing",
+    # round-7 additions with fact-scale inner work (window over a
+    # bounded spine / distrank / min-struct agg — the shapes whose
+    # scaling these rows are meant to prove)
+    "q54_range_window",
+    "events_gap_histogram",
+    "emb_norm_clip",
+    "text_boilerplate_prefix",
 ]
 
 # id headrooms: far above any sf0.1 max key
