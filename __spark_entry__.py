@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # column and now CAST it to BIGINT — tools/dtype_audit.py +
 # tests/test_roundproof.py::test_pandas_dtype_parity_contract) — then
 # the new 10-probe single-subsystem diagnosis family (operators/
-# probes.py; registry 208 -> 218), then the 8 libm-converted queries
+# probes.py; registry 208 -> 218 -> 226 with the round-7 additions),
+# then the 8 libm-converted queries
 # not re-verified since conversion, then the oldest-green §2.B core
 # (q01-q19, last sampled r1/r2), then the 5 round-7 additions on
 # their first sample. 50 slots total.
