@@ -192,6 +192,15 @@ def main() -> None:
         print(f"{name:28s} sf0.1 {small:7.2f}s   {args.copies}x {big:8.2f}s   ratio {ratio:5.1f}x")
 
     if args.out:
+        # Preserve the hand-curated multi-scale sections (100x/1000x
+        # probes, bench deltas) below the MANUAL-SECTIONS marker — the
+        # generator only owns the default-slate table above it.
+        manual = ""
+        marker = "<!-- MANUAL-SECTIONS:"
+        if os.path.exists(args.out):
+            prior = open(args.out).read()
+            if marker in prior:
+                manual = "\n" + prior[prior.index(marker):]
         with open(args.out, "w") as fh:
             scope = (
                 f"tables {', '.join(tables)}" if tables else "all fact tables"
@@ -218,6 +227,8 @@ def main() -> None:
             )
             for name, small, big, ratio in rows:
                 fh.write(f"| `{name}` | {small:.2f} | {big:.2f} | {ratio:.1f}x |\n")
+            if manual:
+                fh.write(manual)
         print(f"wrote {args.out}")
 
     if args.assert_ceilings:
