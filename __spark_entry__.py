@@ -89,10 +89,10 @@ _PRIORITY = [
     "q12_window",
     "q13_set_ops",
     "q14_rollup",
-    "q15_sessionize",
-    "q16_asof_join",
     # round-7 additions: first sample (dtype-audited + strict
     # repr-level oracle-checked before pinning)
+    "text_window_dedup",
+    "emb_split_centroid_shift",
     "q56_ship_priority",
     "q57_order_count_dist",
     "q58_top_supplier",
@@ -102,6 +102,8 @@ _PRIORITY = [
     "events_gap_histogram",
     "emb_norm_clip",
     # --- below the 50-slot sample line: cumulative-green tail ---
+    "q15_sessionize",
+    "q16_asof_join",
     "q17_funnel",
     "q18_quantiles",
     "q19_heavy_hitters",

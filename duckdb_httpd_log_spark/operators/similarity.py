@@ -1138,3 +1138,149 @@ def emb_norm_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between corpus halves: cosine similarity of per-label
+# centroids computed on the even- and odd-id halves — a train/serve (or
+# shard-vs-shard) representation-stability check; a label whose halves
+# disagree has a heterogeneous or drifting embedding cluster. Exactness
+# contract: per-element e6 quantization -> exact BIGINT per-(label,
+# half, dim) sums (the fact-scale work is ONE partial+final hash agg on
+# 64x rows); the 64-term centroid products are re-quantized to e6
+# BIGINTs so the final per-label sums are exact integers, and the only
+# floating steps (two divisions, one sqrt, one multiply per dim) are
+# single deterministic IEEE ops on exact integer inputs. Magnitude
+# safety: the mean vectors are normalized by their own max |component|
+# (an exact max) before quantization — every product is <= 1e6 and the
+# 64-term sums stay exact BIGINTs for ANY input magnitude (cosine is
+# scale-invariant, so the normalization cancels). Remaining bound: the
+# per-element quantization q = floor(v*1e6+0.5) needs |v| < 9.2e12 and
+# per-(label,half,dim) sums need n*|q| < 2^63 — both far past real
+# embedding data (|v| ~ O(1)).
+# ---------------------------------------------------------------------------
+@register(
+    "emb_split_centroid_shift",
+    f"""
+    WITH e AS (
+        SELECT label, vec_id % 2 AS h, r.i AS dim,
+               CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        FROM embeddings, range(1, {DIM + 1}) r(i)
+    ),
+    cnt AS (SELECT label, vec_id % 2 AS h, count(*) AS c FROM embeddings GROUP BY label, h),
+    d AS (
+        SELECT e.label, e.h, e.dim, CAST(sum(e.q) AS BIGINT) AS s, max(cnt.c) AS c
+        FROM e JOIN cnt ON cnt.label = e.label AND cnt.h = e.h
+        GROUP BY e.label, e.h, e.dim
+    ),
+    g AS (
+        SELECT label, h, max(abs(CAST(s AS DOUBLE) / c)) AS gmax
+        FROM d GROUP BY label, h
+    ),
+    m AS (
+        SELECT d.label, d.h, d.dim, d.c,
+               (CAST(d.s AS DOUBLE) / d.c) / g.gmax AS mn
+        FROM d JOIN g ON g.label = d.label AND g.h = d.h
+        WHERE g.gmax > 0
+    ),
+    pair AS (
+        SELECT a.label,
+               max(a.c) AS n_even, max(b.c) AS n_odd,
+               CAST(sum(CAST(floor(a.mn * b.mn * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dot_e6,
+               CAST(sum(CAST(floor(a.mn * a.mn * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS aa_e6,
+               CAST(sum(CAST(floor(b.mn * b.mn * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS bb_e6
+        FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim AND a.h = 0 AND b.h = 1
+        GROUP BY a.label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n_even AS BIGINT) AS n_even,
+           CAST(n_odd AS BIGINT) AS n_odd,
+           CAST(floor(CAST(dot_e6 AS DOUBLE)
+                      / sqrt(CAST(aa_e6 AS DOUBLE) * CAST(bb_e6 AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS centroid_cos_e6
+    FROM pair
+    ORDER BY label
+    """,
+    "per-label cosine between even/odd-half centroids: representation-drift check, exact integer core",
+)
+def emb_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "label",
+        "h",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("cast(floor(cast(v as double) * 1e6 + 0.5) as bigint)").alias("q"),
+    )
+    cnt = emb.groupBy("label", (F.col("vec_id") % 2).alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d = (
+        e.join(F.broadcast(cnt), ["label", "h"])
+        .groupBy("label", "h", "dim")
+        .agg(F.sum("q").cast("long").alias("s"), F.max("c").alias("c"))
+        # d is BOUNDED (|labels| x 2 x 64 rows) but feeds four branches
+        # (gmax, the normalized means, both halves) — without this pin
+        # every branch re-scans and re-aggregates the fact table (the
+        # unpinned plan read embeddings 8x). localCheckpoint, not
+        # persist: the CacheManager would leak the entry for the
+        # session (see distrank.py).
+        .localCheckpoint(eager=False)
+    )
+    # Cosine is scale-invariant: normalize each half's mean vector by
+    # its max |component| (exact max over 64 values) BEFORE the e6
+    # quantization, so every product is <= 1e6 and the 64-term sums are
+    # exact BIGINTs for ANY input magnitude (the adversarial edge
+    # corpus's 1e11-range vectors overflowed the unnormalized form).
+    # An all-zero half (gmax = 0) drops its label from the output on
+    # both engines via the inner join.
+    g = d.groupBy("label", "h").agg(
+        F.max(F.abs(F.expr("cast(s as double) / c"))).alias("gmax")
+    )
+    mt = (
+        d.join(F.broadcast(g), ["label", "h"])
+        .filter(F.col("gmax") > 0)
+        .select(
+            "label",
+            "h",
+            "dim",
+            "c",
+            F.expr("(cast(s as double) / c) / gmax").alias("mn"),
+        )
+    )
+    a = mt.filter(F.col("h") == 0).select(
+        "label", "dim", F.col("mn").alias("ma"), F.col("c").alias("ca")
+    )
+    b = mt.filter(F.col("h") == 1).select(
+        "label", "dim", F.col("mn").alias("mb"), F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("ca").alias("n_even"),
+            F.max("cb").alias("n_odd"),
+            F.sum(F.expr("cast(floor(ma * mb * 1e6 + 0.5) as bigint)"))
+            .cast("long")
+            .alias("dot_e6"),
+            F.sum(F.expr("cast(floor(ma * ma * 1e6 + 0.5) as bigint)"))
+            .cast("long")
+            .alias("aa_e6"),
+            F.sum(F.expr("cast(floor(mb * mb * 1e6 + 0.5) as bigint)"))
+            .cast("long")
+            .alias("bb_e6"),
+        )
+    )
+    return pair.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_even").cast("long").alias("n_even"),
+        F.col("n_odd").cast("long").alias("n_odd"),
+        F.expr(
+            "cast(floor(cast(dot_e6 as double)"
+            " / sqrt(cast(aa_e6 as double) * cast(bb_e6 as double))"
+            " * 1e6 + 0.5) as bigint)"
+        ).alias("centroid_cos_e6"),
+    ).orderBy("label")

@@ -1651,3 +1651,72 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("(top.n * 20000 + n_docs) div (2 * n_docs)").cast("long").alias("share_e4"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide repeated-span statistics (the exact-substring-dedup
+# pipeline op, approximated at non-overlapping 8-token windows): a
+# window appearing in >= 2 documents is boilerplate the doc-level
+# near-dup family cannot see when the surrounding text differs. Shape:
+# explode complete windows (|tokens|/8 rows/doc), one corpus hash agg
+# on the window string, then a window->count shuffle join back and a
+# per-doc agg. Hot boilerplate windows skew the join key; AQE's
+# skew-join split handles that (the count side is 1 row per window).
+# All-BIGINT output; the shared-window sum is CAST on the oracle side
+# (HUGEINT -> pandas float64 otherwise).
+# ---------------------------------------------------------------------------
+@register(
+    "text_window_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+7], ' ')
+                       for i in range(1, greatest(len(t) - 6, 1), 8)]) AS w
+        FROM toks
+    ),
+    wc AS (SELECT w, count(*) AS c FROM wins GROUP BY w)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST((CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 20000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS drop_frac_e4
+    FROM wins JOIN wc USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "repeated-span (8-token window) dedup stats per doc: corpus-frequency join, exact drop fraction",
+)
+def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 8 then"
+                " transform(sequence(1, size(t) - 7, 8),"
+                "  i -> concat_ws(' ', slice(t, i, 8)))"
+                " else array() end"
+            )
+        ).alias("w"),
+    )
+    wc = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    shared = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        wins.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.expr("(n_shared * 20000 + n_windows) div (2 * n_windows)")
+            .cast("long")
+            .alias("drop_frac_e4"),
+        )
+        .orderBy("doc_id")
+    )

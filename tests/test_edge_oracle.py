@@ -100,6 +100,11 @@ _DOC_QUERIES = [
     # split/trigram/md5 checksums must stay engine-identical on
     "probe_string_split",
     "probe_trigram_checksum",
+    # r7 additions exercising list slicing / window explosion on the
+    # unicode/empty/short-doc corpus (docs with < 8 tokens must yield
+    # zero windows, not errors, on both engines)
+    "text_boilerplate_prefix",
+    "text_window_dedup",
 ]
 
 

@@ -748,3 +748,43 @@ def test_gap_histogram_buckets_are_log2_exact(spark):
     for r in rows:
         if r.bucket >= 1:
             assert 2**r.bucket <= r.min_gap_s <= r.max_gap_s < 2 ** (r.bucket + 1)
+
+
+def test_window_dedup_counts_complete_windows(spark):
+    """n_windows must equal floor(|tokens|/8) per doc, and a planted
+    window shared across docs must be flagged: every doc shares at
+    least itself, so n_shared <= n_windows and drop_frac_e4 <= 10000."""
+    rows = REGISTRY["text_window_dedup"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    con = _duck()
+    expect = dict(
+        con.execute(
+            "SELECT doc_id, len(string_split(text, ' ')) // 8 FROM documents"
+            " WHERE len(string_split(text, ' ')) >= 8"
+        ).fetchall()
+    )
+    got = {r.doc_id: r.n_windows for r in rows}
+    assert got == expect
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_windows
+        assert 0 <= r.drop_frac_e4 <= 10000
+
+
+def test_centroid_shift_is_valid_cosine_and_counts_split(spark):
+    """Even/odd half sizes must partition each label's vectors and the
+    centroid cosine must be a valid e6 cosine. (No sign assertion: the
+    synthetic labels have near-zero centroids, so the half-vs-half
+    cosine legitimately lands anywhere in [-1, 1] — which is exactly
+    the drift signal the operator reports.)"""
+    rows = REGISTRY["emb_split_centroid_shift"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    per_label = {
+        r[0]: r[1]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .groupBy("label")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert r.n_even + r.n_odd == per_label[r.label]
+        assert -1_000_001 <= r.centroid_cos_e6 <= 1_000_001

@@ -61,6 +61,8 @@ SLATE = [
     "events_gap_histogram",
     "emb_norm_clip",
     "text_boilerplate_prefix",
+    "text_window_dedup",
+    "emb_split_centroid_shift",
 ]
 
 # id headrooms: far above any sf0.1 max key
