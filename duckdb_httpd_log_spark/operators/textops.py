@@ -1701,14 +1701,33 @@ def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    wc = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    shared = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
-    return (
-        wins.join(wc, "w")
+    # n_windows never needs the join: every emitted window is complete,
+    # so it is size(t) div 8 straight off the token array. The join
+    # therefore only has to carry the SHARED windows (corpus frequency
+    # >= 2) — the skew-prone boilerplate keys — while the unique-window
+    # bulk (the overwhelming majority of a real corpus) never shuffles
+    # a second time. Values are identical to the full-join form the
+    # oracle SQL states.
+    nw = toks.select(
+        "doc_id", F.expr("size(t) div 8").cast("long").alias("n_windows")
+    ).filter(F.col("n_windows") >= 1)
+    wc2 = (
+        wins.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("w")
+    )
+    sh = (
+        wins.join(wc2, "w")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            shared.alias("n_shared"),
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared0"))
+    )
+    return (
+        nw.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_shared0"), F.lit(0).cast("long")).alias("n_shared"),
         )
         .select(
             "doc_id",
