@@ -102,6 +102,8 @@ _PRIORITY = [
     "events_gap_histogram",
     "emb_norm_clip",
     # --- below the 50-slot sample line: cumulative-green tail ---
+    # (q59 authored after the 50 slots filled; first sample next round)
+    "q59_late_shipment_mix",
     "q15_sessionize",
     "q16_asof_join",
     "q17_funnel",

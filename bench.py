@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "events_value_log_hist",
     "orders_first_vs_ltv_corr",
     # r7 additions
+    "q59_late_shipment_mix",
     "text_window_dedup",
     "emb_split_centroid_shift",
     "q56_ship_priority",

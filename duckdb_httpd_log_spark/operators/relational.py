@@ -1912,3 +1912,57 @@ def q58_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_cents")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (q59): shipping-latency mix per order priority — the
+# fact ⋈ fact join again but grouped to a 5-row priority card, with a
+# conditional count (late = shipped > 90 days after the order date).
+# Everything is integer: epoch-microsecond arithmetic (probe_parquet_
+# timestamp contract), CASE-sum CAST AS BIGINT on the oracle side
+# (HUGEINT -> pandas float64 otherwise), exact round-half-up e4 share.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_late_shipment_mix",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                              > 90 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST((CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                                    > 90 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) * 20000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS late_frac_e4
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    "TPC-H Q12-style late-shipment mix per order priority: fact-to-fact join, integer lateness counts",
+)
+def q59_late_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = F.sum(
+        F.when(
+            F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+            > F.lit(90 * 86400000000),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(
+            li.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), late.alias("n_late"))
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "n_late",
+            F.expr("(n_late * 20000 + n_lines) div (2 * n_lines)")
+            .cast("long")
+            .alias("late_frac_e4"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -8,7 +8,7 @@ across thread counts — red on the driver, green locally, and
 impossible to iterate on. This sweep runs all registered oracles at
 threads=1 and threads=8 and diffs full-repr row sets.
 
-Result at HEAD (sf0.01): 228/228 bit-identical — the scaled-integer /
+Result at HEAD (sf0.01): 229/229 bit-identical — the scaled-integer /
 floor-form discipline leaves no order-dependent float accumulation in
 any hashed surface.
 
