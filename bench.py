@@ -394,6 +394,36 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_200k_gz"] = round(statistics.median(runs), 4)
 
+        # conf-driven axis (r7 verdict item 6): format resolved from an
+        # Apache config at bind time — measures the conf scan + nickname
+        # resolution path (sources/conf.py) end-to-end, which previously
+        # had pytest coverage but no board entry.
+        conf_path = os.path.join(td, "bench_httpd.conf")
+        with open(conf_path, "w") as fh:
+            fh.write(
+                'LogFormat "%h %l %u %t \\"%r\\" %>s %b '
+                '\\"%{Referer}i\\" \\"%{User-Agent}i\\"" combined\n'
+                f"CustomLog {log_path} combined\n"
+            )
+        read_httpd_log(spark, log_path, conf=conf_path).count()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, log_path, conf=conf_path).count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_200k_conf"] = round(statistics.median(runs), 4)
+
+        # auto-detect axis (r7 verdict item 6): no format given — the
+        # bind-time detection sampler (sources/fs.py head-sample +
+        # logformat.detect_format) runs per bind, then the normal parse.
+        read_httpd_log(spark, log_path).count()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, log_path).count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_200k_autodetect"] = round(statistics.median(runs), 4)
+
     # Noise re-measure (r4 verdict #7): the queries whose r3->r4 deltas
     # were ambiguous (trained-index cost vs loop noise) get an N>=9
     # standalone pass with spread, so the next verdict can attribute a

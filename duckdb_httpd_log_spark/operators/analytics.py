@@ -29,8 +29,6 @@ from ..plans.registry import fround, register, table
 # Portable-transcendental snippets (plans/portable.py): spliced
 # verbatim into BOTH the oracle SQL and F.expr so neither engine's
 # libm can reach a hashed output.
-_PLN_C = pln("c")
-_PLN_N = pln("n")
 # Staged-column variants (r6 verdict item 4): bit-identical to the
 # macros, ~5x smaller Catalyst trees; shared by the entropy family.
 _PC_STAGES, _PC_LN = pln_stages("c", "pc")
@@ -458,7 +456,12 @@ def _psi_t8(a: str, n1: str, b: str, n2: str) -> str:
     """Per-bin PSI term (p - q) * ln(p/q) quantized to a 1e-8-scaled
     BIGINT, from INTEGER smoothed counts a/n1 (source) and b/n2 (ref):
     ln(p/q) = (pln(a) + pln(n2)) - (pln(b) + pln(n1)) — portable ln of
-    integers only, identical op DAG on both engines."""
+    integers only, identical op DAG on both engines.
+
+    BOUNDED-FRAME pln: the term is evaluated only over the per-
+    (source, bin) grid — n_sources x (PSI_MAX_BIN + 1) rows, ~13 per
+    source after the histogram hash agg — so the macro expansion sits
+    on a tiny plan leaf; staging would not move wall clock."""
     p = f"(CAST({a} AS DOUBLE) / {n1})"
     q = f"(CAST({b} AS DOUBLE) / {n2})"
     lnpq = f"(({pln(a)} + {pln(n2)}) - ({pln(b)} + {pln(n1)}))"

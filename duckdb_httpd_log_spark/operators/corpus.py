@@ -33,8 +33,6 @@ from ..plans.registry import fround, REGISTRY, register, table
 
 # Portable-ln snippets (plans/portable.py) spliced verbatim into both
 # the oracle SQL and F.expr — no libm reaches a hashed output.
-_PLN_C = pln("c")
-_PLN_RK = pln("rk")
 # Staged-column variants (r6 verdict item 4): bit-identical, ~5x
 # smaller Catalyst trees (see plans/portable.pln_stages).
 _PRK_STAGES, _PRK_LN = pln_stages("rk", "pr")
@@ -2714,11 +2712,17 @@ KL_VOCAB_K = 1000
 
 # per-term smoothed KL contribution p*ln(p/q) from INTEGER numerators/
 # denominators (a/n1 = corpus, b/n2 = source): ln(p/q) =
-# (pln(a) + pln(n2)) - (pln(b) + pln(n1)) — portable ln only
+# (ln(a) + ln(n2)) - (ln(b) + ln(n1)) — the four portable lns as
+# STAGED columns (r7 verdict item 5: the macro form expanded pln four
+# times over the |sources|x|vocab| grid; bit-identical per
+# tests/test_portable.py::test_pln_stages_bit_identical)
+_KL_STAGES: list[tuple[str, str]] = []
+for _arg, _pfx in (("a", "kla"), ("n2", "kn2"), ("b", "klb"), ("n1", "kn1")):
+    _KL_STAGES.extend(pln_stages(_arg, _pfx)[0])
 _KL_T9 = (
-    f"CAST(floor((((CAST(a AS DOUBLE) / n1)"
-    f" * (({pln('a')} + {pln('n2')}) - ({pln('b')} + {pln('n1')})))"
-    f" * 1000000000.0) + 0.5) AS BIGINT)"
+    "CAST(floor((((CAST(a AS DOUBLE) / n1)"
+    " * ((kla_ln + kn2_ln) - (klb_ln + kn1_ln)))"
+    " * 1000000000.0) + 0.5) AS BIGINT)"
 )
 
 
@@ -2741,7 +2745,7 @@ _KL_T9 = (
         GROUP BY t.source, v.w
     ),
     src_tot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src FROM src GROUP BY source),
-    staged AS (
+    base AS (
         SELECT s.source,
                CAST(v.c_all + 1 AS BIGINT) AS a,
                CAST(nv.n_all + nv.k AS BIGINT) AS n1,
@@ -2753,6 +2757,7 @@ _KL_T9 = (
         JOIN (SELECT DISTINCT source FROM src) s ON s.source = st.source
         LEFT JOIN src s2 ON s2.source = st.source AND s2.w = v.w
     ),
+    staged AS ({stage_subselects("SELECT * FROM base", _KL_STAGES)}),
     terms AS (SELECT source, {_KL_T9} AS t9 FROM staged)
     SELECT source,
            CAST(sum(t9) AS BIGINT) / 1000000000.0 AS kl_corpus_vs_source
@@ -2793,6 +2798,8 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("c_src"), F.lit(0)) + 1).cast("long").alias("b"),
         (F.col("n_src") + F.col("k")).cast("long").alias("n2"),
     )
+    for col, sql in _KL_STAGES:
+        joined = joined.withColumn(col, F.expr(sql))
     return (
         joined.select("source", F.expr(_KL_T9).alias("t9"))
         .groupBy("source")
@@ -3439,9 +3446,15 @@ def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term quantizes to a scaled BIGINT before the corpus-wide integer
 # sum; ONE final division by the bigram total.
 # ---------------------------------------------------------------------------
+# the two portable lns as STAGED columns over the |bigram-vocab| frame
+# (r7 verdict item 5; bit-identical to the macro form per
+# tests/test_portable.py::test_pln_stages_bit_identical)
+_ER_STAGES: list[tuple[str, str]] = []
+for _arg, _pfx in (("c12", "ec"), ("c1", "eu")):
+    _ER_STAGES.extend(pln_stages(_arg, _pfx)[0])
 _ER_T6 = (
-    f"CAST(floor((((0 - c12) * ({pln('c12')} - {pln('c1')}))"
-    f" * 1000000.0) + 0.5) AS BIGINT)"
+    "CAST(floor((((0 - c12) * (ec_ln - eu_ln))"
+    " * 1000000.0) + 0.5) AS BIGINT)"
 )
 
 
@@ -3459,10 +3472,10 @@ _ER_T6 = (
     ),
     uc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
     tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bc),
-    staged AS (
-        SELECT b.c12 AS c12, u.c1 AS c1
-        FROM bc b JOIN uc u ON b.w1 = u.w1
-    ),
+    staged AS ({stage_subselects(
+        "SELECT b.c12 AS c12, u.c1 AS c1 FROM bc b JOIN uc u ON b.w1 = u.w1",
+        _ER_STAGES,
+    )}),
     terms AS (SELECT {_ER_T6} AS t6 FROM staged)
     SELECT t.n_bigrams,
            floor(((CAST(sum(m.t6) AS DOUBLE) / 1000000.0) / t.n_bigrams) * 1e4 + 0.5) / 1e4
@@ -3489,7 +3502,10 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     tot = bc.agg(F.sum("c12").cast("long").alias("n_bigrams"))
-    terms = bc.join(uc, "w1").select(F.expr(_ER_T6).alias("t6"))
+    joined = bc.join(uc, "w1")
+    for col, sql in _ER_STAGES:
+        joined = joined.withColumn(col, F.expr(sql))
+    terms = joined.select(F.expr(_ER_T6).alias("t6"))
     return (
         terms.agg(F.sum("t6").alias("s6"))
         .crossJoin(F.broadcast(tot))
@@ -3599,6 +3615,10 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc-id rung are integer counts from two hash aggs — never a per-rung
 # prefix re-scan. β is the OLS slope of ln V on ln N over the rungs,
 # with every OLS term quantized (the text_zipf_slope discipline).
+# BOUNDED-FRAME pln: the macro form runs only over the `points` frame
+# (exactly HEAPS_RUNGS = 10 rows after two hash aggs), so the
+# expression-tree size is paid on a 10-row plan leaf — staging would
+# add five .withColumn nodes per ln for zero wall-clock win.
 # ---------------------------------------------------------------------------
 HEAPS_RUNGS = 10
 

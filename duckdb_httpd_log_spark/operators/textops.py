@@ -20,8 +20,6 @@ from ..plans.registry import fround, register, table
 # is ONE SQL string spliced verbatim into BOTH the oracle SQL and the
 # Spark plan via F.expr, so the two surfaces cannot diverge by a libm
 # ulp. The polynomial IS the operator's semantics.
-_PLN_C = pln("c")
-_PLN_N = pln("n")
 # Staged-column variants (r6 verdict item 4): same bit pattern as the
 # macros (tests/test_portable.py::test_pln_stages_bit_identical),
 # ~5x smaller Catalyst trees. `_ENT_TERM6` is the shared per-row
@@ -1110,6 +1108,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WSAMPLE_K = 20
 WSAMPLE_SALT = "wsample:"
 
+# ln(v+1) as staged columns: this runs per DOCUMENT row (unbounded
+# frame), so the macro form would pay its ~5x expression-tree blowup
+# on the hot path (r7 verdict item 5 — same conversion as _PMI_STAGES).
+_WS_STAGES, _WS_LN = pln_stages("(v + 1)", "pw")
+_WS_PRIORITY = f"((32.0 * {LN2} - {_WS_LN}) / n_chars)"
+
 
 @register(
     "sample_weighted",
@@ -1119,10 +1123,11 @@ WSAMPLE_SALT = "wsample:"
                ('0x' || substr(md5('{WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
         FROM documents
         WHERE n_chars > 0
-    )
+    ),
+    staged AS ({stage_subselects("SELECT * FROM keyed", _WS_STAGES)})
     SELECT doc_id, lang, n_chars,
-           floor((((32.0 * {LN2} - {pln("(v + 1)")}) / n_chars)) * 1e8 + 0.5) / 1e8 AS priority
-    FROM keyed
+           floor(({_WS_PRIORITY}) * 1e8 + 0.5) / 1e8 AS priority
+    FROM staged
     ORDER BY priority, doc_id
     LIMIT {WSAMPLE_K}
     """,
@@ -1139,15 +1144,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    # -ln((v+1)/2^32) = 32 ln2 - ln(v+1), via the portable form so both
-    # engines compute bit-identical priorities (v+1 >= 1 always)
-    priority = fround(
-        F.expr(f"(((32.0 * {LN2} - {pln('(v + 1)')}) / n_chars))"), 8
-    )
+    # -ln((v+1)/2^32) = 32 ln2 - ln(v+1), via the portable staged form
+    # so both engines compute bit-identical priorities (v+1 >= 1 always)
+    keyed = docs.filter(F.col("n_chars") > 0).withColumn("v", v)
+    for col, sql in _WS_STAGES:
+        keyed = keyed.withColumn(col, F.expr(sql))
+    priority = fround(F.expr(_WS_PRIORITY), 8)
     return (
-        docs.filter(F.col("n_chars") > 0)
-        .withColumn("v", v)
-        .select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        keyed.select("doc_id", "lang", "n_chars", priority.alias("priority"))
         .orderBy("priority", "doc_id")
         .limit(WSAMPLE_K)
     )
@@ -1606,7 +1610,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
         SELECT source,
-               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+               coalesce(array_to_string(string_split(text, ' ')[1:3], ' '), '') AS prefix
         FROM documents
     ),
     c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY source, prefix),
@@ -1624,9 +1628,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # coalesce to '' on BOTH surfaces: DuckDB's ORDER BY prefix is
+    # NULLS LAST while Spark's min(struct(...)) puts a NULL field
+    # first, so a count tie between a NULL-text prefix and a string
+    # prefix would otherwise pick different winners per engine
+    # (r7 ADVICE).
     p = docs.select(
         "source",
-        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("prefix"),
+        F.coalesce(
+            F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            F.lit(""),
+        ).alias("prefix"),
     )
     c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n"))
     # Top-1 per source as a min-struct aggregate, not a window: the

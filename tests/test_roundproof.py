@@ -31,6 +31,8 @@ import pytest
 import duckdb_httpd_log_spark.operators  # noqa: F401
 from duckdb_httpd_log_spark.plans.registry import REGISTRY
 
+from .conftest import SF_DIR
+
 OPS_DIR = Path(__file__).resolve().parent.parent / "duckdb_httpd_log_spark" / "operators"
 
 # name -> reason; entries here are exempt from the oracle-SQL scan
@@ -177,7 +179,7 @@ def test_no_complex_types_in_output_contract(spark):
 
     bad = []
     for name, qd in REGISTRY.items():
-        df = qd.spark_fn(spark, "/root/testdata/sf0.001")
+        df = qd.spark_fn(spark, SF_DIR)
         for fld in df.schema.fields:
             if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{fld.name}: {fld.dataType.simpleString()}")
@@ -240,7 +242,7 @@ def test_pandas_dtype_parity_contract(spark):
     green with an int32/int64 split), int-vs-float never is."""
     import duckdb
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = SF_DIR
     con = duckdb.connect()
     from duckdb_httpd_log_spark.plans.registry import TABLES
 

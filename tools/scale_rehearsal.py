@@ -63,6 +63,10 @@ SLATE = [
     "text_boilerplate_prefix",
     "text_window_dedup",
     "emb_split_centroid_shift",
+    # round-8: the only registry entry previously in neither the
+    # rehearsal nor the invariance audit (authored after the r7 slots
+    # filled) — full fact⋈fact orders⋈lineitem shuffle
+    "q59_late_shipment_mix",
 ]
 
 # id headrooms: far above any sf0.1 max key
