@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.portable import dlit, pexp, pln, pln_ratio, pln_stages, stage_subselects
+from ..plans.portable import dlit, pexp, pln, pln_ratio, pln_stages, stage_subselects, with_stages
 from ..plans.registry import fround, register, table
 
 # Portable-transcendental snippets (plans/portable.py): spliced
@@ -311,15 +311,13 @@ USER_ENTROPY_TOP = 100
 def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    for col, sql in _PC_STAGES:
-        tc = tc.withColumn(col, F.expr(sql))
+    tc = with_stages(tc, _PC_STAGES)
     agg = tc.groupBy("user_id").agg(
         F.sum("c").alias("n"),
         F.count(F.lit(1)).alias("n_types"),
         F.sum(F.expr(_ENT_TERM6)).alias("s6"),
     )
-    for col, sql in _PN_STAGES:
-        agg = agg.withColumn(col, F.expr(sql))
+    agg = with_stages(agg, _PN_STAGES)
     entropy = F.col(_PN_LN) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
@@ -1194,13 +1192,11 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"), F.lead("event_type").over(wseq).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
     tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    for col, sql in _PC_STAGES:
-        tc = tc.withColumn(col, F.expr(sql))
+    tc = with_stages(tc, _PC_STAGES)
     agg = tc.groupBy("cur").agg(
         F.sum("c").alias("n"), F.sum(F.expr(_ENT_TERM6)).alias("s6")
     )
-    for col, sql in _PN_STAGES:
-        agg = agg.withColumn(col, F.expr(sql))
+    agg = with_stages(agg, _PN_STAGES)
     h4 = fround(
         (
             F.col(_PN_LN)
@@ -1689,8 +1685,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds agg AND the majority pick
     )
     cts = ct
-    for col, sql in _PC_STAGES:
-        cts = cts.withColumn(col, F.expr(sql))
+    cts = with_stages(cts, _PC_STAGES)
     agg = cts.groupBy("bucket").agg(
         F.sum("c").alias("n"),
         F.max("c").alias("maxc"),
@@ -1702,8 +1697,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.min("label").alias("majority_label"))
     )
-    for col, sql in _PN_STAGES:
-        agg = agg.withColumn(col, F.expr(sql))
+    agg = with_stages(agg, _PN_STAGES)
     share = (
         fround(F.col("maxc").cast("double") * F.lit(1000000.0) / F.col("n")).cast("long")
         / F.lit(1000000.0)

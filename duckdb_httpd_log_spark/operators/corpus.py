@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.portable import LN2, pln, pln_stages, stage_subselects
+from ..plans.portable import LN2, pln, pln_stages, stage_subselects, with_stages
 from ..plans.registry import fround, REGISTRY, register, table
 
 # Portable-ln snippets (plans/portable.py) spliced verbatim into both
@@ -336,8 +336,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tc.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= ZIPF_TOP_RANKS
     )
-    for col, sql in _PRK_STAGES + _PC_STAGES:
-        ranked = ranked.withColumn(col, F.expr(sql))
+    ranked = with_stages(ranked, _PRK_STAGES + _PC_STAGES)
     x = F.col(_PRK_LN)
     y = F.col(_PC_LN)
     m = F.lit(1000000.0)
@@ -897,8 +896,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     staged = base.withColumn("v", v)
-    for col, sql in [("num", _DP_NUM)] + _DP_STAGES + [("noise", _DP_NOISE)]:
-        staged = staged.withColumn(col, F.expr(sql))
+    staged = with_stages(staged, [("num", _DP_NUM)] + _DP_STAGES + [("noise", _DP_NOISE)])
     return staged.select(
         "source",
         fround(F.col("n_docs") + F.col("noise"), 4).alias("noisy_n_docs"),
@@ -2798,8 +2796,7 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("c_src"), F.lit(0)) + 1).cast("long").alias("b"),
         (F.col("n_src") + F.col("k")).cast("long").alias("n2"),
     )
-    for col, sql in _KL_STAGES:
-        joined = joined.withColumn(col, F.expr(sql))
+    joined = with_stages(joined, _KL_STAGES)
     return (
         joined.select("source", F.expr(_KL_T9).alias("t9"))
         .groupBy("source")
@@ -3503,8 +3500,7 @@ def text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     tot = bc.agg(F.sum("c12").cast("long").alias("n_bigrams"))
     joined = bc.join(uc, "w1")
-    for col, sql in _ER_STAGES:
-        joined = joined.withColumn(col, F.expr(sql))
+    joined = with_stages(joined, _ER_STAGES)
     terms = joined.select(F.expr(_ER_T6).alias("t6"))
     return (
         terms.agg(F.sum("t6").alias("s6"))

@@ -13,7 +13,7 @@ from pyspark import StorageLevel as _StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.portable import LN2, pexp, pln, pln_ratio, pln_stages, stage_subselects
+from ..plans.portable import LN2, pexp, pln, pln_ratio, pln_stages, stage_subselects, with_stages
 from ..plans.registry import fround, register, table
 
 # Shared portable-transcendental snippets (see plans/portable.py): each
@@ -922,8 +922,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tf.join(F.broadcast(df_counts), "term").withColumn(
         "n_docs", F.lit(n_docs).cast("long")
     )
-    for col, sql in _IDF_A_STAGES + _IDF_B_STAGES:
-        joined = joined.withColumn(col, F.expr(sql))
+    joined = with_stages(joined, _IDF_A_STAGES + _IDF_B_STAGES)
     idf = F.col(_IDF_A_LN) - F.col(_IDF_B_LN)
     scored = joined.select(
         "doc_id",
@@ -1032,8 +1031,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ub, "w2")
         .crossJoin(F.broadcast(tot))
     )
-    for col, sql in _PMI_STAGES:
-        scored = scored.withColumn(col, F.expr(sql))
+    scored = with_stages(scored, _PMI_STAGES)
     pmi = fround(F.expr(_PMI_EXPR), 4)
     return (
         scored.select("bigram", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
@@ -1078,14 +1076,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    for col, sql in _PC_STAGES:
-        tc = tc.withColumn(col, F.expr(sql))
+    tc = with_stages(tc, _PC_STAGES)
     agg = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.sum(F.expr(_ENT_TERM6)).alias("s6"),
     )
-    for col, sql in _PN_STAGES:
-        agg = agg.withColumn(col, F.expr(sql))
+    agg = with_stages(agg, _PN_STAGES)
     entropy = F.col(_PN_LN) - (
         F.col("s6").cast("double") / F.lit(1000000.0)
     ) / F.col("n")
@@ -1147,8 +1143,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -ln((v+1)/2^32) = 32 ln2 - ln(v+1), via the portable staged form
     # so both engines compute bit-identical priorities (v+1 >= 1 always)
     keyed = docs.filter(F.col("n_chars") > 0).withColumn("v", v)
-    for col, sql in _WS_STAGES:
-        keyed = keyed.withColumn(col, F.expr(sql))
+    keyed = with_stages(keyed, _WS_STAGES)
     priority = fround(F.expr(_WS_PRIORITY), 8)
     return (
         keyed.select("doc_id", "lang", "n_chars", priority.alias("priority"))
@@ -1235,8 +1230,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split("bigram", " ").getItem(0))
         .join(uc, "w1")
     )
-    for col, sql in _LM_A_STAGES + _LM_W_STAGES:
-        joined = joined.withColumn(col, F.expr(sql))
+    joined = with_stages(joined, _LM_A_STAGES + _LM_W_STAGES)
     scored = joined.select("doc_id", F.expr(_LM_LP6).alias("lp6"))
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("s6")
@@ -1748,6 +1742,116 @@ def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_shared * 20000 + n_windows) div (2 * n_windows)")
             .cast("long")
             .alias("drop_frac_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stride-1 repeated-span dedup via winnowing selection — completes the
+# exact-substring family: text_window_dedup's non-overlapping 8-token
+# windows miss spans that straddle a window boundary, while hashing
+# every stride-1 shingle corpus-wide would multiply the shuffle volume
+# by the window width. Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# — text_winnowing's selection, reused verbatim) picks the window-min
+# shingle hash at every position, which GUARANTEES any span shared by
+# two documents of >= WSD_K + WSD_W - 1 = 14 tokens selects at least
+# one identical fingerprint in both — alignment-free — while keeping
+# ~2/(W+1) of stride-1 positions. Shape: posexplode -> per-DOC window
+# min (doc-sized partitions, no cross-doc traffic) -> distinct
+# (doc, fp) -> corpus doc-frequency hash agg; only fingerprints shared
+# by >= 2 docs join back (text_window_dedup's semi-join shape), so the
+# unique-fingerprint bulk never shuffles twice. All-BIGINT output.
+# ---------------------------------------------------------------------------
+WSD_K = 8  # tokens per shingle (matches text_window_dedup's span unit)
+WSD_W = 7  # hashes per winnowing window -> catches shared spans >= 14
+
+
+@register(
+    "text_winnow_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(t[CAST(i AS INTEGER):CAST(i + {WSD_K - 1} AS INTEGER)], ' ') AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - {WSD_K - 2})) x(i)
+        WHERE len(t) >= {WSD_K}
+    ),
+    hashed AS (
+        SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+        FROM grams
+    ),
+    wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WSD_W - 1} FOLLOWING) AS fp
+        FROM hashed
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+    docfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+    SELECT f.doc_id,
+           count(*) AS n_fp,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST((CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 20000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS shared_frac_e4
+    FROM fps f JOIN docfreq d USING (fp)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    "stride-1 repeated-span dedup: winnowing-selected fingerprints, cross-doc frequency join",
+)
+def text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= WSD_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {WSD_K}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {WSD_K})))"
+            )
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WSD_W - 1)
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    # n_fp needs no second shuffle pass over docfreq: count per doc
+    # straight off the distinct fingerprint set, then join back ONLY
+    # the fingerprints shared by >= 2 docs (values identical to the
+    # full docfreq join the oracle SQL states).
+    n_fp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared_fp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("fp")
+    )
+    sh = (
+        fps.join(shared_fp, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared0"))
+    )
+    return (
+        n_fp.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.coalesce(F.col("n_shared0"), F.lit(0).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_shared",
+            F.expr("(n_shared * 20000 + n_fp) div (2 * n_fp)")
+            .cast("long")
+            .alias("shared_frac_e4"),
         )
         .orderBy("doc_id")
     )

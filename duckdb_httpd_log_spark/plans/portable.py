@@ -128,6 +128,21 @@ def pln_stages(k: str, prefix: str) -> tuple[list[tuple[str, str]], str]:
     )
 
 
+def with_stages(df, stages: list[tuple[str, str]]):
+    """Add all stage columns in ONE select via lateral column aliases.
+
+    A .withColumn chain pays a full Catalyst analysis round per stage
+    (25 stages cost ~0.5 s of flat per-query overhead at any data
+    size — token_bigram_pmi's residual r7 gap vs its r5 macro form was
+    exactly this). Spark resolves references to earlier aliases in the
+    same SELECT list (lateral column aliases, rewritten internally to
+    nested Projects), so one selectExpr analyzes once and produces the
+    identical op DAG — bit-equality is swept by
+    tests/test_portable.py::test_with_stages_bit_identical.
+    """
+    return df.selectExpr("*", *[f"{sql} AS {col}" for col, sql in stages])
+
+
 def stage_subselects(inner: str, stages: list[tuple[str, str]]) -> str:
     """Wrap an inner `SELECT ... FROM ...` in one nested sub-select per
     stage column — the SQL mirror of a Spark .withColumn chain."""

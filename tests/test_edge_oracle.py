@@ -105,6 +105,9 @@ _DOC_QUERIES = [
     # zero windows, not errors, on both engines)
     "text_boilerplate_prefix",
     "text_window_dedup",
+    # r8: stride-1 winnowing span dedup — shingle slicing + per-doc
+    # window min over the same hostile corpus
+    "text_winnow_dedup",
 ]
 
 

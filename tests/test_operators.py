@@ -788,3 +788,32 @@ def test_centroid_shift_is_valid_cosine_and_counts_split(spark):
     for r in rows:
         assert r.n_even + r.n_odd == per_label[r.label]
         assert -1_000_001 <= r.centroid_cos_e6 <= 1_000_001
+
+
+def test_winnow_dedup_guarantee_and_bounds(spark):
+    """The winnowing guarantee: two docs sharing a contiguous run of
+    >= WSD_K + WSD_W - 1 = 14 tokens must BOTH select at least one
+    identical fingerprint from inside the run (SIGMOD'03 theorem), so
+    both get n_shared >= 1. Also pins bounds: n_shared <= n_fp and
+    the shared fraction stays in [0, 10000] e4 units."""
+    from duckdb_httpd_log_spark.operators.textops import WSD_K, WSD_W, text_winnow_dedup
+
+    span = " ".join(f"shared{i}" for i in range(WSD_K + WSD_W - 1))
+    docs = [
+        (1, "alpha beta " + span + " gamma delta epsilon zeta eta theta"),
+        (2, span + " iota kappa lam mu nu xi omicron pi rho sigma"),
+        (3, " ".join(f"uniq{i}" for i in range(40))),
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.doc_id: r for r in text_winnow_dedup(spark, td).collect()}
+    assert rows[1].n_shared >= 1 and rows[2].n_shared >= 1
+    assert rows[3].n_shared == 0
+    for r in rows.values():
+        assert 0 <= r.n_shared <= r.n_fp
+        assert 0 <= r.shared_frac_e4 <= 10000

@@ -201,3 +201,34 @@ def test_pln_stages_bit_identical(spark):
         if not (_bits(dm) == _bits(ds) == _bits(ss))
     ]
     assert not bad, bad[:5]
+
+
+def test_with_stages_bit_identical(spark):
+    """with_stages (one lateral-alias selectExpr) must produce the
+    exact bit pattern of the .withColumn chain it replaced — Spark
+    rewrites lateral column aliases into the same nested Projects, so
+    any difference is a resolution bug, not arithmetic."""
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.plans.portable import pln_stages, with_stages
+
+    stages = []
+    for arg, pfx in (("k", "pa"), ("(k + 7)", "pb")):
+        stages.extend(pln_stages(arg, pfx)[0])
+
+    base = spark.createDataFrame([(k,) for k in K_SWEEP], "k long")
+    chained = base
+    for col, sql in stages:
+        chained = chained.withColumn(col, F.expr(sql))
+    lateral = with_stages(base, stages)
+
+    cols = ["k", "pa_ln", "pb_ln"]
+    a = [tuple(r) for r in chained.select(*cols).orderBy("k").collect()]
+    b = [tuple(r) for r in lateral.select(*cols).orderBy("k").collect()]
+    assert len(a) == len(b) == len(K_SWEEP)
+    bad = [
+        (ra, rb)
+        for ra, rb in zip(a, b)
+        if any(_bits(x) != _bits(y) for x, y in zip(ra[1:], rb[1:]))
+    ]
+    assert not bad, bad[:5]

@@ -67,6 +67,10 @@ SLATE = [
     # rehearsal nor the invariance audit (authored after the r7 slots
     # filled) — full fact⋈fact orders⋈lineitem shuffle
     "q59_late_shipment_mix",
+    # round-8 stretch: stride-1 winnowing span dedup — per-doc window
+    # min + shared-fingerprint semi-join; the stride-1 explode is the
+    # axis whose growth this row pins
+    "text_winnow_dedup",
 ]
 
 # id headrooms: far above any sf0.1 max key
