@@ -1966,3 +1966,286 @@ def q59_late_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape (q60): nation-to-nation trade flows by year — the
+# two-dimension-chain fact⋈fact topology (lineitem needs BOTH its
+# supplier's nation and, through orders, its customer's nation). The
+# lineitem⋈orders shuffle on the order key is the scale cost; the
+# supplier and customer joins are declared without hints (customer
+# scales with the corpus — AQE broadcasts at sf0.1, shuffles at
+# 100 TB) and the two nation lookups broadcast. Revenue is per-row
+# cents quantization then BIGINT sums (q56's probe_parquet_double
+# contract). Directional pair filter (supp nation key < cust nation
+# key) keeps one row per unordered pair without a second pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q60_nation_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey < nc.n_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, o_year
+    ORDER BY supp_nation, cust_nation, o_year
+    """,
+    "TPC-H Q7-style nation trade flows: fact-to-fact join with two broadcast nation chains, exact cents",
+)
+def q60_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") < F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation", "o_year")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (q61): suppliers who kept multi-supplier orders
+# waiting — the EXISTS/NOT-EXISTS double-correlated topology. The
+# textbook form self-joins lineitem twice; this expresses both
+# correlations as ONE extra per-order aggregate (n_supps, n_ontime)
+# over the per-(order, supplier) late flags — the aggregate rewrite
+# is the scale-smart physical form of the same logical plan (two
+# hash aggs and one shuffle join instead of two fact-sized self-join
+# probes), with identical semantics: supp_late=1 AND n_supps >= 2
+# AND n_ontime >= 1 <=> EXISTS(other supplier on time) AND this
+# supplier late. Late = shipped > 60 days after the order date
+# (this schema carries no commit/receipt dates).
+# ---------------------------------------------------------------------------
+@register(
+    "q61_waiting_suppliers",
+    """
+    WITH ls AS (
+        SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+               max(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                             > 60 * 86400000000 THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY okey, skey
+    ),
+    om AS (
+        SELECT okey, count(*) AS n_supps,
+               CAST(sum(1 - supp_late) AS BIGINT) AS n_ontime
+        FROM ls GROUP BY okey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM ls
+    JOIN om USING (okey)
+    JOIN supplier s ON s.s_suppkey = ls.skey
+    WHERE ls.supp_late = 1 AND om.n_supps >= 2 AND om.n_ontime >= 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    "TPC-H Q21-style waiting suppliers: EXISTS/NOT-EXISTS rewritten as per-order aggregates, top-10",
+)
+def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    ls = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey"))
+        .agg(
+            F.max(
+                F.when(
+                    F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+                    > F.lit(60 * 86400000000),
+                    1,
+                ).otherwise(0)
+            ).alias("supp_late")
+        )
+    )
+    om = ls.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(1 - F.col("supp_late")).cast("long").alias("n_ontime"),
+    )
+    return (
+        ls.filter(F.col("supp_late") == 1)
+        .join(om.filter((F.col("n_supps") >= 2) & (F.col("n_ontime") >= 1)), "okey")
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("skey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (q62): positive-balance customers above the average
+# positive balance with no recent orders, rolled up per nation — the
+# scalar-subquery + anti-join topology. The average is a 1-row
+# broadcast; the NOT EXISTS is a left-anti shuffle join against the
+# DISTINCT recent-order custkeys (pre-aggregated before the join so
+# raw orders never probe). Balance sums are floor-form rounded AFTER
+# the sum (q01's contract for double measures).
+# ---------------------------------------------------------------------------
+@register(
+    "q62_idle_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    ),
+    recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT n.n_name, count(*) AS n_custs,
+           floor(sum(c.c_acctbal) * 1e2 + 0.5) / 1e2 AS total_bal
+    FROM customer c
+    CROSS JOIN avg_bal
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    "TPC-H Q22-style idle high-balance customers per nation: scalar avg broadcast + left-anti join",
+)
+def q62_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            fround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape (q63): revenue lost to returned items per customer.
+# The oracle states the textbook 4-way join then GROUP BY customer;
+# the Spark plan is the scale-defensive reassociation — returned-line
+# cents pre-aggregated per ORDER key before touching orders (the
+# probe side shrinks from line items to orders; exact because BIGINT
+# cent sums reassociate freely), then one shuffle to the customer
+# key, then broadcast nation. Top-20 under a total order.
+# ---------------------------------------------------------------------------
+@register(
+    "q63_returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS lost_cents,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10-style returned-item revenue: per-order pre-agg, customer rollup, broadcast nation, top-20",
+)
+def q63_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    per_order = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("cents").cast("long").alias("order_cents"),
+            F.count(F.lit(1)).alias("order_lines"),
+        )
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(per_order, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("order_cents").cast("long").alias("lost_cents"),
+            F.sum("order_lines").cast("long").alias("n_lines"),
+        )
+        .join(
+            c.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "lost_cents", "n_lines")
+        .orderBy(F.col("lost_cents").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -1855,3 +1855,187 @@ def text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup PAIR report from the winnowing index — the pair-level
+# consumer of text_winnow_dedup's fingerprints (which only says "this
+# doc shares spans with SOMEONE"; curation needs to know with WHOM to
+# pick a survivor). Shape: distinct (doc, fp) -> fingerprint-bucketed
+# self-join restricted to fingerprints shared by 2..WSD_DF_CAP docs —
+# the cap bounds per-key pair fan-out to O(CAP^2) so one viral
+# boilerplate fingerprint cannot go quadratic at corpus scale (the
+# PPJoin/dedup_ngram_jaccard discipline); pairs beyond the cap are by
+# definition boilerplate, not near-dup candidates. Overlap fraction =
+# shared / min(|fp_a|, |fp_b|) in exact e4 integers.
+# ---------------------------------------------------------------------------
+WSD_DF_CAP = 20
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(t[CAST(i AS INTEGER):CAST(i + {WSD_K - 1} AS INTEGER)], ' ') AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - {WSD_K - 2})) x(i)
+        WHERE len(t) >= {WSD_K}
+    ),
+    hashed AS (
+        SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+        FROM grams
+    ),
+    wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WSD_W - 1} FOLLOWING) AS fp
+        FROM hashed
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+    nfp AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {WSD_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+        FROM fps a
+        JOIN shared USING (fp)
+        JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared_fp,
+           CAST((p.n_shared_fp * 20000 + least(na.n_fp, nb.n_fp))
+                // (2 * least(na.n_fp, nb.n_fp)) AS BIGINT) AS overlap_e4
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.doc_a
+    JOIN nfp nb ON nb.doc_id = p.doc_b
+    ORDER BY p.n_shared_fp DESC, p.doc_a, p.doc_b
+    LIMIT 20
+    """,
+    "near-dup doc pairs by shared winnowing fingerprints, df-capped buckets, overlap fraction",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= WSD_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {WSD_K}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {WSD_K})))"
+            )
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WSD_W - 1)
+    fps = (
+        grams.select("doc_id", "pos", h.alias("h"))
+        .select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+    nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WSD_DF_CAP))
+        .select("fp")
+    )
+    fa = fps.join(shared, "fp").select("fp", F.col("doc_id").alias("doc_a"))
+    fb = fps.join(shared, "fp").select("fp", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        fa.join(fb, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    na = nfp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_fp",
+            F.expr(
+                "(n_shared_fp * 20000 + least(n_fp_a, n_fp_b))"
+                " div (2 * least(n_fp_a, n_fp_b))"
+            )
+            .cast("long")
+            .alias("overlap_e4"),
+        )
+        .orderBy(F.col("n_shared_fp").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window fit report — the sequence-length planning op run
+# before packing a corpus for training: for each candidate context
+# length, how many docs fit whole, how many tokens they carry, and
+# how much padding one-doc-per-sequence batching would waste (the
+# number text_pack_sequences' first-fit packing is judged against).
+# Shape: ONE token-count scan, cross join with a 3-row broadcast
+# grid, hash agg — all integers end-to-end.
+# ---------------------------------------------------------------------------
+CTX_GRID = (512, 2048, 8192)
+
+
+@register(
+    "text_context_window_fit",
+    f"""
+    WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+    grid AS (SELECT CAST(unnest([{", ".join(str(c) for c in CTX_GRID)}]) AS BIGINT) AS ctx)
+    SELECT ctx,
+           CAST(sum(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+           CAST(sum(CASE WHEN n_tok <= ctx THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_fit,
+           CAST(sum(CASE WHEN n_tok <= ctx THEN ctx - n_tok ELSE 0 END) AS BIGINT) AS pad_tokens,
+           CAST((sum(CASE WHEN n_tok <= ctx THEN ctx - n_tok ELSE 0 END) * 20000
+                 + sum(CASE WHEN n_tok <= ctx THEN ctx ELSE 0 END))
+                // (2 * sum(CASE WHEN n_tok <= ctx THEN ctx ELSE 0 END)) AS BIGINT) AS waste_frac_e4
+    FROM d CROSS JOIN grid
+    GROUP BY ctx
+    ORDER BY ctx
+    """,
+    "context-window fit: per candidate length, docs that fit whole + exact padding waste",
+)
+def text_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    grid = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(c,) for c in CTX_GRID], "ctx long"
+        )
+    )
+    fit = F.col("n_tok") <= F.col("ctx")
+    return (
+        d.crossJoin(grid)
+        .groupBy("ctx")
+        .agg(
+            F.sum(F.when(fit, 1).otherwise(0)).cast("long").alias("n_fit"),
+            F.sum(F.when(fit, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_fit"),
+            F.sum(F.when(fit, F.col("ctx") - F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum(F.when(fit, F.col("ctx")).otherwise(0)).alias("cap_tokens"),
+        )
+        .select(
+            "ctx",
+            "n_fit",
+            "tokens_fit",
+            "pad_tokens",
+            F.expr("(pad_tokens * 20000 + cap_tokens) div (2 * cap_tokens)")
+            .cast("long")
+            .alias("waste_frac_e4"),
+        )
+        .orderBy("ctx")
+    )

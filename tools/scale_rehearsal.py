@@ -71,6 +71,11 @@ SLATE = [
     # min + shared-fingerprint semi-join; the stride-1 explode is the
     # axis whose growth this row pins
     "text_winnow_dedup",
+    # round-8 TPC-H shapes: the 6-way two-nation-chain flow join and
+    # the df-capped fingerprint pair join (the O(CAP^2) bound is what
+    # the ratio certifies)
+    "q60_nation_trade_volume",
+    "dedup_winnow_pairs",
 ]
 
 # id headrooms: far above any sf0.1 max key
