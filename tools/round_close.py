@@ -1,0 +1,51 @@
+"""Round-close gate: the builder's own regression checks, one command.
+
+Runs, in order (r7 verdict stretch item 8 — make the scale assert part
+of the builder's gate instead of waiting for a judge read):
+
+  1. `scale_rehearsal --assert`    — 10x wall-clock ratio ceilings on
+                                     the 5-query core slate (exit 1 on
+                                     a super-linear regression);
+  2. thread-invariance audit       — every oracle bit-identical at
+                                     DuckDB threads=1 vs 8;
+  3. operator-index regeneration   — docs/OPERATORS.md counts match
+                                     the registry at HEAD.
+
+Record the output in the round-close commit message. Bench and the
+full pytest suite stay separate (they have their own artifacts).
+
+    python tools/round_close.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STEPS = [
+    ("scale-rehearsal --assert", [sys.executable, "tools/scale_rehearsal.py", "--assert"]),
+    ("thread-invariance audit", [sys.executable, "tools/thread_invariance_audit.py"]),
+    ("operator index regen", [sys.executable, "tools/gen_operator_index.py"]),
+]
+
+
+def main() -> int:
+    failures = []
+    for name, cmd in STEPS:
+        print(f"== {name} ==", flush=True)
+        rc = subprocess.call(cmd, cwd=ROOT)
+        if rc != 0:
+            failures.append(name)
+            print(f"FAILED: {name} (exit {rc})", flush=True)
+    if failures:
+        print(f"round-close gate FAILED: {failures}")
+        return 1
+    print("round-close gate: all checks hold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
