@@ -1284,3 +1284,136 @@ def emb_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e6 + 0.5) as bigint)"
         ).alias("centroid_cos_e6"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-budget tuning curve — recall@k as a function of nprobe,
+# the number every IVF deployment tunes (more probes = more recall =
+# more per-query scan). dedup_threshold_curve's sibling for the ANN
+# family, and computed the same frugal way: the trained index is
+# probed ONCE at the deepest budget, and every rung is a conditional
+# count over the neighbor's CELL RANK in the query's probe order — an
+# exact-top-k neighbor is found at budget p iff its cell sits within
+# the query's first p probe cells, so no rung re-runs the search. The
+# exact ground truth and the cell/probe contracts are nested verbatim
+# from ann_cosine_topk / ann_ivf_topk's chains (dense-exact round-6 /
+# lowest-id ties at every oracle-tested scale).
+# ---------------------------------------------------------------------------
+PROBE_GRID = (1, 2, 4, 6)  # deepest rung == IVF_NPROBE (the proven contract)
+
+
+def _probe_curve_sql() -> str:
+    from ..plans.registry import REGISTRY
+
+    exact = REGISTRY["ann_cosine_topk"].oracle_sql
+    return (
+        f"""
+    WITH {{KMEANS_CHAIN}},
+    m2 AS (
+        SELECT a.cell, t.i - 1 AS j, floor((avg(e.embedding[t.i]::DOUBLE)) * 1e4 + 0.5) / 1e4 AS c_new
+        FROM a2 a
+        JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) t(i)
+        GROUP BY a.cell, t.i
+    ),
+    cen_t AS (SELECT cell, list(c_new ORDER BY j) AS c FROM m2 GROUP BY cell),
+    d AS (
+        SELECT e.vec_id, cen_t.cell,
+               floor((list_sum([ (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - cen_t.c[i]::DOUBLE)
+                                for i in range(1, {DIM + 1})])) * 1e6 + 0.5) / 1e6 AS d2
+        FROM embeddings e, cen_t
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d
+    ),
+    cassign AS (SELECT vec_id AS c_id, cell FROM ranked WHERE rn = 1),
+    qr AS (
+        SELECT vec_id AS q_id, cell, rn AS cell_rank
+        FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {max(PROBE_GRID)}
+    ),
+    exact AS (SELECT q_id, c_id FROM ({exact})),
+    pairr AS (
+        SELECT e.q_id, e.c_id, q.cell_rank
+        FROM exact e
+        JOIN cassign ca ON ca.c_id = e.c_id
+        LEFT JOIN qr q ON q.q_id = e.q_id AND q.cell = ca.cell
+    ),
+    grid AS (SELECT unnest([{", ".join(str(p) for p in PROBE_GRID)}]) AS n_probes)
+    SELECT g.n_probes,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN p.cell_rank IS NOT NULL AND p.cell_rank <= g.n_probes
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(floor((sum(CASE WHEN p.cell_rank IS NOT NULL AND p.cell_rank <= g.n_probes
+                               THEN 1 ELSE 0 END) * 1000000.0 / count(*)) + 0.5) AS BIGINT)
+               AS recall_e6
+    FROM pairr p CROSS JOIN grid g
+    GROUP BY g.n_probes
+    ORDER BY g.n_probes
+    """
+    ).replace("{KMEANS_CHAIN}", _KMEANS_CHAIN_SQL)
+
+
+@register(
+    "ann_ivf_probe_curve",
+    _probe_curve_sql(),
+    "IVF recall@k vs probe budget: one deepest-budget probe pass, per-rung conditional counts",
+)
+def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ids, cen = _trained_model(spark, sf_dir)
+    coarse = _coarse_model(cen)
+    p_max = max(PROBE_GRID)
+
+    @F.pandas_udf("int")
+    def nearest_cell(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        return pd.Series(_assign_cells(mat, ids, cen, coarse).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(embedding: pd.Series) -> pd.Series:
+        mat = np.stack(embedding.values).astype(np.float64)
+        picks = _assign_cells(mat, ids, cen, coarse, nprobe=p_max)
+        return pd.Series(list(picks.astype("int32")))
+
+    exact = ann_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    cassign = emb.select(
+        F.col("vec_id").alias("c_id"), nearest_cell("embedding").alias("cell")
+    )
+    qr = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), probe_cells("embedding").alias("probe_list")
+    )
+    # neighbor's cell rank in the query's probe order; array_position
+    # is 1-based and 0 when absent -> 0 means "beyond the budget"
+    pairr = (
+        exact.join(cassign, "c_id")
+        .join(F.broadcast(qr), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.expr("array_position(probe_list, cell)").cast("long").alias("cell_rank"),
+        )
+    )
+    grid = F.broadcast(
+        emb.sparkSession.createDataFrame([(p,) for p in PROBE_GRID], "n_probes int")
+    )
+    hit = (F.col("cell_rank") >= 1) & (F.col("cell_rank") <= F.col("n_probes"))
+    return (
+        pairr.crossJoin(grid)
+        .groupBy("n_probes")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "n_probes",
+            "n_pairs",
+            "n_hit",
+            F.expr(
+                "cast(floor((n_hit * 1000000.0 / n_pairs) + 0.5) as bigint)"
+            ).alias("recall_e6"),
+        )
+        .orderBy("n_probes")
+    )
