@@ -817,3 +817,26 @@ def test_winnow_dedup_guarantee_and_bounds(spark):
     for r in rows.values():
         assert 0 <= r.n_shared <= r.n_fp
         assert 0 <= r.shared_frac_e4 <= 10000
+
+
+def test_ivf_probe_curve_monotone_and_consistent(spark):
+    """recall@p must be non-decreasing in p (a deeper budget can only
+    add hits), n_pairs must equal the exact top-k pair count and be
+    constant across rungs, and the deepest rung must match what
+    ann_ivf_topk's own probe budget can reach (same contract)."""
+    from duckdb_httpd_log_spark.operators.similarity import IVF_NPROBE, PROBE_GRID
+
+    assert max(PROBE_GRID) == IVF_NPROBE  # deepest rung stays on the proven contract
+    rows = (
+        REGISTRY["ann_ivf_probe_curve"].spark_fn(spark, SF_DIR)
+        .orderBy("n_probes")
+        .collect()
+    )
+    assert [r.n_probes for r in rows] == list(PROBE_GRID)
+    n_exact = REGISTRY["ann_cosine_topk"].spark_fn(spark, SF_DIR).count()
+    prev = -1
+    for r in rows:
+        assert r.n_pairs == n_exact
+        assert 0 <= r.n_hit <= r.n_pairs
+        assert r.n_hit >= prev
+        prev = r.n_hit
