@@ -2249,3 +2249,135 @@ def q63_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_cents").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape (q64): large-volume orders — the HAVING-subquery
+# semi-join topology (find orders whose TOTAL line quantity clears a
+# threshold, then pull their order/customer context). The quantity
+# rollup is a partial+final hash agg whose HAVING filter runs BEFORE
+# any join (the probe side shrinks to the rare big orders), so the
+# orders/customer joins only ever see survivors. Quantity is exact
+# centi-units (DOUBLE l_quantity floor-quantized per row).
+# ---------------------------------------------------------------------------
+Q64_QTY_THRESHOLD_C = 21000  # 210.00 quantity units, in centi-units
+
+
+@register(
+    "q64_big_orders",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > {Q64_QTY_THRESHOLD_C}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS order_day,
+           floor(o.o_totalprice * 1e2 + 0.5) / 1e2 AS total_price,
+           b.qty_c
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.qty_c DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    "TPC-H Q18-style big orders: HAVING-filtered quantity rollup semi-joins into orders/customer, top-20",
+)
+def q64_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.select(
+            "l_orderkey",
+            F.expr("cast(floor(l_quantity * 100.0 + 0.5) as bigint)").alias("qc"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("qc").cast("long").alias("qty_c"))
+        .filter(F.col("qty_c") > Q64_QTY_THRESHOLD_C)
+    )
+    return (
+        big.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.expr("unix_micros(o_orderdate) div 86400000000").cast("long").alias("order_day"),
+            fround(F.col("o_totalprice"), 2).alias("total_price"),
+            "qty_c",
+        )
+        .orderBy(F.col("qty_c").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape (q65): local-supplier volume — the cross-chain
+# equality topology: lineitem joins BOTH its supplier chain and (via
+# orders) its customer chain, and the revenue only counts when the
+# two chains land in the SAME nation (c_nationkey = s_nationkey is a
+# join predicate between dimensions, not a filter on either alone).
+# The fact⋈fact lineitem⋈orders shuffle dominates; supplier/customer
+# go through AQE; nation broadcasts. Exact cents.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY rev_cents DESC, n.n_name
+    """,
+    "TPC-H Q5-style local-supplier revenue: cross-chain nation equality between dimension chains, exact cents",
+)
+def q65_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("rev_cents").desc(), "n_name")
+    )
