@@ -456,19 +456,25 @@ def main() -> None:
     # boards by the calibration ratio when both sides carry one.
     import hashlib
 
-    t0 = time.perf_counter()
-    buf = b"\x5a" * 65536
-    for _ in range(3000):
-        buf = hashlib.sha256(buf).digest() * 2048  # 64 KiB again
-    py_cal = time.perf_counter() - t0
+    # min-of-3 for BOTH primitives: fixed work means the minimum is the
+    # uncontended-host number; medians pick up whatever the box was
+    # doing that second (the r7->r8 jvm median halved while py stayed
+    # flat — min-of-N is the contamination-resistant estimator).
+    py_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf = b"\x5a" * 65536
+        for _ in range(3000):
+            buf = hashlib.sha256(buf).digest() * 2048  # 64 KiB again
+        py_runs.append(time.perf_counter() - t0)
     jvm_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
         jvm_runs.append(time.perf_counter() - t0)
     calibration = {
-        "py_sha256_s": round(py_cal, 4),
-        "jvm_range_sum_s": round(statistics.median(jvm_runs), 4),
+        "py_sha256_s": round(min(py_runs), 4),
+        "jvm_range_sum_s": round(min(jvm_runs), 4),
     }
 
     total = round(sum(timings.values()), 4)
