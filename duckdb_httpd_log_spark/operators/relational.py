@@ -2381,3 +2381,78 @@ def q65_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rev_cents").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (q66): the disjunctive multi-predicate join — an OR
+# of per-branch conjunctions that each mix PART predicates with
+# LINEITEM predicates. Only the disjunction of the part-side halves
+# (brand/size) can prune the broadcast dimension; the cross-side
+# residual evaluates after the join, and the l_quantity disjunction
+# cannot push into the fact scan at all — exactly the shape that
+# separates an optimizer's predicate-split from naive post-filtering.
+# Exact cents; per-branch line counts out of one pass (FILTER-clause
+# aggregates over the same joined rows).
+# ---------------------------------------------------------------------------
+@register(
+    "q66_promo_revenue",
+    """
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN p.p_brand = 'Brand#1' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1,
+           CAST(sum(CASE WHEN p.p_brand = 'Brand#2' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand2
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 40
+           AND l.l_quantity BETWEEN 10 AND 35)
+    """,
+    "TPC-H Q19-style disjunctive predicate join: OR of brand/size x quantity conjunctions over a broadcast part",
+)
+def q66_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 40)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return (
+        li.select(
+            "l_partkey",
+            "l_quantity",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .join(
+            # the part-side disjunction (brand IN + size envelope) is
+            # explicit so the broadcast build side prunes before the
+            # join even when the optimizer doesn't split the OR itself
+            F.broadcast(
+                p.filter(
+                    ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+                    | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 40))
+                ).select("p_partkey", "p_brand", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(b1 | b2)
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("p_brand") == "Brand#1", 1).otherwise(0))
+            .cast("long")
+            .alias("n_brand1"),
+            F.sum(F.when(F.col("p_brand") == "Brand#2", 1).otherwise(0))
+            .cast("long")
+            .alias("n_brand2"),
+        )
+    )
