@@ -2039,3 +2039,114 @@ def text_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search — the standard full-text relevance ranking
+# (Robertson/Spärck Jones probabilistic idf + tf saturation + length
+# normalization; tf-idf's production successor and the retrieval
+# baseline every RAG corpus gets indexed with). Shape: the exploded
+# token stream filters to the QUERY terms BEFORE any aggregation (the
+# match set, not the corpus, shuffles), per-(doc, term) tf + per-doc
+# length hash aggs, a 3-row term-level idf broadcast, one quantized
+# per-pair score, per-doc sum, top-20 under a total order.
+# Portability: idf = ln((N - df + 0.5) / (df + 0.5)) is rewritten as
+# pln(2N - 2df + 1) - pln(2df + 1) — INTEGER pln arguments, so the
+# whole transcendental path stays on the engine-exact portable ln;
+# the tf/length chain is the identical parenthesized float DAG on
+# both surfaces and each term score quantizes to an e6 BIGINT before
+# the order-insensitive per-doc sum.
+# BOUNDED-FRAME pln: both macros expand only over the |QUERY_TERMS|-row
+# df frame (3 rows) — staging would add plan nodes for nothing.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("hash", "join", "stream")
+# exponent-form literals: bare `1.2` parses as DECIMAL in Spark SQL
+# (decimal arithmetic, different rounding); `1.2e0` is DOUBLE on both
+# engines — the same rule portable.py's coefficients follow.
+BM25_K1 = "1.2e0"
+BM25_B_COMP = "0.25e0"  # 1 - b, b = 0.75
+BM25_KB = "0.9e0"  # k1 * b
+BM25_TOP = 20
+
+_BM25_IDF = f"({pln('(2 * n_docs - 2 * df + 1)')} - {pln('(2 * df + 1)')})"
+_BM25_SCORE_E6 = (
+    "CAST(floor((idf * ((CAST(tf AS DOUBLE) * (1.0e0 + " + BM25_K1 + "))"
+    " / (CAST(tf AS DOUBLE) + (" + BM25_K1 + " * " + BM25_B_COMP + ")"
+    " + (((" + BM25_KB + " * dl) * n_docs) / total_len)))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "text_bm25_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE w IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    idf AS (
+        SELECT df.w, {_BM25_IDF} AS idf
+        FROM df CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT t.doc_id, {_BM25_SCORE_E6} AS s6
+        FROM tf t
+        JOIN idf i ON i.w = t.w
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN corpus
+    )
+    SELECT doc_id, count(*) AS n_terms,
+           CAST(sum(s6) AS BIGINT) AS score_e6
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    "BM25 keyword relevance ranking: portable-ln idf, saturated tf, length-normalized, top-20",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_.crossJoin(F.broadcast(corpus))
+        .select("w", F.expr(_BM25_IDF).alias("idf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_SCORE_E6).alias("s6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s6").cast("long").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
