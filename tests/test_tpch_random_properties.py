@@ -19,19 +19,22 @@ from duckdb_httpd_log_spark.plans.registry import REGISTRY
 
 from .oracle_check import row_set
 
-QUERIES = [
-    "q56_ship_priority",
-    "q57_order_count_dist",
-    "q58_top_supplier",
-    "q59_late_shipment_mix",
-    "q60_nation_trade_volume",
-    "q61_waiting_suppliers",
-    "q62_idle_customers",
-    "q63_returned_item_revenue",
-    "q64_big_orders",
-    "q65_local_supplier_volume",
-    "q66_promo_revenue",
-]
+# AUTO-SELECTED like test_edge_tpch.py: every registry entry whose
+# oracle touches only the seven TPC-H tables — the whole relational
+# family inherits the randomized sweep, not just the fact-join queries
+# it started with.
+import re as _re
+
+_TPCH = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+_NON_TPCH = ["events", "documents", "embeddings"]
+
+QUERIES = sorted(
+    name
+    for name, qd in REGISTRY.items()
+    if qd.oracle_sql
+    and any(_re.search(rf"\b{t}\b", qd.oracle_sql) for t in _TPCH)
+    and not any(_re.search(rf"\b{t}\b", qd.oracle_sql) for t in _NON_TPCH)
+)
 
 SEEDS = [11, 23, 47]
 
