@@ -20,20 +20,23 @@ from duckdb_httpd_log_spark.plans.registry import REGISTRY
 
 from .oracle_check import row_set
 
-QUERIES = [
-    "text_window_dedup",
-    "text_winnow_dedup",
-    "dedup_winnow_pairs",
-    "text_bm25_search",
-    "text_context_window_fit",
-    "text_boilerplate_prefix",
-    "sample_weighted",
-    "text_kl_divergence",
-    "text_entropy_rate",
-    "token_bigram_pmi",
-]
+# AUTO-SELECTED: every registry entry whose oracle reads only the
+# documents table — the whole text/dedup/multimodal-on-docs family
+# inherits the randomized sweep; new operators join automatically.
+import re as _re
 
-SEEDS = [5, 19, 71]
+from duckdb_httpd_log_spark.plans.registry import TABLES as _TABLES
+
+_OTHER = [t for t in _TABLES if t != "documents"]
+QUERIES = sorted(
+    name
+    for name, qd in REGISTRY.items()
+    if qd.oracle_sql
+    and _re.search(r"\bdocuments\b", qd.oracle_sql)
+    and not any(_re.search(rf"\b{t}\b", qd.oracle_sql) for t in _OTHER)
+)
+
+SEEDS = [5, 19]
 
 # small vocabulary -> high collision rate: shared windows, count ties,
 # and BM25 terms all occur naturally
