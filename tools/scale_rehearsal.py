@@ -76,6 +76,12 @@ SLATE = [
     # the ratio certifies)
     "q60_nation_trade_volume",
     "dedup_winnow_pairs",
+    # round-8 late additions: the double-correlation aggregate rewrite
+    # (two fact-scale hash aggs), the cross-chain nation equality, and
+    # BM25's filtered-explode + broadcast-idf shape
+    "q61_waiting_suppliers",
+    "q65_local_supplier_volume",
+    "text_bm25_search",
 ]
 
 # id headrooms: far above any sf0.1 max key
