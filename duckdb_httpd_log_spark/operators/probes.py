@@ -313,3 +313,37 @@ def probe_window_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("nt") * F.col("k")).alias("nt_checksum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# (k) exponent-form double-literal chains (divergence class 5,
+# docs/DRIVER_DIVERGENCE.md): a mult/div chain seeded by e0-form
+# literals must evaluate as pure correctly-rounded DOUBLE ops on both
+# engines. If either engine ever routes an exponent literal through
+# decimal arithmetic (the class that diverged text_bm25_search's
+# tf-norm chain pre-commit), this per-row e12 checksum flips. The
+# chain shape mirrors BM25's: (lit * int) * int / int, then one more
+# literal multiply — division is the step where decimal semantics
+# pick a result scale and round decimally.
+# --------------------------------------------------------------------
+@register(
+    "probe_double_literal_chain",
+    f"""
+    WITH s AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, {_SPINE_N + 1}) t(k))
+    SELECT CAST(sum(CAST(floor((((0.9e0 * k) * 7) / (k + 13)) * (1.2e0 * 0.25e0)
+                                * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chain_e12,
+           count(*) AS n_rows
+    FROM s
+    """,
+    "probe: e0-form double literal mult/div chain (divergence class 5)",
+)
+def probe_double_literal_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _spine(spark, _SPINE_N)
+    term = F.expr(
+        "cast(floor((((0.9e0 * k) * 7) / (k + 13)) * (1.2e0 * 0.25e0)"
+        " * 1000000000000.0 + 0.5) as bigint)"
+    )
+    return s.agg(
+        F.sum(term).cast("long").alias("chain_e12"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
