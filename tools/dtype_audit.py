@@ -53,18 +53,30 @@ def main():
             continue
         sdt = {c.lower(): str(d) for c, d in sdf.dtypes.items()}
         odt = {c.lower(): str(d) for c, d in odf.dtypes.items()}
-        bad = {
-            c: (sdt.get(c), odt.get(c))
-            for c in set(sdt) | set(odt)
-            if sdt.get(c) != odt.get(c)
-        }
+        bad, benign = {}, {}
+        for c in set(sdt) | set(odt):
+            a, b = sdt.get(c), odt.get(c)
+            if a == b:
+                continue
+            # same classes the CI contract allows (driver-green proven):
+            # int-width (int32 `5` and int64 `5` canonicalize identically
+            # — orders_seasonality_index) and datetime unit ([ns] vs [us]
+            # — q43_interval_window). int-vs-float is NEVER benign.
+            ka = (a or "").rstrip("0123456789[]nsu")
+            kb = (b or "").rstrip("0123456789[]nsu")
+            if a and b and ka == kb and ka in ("int", "uint", "datetime"):
+                benign[c] = (a, b)
+            else:
+                bad[c] = (a, b)
+        if benign:
+            print(f"{name:30s} benign-width {benign}")
         if bad:
             mismatches.append(name)
             print(f"{name:30s} DTYPE-MISMATCH {bad}")
     if mismatches:
         print("MISMATCHES:", sorted(mismatches))
         sys.exit(1)
-    print("all dtypes match")
+    print("all dtypes match (width/unit-level differences reported as benign)")
 
 
 if __name__ == "__main__":
