@@ -8,7 +8,10 @@ of the builder's gate instead of waiting for a judge read):
                                      a super-linear regression);
   2. thread-invariance audit       — every oracle bit-identical at
                                      DuckDB threads=1 vs 8;
-  3. operator-index regeneration   — docs/OPERATORS.md counts match
+  3. executing dtype audit         — pandas-kind parity on every
+                                     oracle at sf0.01 (int-vs-float
+                                     gates, width/unit reported);
+  4. operator-index regeneration   — docs/OPERATORS.md counts match
                                      the registry at HEAD.
 
 Record the output in the round-close commit message. Bench and the
@@ -28,6 +31,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEPS = [
     ("scale-rehearsal --assert", [sys.executable, "tools/scale_rehearsal.py", "--assert"]),
     ("thread-invariance audit", [sys.executable, "tools/thread_invariance_audit.py"]),
+    ("executing dtype audit", [sys.executable, "tools/dtype_audit.py"]),
     ("operator index regen", [sys.executable, "tools/gen_operator_index.py"]),
 ]
 
