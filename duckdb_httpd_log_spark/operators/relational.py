@@ -2456,3 +2456,142 @@ def q66_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_brand2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (q67): cheapest supplier per part — the
+# correlated-MIN-then-join-back topology (Q2's partsupp is emulated
+# with per-(part, supplier) average unit price from lineitem). The
+# correlation `price = (SELECT min(price) WHERE same part)` is
+# expressed as a per-part min-struct aggregate instead of a correlated
+# subquery — one hash agg replaces a per-row re-probe, and the struct
+# carries the winning supplier through the min so nothing joins back
+# at all (the q24/boilerplate-prefix discipline). Unit price is an
+# exact integer milli-cent ratio; ties break on the lowest suppkey
+# via the struct's field order.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_cheapest_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    priced AS (
+        SELECT l_partkey, l_suppkey,
+               CAST((cents * 1000 + qty_c // 2) // qty_c AS BIGINT) AS unit_mc
+        FROM ps WHERE qty_c > 0
+    ),
+    best AS (
+        SELECT l_partkey,
+               min({'unit_mc': unit_mc, 'l_suppkey': l_suppkey}) AS w
+        FROM priced
+        GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           b.w.unit_mc AS unit_mc
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.w.l_suppkey
+    ORDER BY unit_mc, p.p_partkey
+    LIMIT 25
+    """,
+    "TPC-H Q2-style cheapest supplier per part: correlated min as a min-struct agg, no join-back",
+)
+def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)").alias("c"),
+            F.expr("cast(floor(l_quantity * 100.0 + 0.5) as bigint)").alias("q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("c").cast("long").alias("cents"), F.sum("q").cast("long").alias("qty_c"))
+        .filter(F.col("qty_c") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("(cents * 1000 + qty_c div 2) div qty_c").cast("long").alias("unit_mc"),
+        )
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("unit_mc"), F.col("l_suppkey"))).alias("w")
+    )
+    return (
+        best.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("w.l_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("w.unit_mc").alias("unit_mc"),
+        )
+        .orderBy("unit_mc", "p_partkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (q68): order-priority counts over orders with at
+# least one late line — the grouped EXISTS topology. The EXISTS
+# collapses to a left-semi join against the DISTINCT late order keys
+# (pre-aggregated before the join, so lineitem probes orders exactly
+# once regardless of how many late lines an order has). Late = the
+# q59/q61 60-day contract (this schema has no commit/receipt dates).
+# ---------------------------------------------------------------------------
+@register(
+    "q68_priority_pending",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 60 * 86400000000
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    "TPC-H Q4-style priority counts: grouped EXISTS as a left-semi join on distinct late keys",
+)
+def q68_priority_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    win = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    late_keys = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            win.select(F.col("o_orderkey").alias("k"), "o_orderdate"),
+            F.col("l_orderkey") == F.col("k"),
+        )
+        .filter(
+            F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+            > F.lit(60 * 86400000000)
+        )
+        .select(F.col("l_orderkey"))
+        .distinct()
+    )
+    return (
+        win.join(late_keys, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
