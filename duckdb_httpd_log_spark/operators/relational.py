@@ -2595,3 +2595,122 @@ def q68_priority_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (q69): small-quantity-order revenue — the correlated
+# SCALAR-AGG-in-WHERE topology (`l_quantity < 0.2 * (SELECT avg(...)
+# WHERE same part)`). The correlation decorrelates into one per-part
+# aggregate joined back; the 0.2x-average comparison is EXACT integer
+# cross-multiplication (qty_c * 5 * n < sum_qc ⟺ qty < 0.2 * avg) so
+# no float division ever reaches the predicate. One row out.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_small_qty_revenue",
+    """
+    WITH q AS (
+        SELECT l_partkey,
+               CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+        FROM lineitem
+    ),
+    pa AS (
+        SELECT l_partkey,
+               CAST(sum(qty_c) AS BIGINT) AS sum_qc,
+               count(*) AS n
+        FROM q GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(q.price_c) AS BIGINT) AS rev_cents
+    FROM q
+    JOIN pa ON pa.l_partkey = q.l_partkey
+    WHERE q.qty_c * 5 * pa.n < pa.sum_qc
+    """,
+    "TPC-H Q17-style small-quantity revenue: correlated scalar avg decorrelated, exact integer 0.2x-avg predicate",
+)
+def q69_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_partkey",
+        F.expr("cast(floor(l_quantity * 100.0 + 0.5) as bigint)").alias("qty_c"),
+        F.expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)").alias("price_c"),
+    )
+    pa = q.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_c").cast("long").alias("sum_qc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        q.join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty_c") * 5 * F.col("n") < F.col("sum_qc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price_c").cast("long").alias("rev_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (q70): promo revenue share — the conditional-share
+# ratio over a broadcast dimension join: what fraction of one month's
+# revenue came from promo-class parts. Numerator and denominator come
+# out of the SAME pass (conditional sum vs total sum of exact cents);
+# the share quantizes through the integer round-half-up form, so no
+# float division order can flip the hashed output.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_promo_share",
+    """
+    WITH j AS (
+        SELECT CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN p.p_type LIKE 'SMALL%' THEN 1 ELSE 0 END AS is_promo
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+    )
+    SELECT CAST(sum(CASE WHEN is_promo = 1 THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST((sum(CASE WHEN is_promo = 1 THEN cents ELSE 0 END) * 20000
+                 + sum(cents)) // (2 * sum(cents)) AS BIGINT) AS promo_share_e4
+    FROM j
+    """,
+    "TPC-H Q14-style promo revenue share: conditional + total cents in one pass, exact e4 share",
+)
+def q70_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) as bigint)"
+            ).alias("cents"),
+        )
+        .join(
+            F.broadcast(
+                p.select(
+                    "p_partkey",
+                    F.when(F.col("p_type").startswith("SMALL"), 1)
+                    .otherwise(0)
+                    .alias("is_promo"),
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return j.agg(
+        F.sum(F.when(F.col("is_promo") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("promo_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(
+        "promo_cents",
+        "total_cents",
+        F.expr("(promo_cents * 20000 + total_cents) div (2 * total_cents)")
+        .cast("long")
+        .alias("promo_share_e4"),
+    )
