@@ -289,7 +289,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for i, name in enumerate(BENCH_QUERIES):
+    # hand-ordered historical list first (keeps round-over-round entry
+    # order stable for diffing), then every registry entry it doesn't
+    # name — new operators get a board row without editing this file
+    all_queries = list(BENCH_QUERIES) + [
+        n for n in REGISTRY if n not in set(BENCH_QUERIES)
+    ]
+    for i, name in enumerate(all_queries):
         qd = REGISTRY.get(name)
         if qd is None:
             continue
