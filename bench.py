@@ -258,16 +258,28 @@ BENCH_QUERIES = [
 ]
 
 
-def gen_log(path: str, n_lines: int = 200_000) -> None:
-    """Deterministic synthetic CLF+combined log for the scan benchmark."""
+def gen_log(path: str, n_lines: int = 200_000, junk_frac: float = 0.0) -> None:
+    """Deterministic synthetic CLF+combined log for the scan benchmark.
+    junk_frac > 0 interleaves that fraction of unparseable lines
+    (truncated records, binary-ish noise, bare text) to exercise the
+    parse-error retention path at a measured rate."""
     import random
 
     rng = random.Random(42)
     methods = ["GET", "POST", "PUT", "DELETE"]
     paths = [f"/page/{i}" for i in range(50)] + ["/search?q=x", "/api/v1/data"]
     uas = ["Mozilla/5.0 (X11; Linux)", "curl/8.0", "Googlebot/2.1"]
+    junk = [
+        "### truncated-write",
+        "\x00\x01\x02 binary noise \x7f",
+        "panic: unexpected EOF while tailing",
+        '10.1.2.3 - broken [not-a-timestamp] "GET',
+    ]
     with open(path, "w") as fh:
         for i in range(n_lines):
+            if junk_frac and rng.random() < junk_frac:
+                fh.write(f"{rng.choice(junk)} {i}\n")
+                continue
             fh.write(
                 f"10.0.{rng.randrange(256)}.{rng.randrange(256)} - user{rng.randrange(100)} "
                 f"[10/Oct/2024:13:{i % 60:02d}:{rng.randrange(60):02d} +0000] "
@@ -384,6 +396,42 @@ def main() -> None:
             read_httpd_log(spark, big_path, format_type="combined", raw=True).count()
             runs.append(time.perf_counter() - t0)
         timings["log_scan_2m_raw"] = round(statistics.median(runs), 4)
+
+        # parse-error-heavy axis (r8 verdict stretch item 7): 2M lines
+        # with 20% junk — measures the error path's cost (mark-and-split
+        # miss -> NULL typed columns + retained raw line) separately
+        # from the happy path directly above it.
+        err_path = os.path.join(td, "bench_junk.log")
+        gen_log(err_path, 2_000_000, junk_frac=0.2)
+        read_httpd_log(spark, err_path, format_type="combined").count()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            read_httpd_log(spark, err_path, format_type="combined").count()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_2m_20pct_junk"] = round(statistics.median(runs), 4)
+
+        # automatic line-filter pushdown axis (r8 verdict stretch item
+        # 8): a TYPED predicate on the scan result derives a raw-line
+        # Contains needle (sources/pushdown.py) that prunes ~5/6 of the
+        # 2M lines before the regex — compare against
+        # log_scan_2m_single_file (same file, no predicate) for the win.
+        from pyspark.sql import functions as _F
+
+        def _pushed():
+            return (
+                read_httpd_log(spark, big_path, format_type="combined")
+                .filter(_F.col("status") == 500)
+                .count()
+            )
+
+        _pushed()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            _pushed()
+            runs.append(time.perf_counter() - t0)
+        timings["log_scan_2m_status500_pushdown"] = round(statistics.median(runs), 4)
 
         # gzip axis (BASELINE.md bench plan): same 200k-line file,
         # compressed — unsplittable, one task, decode inline

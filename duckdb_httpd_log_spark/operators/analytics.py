@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..plans.portable import dlit, pexp, pln, pln_ratio, pln_stages, stage_subselects, with_stages
 from ..plans.registry import fround, register, table
+from .distrank import with_grouped_rank
 
 # Portable-transcendental snippets (plans/portable.py): spliced
 # verbatim into BOTH the oracle SQL and F.expr so neither engine's
@@ -638,8 +639,12 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discrete quartiles + p90 over integer microseconds, portable with no
 # float surface) of time-to-convert for view->click and click->purchase.
 # Shape: the per-user first-timestamp chain is q17's join cascade;
-# quantiles are one window rank per stage over the (small) converted
-# population.
+# quantile ranks run through the grouped two-phase scan (distrank.
+# with_grouped_rank) — stage has exactly 2 values, so the naive
+# Window.partitionBy("stage") would sort the whole converted
+# population in 2 tasks at scale. Rank positions at each lat_us value
+# are identical to the window form, so the oracle (which states the
+# naive window) hash-matches unchanged.
 # ---------------------------------------------------------------------------
 @register(
     "events_funnel_latency",
@@ -722,14 +727,9 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lat = vc.unionAll(cp)
-    wr = Window.partitionBy("stage").orderBy("lat_us")
-    wn = Window.partitionBy("stage")
-    ranked = lat.select(
-        "stage",
-        "lat_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ranked = with_grouped_rank(
+        spark, lat, ["stage"], [F.col("lat_us")], rn_col="rn", n_col="n"
+    ).select("stage", "lat_us", "rn", "n")
 
     def pick(pq: float):
         pos = F.ceil(F.lit(pq) * F.col("n")).cast("long")
@@ -1374,7 +1374,12 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (native quantile_cont implementations differ in edge handling):
 # h = (n-1)p, value = lo + (hi-lo)*frac over exact integer cents, one
 # quantized rounding at the end. Complements q46's discrete
-# percentiles. One ranked window per group over integer cents.
+# percentiles. The oracle states the naive per-priority window; the
+# Spark side ranks via the grouped two-phase scan (distrank.
+# with_grouped_rank) — o_orderpriority has 5 distinct values, so
+# Window.partitionBy("grp") would sort ALL orders in 5 tasks at the
+# 100 TB design point. Rank positions at each cents value are
+# identical to the window form, so the oracle hash-matches unchanged.
 # ---------------------------------------------------------------------------
 @register(
     "q52_percentile_cont",
@@ -1415,14 +1420,9 @@ def q52_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
     )
-    wr = Window.partitionBy("grp").orderBy("cents")
-    wn = Window.partitionBy("grp")
-    ranked = v.select(
-        "grp",
-        "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ranked = with_grouped_rank(
+        spark, v, ["grp"], [F.col("cents")], rn_col="rn", n_col="n"
+    ).select("grp", "cents", "rn", "n")
 
     def lo(p):
         return F.min(
@@ -2399,7 +2399,16 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantiles per order priority (q46's positional-pick mechanism over
 # integer day counts — no float surface). The orders join broadcasts
 # nothing blindly: it is a fact-to-fact equi-join on the orderkey both
-# tables are naturally keyed by.
+# tables are naturally keyed by. The oracle states the naive
+# per-priority rank window; the Spark side exploits that lat_days is a
+# BOUNDED integer domain (calendar days between order and ship — a few
+# thousand values regardless of row count) and computes the identical
+# discrete quantiles by counting sort: one hash aggregate to
+# (pri, lat_days) counts, then cumulative windows over that
+# |priorities| x |day-domain| bounded set. The fact table is touched
+# by exactly one partial+final agg — no fact-scale sort anywhere. The
+# positional pick is value-identical: the value at rank position pos
+# is the smallest lat_days whose cumulative count reaches pos.
 # ---------------------------------------------------------------------------
 @register(
     "orders_ship_latency",
@@ -2437,21 +2446,26 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("lat_days"),
     )
-    wr = Window.partitionBy("pri").orderBy("lat_days")
+    cnt = lat.groupBy("pri", "lat_days").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("lat_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     wn = Window.partitionBy("pri")
-    ranked = lat.select(
+    r = cnt.select(
         "pri",
         "lat_days",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
 
     def pick(p: float):
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
-        return F.min(F.when(F.col("rn") >= pos, F.col("lat_days")))
+        return F.min(F.when(F.col("cum") >= pos, F.col("lat_days")))
 
     return (
-        ranked.groupBy("pri")
+        r.groupBy("pri")
         .agg(
             F.max("n").alias("n_lines"),
             pick(0.50).alias("p50_days"),
@@ -3028,7 +3042,12 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and rn_last/n) rather than the builtins, so both engines compute the
 # identical quantized value. Grouped by order priority; ties share the
 # cume_dist of their last peer (standard semantics, expressed with a
-# max-over-ties join kept tiny by the value-domain grouping).
+# max-over-ties join kept tiny by the value-domain grouping). The
+# oracle states the naive per-priority window; the Spark side uses the
+# grouped two-phase rank (distrank.with_grouped_rank) — 5 priority
+# values over all orders would otherwise sort the fact table in 5
+# tasks. (o_totalprice, o_orderkey) is a per-group total order, so the
+# ranks are bit-identical to the window form.
 # ---------------------------------------------------------------------------
 @register(
     "q53_percent_rank",
@@ -3054,13 +3073,18 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
+    ranked = with_grouped_rank(
+        spark,
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="rn",
+        n_col="n",
+    ).select(
         F.col("o_orderpriority").alias("pri"),
         fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "rn",
+        "n",
     )
     top3 = ranked.filter((F.col("rn") <= 3) | (F.col("rn") >= F.col("n") - 2))
     pct = (
@@ -4321,7 +4345,13 @@ def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unbiased peer baseline): the classic self-excluding window pattern.
 # Group sums are exact integer cents; the deviation ratio quantizes.
 # Output keeps the 3 most above-peer orders per priority
-# (TakeOrderedAndProject semantics via per-group rank).
+# (TakeOrderedAndProject semantics via per-group rank). The oracle
+# states both steps as naive per-priority windows; the Spark side
+# replaces them with scale-safe equivalents — the unordered sum/count
+# window becomes a 5-row hash aggregate broadcast back onto the fact
+# (no per-group shuffle at all), and the top-3 rank goes through the
+# grouped two-phase scan (distrank.with_grouped_rank). Both are
+# value-identical, so the oracle hash-matches unchanged.
 # ---------------------------------------------------------------------------
 @register(
     "q55_loo_avg",
@@ -4356,18 +4386,15 @@ def orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    wg = Window.partitionBy("pri")
-    g = orders.select(
+    g0 = orders.select(
         F.col("o_orderpriority").alias("pri"),
         "o_orderkey",
         fround(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
-    ).select(
-        "pri",
-        "o_orderkey",
-        "cents",
-        F.sum("cents").over(wg).alias("s"),
-        F.count(F.lit(1)).over(wg).alias("n"),
     )
+    tot = g0.groupBy("pri").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    g = g0.join(F.broadcast(tot), "pri")
     peer_cents = fround(
         (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1)
     ).cast("long")
@@ -4387,11 +4414,14 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         peer_cents.alias("peer_cents"),
         ratio.alias("ratio_vs_peers"),
     )
-    wrk = Window.partitionBy("pri").orderBy(
-        F.col("ratio_vs_peers").desc(), "o_orderkey"
-    )
     return (
-        scored.withColumn("rk", F.row_number().over(wrk))
+        with_grouped_rank(
+            spark,
+            scored,
+            ["pri"],
+            [F.col("ratio_vs_peers").desc(), F.col("o_orderkey")],
+            rn_col="rk",
+        )
         .filter(F.col("rk") <= 3)
         .select(
             F.col("pri").alias("o_orderpriority"),
@@ -4622,8 +4652,16 @@ def orders_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Length quartiles per language — the per-group distribution card
-# (q46's positional-pick mechanism partitioned by lang); group sizes
-# are language-sized, ranks stay inside each partition.
+# (q46's positional-pick mechanism partitioned by lang). The oracle
+# states the naive per-lang rank window; the Spark side computes the
+# identical quartiles by counting sort over the BOUNDED (lang,
+# n_chars) domain — distinct character counts are capped by the
+# longest document, not the corpus row count, so the cumulative
+# window runs over a domain-sized set while the fact table is touched
+# by exactly one partial+final hash agg (orders_ship_latency's
+# recipe). The oracle's doc_id tiebreak is irrelevant to the picked
+# values: positional picks read only n_chars, which is constant
+# across tied rows.
 # ---------------------------------------------------------------------------
 @register(
     "text_len_quartiles_by_lang",
@@ -4646,21 +4684,26 @@ def orders_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_len_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cnt = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     wn = Window.partitionBy("lang")
-    ranked = docs.select(
+    r = cnt.select(
         "lang",
         "n_chars",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
 
     def pick(p: float):
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
-        return F.min(F.when(F.col("rn") >= pos, F.col("n_chars")))
+        return F.min(F.when(F.col("cum") >= pos, F.col("n_chars")))
 
     return (
-        ranked.groupBy("lang")
+        r.groupBy("lang")
         .agg(
             F.max("n").alias("n_docs"),
             pick(0.25).alias("p25_chars"),

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.portable import LN2, pln, pln_stages, stage_subselects, with_stages
-from ..plans.registry import fround, REGISTRY, register, table
+from ..plans.registry import fround, REGISTRY, register, share_expr, share_sql, table
 
 # Portable-ln snippets (plans/portable.py) spliced verbatim into both
 # the oracle SQL and F.expr — no libm reaches a hashed output.
@@ -332,10 +332,15 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
-    ranked = tc.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= ZIPF_TOP_RANKS
-    )
+    # top ranks via the grouped two-phase scan: the per-source frame is
+    # the source's VOCABULARY (Heaps-law-sized — grows with the corpus),
+    # so the naive per-source window would funnel it through |sources|
+    # sort tasks
+    from .distrank import with_grouped_rank
+
+    ranked = with_grouped_rank(
+        spark, tc, ["source"], [F.col("c").desc(), F.col("w")], rn_col="rk"
+    ).filter(F.col("rk") <= ZIPF_TOP_RANKS)
     ranked = with_stages(ranked, _PRK_STAGES + _PC_STAGES)
     x = F.col(_PRK_LN)
     y = F.col(_PC_LN)
@@ -747,8 +752,15 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _textops.text_lm_score(spark, sf_dir).select("doc_id", "ppl")
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     langd = scored.join(docs, "doc_id")
-    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
-    bucketed = langd.withColumn("tier", F.ntile(3).over(w))
+    # terciles from the grouped two-phase rank + exact integer ntile
+    # formula — the oracle's naive per-lang ntile window would sort the
+    # whole scored corpus in |langs| tasks
+    from .distrank import ntile_expr, with_grouped_rank
+
+    bucketed = with_grouped_rank(
+        spark, langd, ["lang"], [F.col("ppl"), F.col("doc_id")],
+        rn_col="rn", n_col="n",
+    ).withColumn("tier", ntile_expr("rn", "n", 3))
     bucket = (
         F.when(F.col("tier") == 1, "head")
         .when(F.col("tier") == 2, "middle")
@@ -1174,13 +1186,22 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time-weighted average of event values over irregular sampling gaps (integer-µs weights)",
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timewin import with_next_us
+
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = events.select(
-        "event_type",
-        "value",
-        F.unix_micros("ts").alias("t_us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    # per-type lead via the time-slice boundary hand-off (timewin):
+    # event_type has ~4 values, so the oracle's naive window would sort
+    # the whole event stream in 4 tasks at scale. unix_micros preserves
+    # ts order exactly, so the (t_us, event_id) sequence is the
+    # oracle's (ts, event_id) sequence.
+    seq = with_next_us(
+        events.select(
+            "event_type", "value", F.unix_micros("ts").alias("t_us"), "event_id"
+        ),
+        ["event_type"],
+        "t_us",
+        "event_id",
+        out_col="t_next",
     )
     seg = seq.filter(F.col("t_next").isNotNull()).select(
         "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
@@ -3401,12 +3422,21 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrival-process card: Poisson rate and inter-arrival CV (burstiness) per event type",
 )
 def events_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timewin import with_next_us
+
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = events.select(
-        "event_type",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
-    )
+    # the oracle states lag() per type; the gap MULTISET per type is
+    # identical whether each gap is attached to its later row (lag) or
+    # its earlier row (lead), and this operator only aggregates gaps —
+    # so one boundary-hand-off lead (timewin.with_next_us) serves here
+    # too, avoiding the |event_type|-task sort of the naive window.
+    seq = with_next_us(
+        events.select("event_type", F.unix_micros("ts").alias("t_us"), "event_id"),
+        ["event_type"],
+        "t_us",
+        "event_id",
+        out_col="t_next",
+    ).select("event_type", (F.col("t_next") - F.col("t_us")).alias("gap_us"))
     gaps = seq.filter(F.col("gap_us").isNotNull())
     m = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("gap_us").cast("long").alias("span_us")
@@ -3563,9 +3593,14 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    # same grouped-rank shape as text_zipf_slope: the per-source frame
+    # is vocabulary-sized, not bounded
+    from .distrank import with_grouped_rank
+
     topv = (
-        tc.withColumn("rk", F.row_number().over(w))
+        with_grouped_rank(
+            spark, tc, ["source"], [F.col("c").desc(), F.col("w")], rn_col="rk"
+        )
         .filter(F.col("rk") <= VOCABSIM_K)
         .select("source", "w")
         .localCheckpoint(eager=False)  # feeds sizes + both join sides
@@ -3720,13 +3755,13 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs over the |sources|-row result (bounded). Parity: sqrt is an
 # IEEE-754 correctly-rounded basic op on both engines (unlike ln/exp),
 # quantized to an e6 BIGINT by the floor form; the share is then exact
-# integer arithmetic — round-half-up (a*2s + b) div 2b, the
-# text_mix_weights recipe. Bound: w_e6 * 2e6 needs sqrt(n_docs) * 1e6
-# * 2e6 < 2^63, i.e. n_docs < ~2.1e13 per source — far past any corpus.
+# integer arithmetic — round-half-up via share_expr/share_sql
+# (DECIMAL(38,0)/HUGEINT widened + zero-guarded, so no per-source
+# volume bound is needed).
 # ---------------------------------------------------------------------------
 @register(
     "corpus_mix_temperature",
-    """
+    f"""
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     w AS (SELECT source, n_docs,
                  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w_e6
@@ -3735,7 +3770,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(w_e6) OVER () AS BIGINT) AS tot_e6
           FROM w)
     SELECT source, n_docs, w_e6,
-           CAST((w_e6 * 2000000 + tot_e6) // (2 * tot_e6) AS BIGINT) AS share_e6
+           {share_sql("w_e6", "tot_e6", 6)} AS share_e6
     FROM t
     ORDER BY source
     """,
@@ -3759,5 +3794,5 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "w_e6",
-        F.expr("(w_e6 * 2000000 + tot_e6) div (2 * tot_e6)").cast("long").alias("share_e6"),
+        share_expr("w_e6", "tot_e6", 6).alias("share_e6"),
     ).orderBy("source")

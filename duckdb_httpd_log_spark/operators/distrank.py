@@ -93,6 +93,94 @@ def with_global_rank(
     return out.drop(*drop)
 
 
+def with_grouped_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column],
+    rn_col: str = "rn",
+    n_col: Optional[str] = None,
+    cum_col: Optional[str] = None,
+    cum_src: Optional[str] = None,
+) -> DataFrame:
+    """Per-group ``row_number() OVER (PARTITION BY keys ORDER BY
+    order_cols)`` without per-group sort tasks — the grouped two-phase
+    rank (factored from orders_rfm_migration's inline form, r8 verdict
+    item 1).
+
+    ``Window.partitionBy(key)`` funnels each group's FULL row set
+    through one sort task: over a fact table partitioned by a
+    low-cardinality key (an order priority, a language, a funnel
+    stage — 2..30 distinct values), that is the whole fact table in a
+    handful of tasks at the 100 TB design point. Here instead:
+
+    1. range-partition on ``(*keys, *order_cols)`` — every partition
+       holds a contiguous slice of the (group, order) space, so a
+       group larger than one partition spans ADJACENT partitions and
+       the sort work stays spread over all of them;
+    2. per-(group, partition) row counts -> a bounded offsets table
+       (at most nparts + n_groups rows: each range partition touches
+       a contiguous run of groups), windowed per group over the
+       partition id for each slice's global offset — trivially small;
+    3. partition-LOCAL row_number (plus optional count / running sum)
+       rebased by the broadcast offset.
+
+    Bit-identical to the naive grouped window when ``order_cols`` is a
+    per-group total order (include a tiebreak), so oracles written
+    with plain partitioned row_number/count/sum hash-match unchanged.
+
+    ``keys`` are column names; ``order_cols`` are Columns (use
+    ``F.col(...).desc()`` for descending components — the same list
+    feeds repartitionByRange and the local window). Optional outputs
+    mirror with_global_rank: ``n_col`` = the group's total row count,
+    ``cum_col`` = the group's running sum of ``cum_src`` under the
+    same order.
+    """
+    from pyspark import StorageLevel
+
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    key_cols = [F.col(k) for k in keys]
+    d = (
+        df.repartitionByRange(nparts, *key_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # same contract as with_global_rank: both passes must see ONE
+        # sampled range partitioning, pinned serialized so a fact-scale
+        # input spills instead of OOMing the unroll.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if cum_src is not None:
+        aggs.append(F.sum(cum_src).alias("__s"))
+    pc = d.groupBy(*keys, "__pid").agg(*aggs)
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = [
+        *key_cols,
+        F.col("__pid"),
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__coff"),
+    ]
+    if cum_src is not None:
+        sel.append(F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__soff"))
+    if n_col is not None:
+        sel.append(F.sum("__c").over(Window.partitionBy(*keys)).alias(n_col))
+    offs = pc.select(*sel)
+    wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+    out = d.join(F.broadcast(offs), [*keys, "__pid"]).withColumn(
+        rn_col, F.col("__coff") + F.row_number().over(wloc)
+    )
+    if cum_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("__soff")
+            + F.sum(cum_src).over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    drop = ["__pid", "__coff"] + (["__soff"] if cum_src is not None else [])
+    return out.drop(*drop)
+
+
 def ntile_expr(rn_col: str, n_col: str, k: int) -> Column:
     """Exact SQL ``ntile(k)`` bucket from a 1-based global rank and the
     total count: the first ``n % k`` buckets hold ``n div k + 1`` rows.

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import fround, register, table
+from ..plans.registry import fround, register, share_expr, share_sql, table
 
 
 # ---------------------------------------------------------------------------
@@ -1318,6 +1318,8 @@ TIW_MICROS = 3_600_000_000  # 1 hour
 def q43_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .timewin import sliced_range_frame
+
     ev = table(spark, sf_dir, "events")
     v = ev.select(
         "event_id",
@@ -1326,18 +1328,25 @@ def q43_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         fround(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
     )
+    # trailing-1h frame inside 1-day time slices (timewin): the oracle's
+    # PARTITION BY event_type would sort the whole stream in ~4 tasks;
+    # re-keying to (type, day) keeps sort tasks day-sized at any scale,
+    # with rows in the last hour of each day replicated once as
+    # context so every frame stays exact across the day boundary.
+    aug = sliced_range_frame(v, "us", TIW_MICROS, TIW_MICROS * 24)
     fr = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "__slice")
         .orderBy("us")
         .rangeBetween(-TIW_MICROS, Window.currentRow)
     )
-    w = v.select(
+    w = aug.select(
         "event_id",
         "event_type",
         "ts",
+        F.col("__ctx"),
         F.count(F.lit(1)).over(fr).cast("bigint").alias("n_window"),
         F.sum("v6").over(fr).alias("s6"),
-    )
+    ).filter(~F.col("__ctx"))
     avg4 = F.expr("(s6 + 50 * n_window) div (100 * n_window)")
     return w.select(
         "event_id",
@@ -1467,8 +1476,11 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides compute the SAME window formula: the value at ordered position
 # ceil(p * n) (ties broken by value order — positional pick, so
 # duplicate values are harmless). Complements q18's continuous
-# `percentile`/`quantile_cont` parity. Shape: one window per group +
-# one hash agg; group count is tiny (order priorities).
+# `percentile`/`quantile_cont` parity. The oracle states the naive
+# per-priority window; the Spark side ranks via the grouped two-phase
+# scan (distrank.with_grouped_rank) — 5 priority values over all
+# orders would otherwise sort the fact table in 5 tasks. Rank
+# positions at each o_totalprice are identical to the window form.
 # ---------------------------------------------------------------------------
 @register(
     "q46_percentile_disc",
@@ -1492,17 +1504,17 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact discrete (inverse-CDF) percentiles per group via a pinned positional window",
 )
 def q46_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .distrank import with_grouped_rank
 
     orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ranked = with_grouped_rank(
+        spark,
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="rn",
+        n_col="n",
+    ).select("o_orderpriority", "o_totalprice", "rn", "n")
 
     def pick(p: float):
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
@@ -1605,19 +1617,26 @@ def q47_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percent_rank / cume_dist / nth_value semantics from integer rank ratios",
 )
 def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # The oracle states naive per-nation windows; c_nationkey has 25
+    # values over the full customer table, so the Spark side ranks via
+    # the grouped two-phase scan and recovers nth_value(3) as the
+    # rank-3 rows joined back — a 25-row broadcast. NULL for groups
+    # with < 3 rows, exactly like nth_value over the full frame.
+    from .distrank import with_grouped_rank
 
     customer = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    wn = Window.partitionBy("c_nationkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = customer.select(
-        "c_nationkey",
-        "c_custkey",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+    rk = with_grouped_rank(
+        spark,
+        customer.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rn_col="rk",
+        n_col="n",
     )
+    third = rk.filter(F.col("rk") == 3).select(
+        "c_nationkey", F.col("c_acctbal").alias("third_bal")
+    )
+    ranked = rk.join(F.broadcast(third), "c_nationkey", "left")
     m6 = F.lit(1000000.0)
     return (
         ranked.select(
@@ -1924,14 +1943,12 @@ def q58_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q59_late_shipment_mix",
-    """
+    f"""
     SELECT o.o_orderpriority,
            count(*) AS n_lines,
            CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
                               > 90 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           CAST((CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
-                                    > 90 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) * 20000
-                 + count(*)) // (2 * count(*)) AS BIGINT) AS late_frac_e4
+           {share_sql("n_late", "n_lines")} AS late_frac_e4
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -1960,9 +1977,7 @@ def q59_late_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "n_lines",
             "n_late",
-            F.expr("(n_late * 20000 + n_lines) div (2 * n_lines)")
-            .cast("long")
-            .alias("late_frac_e4"),
+            share_expr("n_late", "n_lines").alias("late_frac_e4"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2126,13 +2141,25 @@ def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast; the NOT EXISTS is a left-anti shuffle join against the
 # DISTINCT recent-order custkeys (pre-aggregated before the join so
 # raw orders never probe). Balance sums are floor-form rounded AFTER
-# the sum (q01's contract for double measures).
+# the sum (q01's contract for double measures). The above-average
+# threshold is EXACT integer cross-multiplication on cent values
+# (bal_c * n_pos > sum_c ⟺ bal > avg) — a raw double avg(c_acctbal)
+# threshold is summation-order-dependent and can flip boundary
+# customers between engines; the cross-multiply runs in
+# DECIMAL(38,0)/HUGEINT so bal_c * n_pos can't wrap at fleet-scale
+# customer counts either.
 # ---------------------------------------------------------------------------
 @register(
     "q62_idle_customers",
     """
-    WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    WITH cb AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    avg_bal AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_pos
+        FROM cb WHERE c_acctbal > 0.0
     ),
     recent AS (
         SELECT DISTINCT o_custkey FROM orders
@@ -2140,21 +2167,26 @@ def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n_name, count(*) AS n_custs,
            floor(sum(c.c_acctbal) * 1e2 + 0.5) / 1e2 AS total_bal
-    FROM customer c
+    FROM cb c
     CROSS JOIN avg_bal
     JOIN nation n ON n.n_nationkey = c.c_nationkey
-    WHERE c.c_acctbal > avg_bal.ab
+    WHERE CAST(c.bal_c AS HUGEINT) * avg_bal.n_pos > avg_bal.sum_c
       AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
     GROUP BY n.n_name
     ORDER BY n.n_name
     """,
-    "TPC-H Q22-style idle high-balance customers per nation: scalar avg broadcast + left-anti join",
+    "TPC-H Q22-style idle high-balance customers per nation: exact integer above-avg threshold + left-anti join",
 )
 def q62_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
+    c = table(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)")
+    )
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("bal_c").cast("long").alias("sum_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
     recent = (
         o.filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         .select("o_custkey")
@@ -2162,7 +2194,7 @@ def q62_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        .filter(F.expr("cast(bal_c as decimal(38,0)) * n_pos > sum_c"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(
             F.broadcast(n.select("n_nationkey", "n_name")),
@@ -2655,11 +2687,17 @@ def q69_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue came from promo-class parts. Numerator and denominator come
 # out of the SAME pass (conditional sum vs total sum of exact cents);
 # the share quantizes through the integer round-half-up form, so no
-# float division order can flip the hashed output.
+# float division order can flip the hashed output. The share arithmetic
+# runs in DECIMAL(38,0)/HUGEINT (share_expr/share_sql): int64
+# promo_cents * 20000 wraps past ~4.6e14 cents of windowed revenue
+# (~TPC-H sf600) on the Spark side while DuckDB's HUGEINT stays exact —
+# the widening keeps both surfaces identical at fleet scale, and the
+# zero guard makes an empty window NULL on both instead of
+# error-vs-NULL.
 # ---------------------------------------------------------------------------
 @register(
     "q70_promo_share",
-    """
+    f"""
     WITH j AS (
         SELECT CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS cents,
                CASE WHEN p.p_type LIKE 'SMALL%' THEN 1 ELSE 0 END AS is_promo
@@ -2670,8 +2708,7 @@ def q69_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(sum(CASE WHEN is_promo = 1 THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
            CAST(sum(cents) AS BIGINT) AS total_cents,
-           CAST((sum(CASE WHEN is_promo = 1 THEN cents ELSE 0 END) * 20000
-                 + sum(cents)) // (2 * sum(cents)) AS BIGINT) AS promo_share_e4
+           {share_sql("promo_cents", "total_cents")} AS promo_share_e4
     FROM j
     """,
     "TPC-H Q14-style promo revenue share: conditional + total cents in one pass, exact e4 share",
@@ -2710,7 +2747,5 @@ def q70_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "promo_cents",
         "total_cents",
-        F.expr("(promo_cents * 20000 + total_cents) div (2 * total_cents)")
-        .cast("long")
-        .alias("promo_share_e4"),
+        share_expr("promo_cents", "total_cents").alias("promo_share_e4"),
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import fround, register, table
+from ..plans.registry import fround, register, share_expr, share_sql, table
 
 N_QUERIES = 10  # vec_id < N_QUERIES are the query vectors
 TOP_K = 5
@@ -1085,8 +1085,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.n_vecs AS BIGINT) AS n_vecs,
            CAST(floor(t.p99 * 1e6 + 0.5) AS BIGINT) AS clip_e6,
            CAST(sum(CASE WHEN n.nrm > t.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-           CAST((CAST(sum(CASE WHEN n.nrm > t.p99 THEN 1 ELSE 0 END) AS BIGINT) * 20000
-                 + t.n_vecs) // (2 * t.n_vecs) AS BIGINT) AS clip_frac_e4
+           {share_sql("n_clipped", "n_vecs")} AS clip_frac_e4
     FROM thr t JOIN n ON n.label = t.label
     GROUP BY t.label, t.n_vecs, t.p99
     ORDER BY label
@@ -1132,9 +1131,7 @@ def emb_norm_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vecs").cast("long").alias("n_vecs"),
             F.expr("cast(floor(p99 * 1e6 + 0.5) as bigint)").alias("clip_e6"),
             "n_clipped",
-            F.expr("(n_clipped * 20000 + n_vecs) div (2 * n_vecs)")
-            .cast("long")
-            .alias("clip_frac_e4"),
+            share_expr("n_clipped", "n_vecs").alias("clip_frac_e4"),
         )
         .orderBy("label")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.portable import LN2, pexp, pln, pln_ratio, pln_stages, stage_subselects, with_stages
-from ..plans.registry import fround, register, table
+from ..plans.registry import fround, register, share_expr, share_sql, table
 
 # Shared portable-transcendental snippets (see plans/portable.py): each
 # is ONE SQL string spliced verbatim into BOTH the oracle SQL and the
@@ -368,8 +368,11 @@ def apply_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling: k docs per (lang, source) stratum,
 # ranked by a salted content-independent hash — stable across engines,
-# runs, and cluster sizes. Window partitioned on the stratum key, so the
-# shuffle is per-stratum (no global sort) and scales with executors.
+# runs, and cluster sizes. The oracle states the naive per-stratum
+# window; strata are few (|langs| x |sources|) while the frame is the
+# whole corpus, so the Spark side ranks via the grouped two-phase scan
+# (distrank.with_grouped_rank) — identical ranks, no per-stratum sort
+# funnel.
 # ---------------------------------------------------------------------------
 STRAT_K = 20
 STRAT_SALT = "strat-v1"
@@ -393,14 +396,21 @@ STRAT_SALT = "strat-v1"
     f"deterministic stratified sample: top-{STRAT_K} per (lang, source) by salted md5 rank",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .distrank import with_grouped_rank
 
     docs = table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(f"{STRAT_SALT}:"), F.col("doc_id").cast("string")).cast("binary"))
-    w = Window.partitionBy("lang", "source").orderBy(key, "doc_id")
+    keyed = docs.select("doc_id", "lang", "source", key.alias("__k"))
     return (
-        docs.select("doc_id", "lang", "source", F.row_number().over(w).cast("bigint").alias("rk"))
+        with_grouped_rank(
+            spark,
+            keyed,
+            ["lang", "source"],
+            [F.col("__k"), F.col("doc_id")],
+            rn_col="rk",
+        )
         .filter(F.col("rk") <= STRAT_K)
+        .select("doc_id", "lang", "source", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("lang", "source", "rk")
     )
 
@@ -815,7 +825,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "text_mix_weights",
-    """
+    f"""
     WITH c AS (SELECT lang, count(*) AS n_docs,
                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
                FROM documents GROUP BY lang),
@@ -824,9 +834,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(count(*) OVER () AS BIGINT) AS n_langs
           FROM c)
     SELECT lang, n_docs, n_tokens,
-           CAST((n_docs * 20000 + total) // (2 * total) AS BIGINT) AS doc_frac_e4,
-           CAST((total * 2000000 + n_langs * n_docs) // (2 * (n_langs * n_docs)) AS BIGINT)
-               AS resample_e6
+           {share_sql("n_docs", "total")} AS doc_frac_e4,
+           {share_sql("total", "n_langs * n_docs", 6)} AS resample_e6
     FROM t
     ORDER BY lang
     """,
@@ -845,14 +854,9 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-red three rounds running despite bit-exact local parity on
     # a pure basic-op double form, so no engine-derived DOUBLE may
     # reach the hash at all. The shares are round-half-up scaled
-    # integers computed in exact BIGINT arithmetic ((a*2s + b) div 2b);
-    # Spark `div` and DuckDB `//` agree on non-negative operands.
-    # Bound proof (r6 ADVICE, same discipline as pexp's call sites):
-    # resample_e6's numerator total * 2e6 stays in BIGINT while
-    # total < 2^62 / 2e6 ~ 2.3e12 docs — far past any real corpus
-    # (100 TB at 10 KB/doc is 1e10 docs); revisit the numerator as
-    # (total div d)*2e6 + ((total mod d)*2e6 + d) div (2*d) only if
-    # that ever changes.
+    # integers via share_expr/share_sql (DECIMAL(38,0)/HUGEINT
+    # arithmetic — the r6-era BIGINT bound proof on total * 2e6 is now
+    # moot, the widened form has ~1e15x headroom at any corpus size).
     total = F.sum("n_docs").over(w).cast("long")
     n_langs = F.count(F.lit(1)).over(w).cast("long")
     t = c.select("lang", "n_docs", "n_tokens", total.alias("total"), n_langs.alias("n_langs"))
@@ -860,10 +864,8 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.expr("(n_docs * 20000 + total) div (2 * total)").cast("long").alias("doc_frac_e4"),
-        F.expr("(total * 2000000 + n_langs * n_docs) div (2 * (n_langs * n_docs))")
-        .cast("long")
-        .alias("resample_e6"),
+        share_expr("n_docs", "total").alias("doc_frac_e4"),
+        share_expr("total", "n_langs * n_docs", 6).alias("resample_e6"),
     ).orderBy("lang")
 
 
@@ -1316,17 +1318,24 @@ N_SHARDS = 16
     f"deterministic training-order shuffle: salted-hash shard ({N_SHARDS}) + within-shard position",
 )
 def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # the oracle states the naive per-shard window; shards are a fixed
+    # handful while the frame is the whole corpus, so within-shard
+    # positions come from the grouped two-phase rank instead
+    from .distrank import with_grouped_rank
 
     docs = table(spark, sf_dir, "documents")
     k = F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")).cast("binary"))
     keyed = docs.select("doc_id", "lang", k.alias("k"))
     shard = (F.conv(F.substring("k", 1, 8), 16, 10).cast("long") % N_SHARDS).cast("int")
-    w = Window.partitionBy("shard").orderBy("k", "doc_id")
     return (
-        keyed.withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select("doc_id", "lang", "shard", "pos")
+        with_grouped_rank(
+            spark,
+            keyed.withColumn("shard", shard),
+            ["shard"],
+            [F.col("k"), F.col("doc_id")],
+            rn_col="pos",
+        )
+        .select("doc_id", "lang", "shard", F.col("pos").cast("bigint").alias("pos"))
         .orderBy("shard", "pos")
     )
 
@@ -1362,15 +1371,31 @@ CURRICULUM_BINS = 4
     f"per-lang length curriculum: ntile({CURRICULUM_BINS}) bins with bounds and token mass",
 )
 def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # the oracle states ntile() over the naive per-lang window; the
+    # Spark side derives the IDENTICAL bins from the grouped two-phase
+    # rank + the exact integer ntile formula (orders_rfm_migration's
+    # recipe), so no per-lang sort funnel touches the corpus
+    from .distrank import ntile_expr, with_grouped_rank
 
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    binned = docs.select(
+    ranked = with_grouped_rank(
+        spark,
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        ),
+        ["lang"],
+        [F.col("n_chars"), F.col("doc_id")],
+        rn_col="rn",
+        n_col="n",
+    )
+    binned = ranked.select(
         "lang",
         "n_chars",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
+        "n_tokens",
+        ntile_expr("rn", "n", CURRICULUM_BINS).alias("bin"),
     )
     return (
         binned.groupBy("lang", F.col("bin").cast("int").alias("bin"))
@@ -1501,15 +1526,23 @@ MIX_SALT = "mix-v1"
     f"apply the domain-mix plan: uniform per-lang quota under a {MIX_BUDGET}-doc budget, salted-hash rank",
 )
 def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # per-lang salted rank via the grouped two-phase scan — the naive
+    # per-lang window the oracle states would sort the corpus in
+    # |langs| tasks
+    from .distrank import with_grouped_rank
 
     docs = table(spark, sf_dir, "documents")
     langs = docs.agg(F.countDistinct("lang").alias("n_langs"))
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")).cast("binary")),
-        "doc_id",
+    key = F.md5(
+        F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")).cast("binary")
     )
-    ranked = docs.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+    ranked = with_grouped_rank(
+        spark,
+        docs.select("doc_id", "lang", key.alias("__k")),
+        ["lang"],
+        [F.col("__k"), F.col("doc_id")],
+        rn_col="rk0",
+    ).select("doc_id", "lang", F.col("rk0").cast("bigint").alias("rk"))
     quota = F.expr(f"{MIX_BUDGET} div n_langs")
     return (
         ranked.crossJoin(F.broadcast(langs))
@@ -1546,7 +1579,7 @@ def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY gr.doc_id
     )
     SELECT doc_id, n_grams, n_novel,
-           CAST((n_novel * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novelty_e4
+           {share_sql("n_novel", "n_grams")} AS novelty_e4
     FROM per_doc
     ORDER BY doc_id
     """,
@@ -1583,9 +1616,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_novel",
-        F.expr("(n_novel * 20000 + n_grams) div (2 * n_grams)")
-        .cast("long")
-        .alias("novelty_e4"),
+        share_expr("n_novel", "n_grams").alias("novelty_e4"),
     ).orderBy("doc_id")
 
 
@@ -1601,7 +1632,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "text_boilerplate_prefix",
-    """
+    f"""
     WITH p AS (
         SELECT source,
                coalesce(array_to_string(string_split(text, ' ')[1:3], ' '), '') AS prefix
@@ -1613,7 +1644,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs
           FROM c)
     SELECT source, prefix AS top_prefix, n AS n_prefix, n_docs,
-           CAST((n * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS share_e4
+           {share_sql("n", "n_docs")} AS share_e4
     FROM t
     WHERE rn = 1
     ORDER BY source
@@ -1655,7 +1686,7 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.prefix").alias("top_prefix"),
         F.col("top.n").alias("n_prefix"),
         "n_docs",
-        F.expr("(top.n * 20000 + n_docs) div (2 * n_docs)").cast("long").alias("share_e4"),
+        share_expr("top.n", "n_docs").alias("share_e4"),
     ).orderBy("source")
 
 
@@ -1673,7 +1704,7 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "text_window_dedup",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     wins AS (
         SELECT doc_id,
@@ -1685,8 +1716,7 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*) AS n_windows,
            CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           CAST((CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 20000
-                 + count(*)) // (2 * count(*)) AS BIGINT) AS drop_frac_e4
+           {share_sql("n_shared", "n_windows")} AS drop_frac_e4
     FROM wins JOIN wc USING (w)
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1739,9 +1769,7 @@ def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_windows",
             "n_shared",
-            F.expr("(n_shared * 20000 + n_windows) div (2 * n_windows)")
-            .cast("long")
-            .alias("drop_frac_e4"),
+            share_expr("n_shared", "n_windows").alias("drop_frac_e4"),
         )
         .orderBy("doc_id")
     )
@@ -1792,8 +1820,7 @@ WSD_W = 7  # hashes per winnowing window -> catches shared spans >= 14
     SELECT f.doc_id,
            count(*) AS n_fp,
            CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           CAST((CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 20000
-                 + count(*)) // (2 * count(*)) AS BIGINT) AS shared_frac_e4
+           {share_sql("n_shared", "n_fp")} AS shared_frac_e4
     FROM fps f JOIN docfreq d USING (fp)
     GROUP BY f.doc_id
     ORDER BY f.doc_id
@@ -1849,9 +1876,7 @@ def text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_fp",
             "n_shared",
-            F.expr("(n_shared * 20000 + n_fp) div (2 * n_fp)")
-            .cast("long")
-            .alias("shared_frac_e4"),
+            share_expr("n_shared", "n_fp").alias("shared_frac_e4"),
         )
         .orderBy("doc_id")
     )
@@ -1867,7 +1892,12 @@ def text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate fingerprint cannot go quadratic at corpus scale (the
 # PPJoin/dedup_ngram_jaccard discipline); pairs beyond the cap are by
 # definition boilerplate, not near-dup candidates. Overlap fraction =
-# shared / min(|fp_a|, |fp_b|) in exact e4 integers.
+# shared / min(|fp_a|, |fp_b|) in exact e4 integers. This share stays
+# in BIGINT (not share_expr's DECIMAL widening): both operands are
+# PER-DOCUMENT fingerprint counts, bounded by a single doc's token
+# count regardless of corpus size, and the denominator is >= 1 by the
+# shared-fingerprint join construction — no overflow or zero-divide
+# surface exists at any scale.
 # ---------------------------------------------------------------------------
 WSD_DF_CAP = 20
 
@@ -1994,16 +2024,19 @@ CTX_GRID = (512, 2048, 8192)
     "text_context_window_fit",
     f"""
     WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-    grid AS (SELECT CAST(unnest([{", ".join(str(c) for c in CTX_GRID)}]) AS BIGINT) AS ctx)
-    SELECT ctx,
-           CAST(sum(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
-           CAST(sum(CASE WHEN n_tok <= ctx THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_fit,
-           CAST(sum(CASE WHEN n_tok <= ctx THEN ctx - n_tok ELSE 0 END) AS BIGINT) AS pad_tokens,
-           CAST((sum(CASE WHEN n_tok <= ctx THEN ctx - n_tok ELSE 0 END) * 20000
-                 + sum(CASE WHEN n_tok <= ctx THEN ctx ELSE 0 END))
-                // (2 * sum(CASE WHEN n_tok <= ctx THEN ctx ELSE 0 END)) AS BIGINT) AS waste_frac_e4
-    FROM d CROSS JOIN grid
-    GROUP BY ctx
+    grid AS (SELECT CAST(unnest([{", ".join(str(c) for c in CTX_GRID)}]) AS BIGINT) AS ctx),
+    agg AS (
+        SELECT ctx,
+               CAST(sum(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+               CAST(sum(CASE WHEN n_tok <= ctx THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_fit,
+               CAST(sum(CASE WHEN n_tok <= ctx THEN ctx - n_tok ELSE 0 END) AS BIGINT) AS pad_tokens,
+               CAST(sum(CASE WHEN n_tok <= ctx THEN ctx ELSE 0 END) AS BIGINT) AS cap_tokens
+        FROM d CROSS JOIN grid
+        GROUP BY ctx
+    )
+    SELECT ctx, n_fit, tokens_fit, pad_tokens,
+           {share_sql("pad_tokens", "cap_tokens")} AS waste_frac_e4
+    FROM agg
     ORDER BY ctx
     """,
     "context-window fit: per candidate length, docs that fit whole + exact padding waste",
@@ -2033,9 +2066,7 @@ def text_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fit",
             "tokens_fit",
             "pad_tokens",
-            F.expr("(pad_tokens * 20000 + cap_tokens) div (2 * cap_tokens)")
-            .cast("long")
-            .alias("waste_frac_e4"),
+            share_expr("pad_tokens", "cap_tokens").alias("waste_frac_e4"),
         )
         .orderBy("ctx")
     )

@@ -113,6 +113,45 @@ def _floor_double(y):
     return F.when(F.abs(y) < big, F.floor(y).cast("double")).otherwise(y)
 
 
+def share_expr(num: str, den: str, scale: int = 4):
+    """Overflow-safe, zero-guarded round-half-up share: the portable
+    integer form round(num/den * 10^scale) = (num*2*10^scale + den) div
+    (2*den), widened to DECIMAL(38,0) before the multiply. The widening
+    matters at fleet scale: int64 `num * 20000` wraps silently (non-ANSI)
+    once num exceeds ~4.6e14 — e.g. windowed revenue cents near TPC-H
+    sf600 — while DuckDB's sum(BIGINT) is HUGEINT and stays exact, so the
+    two surfaces would diverge exactly where the framework targets.
+    DECIMAL(38,0) holds ~1e38: headroom of ~1e15x over the wrap point.
+    The CASE guard mirrors DuckDB's error-vs-NULL divide-by-zero gap
+    (DuckDB `//` raises, Spark div yields NULL): both surfaces now emit
+    NULL on an empty/zero denominator. Spark's `div` (IntegralDivide) on
+    decimals computes the exact integral quotient and returns LONG, so
+    the output dtype is unchanged from the narrow form.
+
+    `num`/`den` are SQL expression strings over the surrounding plan's
+    columns. Pair every use with share_sql() in the oracle string.
+    """
+    m = 2 * 10**scale
+    return F.expr(
+        f"case when ({den}) > 0 then "
+        f"(cast(({num}) as decimal(38,0)) * {m} + ({den}))"
+        f" div (2 * cast(({den}) as decimal(38,0)))"
+        f" else cast(null as bigint) end"
+    )
+
+
+def share_sql(num: str, den: str, scale: int = 4) -> str:
+    """Oracle-side (DuckDB) fragment matching share_expr: HUGEINT is
+    128-bit so the widening is a no-op cast there; the CASE guard turns
+    DuckDB's divide-by-zero *error* into the NULL Spark produces."""
+    m = 2 * 10**scale
+    return (
+        f"CAST(CASE WHEN ({den}) > 0 THEN "
+        f"(CAST(({num}) AS HUGEINT) * {m} + ({den})) // (2 * CAST(({den}) AS HUGEINT))"
+        f" ELSE NULL END AS BIGINT)"
+    )
+
+
 @dataclass
 class QueryDef:
     name: str

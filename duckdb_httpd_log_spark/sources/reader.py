@@ -336,6 +336,7 @@ def read_httpd_log(
     raw: bool = False,
     hive_partitioning: bool = False,
     line_filter: Optional[str] = None,
+    _pre_cnf=None,
 ) -> DataFrame:
     """Parse Apache httpd access logs into a typed DataFrame.
 
@@ -359,7 +360,15 @@ def read_httpd_log(
     (a typed-column filter may differ: e.g. a needle matching the
     user-agent also keeps rows whose path doesn't match). Raw mode
     ignores it — raw mode's per-file line numbers must count every
-    line."""
+    line.
+
+    Fast-mode results additionally perform the AUTOMATIC form of this
+    pushdown (sources/pushdown.py): ``read_httpd_log(...).filter(
+    col("status") == 500)`` derives a sound Contains needle from the
+    typed predicate, re-issues the scan with it below the parse regex,
+    and re-applies the exact predicate on top — value-identical, but
+    non-matching lines never reach the regex. ``_pre_cnf`` is that
+    machinery's internal re-entry argument (AND of OR-needle groups)."""
     files = expand_paths(path, spark)
     parsed, _ftype, raw_mode = resolve_format(files, format_type, format_str, conf, raw, spark)
     if not files:
@@ -369,7 +378,7 @@ def read_httpd_log(
     if raw_mode:
         df = _read_raw(spark, files, parsed)
     else:
-        df = _read_fast(spark, files, parsed, line_filter=line_filter)
+        df = _read_fast(spark, files, parsed, line_filter=line_filter, pre_cnf=_pre_cnf)
 
     # pin exact column order from the schema contract
     df = df.select(*[name for name, _t in schema])
@@ -393,7 +402,40 @@ def read_httpd_log(
             # invalid escapes
             shielded = F.regexp_replace(raw_val, r"\+", "%2B")
             df = df.withColumn(key, F.coalesce(F.try_url_decode(shielded), raw_val))
-    return df
+
+    if raw_mode or _pre_cnf is not None:
+        return df
+
+    # fast mode: wrap so a typed filter directly on the result can be
+    # turned into a raw-line Contains pre-filter (sources/pushdown.py).
+    # Verbatim columns = regex captures emitted unchanged: strings
+    # except %X's remapped values; int/bigint digit tokens. Timestamps,
+    # intervals, booleans, log_file, and hive keys are excluded.
+    from .logformat import BIGINT as _BI, INTEGER as _IN, VARCHAR as _VC
+    from .pushdown import LineFilterableFrame
+
+    non_verbatim = {
+        f.column_name for f in parsed.fields if f.directive == "%X"
+    } | {"log_file"}
+    vstr = {
+        n for n, t in schema if t == _VC and n not in non_verbatim
+    }
+    vint = {n for n, t in schema if t in (_IN, _BI)}
+
+    def _rebuild(cnf):
+        return read_httpd_log(
+            spark,
+            path,
+            format_type=format_type,
+            format_str=format_str,
+            conf=conf,
+            raw=raw,
+            hive_partitioning=hive_partitioning,
+            line_filter=line_filter,
+            _pre_cnf=cnf,
+        )
+
+    return LineFilterableFrame(df, _rebuild, vstr, vint)
 
 
 def _parse_columns(parsed: ParsedFormat, value):
@@ -447,6 +489,7 @@ def _read_fast(
     files: list[str],
     parsed: ParsedFormat,
     line_filter: Optional[str] = None,
+    pre_cnf=None,
 ) -> DataFrame:
     """Splittable fast path (raw=False): drops unparseable/empty lines.
 
@@ -459,6 +502,11 @@ def _read_fast(
     if line_filter:
         # byte-scan pre-filter BEFORE the parse regex (see read_httpd_log)
         df = df.filter(F.col("value").contains(line_filter))
+    if pre_cnf:
+        # derived needles from the automatic pushdown (sources/pushdown.py)
+        from .pushdown import apply_cnf
+
+        df = apply_cnf(df, pre_cnf)
     if not parsed.fields:
         return df.filter(F.lit(False)).select(F.col("__f").alias("log_file"))
     marked = X.materialization_barrier(

@@ -59,3 +59,57 @@ def test_ntile_formula_matches_builtin(spark, n, k):
     both = ranked.withColumn("formula", ntile_expr("rn", "n", k)).collect()
     for r in both:
         assert r.builtin == r.formula, (n, k, r.rn)
+
+
+# --- grouped variant -------------------------------------------------------
+
+from duckdb_httpd_log_spark.operators.distrank import with_grouped_rank
+
+
+def _check_grouped(spark, rows, keys=("g",), desc=False):
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    order = [F.col("v").desc(), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    got = {
+        r.k: (r.rn, r.n, r.cum)
+        for r in with_grouped_rank(
+            spark, df, list(keys), order, rn_col="rn", n_col="n",
+            cum_col="cum", cum_src="v",
+        ).collect()
+    }
+    w = Window.partitionBy(*keys).orderBy(*order)
+    exp = {
+        r.k: (r.rn, r.n, r.cum)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("n"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_grouped_matches_window_asc(spark):
+    # 3 skewed groups over 300 rows: one group holds ~80% of the input,
+    # the exact shape the naive partitionBy window funnels into one task
+    rows = [(("a" if i % 10 < 8 else "b" if i % 10 == 8 else "c"), i, (i * 37) % 11)
+            for i in range(300)]
+    _check_grouped(spark, rows)
+
+
+def test_grouped_matches_window_desc(spark):
+    rows = [(("x" if i % 3 else "y"), i, (i * 17) % 7) for i in range(150)]
+    _check_grouped(spark, rows, desc=True)
+
+
+def test_grouped_single_group_equals_global(spark):
+    # degenerate single group == the global helper's contract
+    rows = [("only", i, (i * 13) % 5) for i in range(80)]
+    _check_grouped(spark, rows)
+
+
+def test_grouped_tiny_groups(spark):
+    rows = [("a", 1, 5), ("b", 2, 3), ("c", 3, 3), ("a", 4, 3)]
+    _check_grouped(spark, rows)

@@ -1,0 +1,130 @@
+"""Automatic raw-line Contains pushdown (sources/pushdown.py).
+
+Three contracts:
+1. PLAN: a typed filter on the scan result puts a Contains(value, ...)
+   filter BELOW the parse regex — non-matching lines never reach it.
+2. VALUES: the pushed plan is row-identical to parse-everything-then-
+   filter, including the byte-scan's false positives being removed
+   (a needle that happens to appear in a different field).
+3. SOUNDNESS EDGES: zero-padded integer tokens still match (digit
+   needle), bytes == 0 is NOT pushed (the "-" -> 0 rule has no "0" in
+   the raw line), and non-derivable predicates fall back unchanged.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_httpd_log_spark import read_httpd_log
+from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+
+LINES = [
+    # status 500
+    '1.2.3.4 - alice [10/Oct/2024:13:55:36 +0000] "GET /api/x HTTP/1.1" 500 123 "-" "curl/8"',
+    # benign 200, but its BYTE COUNT is 500 (false positive for the "500" needle)
+    '9.9.9.9 - eve [10/Oct/2024:13:55:38 +0000] "POST /api/z HTTP/1.1" 404 500 "-" "curl/8"',
+    # zero-padded status token: casts to 500, must contain needle "500"
+    '2.2.2.2 - pad [10/Oct/2024:13:55:39 +0000] "GET /pad HTTP/1.1" 0500 7 "-" "ua"',
+    # "-" byte count -> bytes = 0 with NO "0" anywhere else on the line
+    '3.3.3.3 - x [11/Nov/2125:13:55:41 +1111] "PUT /b/c HTTP/1.1" 211 - "-" "ua"',
+    # ordinary row
+    '5.6.7.8 - bob [10/Oct/2024:13:55:37 +0000] "GET /web/y HTTP/1.1" 200 456 "-" "Mozilla"',
+]
+
+
+@pytest.fixture(scope="module")
+def log_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pushdown") / "access.log"
+    p.write_text("\n".join(LINES) + "\n")
+    return str(p)
+
+
+def _scan(spark, log_path):
+    return read_httpd_log(spark, log_path, format_type="combined")
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _contains_below_regex(plan: str) -> bool:
+    """The Contains filter must appear AFTER (deeper than) the regexp
+    projection in the plan's top-down print — i.e. the regex only sees
+    pre-filtered lines."""
+    lines = plan.splitlines()
+    regex_at = min(i for i, l in enumerate(lines) if "regexp_replace(value" in l)
+    cont_at = [i for i, l in enumerate(lines) if "Contains(value" in l]
+    return bool(cont_at) and all(i >= regex_at for i in cont_at)
+
+
+def test_wrapper_type_and_plan(spark, log_path):
+    df = _scan(spark, log_path)
+    assert isinstance(df, LineFilterableFrame)
+    pushed = df.filter(F.col("status") == 500)
+    assert _contains_below_regex(_optimized(pushed))
+
+
+def test_false_positive_rows_removed(spark, log_path):
+    # bytes=500 row contains the "500" needle but must NOT survive the
+    # typed predicate
+    df = _scan(spark, log_path)
+    got = sorted(r.client_host for r in df.filter(F.col("status") == 500).collect())
+    assert got == ["1.2.3.4", "2.2.2.2"]  # incl. the zero-padded token
+
+
+def test_matches_unpushed_reference(spark, log_path):
+    df = _scan(spark, log_path)
+    preds = [
+        F.col("status") == 500,
+        (F.col("method") == "POST") | (F.col("client_host") == "5.6.7.8"),
+        F.col("path").like("/api/%"),
+        F.col("status").isin(200, 404),
+        F.col("user_agent").contains("curl"),
+        F.col("bytes") == 500,
+    ]
+    for p in preds:
+        pushed = df.filter(p)
+        naive = super(LineFilterableFrame, df).filter(p)
+        assert sorted(map(str, pushed.collect())) == sorted(map(str, naive.collect())), str(p)
+
+
+def test_bytes_zero_not_pushed(spark, log_path):
+    # "-" parses to bytes=0; the raw line has no "0" — pushing a "0"
+    # needle would silently drop the row, so the deriver must skip it
+    df = _scan(spark, log_path)
+    out = df.filter(F.col("bytes") == 0)
+    assert "Contains(value" not in _optimized(out)
+    assert [r.client_host for r in out.collect()] == ["3.3.3.3"]
+
+
+def test_non_derivable_falls_back(spark, log_path):
+    df = _scan(spark, log_path)
+    out = df.filter(F.col("bytes") > 100)
+    assert "Contains(value" not in _optimized(out)
+    assert out.count() == 3
+
+
+def test_timestamp_filter_not_pushed(spark, log_path):
+    # timestamp columns are transformed, never verbatim
+    df = _scan(spark, log_path)
+    out = df.filter(F.col("timestamp") >= F.lit("2025-01-01").cast("timestamp"))
+    assert "Contains(value" not in _optimized(out)
+    assert out.count() == 1  # only the year-2125 row
+
+
+def test_explicit_line_filter_composes(spark, log_path):
+    df = read_httpd_log(spark, log_path, format_type="combined", line_filter="curl")
+    out = df.filter(F.col("status") == 500)
+    plan = _optimized(out)
+    assert "Contains(value" in plan  # both the explicit and derived needles
+    assert [r.client_host for r in out.collect()] == ["1.2.3.4"]
+
+
+def test_derived_transformations_unaffected(spark, log_path):
+    # anything after a non-filter transformation is a plain DataFrame
+    df = _scan(spark, log_path)
+    sel = df.select("status", "bytes")
+    assert not isinstance(sel, LineFilterableFrame)
+    assert sel.filter(F.col("status") == 500).count() == 2

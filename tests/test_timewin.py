@@ -1,0 +1,89 @@
+"""timewin helpers: value-identity against the naive per-key window,
+including the exact failure modes the slice decomposition must handle —
+rows on slice boundaries, keys sparse enough that whole slices are
+empty (the hand-off must skip them), and duplicate timestamps."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_httpd_log_spark.operators.timewin import (
+    sliced_range_frame,
+    with_next_us,
+)
+
+SLICE = 1000  # tiny slices so a ~100-row fixture spans many of them
+
+
+def _events(spark):
+    rows = []
+    # dense key: every ~37 us, crosses many slice boundaries, incl. ties
+    for i in range(120):
+        rows.append(("dense", i, (i * 37) % 4000))
+    # boundary key: rows exactly ON slice edges
+    for i, us in enumerate((0, 999, 1000, 1001, 2000, 3000)):
+        rows.append(("edge", 200 + i, us))
+    # sparse key: slices 0 and 4 only — the hand-off must skip 3 empty
+    # slices to find the successor
+    rows.append(("sparse", 300, 10))
+    rows.append(("sparse", 301, 4500))
+    # duplicate timestamps (tie-broken by id)
+    rows.append(("ties", 400, 500))
+    rows.append(("ties", 401, 500))
+    rows.append(("ties", 402, 500))
+    return spark.createDataFrame(rows, "k string, id long, us long")
+
+
+def test_with_next_us_matches_naive_lead(spark):
+    df = _events(spark)
+    got = {
+        r.id: r.next_us
+        for r in with_next_us(df, ["k"], "us", "id", slice_us=SLICE).collect()
+    }
+    w = Window.partitionBy("k").orderBy("us", "id")
+    exp = {
+        r.id: r.next_us
+        for r in df.select("id", F.lead("us").over(w).alias("next_us")).collect()
+    }
+    assert got == exp
+
+
+def test_sliced_range_frame_matches_naive_range(spark):
+    df = _events(spark).withColumn("v", (F.col("id") % 7).cast("long"))
+    look = 800
+    aug = sliced_range_frame(df, "us", lookback_us=look, slice_us=SLICE)
+    wr = (
+        Window.partitionBy("k", "__slice")
+        .orderBy("us")
+        .rangeBetween(-look, Window.currentRow)
+    )
+    got = {
+        r.id: (r.n, r.s)
+        for r in aug.select(
+            "id",
+            "__ctx",
+            F.count(F.lit(1)).over(wr).alias("n"),
+            F.sum("v").over(wr).alias("s"),
+        )
+        .filter(~F.col("__ctx"))
+        .collect()
+    }
+    wn = Window.partitionBy("k").orderBy("us").rangeBetween(-look, Window.currentRow)
+    exp = {
+        r.id: (r.n, r.s)
+        for r in df.select(
+            "id",
+            F.count(F.lit(1)).over(wn).alias("n"),
+            F.sum("v").over(wn).alias("s"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_context_fraction_is_bounded(spark):
+    # the replication cost is lookback/slice of the input, not a blowup
+    df = _events(spark)
+    aug = sliced_range_frame(df, "us", lookback_us=100, slice_us=1000)
+    n, nctx = df.count(), aug.filter(F.col("__ctx")).count()
+    assert nctx <= n  # trivial upper bound
+    # ~10% expected for the uniform dense key; allow generous slack
+    assert nctx <= 0.35 * n
