@@ -82,6 +82,25 @@ SLATE = [
     "q61_waiting_suppliers",
     "q65_local_supplier_volume",
     "text_bm25_search",
+    # round-9: the per-group window family migrated off low-cardinality
+    # partition sorts (grouped two-phase rank / counting-sort quantiles /
+    # time-slice boundary handoff) — these rows prove the migration is
+    # measured, not asserted (r8 verdict item 2)
+    "q46_percentile_disc",
+    "q48_rank_distributions",
+    "q52_percentile_cont",
+    "q53_percent_rank",
+    "q55_loo_avg",
+    "orders_ship_latency",
+    "text_len_quartiles_by_lang",
+    "q43_interval_window",
+    "events_time_weighted_avg",
+    "events_arrival_stats",
+    "sample_stratified",
+    "shard_assign",
+    "curriculum_bins",
+    "text_ccnet_bucket",
+    "text_zipf_slope",
 ]
 
 # id headrooms: far above any sf0.1 max key
