@@ -347,3 +347,50 @@ def probe_double_literal_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("long").alias("chain_e12"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# (l) widened share arithmetic (r9: every corpus-scale *_e4/_e6 share
+# column now flows through plans.registry.share_expr/share_sql —
+# DECIMAL(38,0) on Spark, HUGEINT on DuckDB, integral division, CASE
+# zero guard). This probe exercises that exact op combination on
+# values straddling the int64 wrap point of `num * 20000` (where the
+# pre-r9 narrow form silently wrapped under non-ANSI Spark), plus a
+# zero denominator. If the driver's engine build ever disagrees on
+# HUGEINT `//`, decimal `div`, or the CASE-NULL path, this row flips
+# and names the subsystem without touching the 12 migrated queries.
+# --------------------------------------------------------------------
+from ..plans.registry import share_expr, share_sql  # noqa: E402
+
+
+@register(
+    "probe_share_widening",
+    f"""
+    WITH s AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(4600000000000 AS BIGINT) * k AS num,
+               CAST(9200000000000 AS BIGINT) * (k + 1) AS den
+        FROM range(1, 2001) t(k)
+    )
+    SELECT CAST(sum({share_sql("num", "den")} * k) AS BIGINT) AS share_checksum,
+           CAST(sum({share_sql("num", "den - den", 6)}) AS BIGINT) AS zero_guard_nulls,
+           count(*) AS n_rows
+    FROM s
+    """,
+    "probe: DECIMAL(38,0)/HUGEINT share arithmetic past the int64 wrap point + zero guard",
+)
+def probe_share_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _spine(spark, 2000).select(
+        "k",
+        (F.lit(4600000000000).cast("long") * F.col("k")).alias("num"),
+        (F.lit(9200000000000).cast("long") * (F.col("k") + 1)).alias("den"),
+    )
+    return s.select(
+        "k",
+        share_expr("num", "den").alias("sh"),
+        share_expr("num", "den - den", 6).alias("z"),
+    ).agg(
+        F.sum(F.col("sh") * F.col("k")).cast("long").alias("share_checksum"),
+        F.sum("z").cast("long").alias("zero_guard_nulls"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
