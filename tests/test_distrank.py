@@ -113,3 +113,18 @@ def test_grouped_single_group_equals_global(spark):
 def test_grouped_tiny_groups(spark):
     rows = [("a", 1, 5), ("b", 2, 3), ("c", 3, 3), ("a", 4, 3)]
     _check_grouped(spark, rows)
+
+
+def test_randomized_grouped_rank_sweep(spark):
+    """Seeded random groups: skew, singleton groups, heavy ties —
+    compared to the naive grouped window per seed."""
+    import random
+
+    for seed in (2, 9, 31):
+        rng = random.Random(seed)
+        n_groups = rng.randrange(1, 8)
+        rows = [
+            (f"g{rng.randrange(n_groups)}", i, rng.randrange(0, 12))
+            for i in range(rng.randrange(40, 500))
+        ]
+        _check_grouped(spark, rows, desc=bool(seed % 2))

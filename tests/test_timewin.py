@@ -87,3 +87,67 @@ def test_context_fraction_is_bounded(spark):
     assert nctx <= n  # trivial upper bound
     # ~10% expected for the uniform dense key; allow generous slack
     assert nctx <= 0.35 * n
+
+
+def test_randomized_next_us_sweep(spark):
+    """Seeded random corpora: arbitrary key sparsity, duplicate
+    timestamps, slice-boundary collisions — the hand-built fixture
+    can't enumerate these."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (f"k{rng.randrange(5)}", i, rng.randrange(0, 8000))
+            for i in range(rng.randrange(50, 400))
+        ]
+        df = spark.createDataFrame(rows, "k string, id long, us long")
+        got = {
+            r.id: r.next_us
+            for r in with_next_us(df, ["k"], "us", "id", slice_us=SLICE).collect()
+        }
+        w = Window.partitionBy("k").orderBy("us", "id")
+        exp = {
+            r.id: r.next_us
+            for r in df.select("id", F.lead("us").over(w).alias("next_us")).collect()
+        }
+        assert got == exp, f"seed={seed}"
+
+
+def test_randomized_range_frame_sweep(spark):
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [
+            (f"k{rng.randrange(3)}", i, rng.randrange(0, 6000), rng.randrange(100))
+            for i in range(rng.randrange(80, 300))
+        ]
+        df = spark.createDataFrame(rows, "k string, id long, us long, v long")
+        look = rng.choice((250, 999, 1000))
+        aug = sliced_range_frame(df, "us", lookback_us=look, slice_us=1000)
+        wr = (
+            Window.partitionBy("k", "__slice")
+            .orderBy("us")
+            .rangeBetween(-look, Window.currentRow)
+        )
+        got = {
+            r.id: (r.n, r.s)
+            for r in aug.select(
+                "id", "__ctx",
+                F.count(F.lit(1)).over(wr).alias("n"),
+                F.sum("v").over(wr).alias("s"),
+            ).filter(~F.col("__ctx")).collect()
+        }
+        wn = (
+            Window.partitionBy("k").orderBy("us").rangeBetween(-look, Window.currentRow)
+        )
+        exp = {
+            r.id: (r.n, r.s)
+            for r in df.select(
+                "id",
+                F.count(F.lit(1)).over(wn).alias("n"),
+                F.sum("v").over(wn).alias("s"),
+            ).collect()
+        }
+        assert got == exp, f"seed={seed} look={look}"
