@@ -2202,3 +2202,124 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (Gear/FastCDC-style, token granularity) —
+# the third member of the repeated-span family, covering the failure
+# mode the other two can't: text_window_dedup's fixed 8-token grid
+# shifts EVERY downstream window when one token is inserted, and
+# text_winnow_dedup detects shared spans but doesn't delimit reusable
+# units. CDC cuts chunk boundaries where a per-token hash satisfies
+# h % CDC_MOD == 0 — boundaries are a function of CONTENT, not
+# position, so an insertion only redraws the one chunk it lands in and
+# every other chunk keeps its identity corpus-wide (the property
+# storage dedup systems built on Rabin/Gear fingerprints rely on; here
+# it finds shared file-versions/boilerplate blocks between near-
+# identical documents). Expected chunk length = CDC_MOD tokens.
+# Shape: token explode -> per-DOC boundary cumsum (doc_id partition,
+# high-cardinality — no low-card window) -> per-(doc, chunk) ordered
+# hash agg -> chunk-hash doc-frequency agg; only chunk hashes shared
+# by >= 2 docs join back (text_window_dedup's semi-join shape), so the
+# unique-chunk bulk never shuffles twice. All-BIGINT output; the dup
+# share goes through the widened share_expr/share_sql form.
+# ---------------------------------------------------------------------------
+CDC_MOD = 32  # expected tokens per chunk
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS tok
+        FROM toks, LATERAL unnest(range(1, len(t) + 1)) x(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM pos
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS chunk
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+        FROM chunked GROUP BY doc_id, chunk
+    ),
+    docfreq AS (SELECT ch, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           {share_sql("n_dup_chunks", "n_chunks")} AS dup_frac_e4
+    FROM chunks c JOIN docfreq d USING (ch)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    "content-defined chunking dedup: Gear-style token-hash boundaries, cross-doc chunk frequency",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    b = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % CDC_MOD
+        == 0
+    ).cast("int")
+    wch = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(b).over(wch), F.lit(0)).cast("long").alias("chunk"),
+    )
+    content = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s.tok
+        ),
+        " ",
+    )
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.md5(content.cast("binary")).alias("ch")
+    )
+    n_chunks = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("ch")
+    )
+    dup = (
+        chunks.join(shared, "ch")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup0"))
+    )
+    return (
+        n_chunks.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_dup0"), F.lit(0).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            share_expr("n_dup_chunks", "n_chunks").alias("dup_frac_e4"),
+        )
+        .orderBy("doc_id")
+    )

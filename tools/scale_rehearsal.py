@@ -101,6 +101,9 @@ SLATE = [
     "curriculum_bins",
     "text_ccnet_bucket",
     "text_zipf_slope",
+    # round-9 addition: content-defined chunking dedup (token-hash
+    # boundaries + per-doc cumsum + chunk-frequency semi-join)
+    "dedup_cdc_chunks",
 ]
 
 # id headrooms: far above any sf0.1 max key
