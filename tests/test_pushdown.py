@@ -128,3 +128,68 @@ def test_derived_transformations_unaffected(spark, log_path):
     sel = df.select("status", "bytes")
     assert not isinstance(sel, LineFilterableFrame)
     assert sel.filter(F.col("status") == 500).count() == 2
+
+
+def test_randomized_pushed_equals_naive_sweep(spark, tmp_path):
+    """Seeded random logs x random predicates: the pushed plan must be
+    row-identical to parse-then-filter for every derivable predicate
+    shape, including needles that collide across fields."""
+    import random
+
+    rng = random.Random(77)
+    p = tmp_path / "rand.log"
+    methods = ["GET", "POST", "PUT"]
+    with open(p, "w") as fh:
+        for i in range(3000):
+            # bytes values deliberately collide with status codes
+            fh.write(
+                f"10.{rng.randrange(4)}.0.{rng.randrange(9)} - u{rng.randrange(7)} "
+                f"[10/Oct/2024:13:{i % 60:02d}:{rng.randrange(60):02d} +0000] "
+                f'"{rng.choice(methods)} /p/{rng.randrange(20)} HTTP/1.1" '
+                f"{rng.choice([200, 304, 404, 500])} {rng.choice([0, 200, 404, 500, 1234])} "
+                f'"-" "ua/{rng.randrange(3)}"\n'
+            )
+    df = read_httpd_log(spark, str(p), format_type="combined")
+    preds = [
+        F.col("status") == 404,
+        F.col("bytes") == 404,
+        F.col("client_host") == "10.1.0.3",
+        (F.col("method") == "PUT") | (F.col("status") == 304),
+        (F.col("method") == "GET") & F.col("path").like("/p/1%"),
+        F.col("path").isin("/p/3", "/p/13"),
+        F.col("user_agent").endswith("/2"),
+    ]
+    for pred in preds:
+        pushed = sorted(map(str, df.filter(pred).collect()))
+        naive = sorted(
+            map(str, super(LineFilterableFrame, df).filter(pred).collect())
+        )
+        assert pushed == naive and len(pushed) > 0, str(pred)
+
+
+def test_hive_partitioning_composes_with_pushdown(spark, tmp_path):
+    """A conjunction of a hive-partition predicate (pruned to a
+    file-path test by Catalyst) and a derivable typed predicate: the
+    derivable conjunct still pushes a Contains needle, the hive
+    conjunct still prunes, and the rows are exact."""
+    for dt, status in (("2024-01-01", 500), ("2024-01-02", 200)):
+        d = tmp_path / f"dt={dt}"
+        d.mkdir()
+        with open(d / "a.log", "w") as fh:
+            for i in range(50):
+                fh.write(
+                    f'1.2.3.{i % 5} - u [10/Oct/2024:13:55:{i % 60:02d} +0000] '
+                    f'"GET /x HTTP/1.1" {status} {i} "-" "ua"\n'
+                )
+    df = read_httpd_log(
+        spark, str(tmp_path / "dt=*/*.log"), format_type="combined",
+        hive_partitioning=True,
+    )
+    out = df.filter((F.col("dt") == "2024-01-01") & (F.col("status") == 500))
+    plan = _optimized(out)
+    assert "Contains(value" in plan  # the status conjunct pushed
+    assert out.count() == 50
+    # hive key alone: not derivable, falls back, Catalyst still prunes
+    out2 = df.filter(F.col("dt") == "2024-01-02")
+    assert "Contains(value" not in _optimized(out2)
+    assert out2.count() == 50
