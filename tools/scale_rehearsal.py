@@ -123,6 +123,13 @@ ASSERT_SLATE = {
     "dedup_semantic_clusters": 10.0,
     "corpus_tfidf_pairs": 12.0,
     "ann_ivf_topk": 10.0,
+    # r9 primitives: ceilings ~2x above the measured 10x ratios so the
+    # grouped two-phase rank, the time-slice boundary handoff, and the
+    # CDC chunker fail the gate loudly if a plan regression reintroduces
+    # a per-group sort funnel or a chunk-join blowup
+    "q46_percentile_disc": 8.0,
+    "events_time_weighted_avg": 6.0,
+    "dedup_cdc_chunks": 5.0,
 }
 
 
