@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import fround, register, table
+from ..plans.registry import fround, register, share_expr, share_sql, table
 
 SESSION_GAP_MIN = 30  # minutes of inactivity ending a session
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
@@ -424,3 +424,72 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(TOP_PATHS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst ratio — per event, what fraction of the last 24 hours' traffic
+# of its type arrived in the last hour (8.3h-uniform = ~416 e4; a spike
+# pushes toward 10000): the two-frame burst/anomaly shape ops pipelines
+# page on. Both trailing RANGE frames run inside 7-day time slices
+# (timewin.sliced_range_frame — the r9 primitive): the slice key's
+# cardinality grows with the time span, so no |event_type|-task sort
+# funnel at any scale, and the 24h lookback costs a one-time ~14%
+# (24h/7d) context replication. n_1h <= n_24h by containment, so the
+# ratio goes through the widened exact share form.
+# ---------------------------------------------------------------------------
+BURST_1H_US = 3_600_000_000
+BURST_24H_US = 24 * 3_600_000_000
+BURST_SLICE_US = 7 * 24 * 3_600_000_000
+
+
+@register(
+    "events_burst_ratio",
+    f"""
+    WITH v AS (
+        SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type,
+               CAST(count(*) OVER h AS BIGINT) AS n_1h,
+               CAST(count(*) OVER d AS BIGINT) AS n_24h
+        FROM v
+        WINDOW h AS (PARTITION BY event_type ORDER BY us
+                     RANGE BETWEEN {BURST_1H_US} PRECEDING AND CURRENT ROW),
+               d AS (PARTITION BY event_type ORDER BY us
+                     RANGE BETWEEN {BURST_24H_US} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, n_1h, n_24h,
+           {share_sql("n_1h", "n_24h")} AS burst_e4
+    FROM w
+    ORDER BY event_id
+    """,
+    "per-event burst ratio: trailing 1h vs 24h type traffic, sliced two-frame windows",
+)
+def events_burst_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .timewin import sliced_range_frame
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+    aug = sliced_range_frame(v, "us", BURST_24H_US, BURST_SLICE_US)
+    base = (
+        Window.partitionBy("event_type", "__slice").orderBy("us")
+    )
+    h = base.rangeBetween(-BURST_1H_US, Window.currentRow)
+    d = base.rangeBetween(-BURST_24H_US, Window.currentRow)
+    w = (
+        aug.select(
+            "event_id",
+            "event_type",
+            F.col("__ctx"),
+            F.count(F.lit(1)).over(h).cast("long").alias("n_1h"),
+            F.count(F.lit(1)).over(d).cast("long").alias("n_24h"),
+        )
+        .filter(~F.col("__ctx"))
+    )
+    return w.select(
+        "event_id",
+        "event_type",
+        "n_1h",
+        "n_24h",
+        share_expr("n_1h", "n_24h").alias("burst_e4"),
+    ).orderBy("event_id")
