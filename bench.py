@@ -425,7 +425,10 @@ def main() -> None:
 
         from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
 
-        _pred = _F.col("path") == "/search?q=x"
+        # query-less path (r9 ADVICE): the reader splits the request at
+        # '?', so a typed path equality on "/search?q=x" matches zero
+        # rows; "/api/v1/data" is the real 1/52 needle-in-haystack.
+        _pred = _F.col("path") == "/api/v1/data"
 
         def _pushed():
             return (

@@ -166,9 +166,20 @@ def with_grouped_rank(
         sel.append(F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__soff"))
     if n_col is not None:
         sel.append(F.sum("__c").over(Window.partitionBy(*keys)).alias(n_col))
-    offs = pc.select(*sel)
+    # Null-safe offsets join (r9 ADVICE): a name-list join uses plain
+    # EqualTo and silently DROPS rows whose key is NULL, whereas the
+    # naive Window.partitionBy this helper must be bit-identical to
+    # keeps NULL as a regular partition (groupBy/repartitionByRange
+    # above already treat NULL as an ordinary value). Rename the
+    # offsets keys and join with eqNullSafe. __pid is never NULL.
+    offs = pc.select(*sel).withColumnRenamed("__pid", "__o_pid")
+    for k in keys:
+        offs = offs.withColumnRenamed(k, f"__o_{k}")
+    cond = F.col("__pid") == F.col("__o_pid")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__o_{k}"))
     wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
-    out = d.join(F.broadcast(offs), [*keys, "__pid"]).withColumn(
+    out = d.join(F.broadcast(offs), cond).withColumn(
         rn_col, F.col("__coff") + F.row_number().over(wloc)
     )
     if cum_col is not None:
@@ -177,7 +188,11 @@ def with_grouped_rank(
             F.col("__soff")
             + F.sum(cum_src).over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
         )
-    drop = ["__pid", "__coff"] + (["__soff"] if cum_src is not None else [])
+    drop = (
+        ["__pid", "__o_pid", "__coff"]
+        + [f"__o_{k}" for k in keys]
+        + (["__soff"] if cum_src is not None else [])
+    )
     return out.drop(*drop)
 
 

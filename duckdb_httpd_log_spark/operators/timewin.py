@@ -60,15 +60,24 @@ def with_next_us(
     firsts = d.groupBy(*keys, "__slice").agg(F.min(us_col).alias("__first_us"))
     wsl = Window.partitionBy(*keys).orderBy("__slice")
     nxt = firsts.select(
-        *key_cols,
-        F.col("__slice"),
+        *[F.col(k).alias(f"__h_{k}") for k in keys],
+        F.col("__slice").alias("__h_slice"),
         F.lead("__first_us").over(wsl).alias("__next_slice_first"),
     )
+    # Null-safe handoff join (r9 ADVICE): a name-list join is plain
+    # EqualTo and would hand NULL-keyed rows no successor, while the
+    # naive per-key window keeps NULL as a regular partition.
+    cond = F.col("__slice").eqNullSafe(F.col("__h_slice"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__h_{k}"))
     # broadcast: the hand-off table is time-span bounded, never fact-sized
     return (
-        d2.join(F.broadcast(nxt), [*keys, "__slice"], "left")
+        d2.join(F.broadcast(nxt), cond, "left")
         .withColumn(out_col, F.coalesce("__next_loc", "__next_slice_first"))
-        .drop("__slice", "__next_loc", "__next_slice_first")
+        .drop(
+            "__slice", "__h_slice", "__next_loc", "__next_slice_first",
+            *[f"__h_{k}" for k in keys],
+        )
     )
 
 
@@ -89,12 +98,20 @@ def sliced_range_frame(
     must see is either slice-local or a context copy.
     """
     assert slice_us >= lookback_us, "slice must cover the full lookback"
-    base = df.withColumn(
-        "__slice", F.expr(f"{us_col} div {slice_us}")
-    ).withColumn("__ctx", F.lit(False))
+    # floor semantics throughout (r9 ADVICE): Spark's % and div keep the
+    # dividend's sign, so for pre-1970 (negative) epoch-µs the truncating
+    # forms would mis-assign slice ids and never replicate boundary
+    # context rows. pmod is non-negative; (us - pmod) is an exact slice
+    # multiple, so the div below is a true floor division.
+    slice_id = F.expr(
+        f"({us_col} - pmod({us_col}, {slice_us})) div {slice_us}"
+    )
+    base = df.withColumn("__slice", slice_id).withColumn("__ctx", F.lit(False))
     copies = (
-        df.filter(F.expr(f"{us_col} % {slice_us} >= {slice_us - lookback_us}"))
-        .withColumn("__slice", F.expr(f"{us_col} div {slice_us}") + 1)
+        df.filter(
+            F.expr(f"pmod({us_col}, {slice_us}) >= {slice_us - lookback_us}")
+        )
+        .withColumn("__slice", slice_id + 1)
         .withColumn("__ctx", F.lit(True))
     )
     return base.unionByName(copies)

@@ -168,7 +168,17 @@ def derive_needles(e, verbatim_str, verbatim_int) -> Optional[Needles]:
         name = _attr_name(l)
         val, dt = _literal(r)
         if name in verbatim_str and dt == "string" and val is not None:
-            segs = _like_segments(str(val))
+            # honor LIKE ... ESCAPE 'x': parsing the pattern with the
+            # wrong escape char would derive a WRONG needle (e.g.
+            # `a!%' ESCAPE '!'` means literal "a%", not prefix "a!")
+            # and silently drop matching rows from the pushed scan.
+            try:
+                esc = str(e.escapeChar())
+            except Exception:
+                return None
+            if len(esc) != 1:
+                return None
+            segs = _like_segments(str(val), esc)
             return [[s] for s in segs] or None
         return None
     if cls == "In":

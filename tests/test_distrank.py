@@ -128,3 +128,15 @@ def test_randomized_grouped_rank_sweep(spark):
             for i in range(rng.randrange(40, 500))
         ]
         _check_grouped(spark, rows, desc=bool(seed % 2))
+
+
+def test_grouped_null_keys_match_window(spark):
+    """r9 ADVICE: NULL group keys must survive the offsets join — the
+    naive Window.partitionBy keeps NULL as a regular partition, so a
+    non-null-safe name-list join would silently drop those rows."""
+    rows = [
+        ((None if i % 4 == 0 else f"g{i % 3}"), i, (i * 37) % 11)
+        for i in range(120)
+    ]
+    _check_grouped(spark, rows)
+    _check_grouped(spark, rows, desc=True)

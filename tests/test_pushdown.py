@@ -193,3 +193,25 @@ def test_hive_partitioning_composes_with_pushdown(spark, tmp_path):
     out2 = df.filter(F.col("dt") == "2024-01-02")
     assert "Contains(value" not in _optimized(out2)
     assert out2.count() == 50
+
+
+def test_like_escape_char_honored(spark, tmp_path):
+    """r9 ADVICE: LIKE ... ESCAPE '!' — the deriver must read the
+    node's escapeChar; assuming backslash would misparse '/api!%x'
+    into the wrong needle '/api!' and silently drop the matching row."""
+    p = tmp_path / "esc.log"
+    p.write_text(
+        '1.1.1.1 - u [10/Oct/2024:13:55:36 +0000] "GET /api%x HTTP/1.1" 200 5 "-" "ua"\n'
+        '2.2.2.2 - u [10/Oct/2024:13:55:37 +0000] "GET /apiZx HTTP/1.1" 200 5 "-" "ua"\n'
+        '3.3.3.3 - u [10/Oct/2024:13:55:38 +0000] "GET /other HTTP/1.1" 200 5 "-" "ua"\n'
+    )
+    df = read_httpd_log(spark, str(p), format_type="combined")
+    pred = F.expr("path LIKE '/api!%x' ESCAPE '!'")  # literal "/api%x"
+    out = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert [r.client_host for r in out.collect()] == ["1.1.1.1"]
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+    # if the needle pushed, it must be the UNESCAPED literal
+    cont = [l for l in _optimized(out).splitlines() if "Contains(value" in l]
+    for line in cont:
+        assert "/api%x" in line, line

@@ -74,15 +74,19 @@ def test_narrow_form_would_wrap(spark):
     wrapped (negative) share on the same input the widened form gets
     right. If Spark's non-ANSI long arithmetic ever stops wrapping,
     this pin tells us the guard became redundant."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    num, den = 9_000_000_000_000_000_000, 9_200_000_000_000_000_000
-    import pyspark.sql.functions as F
+    try:
+        num, den = 9_000_000_000_000_000_000, 9_200_000_000_000_000_000
+        import pyspark.sql.functions as F
 
-    narrow = (
-        spark.createDataFrame([(num, den)], "num long, den long")
-        .select(F.expr("(num * 20000 + den) div (2 * den)").alias("s"))
-        .collect()[0]
-        .s
-    )
-    exact = (num * 20000 + den) // (2 * den)
-    assert narrow != exact  # the wrap the widened form prevents
+        narrow = (
+            spark.createDataFrame([(num, den)], "num long, den long")
+            .select(F.expr("(num * 20000 + den) div (2 * den)").alias("s"))
+            .collect()[0]
+            .s
+        )
+        exact = (num * 20000 + den) // (2 * den)
+        assert narrow != exact  # the wrap the widened form prevents
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -151,3 +151,61 @@ def test_randomized_range_frame_sweep(spark):
             ).collect()
         }
         assert got == exp, f"seed={seed} look={look}"
+
+
+def test_with_next_us_null_key_matches_naive(spark):
+    """r9 ADVICE: NULL keys must get their true successor through the
+    hand-off join (eqNullSafe) — the naive per-key window keeps NULL as
+    a regular partition."""
+    rows = [((None if i % 3 == 0 else "k"), i, (i * 137) % 3500) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, id long, us long")
+    got = {
+        r.id: r.next_us
+        for r in with_next_us(df, ["k"], "us", "id", slice_us=SLICE).collect()
+    }
+    w = Window.partitionBy("k").orderBy("us", "id")
+    exp = {
+        r.id: r.next_us
+        for r in df.select("id", F.lead("us").over(w).alias("next_us")).collect()
+    }
+    assert got == exp
+
+
+def test_sliced_range_frame_negative_epoch(spark):
+    """r9 ADVICE: pre-1970 (negative) epoch-µs — Spark's % keeps the
+    dividend's sign, so the old trunc-div form mis-assigned slice ids
+    and never replicated boundary context rows below zero. pmod/floor
+    restores exactness."""
+    rows = [("k", i, us) for i, us in enumerate(range(-2500, 2500, 137))]
+    rows += [("k", 100, -1000), ("k", 101, -1), ("k", 102, 0), ("k", 103, -2000)]
+    df = spark.createDataFrame(rows, "k string, id long, us long").withColumn(
+        "v", (F.col("id") % 7).cast("long")
+    )
+    look = 800
+    aug = sliced_range_frame(df, "us", lookback_us=look, slice_us=SLICE)
+    wr = (
+        Window.partitionBy("k", "__slice")
+        .orderBy("us")
+        .rangeBetween(-look, Window.currentRow)
+    )
+    got = {
+        r.id: (r.n, r.s)
+        for r in aug.select(
+            "id",
+            "__ctx",
+            F.count(F.lit(1)).over(wr).alias("n"),
+            F.sum("v").over(wr).alias("s"),
+        )
+        .filter(~F.col("__ctx"))
+        .collect()
+    }
+    wn = Window.partitionBy("k").orderBy("us").rangeBetween(-look, Window.currentRow)
+    exp = {
+        r.id: (r.n, r.s)
+        for r in df.select(
+            "id",
+            F.count(F.lit(1)).over(wn).alias("n"),
+            F.sum("v").over(wn).alias("s"),
+        ).collect()
+    }
+    assert got == exp
