@@ -258,11 +258,16 @@ BENCH_QUERIES = [
 ]
 
 
-def gen_log(path: str, n_lines: int = 200_000, junk_frac: float = 0.0) -> None:
+def gen_log(
+    path: str, n_lines: int = 200_000, junk_frac: float = 0.0, days: int = 1
+) -> None:
     """Deterministic synthetic CLF+combined log for the scan benchmark.
     junk_frac > 0 interleaves that fraction of unparseable lines
     (truncated records, binary-ish noise, bare text) to exercise the
-    parse-error retention path at a measured rate."""
+    parse-error retention path at a measured rate. days > 1 spreads
+    lines uniformly over that many October-2024 days (<= 28) for the
+    date-predicate pushdown axis; days == 1 keeps the historical
+    single-day corpus byte-identical."""
     import random
 
     rng = random.Random(42)
@@ -280,9 +285,10 @@ def gen_log(path: str, n_lines: int = 200_000, junk_frac: float = 0.0) -> None:
             if junk_frac and rng.random() < junk_frac:
                 fh.write(f"{rng.choice(junk)} {i}\n")
                 continue
+            dd = 10 if days == 1 else 1 + (i * 997) % min(days, 28)
             fh.write(
                 f"10.0.{rng.randrange(256)}.{rng.randrange(256)} - user{rng.randrange(100)} "
-                f"[10/Oct/2024:13:{i % 60:02d}:{rng.randrange(60):02d} +0000] "
+                f"[{dd:02d}/Oct/2024:13:{i % 60:02d}:{rng.randrange(60):02d} +0000] "
                 f'"{rng.choice(methods)} {rng.choice(paths)} HTTP/1.1" '
                 f"{rng.choice([200, 200, 200, 304, 404, 500])} {rng.randrange(100000)} "
                 f'"-" "{rng.choice(uas)}"\n'
@@ -441,9 +447,30 @@ def main() -> None:
             df = read_httpd_log(spark, big_path, format_type="combined")
             return super(LineFilterableFrame, df).filter(_pred).count()
 
+        # date-predicate pushdown (r9 verdict item 1): 2M lines over 28
+        # October days, one-day to_date filter. UTC session => margin 1
+        # => 3 case-insensitive [dd/oct/2024 needles, so ~3/28 of lines
+        # reach the parse regex; the naive plan parses all 2M.
+        date_path = os.path.join(td, "bench_days.log")
+        gen_log(date_path, 2_000_000, days=28)
+        _dpred = _F.to_date("timestamp") == "2024-10-15"
+
+        def _date_pushed():
+            return (
+                read_httpd_log(spark, date_path, format_type="combined")
+                .filter(_dpred)
+                .count()
+            )
+
+        def _date_naive():
+            df = read_httpd_log(spark, date_path, format_type="combined")
+            return super(LineFilterableFrame, df).filter(_dpred).count()
+
         for key, fnp in (
             ("log_scan_2m_path_pushdown", _pushed),
             ("log_scan_2m_path_naive", _naive),
+            ("log_scan_2m_date_pushdown", _date_pushed),
+            ("log_scan_2m_date_naive", _date_naive),
         ):
             fnp()  # warm-up
             runs = []

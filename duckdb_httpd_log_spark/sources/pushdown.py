@@ -31,9 +31,22 @@ Soundness per leaf:
   |v| ("0500" contains "500", "-0500" contains "500"). Literal 0 is
   skipped — the %b byte-count family maps "-" to 0 without a "0" in
   the raw line.
-Conjunctions push every derivable conjunct; disjunctions push only if
-every branch is derivable (as an OR-of-contains group); anything else
-falls back to the unmodified plan. CNF across OR-of-ANDs distributes.
+- BOUNDED date/time predicates (to_date(ts) = D, ts BETWEEN a AND b,
+  to_date(ts) IN (...), and their string-coerced forms) on a plain
+  Apache-%t timestamp column: the raw text is deterministically
+  `[dd/MMM/yyyy:HH:mm:ss Z]` (reference
+  src/httpd_log_format_parser.cpp:711-765, bracketed regex :558), so
+  the bounded instant range maps to TWO groups: case-sensitive
+  ``[dd/`` day tokens (2-digit — strict dd: a 1-digit day never
+  parses) AND case-insensitive ``/mmm/yyyy:`` month needles (Spark's
+  MMM parse accepts any month case, so a fixed-case month would be
+  unsound). The range is widened by a day margin covering the line's
+  own UTC offset and the session zone, and capped at _MAX_DAY_NEEDLES
+  days; wider ranges fall back to parse-everything.
+Conjunctions push every derivable conjunct and INTERSECT the time
+ranges split across their leaves; disjunctions push only if every
+branch is derivable (as an OR-of-needles group); anything else falls
+back to the unmodified plan. CNF across OR-of-ANDs distributes.
 
 Cited parity anchor: the reference parses every line unconditionally
 (src/httpd_log_file_reader.cpp); this pushdown is beyond-reference,
@@ -43,15 +56,57 @@ motivated by its TODO-free single-pass design — the only way to beat
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple, Union
 
 from pyspark.sql import functions as F
 from pyspark.sql.classic.dataframe import DataFrame
 
-# CNF: AND over groups, OR within a group
-Needles = List[List[str]]
+# CNF: AND over groups, OR within a group. A needle is either a plain
+# string (case-sensitive Contains on the raw line) or ("ci", s) — a
+# case-insensitive needle matched against lower(value); s is lowercase.
+Needle = Union[str, Tuple[str, str]]
+Needles = List[List[Needle]]
 
 _INT_TYPES = {"int", "bigint", "smallint", "tinyint"}
+
+_US_PER_DAY = 86_400_000_000
+
+# fixed English abbreviations of the Apache %t layout (the reference's
+# month table, src/httpd_log_format_parser.cpp:711-765); lowercase
+# because day needles are matched case-insensitively — Spark's MMM
+# parse accepts any case ("oct"/"OCT" parse, so a fixed-case needle
+# would be UNSOUND), while a 1-digit day does NOT parse (dd is strict),
+# so the zero-padded 2-digit day in the needle is sound.
+_MONTHS = (
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+)
+
+# widest OR-of-days group worth pushing: beyond this the byte scan's
+# selectivity (and its per-line cost) stops paying for itself
+_MAX_DAY_NEEDLES = 12
+
+
+@dataclass
+class PushdownContext:
+    """What the deriver may assume about the scan's columns.
+
+    ``ts_day_cols``: timestamp columns produced by a SINGLE plain
+    ``%t`` directive in the Apache default layout — their raw text is
+    deterministically ``[dd/MMM/yyyy:HH:mm:ss Z]``, so a bounded
+    time predicate maps to an OR-of-day substring group.
+    ``margin_days``: slack added on each side of a derived day range.
+    1 covers the log line's own UTC offset (<= +-14h) when the session
+    time zone is UTC; 2 additionally covers a non-UTC session zone
+    (date/`to_date` semantics follow the session zone) plus DST.
+    """
+
+    verbatim_str: set = field(default_factory=set)
+    verbatim_int: set = field(default_factory=set)
+    ts_day_cols: set = field(default_factory=set)
+    margin_days: int = 2
 
 
 def _simple(e) -> str:
@@ -64,8 +119,21 @@ def _children(e):
 
 
 def _unwrap_cast(e):
-    while _simple(e) in ("Cast", "AnsiCast", "TryCast"):
-        e = _children(e)[0]
+    while True:
+        s = _simple(e)
+        if s in ("Cast", "AnsiCast", "TryCast"):
+            e = _children(e)[0]
+            continue
+        # to_date(x) / to_timestamp(x) stay RuntimeReplaceable nodes in
+        # the ANALYZED plan (the deriver's input); the no-format form is
+        # exactly a cast. A format argument changes semantics — don't
+        # unwrap it.
+        if s in ("ParseToDate", "ParseToTimestamp"):
+            kids = _children(e)
+            if len(kids) == 1:
+                e = kids[0]
+                continue
+        break
     return e
 
 
@@ -94,7 +162,7 @@ def _int_needle(v) -> Optional[str]:
     return str(abs(iv))
 
 
-def _eq_needles(left, right, verbatim_str, verbatim_int) -> Optional[Needles]:
+def _eq_needles(left, right, ctx: PushdownContext) -> Optional[Needles]:
     for a, b in ((left, right), (right, left)):
         name = _attr_name(a)
         if name is None:
@@ -102,13 +170,176 @@ def _eq_needles(left, right, verbatim_str, verbatim_int) -> Optional[Needles]:
         val, dt = _literal(b)
         if val is None:
             continue
-        if name in verbatim_str and dt == "string":
+        if name in ctx.verbatim_str and dt == "string":
             s = str(val)
             return [[s]] if s else None
-        if name in verbatim_int and dt in _INT_TYPES:
+        if name in ctx.verbatim_int and dt in _INT_TYPES:
             n = _int_needle(val)
             return [[n]] if n else None
     return None
+
+
+# --- timestamp day needles --------------------------------------------------
+#
+# A bounded predicate on an Apache-%t timestamp column maps to an OR
+# group of `[dd/mmm/yyyy` substrings (case-insensitive). Soundness:
+# a row satisfying the typed predicate has a NON-NULL parsed timestamp,
+# which (for a single plain %t field) means its raw text matched
+# `dd/MMM/yyyy:HH:mm:ss Z` — strict 2-digit day, a real month
+# abbreviation in some case, 4-digit year — inside brackets. The UTC
+# instant differs from the raw LOCAL date by at most the line's own
+# offset (+-14h) plus, when `to_date`/date casts are involved, the
+# session zone's offset (+-14h) — both covered by ``margin_days``.
+# All interval arithmetic over-approximates (a larger day set is still
+# sound; only a smaller one could drop rows).
+
+_CMP_OPS = {
+    "EqualTo": "==",
+    "EqualNullSafe": "==",
+    "GreaterThan": ">=",  # loosened: over-approximation is sound
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<=",
+    "LessThanOrEqual": "<=",
+}
+_FLIP = {"==": "==", ">=": "<=", "<=": ">="}
+
+
+def _ts_attr(e, ctx) -> Optional[Tuple[str, str]]:
+    """(column name, semantic domain 'date'|'timestamp') when ``e`` is
+    a ts_day column under casts/to_date.
+
+    A trailing cast TO STRING is skipped: Spark's type coercion turns
+    ``to_date(ts) IN ('2024-10-08', ...)`` into a STRING comparison,
+    and the canonical ISO renderings of dates/timestamps order
+    lexicographically exactly like the underlying values, so the
+    comparison still denotes the same date/instant constraint (literals
+    that don't parse as ISO yield no needle and fall back). The first
+    date/timestamp-producing node below decides the domain."""
+    cur = e
+    domain = None
+    while True:
+        s = _simple(cur)
+        try:
+            dt = cur.dataType().simpleString()
+        except Exception:
+            return None
+        if s == "AttributeReference":
+            if cur.name() in ctx.ts_day_cols and dt == "timestamp":
+                return cur.name(), domain or "timestamp"
+            return None
+        if s in ("Cast", "AnsiCast", "TryCast"):
+            if domain is None and dt in ("date", "timestamp"):
+                domain = dt
+            elif domain is None and dt != "string":
+                return None
+            cur = _children(cur)[0]
+            continue
+        if s in ("ParseToDate", "ParseToTimestamp"):
+            kids = _children(cur)
+            if len(kids) != 1:
+                return None
+            if domain is None and dt in ("date", "timestamp"):
+                domain = dt
+            cur = kids[0]
+            continue
+        return None
+
+
+def _time_literal_interval(e, domain: str) -> Optional[Tuple[int, int]]:
+    """Closed epoch-µs interval denoted by literal ``e`` compared in
+    ``domain`` ('date' or 'timestamp'); None if not derivable."""
+    outer = e.dataType().simpleString()
+    val, dt = _literal(e)
+    if val is None:
+        return None
+    tgt = outer if outer in ("date", "timestamp") else domain
+    if dt == "date":
+        days = int(val)  # Catalyst DateType internal: days since epoch
+        return days * _US_PER_DAY, (days + 1) * _US_PER_DAY - 1
+    if dt == "timestamp":
+        us = int(val)  # internal: µs since epoch
+        return us, us
+    if dt == "string":
+        s = str(val).strip()
+        try:
+            if tgt == "date":
+                d = _dt.date.fromisoformat(s[:10])
+                if len(s) > 10 and s[10] not in (" ", "T"):
+                    return None
+                days = (d - _dt.date(1970, 1, 1)).days
+                return days * _US_PER_DAY, (days + 1) * _US_PER_DAY - 1
+            t = _dt.datetime.fromisoformat(s)
+            if t.tzinfo is None:
+                # session zone applies; the <= +-14h error vs UTC is
+                # absorbed by margin_days (2 when the zone isn't UTC)
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            us = int(t.timestamp() * 1_000_000)
+            return us, us
+        except ValueError:
+            return None
+    return None
+
+
+def _ts_leaf_interval(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
+    """(col, lo_us|None, hi_us|None) for a comparison leaf on a
+    ts_day column; open ends are None."""
+    op = _CMP_OPS.get(_simple(e))
+    if op is None or not ctx.ts_day_cols:
+        return None
+    l, r = _children(e)
+    for a, b, flip in ((l, r, False), (r, l, True)):
+        side = _ts_attr(a, ctx)
+        if side is None:
+            continue
+        name, domain = side
+        iv = _time_literal_interval(b, domain)
+        if iv is None:
+            continue
+        lo_v, hi_v = iv
+        o = _FLIP[op] if flip else op
+        if o == "==":
+            return name, lo_v, hi_v
+        if o == ">=":
+            return name, lo_v, None
+        return name, None, hi_v
+    return None
+
+
+def _day_cnf(lo_us: int, hi_us: int, margin: int) -> Optional[Needles]:
+    """CNF fragment for a bounded day range: one case-sensitive group of
+    ``[dd/`` tokens (bracket+digits — no letters, so plain Contains) AND
+    one case-insensitive group of ``/mmm/yyyy:`` month-year needles.
+    The split form measured ~2.3x cheaper than whole-date ci needles:
+    the hot group is a Contains over non-alphabetic text, and the ci
+    RLike group is usually a single month. Cross-product over-approx
+    (day 14 of an adjacent in-set month also passes) is sound — the
+    typed predicate on top removes byte-scan false positives."""
+    if lo_us > hi_us:
+        return None  # contradictory range: fall back, plan stays exact
+    lo_day = lo_us // _US_PER_DAY - margin
+    hi_day = hi_us // _US_PER_DAY + margin
+    if hi_day - lo_day + 1 > _MAX_DAY_NEEDLES:
+        return None
+    epoch = _dt.date(1970, 1, 1)
+    days: set = set()
+    months: set = set()
+    try:
+        for day in range(lo_day, hi_day + 1):
+            d = epoch + _dt.timedelta(days=day)
+            if d.year < 1000:
+                return None  # %t years are 4-digit; don't bet on padding
+            days.add(f"[{d.day:02d}/")
+            months.add(("ci", f"/{_MONTHS[d.month - 1]}/{d.year}:"))
+    except OverflowError:
+        return None
+    return [sorted(days), sorted(months)]
+
+
+def _flatten_and(e) -> list:
+    if _simple(e) == "And":
+        l, r = _children(e)
+        return _flatten_and(l) + _flatten_and(r)
+    return [e]
 
 
 def _like_segments(pattern: str, escape: str = "\\") -> List[str]:
@@ -136,30 +367,53 @@ def _or_merge(a: Needles, b: Needles) -> Needles:
     return [ga + gb for ga in a for gb in b]
 
 
-def derive_needles(e, verbatim_str, verbatim_int) -> Optional[Needles]:
+def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
     cls = _simple(e)
     if cls == "And":
-        l, r = _children(e)
-        dl = derive_needles(l, verbatim_str, verbatim_int)
-        dr = derive_needles(r, verbatim_str, verbatim_int)
-        if dl and dr:
-            return dl + dr
-        return dl or dr
+        # flatten the conjunction so BOUNDED time ranges split across
+        # leaves (ts >= a AND ts < b, BETWEEN's rewrite, to_date ==)
+        # intersect into ONE day group; other conjuncts derive as usual
+        groups: Needles = []
+        intervals: dict = {}
+        for c in _flatten_and(e):
+            iv = _ts_leaf_interval(c, ctx)
+            if iv is not None:
+                name, lo, hi = iv
+                cur = intervals.get(name, (None, None))
+                lo = cur[0] if lo is None else (lo if cur[0] is None else max(cur[0], lo))
+                hi = cur[1] if hi is None else (hi if cur[1] is None else min(cur[1], hi))
+                intervals[name] = (lo, hi)
+                continue
+            d = derive_needles(c, ctx)
+            if d:
+                groups += d
+        for lo, hi in intervals.values():
+            if lo is not None and hi is not None:
+                g = _day_cnf(lo, hi, ctx.margin_days)
+                if g:
+                    groups += g
+        return groups or None
     if cls == "Or":
         l, r = _children(e)
-        dl = derive_needles(l, verbatim_str, verbatim_int)
-        dr = derive_needles(r, verbatim_str, verbatim_int)
+        dl = derive_needles(l, ctx)
+        dr = derive_needles(r, ctx)
         if dl and dr:
             return _or_merge(dl, dr)
         return None
+    iv = _ts_leaf_interval(e, ctx)
+    if iv is not None:
+        name, lo, hi = iv
+        if lo is not None and hi is not None:
+            return _day_cnf(lo, hi, ctx.margin_days)
+        return None  # one-sided range alone: unbounded day set
     if cls in ("EqualTo", "EqualNullSafe"):
         l, r = _children(e)
-        return _eq_needles(l, r, verbatim_str, verbatim_int)
+        return _eq_needles(l, r, ctx)
     if cls in ("Contains", "StartsWith", "EndsWith"):
         l, r = _children(e)
         name = _attr_name(l)
         val, dt = _literal(r)
-        if name in verbatim_str and dt == "string" and val is not None:
+        if name in ctx.verbatim_str and dt == "string" and val is not None:
             s = str(val)
             return [[s]] if s else None
         return None
@@ -167,7 +421,7 @@ def derive_needles(e, verbatim_str, verbatim_int) -> Optional[Needles]:
         l, r = _children(e)
         name = _attr_name(l)
         val, dt = _literal(r)
-        if name in verbatim_str and dt == "string" and val is not None:
+        if name in ctx.verbatim_str and dt == "string" and val is not None:
             # honor LIKE ... ESCAPE 'x': parsing the pattern with the
             # wrong escape char would derive a WRONG needle (e.g.
             # `a!%' ESCAPE '!'` means literal "a%", not prefix "a!")
@@ -183,17 +437,37 @@ def derive_needles(e, verbatim_str, verbatim_int) -> Optional[Needles]:
         return None
     if cls == "In":
         kids = _children(e)
+        side = _ts_attr(kids[0], ctx)
+        if side is not None:
+            # to_date(ts) IN (d1, d2, ...): union each literal's day
+            # and month-year tokens (cross-product over-approximation
+            # of the OR — sound, the typed filter removes extras)
+            _name, domain = side
+            day_toks: set = set()
+            month_toks: set = set()
+            for lit in kids[1:]:
+                ivl = _time_literal_interval(lit, domain)
+                if ivl is None:
+                    return None
+                g = _day_cnf(ivl[0], ivl[1], ctx.margin_days)
+                if g is None:
+                    return None
+                day_toks.update(g[0])
+                month_toks.update(g[1])
+            if not day_toks or len(day_toks) > _MAX_DAY_NEEDLES:
+                return None
+            return [sorted(day_toks), sorted(month_toks)]
         name = _attr_name(kids[0])
         if name is None:
             return None
-        group: List[str] = []
+        group = []
         for lit in kids[1:]:
             val, dt = _literal(lit)
             if val is None:
                 return None
-            if name in verbatim_str and dt == "string" and str(val):
+            if name in ctx.verbatim_str and dt == "string" and str(val):
                 group.append(str(val))
-            elif name in verbatim_int and dt in _INT_TYPES:
+            elif name in ctx.verbatim_int and dt in _INT_TYPES:
                 n = _int_needle(val)
                 if n is None:
                     return None
@@ -205,11 +479,26 @@ def derive_needles(e, verbatim_str, verbatim_int) -> Optional[Needles]:
 
 
 def apply_cnf(df: DataFrame, cnf: Needles) -> DataFrame:
-    """AND of OR-of-contains over the raw ``value`` column."""
+    """AND of OR-of-needles over the raw ``value`` column.
+
+    Plain needles are case-sensitive Contains; a group's ("ci", s)
+    needles fold into ONE case-insensitive RLike alternation of
+    escaped literals — measured faster than both lower()+contains
+    (avoids the per-line lowered copy) and per-case-variant contains."""
+    import re as _re
+
     for group in cnf:
-        pred = F.col("value").contains(group[0])
-        for n in group[1:]:
-            pred = pred | F.col("value").contains(n)
+        pred = None
+        for n in group:
+            if isinstance(n, str):
+                c = F.col("value").contains(n)
+                pred = c if pred is None else (pred | c)
+        ci = [n[1] for n in group if not isinstance(n, str)]
+        if ci:
+            c = F.col("value").rlike(
+                "(?i)" + "|".join(_re.escape(s) for s in ci)
+            )
+            pred = c if pred is None else (pred | c)
         df = df.filter(pred)
     return df
 
@@ -230,13 +519,11 @@ class LineFilterableFrame(DataFrame):
         self,
         df: DataFrame,
         rebuild: Callable[[Needles], DataFrame],
-        verbatim_str: set,
-        verbatim_int: set,
+        ctx: PushdownContext,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
-        self._lf_str = verbatim_str
-        self._lf_int = verbatim_int
+        self._lf_ctx = ctx
 
     def filter(self, condition):  # type: ignore[override]
         plain = super().filter(condition)
@@ -245,7 +532,12 @@ class LineFilterableFrame(DataFrame):
             if _simple(jplan) != "Filter":
                 return plain
             cond = jplan.condition()
-            cnf = derive_needles(cond, self._lf_str, self._lf_int)
+            ctx = self._lf_ctx
+            # margin is a session-zone property, so read it at filter
+            # time: date semantics follow spark.sql.session.timeZone
+            tz = self.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+            ctx.margin_days = 1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z") else 2
+            cnf = derive_needles(cond, ctx)
             if not cnf:
                 return plain
             rebuilt = self._lf_rebuild(cnf)

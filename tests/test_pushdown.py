@@ -215,3 +215,124 @@ def test_like_escape_char_honored(spark, tmp_path):
     cont = [l for l in _optimized(out).splitlines() if "Contains(value" in l]
     for line in cont:
         assert "/api%x" in line, line
+
+
+# --- date/day needles (r9 verdict item 1) -----------------------------------
+
+
+def _day_contains_below_regex(plan: str, frag: str) -> bool:
+    """ci day needles fold into one case-insensitive RLIKE alternation;
+    it must sit at-or-below the parse regex like plain needles."""
+    lines = plan.splitlines()
+    regex_at = min(i for i, l in enumerate(lines) if "regexp_replace(value" in l)
+    hits = [i for i, l in enumerate(lines) if "RLIKE" in l and frag in l]
+    return bool(hits) and all(i >= regex_at for i in hits)
+
+
+@pytest.fixture(scope="module")
+def multiday_path(tmp_path_factory):
+    """Oct 08-14 2024, 6 rows/day, mixed offsets; plus adversarial rows:
+    a MiXeD-case month (parses -- Spark MMM is case-insensitive) and a
+    -0700 line whose UTC date rolls forward a day."""
+    p = tmp_path_factory.mktemp("pushdate") / "multi.log"
+    lines = []
+    for day in range(8, 15):
+        for h in range(0, 24, 4):
+            lines.append(
+                f'10.0.{day}.{h} - u [{day:02d}/Oct/2024:{h:02d}:15:00 +0000] '
+                f'"GET /d/{day} HTTP/1.1" 200 {day * 100 + h} "-" "ua"'
+            )
+    lines.append(
+        '7.7.7.7 - mixed [10/oCt/2024:05:00:00 +0000] "GET /mixed HTTP/1.1" 200 1 "-" "ua"'
+    )
+    lines.append(
+        '8.8.8.8 - roll [09/Oct/2024:23:00:00 -0700] "GET /roll HTTP/1.1" 200 1 "-" "ua"'
+    )
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _pushed_vs_naive(spark, path, pred):
+    df = read_httpd_log(spark, path, format_type="combined")
+    pushed = sorted(map(str, df.filter(pred).collect()))
+    naive = sorted(map(str, super(LineFilterableFrame, df).filter(pred).collect()))
+    assert pushed == naive, str(pred)
+    return df.filter(pred), len(pushed)
+
+
+def test_date_equality_pushes_and_matches(spark, multiday_path):
+    out, n = _pushed_vs_naive(
+        spark, multiday_path, F.to_date("timestamp") == "2024-10-10"
+    )
+    # 6 plain rows + the mixed-case month + the -0700 day-rollover row
+    assert n == 8
+    assert _day_contains_below_regex(_optimized(out), "/oct/2024")
+
+
+def test_timestamp_between_pushes_and_matches(spark, multiday_path):
+    out, n = _pushed_vs_naive(
+        spark,
+        multiday_path,
+        F.col("timestamp").between("2024-10-09 00:00:00", "2024-10-10 23:59:59"),
+    )
+    # 12 plain rows + the rollover row (UTC Oct 10 06:00) + the
+    # mixed-case-month row (UTC Oct 10 05:00)
+    assert n == 14
+    assert _day_contains_below_regex(_optimized(out), "/oct/2024")
+
+
+def test_to_date_in_pushes_and_matches(spark, multiday_path):
+    pred = F.to_date("timestamp").isin("2024-10-08", "2024-10-12")
+    out, n = _pushed_vs_naive(spark, multiday_path, pred)
+    assert n == 12
+    assert _day_contains_below_regex(_optimized(out), "/oct/2024")
+
+
+def test_date_conjunction_with_verbatim(spark, multiday_path):
+    pred = (F.to_date("timestamp") == "2024-10-11") & (F.col("client_host") == "10.0.11.8")
+    out, n = _pushed_vs_naive(spark, multiday_path, pred)
+    assert n == 1
+    plan = _optimized(out)
+    assert _day_contains_below_regex(plan, "/oct/2024")
+    assert "Contains(value" in plan  # the verbatim conjunct pushed too
+
+
+def test_one_sided_range_not_pushed(spark, multiday_path):
+    df = read_httpd_log(spark, multiday_path, format_type="combined")
+    out = df.filter(F.col("timestamp") >= "2024-10-13 00:00:00")
+    assert "/oct/" not in _optimized(out)
+    assert out.count() == 12
+
+
+def test_wide_range_not_pushed(spark, multiday_path):
+    df = read_httpd_log(spark, multiday_path, format_type="combined")
+    out = df.filter(
+        F.col("timestamp").between("2024-01-01 00:00:00", "2024-12-31 00:00:00")
+    )
+    assert "/oct/" not in _optimized(out)  # > _MAX_DAY_NEEDLES days
+    assert out.count() == 44
+
+
+def test_date_pushdown_non_utc_session_tz(spark, multiday_path):
+    """date semantics follow the session zone; margin widens to 2 days
+    and the pushed rows must stay identical to the naive plan."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        _pushed_vs_naive(
+            spark, multiday_path, F.to_date("timestamp") == "2024-10-10"
+        )
+        _pushed_vs_naive(
+            spark,
+            multiday_path,
+            F.col("timestamp").between("2024-10-09 12:00:00", "2024-10-10 12:00:00"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_date_or_status_pushes_merged_groups(spark, multiday_path):
+    pred = (F.to_date("timestamp") == "2024-10-14") | (F.col("client_host") == "7.7.7.7")
+    out, n = _pushed_vs_naive(spark, multiday_path, pred)
+    assert n == 7  # 6 day-14 rows + the mixed-case row
+    assert _day_contains_below_regex(_optimized(out), "/oct/2024")
