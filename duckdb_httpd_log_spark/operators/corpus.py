@@ -339,7 +339,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distrank import with_grouped_rank
 
     ranked = with_grouped_rank(
-        spark, tc, ["source"], [F.col("c").desc(), F.col("w")], rn_col="rk"
+        spark, tc, ["source"], [(F.col("c"), False), F.col("w")], rn_col="rk"
     ).filter(F.col("rk") <= ZIPF_TOP_RANKS)
     ranked = with_stages(ranked, _PRK_STAGES + _PC_STAGES)
     x = F.col(_PRK_LN)
@@ -1718,7 +1718,7 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         spark,
         cust,
-        [F.col("cents").desc(), F.col("o_custkey")],
+        [(F.col("cents"), False), F.col("o_custkey")],
         rn_col="rk",
         cum_col="cum_cents",
         cum_src="cents",
@@ -2268,7 +2268,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         spark,
         tc,
-        [F.col("c").desc(), F.col("w")],
+        [(F.col("c"), False), F.col("w")],
         rn_col="rk",
         cum_col="cum",
         cum_src="c",
@@ -3599,7 +3599,7 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     topv = (
         with_grouped_rank(
-            spark, tc, ["source"], [F.col("c").desc(), F.col("w")], rn_col="rk"
+            spark, tc, ["source"], [(F.col("c"), False), F.col("w")], rn_col="rk"
         )
         .filter(F.col("rk") <= VOCABSIM_K)
         .select("source", "w")

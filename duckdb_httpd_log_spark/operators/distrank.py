@@ -1,153 +1,259 @@
-"""Distributed global ranking without a single-task window.
+"""Distributed global/grouped ranking without a single-task window.
 
-A bare ``row_number() OVER (ORDER BY ...)`` (or ``ntile``/cumulative
-``sum``) moves the ENTIRE input through one task — fine on a spine of
-days, fatal on a customer/order/user dimension at the 100 TB design
-point. This helper decomposes the global order into the classic
-two-phase scan (the same shape text_pack_sequences uses, but fully
-declarative — no mapInPandas, no driver collect):
+A bare ``row_number() OVER (ORDER BY ...)`` (or a grouped window over a
+low-cardinality key) funnels the whole input through one (or a few)
+sort tasks — fine on a spine of days, fatal on a fact table at the
+100 TB design point. Both helpers decompose the sort into the classic
+two-phase scan:
 
-1. range-partition the input on the ranking order (Spark samples range
-   bounds; skew is bounded by the sampler);
-2. per-partition row counts / sums -> an nparts-row table; a window
-   over THAT (trivially small) yields each partition's global offset;
-3. partition-LOCAL row_number / cumulative sum + broadcast offset join.
+1. assign each row a DETERMINISTIC range-bucket id ``__pid`` from
+   driver-pinned composite bounds (below);
+2. per-(group, bucket) row counts -> a small offsets table (at most
+   ``n_buckets x n_groups`` rows), windowed ONCE over bucket ids for
+   each bucket's global offset;
+3. bucket-local row_number / cumulative sum + broadcast offset join.
 
-The result is bit-identical to the global window, so oracles written
-with plain ``row_number``/``ntile``/cumulative ``sum`` still
-hash-match.
+Bucket ids come from a RangePartitioner-style reservoir sample of the
+order tuple (one narrow ``mapInArrow`` pass, <=128 rows per input
+partition reach the driver) whose selected bounds are embedded as
+LITERALS in a comparison expression. That makes ``__pid`` a pure
+deterministic function of the row — the r8/r9 design needed a
+``localCheckpoint`` to pin ONE evaluation of the nondeterministically
+SAMPLED ``repartitionByRange`` between the two passes; pinning the
+bounds instead removes the checkpoint materialization AND the full
+range shuffle (the window's own hash exchange on ``(__pid, keys)`` is
+the only full-width shuffle left), at the cost of re-running the
+input's (typically scan-cheap) lineage for the small counts pass.
+
+The result is bit-identical to the naive global/grouped window when
+``order_cols`` is a (per-group) total order — include a tiebreak — so
+oracles written with plain ``row_number``/``ntile``/cumulative ``sum``
+still hash-match. NULL group keys are preserved via a null-safe
+offsets join (the naive window keeps NULL as a regular partition).
+
+Descending components are passed as ``(column, False)`` tuples — NOT
+``Column.desc()`` (an opaque SortOrder that can't be sampled or
+compared); a bare Column means ascending. Sort-null placement follows
+Spark's defaults (asc nulls first / desc nulls last), matching what
+the previous ``.desc()`` form produced.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+OrderSpec = Union[Column, Tuple[Column, bool]]
 
-def with_global_rank(
-    spark: SparkSession,
+_SAMPLE_PER_PART = 128
+
+
+def _norm_order(order: Sequence[OrderSpec]) -> List[Tuple[Column, bool]]:
+    out: List[Tuple[Column, bool]] = []
+    for o in order:
+        if isinstance(o, tuple):
+            out.append((o[0], bool(o[1])))
+        else:
+            # a SortOrder-wrapped Column (col.desc()) can't be sampled
+            # or compared — fail HERE with the fix, not at codegen time
+            # deep inside the bounds job
+            s = str(o)
+            if " DESC " in s or " ASC " in s:
+                raise TypeError(
+                    "distrank order components must be plain Columns "
+                    "(ascending) or (Column, False) tuples (descending); "
+                    f"got a SortOrder: {s}"
+                )
+            out.append((o, True))
+    return out
+
+
+def _sort_cols(pairs: Sequence[Tuple[Column, bool]]) -> List[Column]:
+    return [c if asc else c.desc() for c, asc in pairs]
+
+
+_SAMPLE_TARGET = 4096
+_SAMPLE_CAP = 65536
+
+
+def _sample_tuples(df: DataFrame, pairs) -> List[tuple]:
+    """JVM-side Bernoulli sample of the order tuple — fully inside
+    whole-stage codegen (a mapInArrow reservoir measured ~10x slower:
+    it streams EVERY row through a Python worker). The fraction comes
+    from Catalyst's sizeInBytes estimate and escalates 16x per retry
+    when the input turns out smaller than estimated, so the collect is
+    bounded at any scale (rand < f plus a hard LIMIT)."""
+    proj = df.select([c.alias(f"__s{i}") for i, (c, _) in enumerate(pairs)])
+    names = [f.name for f in proj.schema.fields]
+    try:
+        size = int(str(proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        size = 0
+    est_rows = max(size // 32, 1)
+    frac = min(1.0, max(_SAMPLE_TARGET / est_rows, 1e-7))
+    min_rows = 4 * max(proj.sparkSession.sparkContext.defaultParallelism, 1)
+    for _ in range(6):
+        samp = (
+            proj.withColumn("__r", F.rand(0x5EED))
+            .filter(F.col("__r") < frac)
+            .drop("__r")
+            .limit(_SAMPLE_CAP)
+            .collect()
+        )
+        if len(samp) >= min_rows or frac >= 1.0:
+            break
+        # unknown stats (defaultSizeInBytes = Long.MaxValue) start the
+        # fraction absurdly low on small inputs — escalate aggressively,
+        # proportionally when the first probe returned anything
+        if samp:
+            frac = min(1.0, frac * (2.0 * min_rows / len(samp)))
+        else:
+            frac = min(1.0, frac * 1024)
+    return [tuple(r[n] for n in names) for r in samp]
+
+
+def _pick_bounds(samples: List[tuple], pairs, nparts: int) -> List[tuple]:
+    """Sort the sample under the composite order (asc nulls first /
+    desc nulls last, Spark's defaults) and pick nparts-1 deduped
+    split points."""
+    rows = list(samples)
+    # iterative stable sorts, last component first = lexicographic;
+    # (not-null, value) keys place NULL first under asc and (with
+    # reverse) last under desc — Spark's default null placement
+    for i in range(len(pairs) - 1, -1, -1):
+        asc = pairs[i][1]
+        rows.sort(
+            key=lambda t, i=i: (t[i] is not None, t[i]),
+            reverse=not asc,
+        )
+    bounds: List[tuple] = []
+    n = len(rows)
+    if n == 0:
+        return bounds  # empty input: single bucket, trivially correct
+    for k in range(1, nparts):
+        b = rows[(k * n) // nparts]
+        if not bounds or bounds[-1] != b:
+            bounds.append(b)
+    return bounds
+
+
+def _lex_after(pairs, b) -> Column:
+    """TRUE when the row sorts strictly AFTER tuple ``b`` under the
+    composite order (asc nulls first / desc nulls last). Built
+    right-to-left: after_i OR (eq_i AND rest). NULL-safe throughout —
+    comparisons with NULL collapse to the explicit placement rules."""
+    rest = F.lit(False)
+    for i in range(len(pairs) - 1, -1, -1):
+        c, asc = pairs[i]
+        bv = b[i]
+        if bv is None:
+            # asc nulls-first: after NULL <=> non-null.
+            # desc nulls-last: nothing sorts after NULL.
+            after = c.isNotNull() if asc else F.lit(False)
+            eq = c.isNull()
+        else:
+            lit = F.lit(bv)
+            if asc:
+                after = c > lit
+            else:
+                after = c.isNull() | (c < lit)
+            eq = c.eqNullSafe(lit)
+        rest = after | (eq & rest)
+    return F.coalesce(rest, F.lit(False))
+
+
+def _bucket_expr(pairs, bounds: List[tuple]) -> Column:
+    """#bounds strictly BEFORE the row in the composite order — a pure
+    deterministic expression, monotone in the order (bucket(a) <=
+    bucket(b) whenever a sorts before b), so bucket-local ranks rebase
+    to exact global ranks.
+
+    Emitted as a BINARY-SEARCH CASE tree: evaluation touches
+    O(log nbounds) comparisons per row (a flat sum over all bounds
+    measured ~15x more predicate work on a 6M-row input)."""
+
+    def build(lo: int, hi: int) -> Column:
+        # bucket id in [lo, hi]; bounds[lo..hi-1] separate them
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            _lex_after(pairs, bounds[mid - 1]), build(mid, hi)
+        ).otherwise(build(lo, mid - 1))
+
+    return build(0, len(bounds))
+
+
+# Size-adaptive physical choice (same idea as Spark's broadcast-join
+# threshold): below this estimated input size the NAIVE window is
+# simply the better plan — a sub-GiB sort is single-node work anywhere,
+# and the two-phase scan's extra jobs (bounds sample + counts pass)
+# are pure overhead for it. Above it, the two-phase scan is the only
+# plan that survives 100 TB (no low-cardinality sort funnel, one full
+# shuffle, no full-table materialization). Estimates come from
+# Catalyst stats; UNKNOWN sizes (Long.MaxValue) route to the scale
+# path — the safe direction. Tests/rehearsals pin the scale path with
+# the conf set to 0.
+NAIVE_MAX_BYTES_CONF = "spark.graft.distrank.naiveMaxBytes"
+_DEFAULT_NAIVE_MAX = str(1 << 30)
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
+
+def _naive_rank(
     df: DataFrame,
-    order_cols: Sequence[Column],
-    rn_col: str = "rn",
-    n_col: Optional[str] = None,
-    cum_col: Optional[str] = None,
-    cum_src: Optional[str] = None,
+    keys: Sequence[str],
+    order_cols: Sequence[OrderSpec],
+    rn_col: str,
+    n_col: Optional[str],
+    cum_col: Optional[str],
+    cum_src: Optional[str],
 ) -> DataFrame:
-    """Attach a global ``rn_col`` (1-based row_number under
-    ``order_cols``) and optionally the total row count ``n_col`` and a
-    global running sum ``cum_col`` of column ``cum_src`` — all computed
-    with partition-local windows only.
-
-    ``order_cols`` must be a total order (include a tiebreak key);
-    pass ``F.col(...).desc()`` columns for descending components (the
-    same Column list feeds repartitionByRange AND the local window).
-    """
-    from pyspark import StorageLevel
-
-    nparts = max(spark.sparkContext.defaultParallelism, 1)
-    d = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        # both passes (per-partition totals + the local scan) must see
-        # the SAME partitioning — repartitionByRange SAMPLES its bounds,
-        # so two independent evaluations could disagree on __pid. The
-        # lazy checkpoint pins it and runs the range shuffle once.
-        # Explicit SERIALIZED MEMORY_AND_DISK, not localCheckpoint's
-        # MEMORY_AND_DISK_DESER default: deserialized in-heap
-        # materialization of a fact-scale table OOM'd the 1000x events
-        # rehearsal (100M rows, 8g heap) — serialized blocks unroll
-        # byte-incrementally and spill cleanly. localCheckpoint rather
-        # than persist(): persist registers in the CacheManager, whose
-        # canonical-plan matching would silently serve every later
-        # identically-shaped query (and benchmark rerun) from this
-        # cache and leak the entry for the session's lifetime.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *_sort_cols(_norm_order(order_cols))
     )
-    aggs = [F.count(F.lit(1)).alias("__c")]
-    if cum_src is not None:
-        aggs.append(F.sum(cum_src).alias("__s"))
-    pc = d.groupBy("__pid").agg(*aggs)
-    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    sel = [
-        F.col("__pid"),
-        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__coff"),
-    ]
-    if cum_src is not None:
-        sel.append(F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__soff"))
+    out = df.withColumn(rn_col, F.row_number().over(w))
     if n_col is not None:
-        sel.append(F.sum("__c").over(Window.partitionBy()).alias(n_col))
-    offs = pc.select(*sel)
-    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    out = d.join(F.broadcast(offs), "__pid").withColumn(
-        rn_col, F.col("__coff") + F.row_number().over(wloc)
-    )
+        out = out.withColumn(
+            n_col, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
     if cum_col is not None:
         out = out.withColumn(
             cum_col,
-            F.col("__soff")
-            + F.sum(cum_src).over(wloc.rowsBetween(Window.unboundedPreceding, 0)),
+            F.sum(cum_src).over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-    drop = ["__pid", "__coff"] + (["__soff"] if cum_src is not None else [])
-    return out.drop(*drop)
+    return out
 
 
-def with_grouped_rank(
+def _two_phase(
     spark: SparkSession,
     df: DataFrame,
     keys: Sequence[str],
-    order_cols: Sequence[Column],
-    rn_col: str = "rn",
-    n_col: Optional[str] = None,
-    cum_col: Optional[str] = None,
-    cum_src: Optional[str] = None,
+    order_cols: Sequence[OrderSpec],
+    rn_col: str,
+    n_col: Optional[str],
+    cum_col: Optional[str],
+    cum_src: Optional[str],
 ) -> DataFrame:
-    """Per-group ``row_number() OVER (PARTITION BY keys ORDER BY
-    order_cols)`` without per-group sort tasks — the grouped two-phase
-    rank (factored from orders_rfm_migration's inline form, r8 verdict
-    item 1).
-
-    ``Window.partitionBy(key)`` funnels each group's FULL row set
-    through one sort task: over a fact table partitioned by a
-    low-cardinality key (an order priority, a language, a funnel
-    stage — 2..30 distinct values), that is the whole fact table in a
-    handful of tasks at the 100 TB design point. Here instead:
-
-    1. range-partition on ``(*keys, *order_cols)`` — every partition
-       holds a contiguous slice of the (group, order) space, so a
-       group larger than one partition spans ADJACENT partitions and
-       the sort work stays spread over all of them;
-    2. per-(group, partition) row counts -> a bounded offsets table
-       (at most nparts + n_groups rows: each range partition touches
-       a contiguous run of groups), windowed per group over the
-       partition id for each slice's global offset — trivially small;
-    3. partition-LOCAL row_number (plus optional count / running sum)
-       rebased by the broadcast offset.
-
-    Bit-identical to the naive grouped window when ``order_cols`` is a
-    per-group total order (include a tiebreak), so oracles written
-    with plain partitioned row_number/count/sum hash-match unchanged.
-
-    ``keys`` are column names; ``order_cols`` are Columns (use
-    ``F.col(...).desc()`` for descending components — the same list
-    feeds repartitionByRange and the local window). Optional outputs
-    mirror with_global_rank: ``n_col`` = the group's total row count,
-    ``cum_col`` = the group's running sum of ``cum_src`` under the
-    same order.
-    """
-    from pyspark import StorageLevel
-
+    thr = int(spark.conf.get(NAIVE_MAX_BYTES_CONF, _DEFAULT_NAIVE_MAX))
+    if _estimated_bytes(df) <= thr:
+        return _naive_rank(df, keys, order_cols, rn_col, n_col, cum_col, cum_src)
     nparts = max(spark.sparkContext.defaultParallelism, 1)
-    key_cols = [F.col(k) for k in keys]
-    d = (
-        df.repartitionByRange(nparts, *key_cols, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        # same contract as with_global_rank: both passes must see ONE
-        # sampled range partitioning, pinned serialized so a fact-scale
-        # input spills instead of OOMing the unroll.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    order_pairs = _norm_order(order_cols)
+    # bucket on (keys..., order...) like the old repartitionByRange:
+    # groups stay contiguous across buckets, so the offsets table is
+    # bounded by n_buckets + n_groups rows
+    all_pairs = _norm_order([F.col(k) for k in keys]) + order_pairs
+    bounds = _pick_bounds(_sample_tuples(df, all_pairs), all_pairs, nparts)
+    d = df.withColumn("__pid", _bucket_expr(all_pairs, bounds))
+
     aggs = [F.count(F.lit(1)).alias("__c")]
     if cum_src is not None:
         aggs.append(F.sum(cum_src).alias("__s"))
@@ -158,7 +264,7 @@ def with_grouped_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     sel = [
-        *key_cols,
+        *[F.col(k) for k in keys],
         F.col("__pid"),
         F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__coff"),
     ]
@@ -169,16 +275,14 @@ def with_grouped_rank(
     # Null-safe offsets join (r9 ADVICE): a name-list join uses plain
     # EqualTo and silently DROPS rows whose key is NULL, whereas the
     # naive Window.partitionBy this helper must be bit-identical to
-    # keeps NULL as a regular partition (groupBy/repartitionByRange
-    # above already treat NULL as an ordinary value). Rename the
-    # offsets keys and join with eqNullSafe. __pid is never NULL.
+    # keeps NULL as a regular partition. __pid is never NULL.
     offs = pc.select(*sel).withColumnRenamed("__pid", "__o_pid")
     for k in keys:
         offs = offs.withColumnRenamed(k, f"__o_{k}")
     cond = F.col("__pid") == F.col("__o_pid")
     for k in keys:
         cond = cond & F.col(k).eqNullSafe(F.col(f"__o_{k}"))
-    wloc = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+    wloc = Window.partitionBy("__pid", *keys).orderBy(*_sort_cols(order_pairs))
     out = d.join(F.broadcast(offs), cond).withColumn(
         rn_col, F.col("__coff") + F.row_number().over(wloc)
     )
@@ -194,6 +298,52 @@ def with_grouped_rank(
         + (["__soff"] if cum_src is not None else [])
     )
     return out.drop(*drop)
+
+
+def with_global_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: Sequence[OrderSpec],
+    rn_col: str = "rn",
+    n_col: Optional[str] = None,
+    cum_col: Optional[str] = None,
+    cum_src: Optional[str] = None,
+) -> DataFrame:
+    """Attach a global ``rn_col`` (1-based row_number under
+    ``order_cols``) and optionally the total row count ``n_col`` and a
+    global running sum ``cum_col`` of column ``cum_src`` — all computed
+    with bucket-local windows only (module docstring).
+
+    ``order_cols`` must be a total order (include a tiebreak key);
+    descending components as ``(col, False)`` tuples.
+    """
+    return _two_phase(spark, df, [], order_cols, rn_col, n_col, cum_col, cum_src)
+
+
+def with_grouped_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[OrderSpec],
+    rn_col: str = "rn",
+    n_col: Optional[str] = None,
+    cum_col: Optional[str] = None,
+    cum_src: Optional[str] = None,
+) -> DataFrame:
+    """Per-group ``row_number() OVER (PARTITION BY keys ORDER BY
+    order_cols)`` without per-group sort tasks (module docstring).
+    ``Window.partitionBy(key)`` funnels each group's FULL row set
+    through one sort task — fatal for 2..30 distinct key values over a
+    fact table; here sort work spreads over all buckets and each
+    group's bucket-local ranks rebase by the broadcast offsets.
+
+    ``keys`` are column names; ``order_cols`` must be a per-group
+    total order, descending components as ``(col, False)`` tuples.
+    Optional outputs mirror ``with_global_rank``: ``n_col`` = the
+    group's total row count, ``cum_col`` = the group's running sum of
+    ``cum_src`` under the same order.
+    """
+    return _two_phase(spark, df, list(keys), order_cols, rn_col, n_col, cum_col, cum_src)
 
 
 def ntile_expr(rn_col: str, n_col: str, k: int) -> Column:

@@ -1446,8 +1446,8 @@ def q44_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for score, order in [
         ("r_score", [F.col("recency_days"), F.col("custkey")]),
-        ("f_score", [F.col("frequency").desc(), F.col("custkey")]),
-        ("m_score", [F.col("monetary_cents").desc(), F.col("custkey")]),
+        ("f_score", [(F.col("frequency"), False), F.col("custkey")]),
+        ("m_score", [(F.col("monetary_cents"), False), F.col("custkey")]),
     ]:
         scored = with_global_rank(
             spark, scored, order, rn_col="__rn", n_col="__n"

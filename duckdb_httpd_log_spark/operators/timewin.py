@@ -35,6 +35,24 @@ from pyspark.sql import functions as F
 
 US_PER_DAY = 86_400_000_000
 
+# Size-adaptive dispatch, same contract as distrank's: below this
+# estimated input size the naive per-key window is the better plan
+# (slice machinery is pure overhead for a sub-GiB sort); above it the
+# sliced forms are the only plans that survive low-cardinality keys at
+# 100 TB. Unknown estimates route to the sliced path. Rehearsals and
+# plan pins force the scale path with the conf set to 0.
+NAIVE_MAX_BYTES_CONF = "spark.graft.timewin.naiveMaxBytes"
+_DEFAULT_NAIVE_MAX = str(1 << 30)
+
+
+def _use_naive(df: DataFrame) -> bool:
+    try:
+        thr = int(df.sparkSession.conf.get(NAIVE_MAX_BYTES_CONF, _DEFAULT_NAIVE_MAX))
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return False
+    return size <= thr
+
 
 def with_next_us(
     df: DataFrame,
@@ -52,6 +70,9 @@ def with_next_us(
     same gaps attached to the later row's predecessor, so operators
     needing per-key inter-arrival gaps use this single helper.
     """
+    if _use_naive(df):
+        w = Window.partitionBy(*keys).orderBy(us_col, tie_col)
+        return df.withColumn(out_col, F.lead(us_col).over(w))
     key_cols = [F.col(k) for k in keys]
     d = df.withColumn("__slice", F.expr(f"{us_col} div {slice_us}"))
     wloc = Window.partitionBy(*keys, "__slice").orderBy(us_col, tie_col)
@@ -98,6 +119,12 @@ def sliced_range_frame(
     must see is either slice-local or a context copy.
     """
     assert slice_us >= lookback_us, "slice must cover the full lookback"
+    if _use_naive(df):
+        # one all-covering slice: callers' (keys, __slice) window
+        # degenerates to the plain per-key range window
+        return df.withColumn("__slice", F.lit(0).cast("long")).withColumn(
+            "__ctx", F.lit(False)
+        )
     # floor semantics throughout (r9 ADVICE): Spark's % and div keep the
     # dividend's sign, so for pre-1970 (negative) epoch-µs the truncating
     # forms would mis-assign slice ids and never replicate boundary

@@ -42,7 +42,9 @@ Soundness per leaf:
   MMM parse accepts any month case, so a fixed-case month would be
   unsound). The range is widened by a day margin covering the line's
   own UTC offset and the session zone, and capped at _MAX_DAY_NEEDLES
-  days; wider ranges fall back to parse-everything.
+  days; wider ranges fall back to parse-everything. Bounded
+  ``year(ts)`` predicates map to plain ``/yyyy:`` needles (digits
+  only — no case issue), +-1-year margin.
 Conjunctions push every derivable conjunct and INTERSECT the time
 ranges split across their leaves; disjunctions push only if every
 branch is derivable (as an OR-of-needles group); anything else falls
@@ -280,6 +282,52 @@ def _time_literal_interval(e, domain: str) -> Optional[Tuple[int, int]]:
     return None
 
 
+def _year_leaf(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
+    """(col, lo_year|None, hi_year|None) for a comparison on
+    ``year(ts)`` — ``year()`` resolves as Year(Cast(ts AS DATE)), and
+    the raw %t text always carries the 4-digit year before the colon,
+    so a bounded year range maps to an OR group of ``/yyyy:``
+    needles (one per year, +-1 margin for zone/offset boundary
+    shifts)."""
+    op = _CMP_OPS.get(_simple(e))
+    if op is None or not ctx.ts_day_cols:
+        return None
+    l, r = _children(e)
+    for a, b, flip in ((l, r, False), (r, l, True)):
+        au = a
+        while _simple(au) in ("Cast", "AnsiCast", "TryCast"):
+            au = _children(au)[0]
+        if _simple(au) != "Year":
+            continue
+        kids = _children(au)
+        if len(kids) != 1 or _attr_name(kids[0]) not in ctx.ts_day_cols:
+            continue
+        name = _attr_name(kids[0])
+        val, dt = _literal(b)
+        if val is None:
+            return None
+        try:
+            y = int(str(val))
+        except (TypeError, ValueError):
+            return None
+        o = _FLIP[op] if flip else op
+        if o == "==":
+            return name, y, y
+        if o == ">=":
+            return name, y, None
+        return name, None, y
+    return None
+
+
+def _year_needles(lo: int, hi: int) -> Optional[List[Needle]]:
+    if lo > hi or hi - lo + 1 > 4:
+        return None
+    if lo - 1 < 1000 or hi + 1 > 9998:
+        return None  # 4-digit years only; don't bet on padding
+    # digits + punctuation only: a plain case-sensitive Contains
+    return [f"/{y}:" for y in range(lo - 1, hi + 2)]
+
+
 def _ts_leaf_interval(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
     """(col, lo_us|None, hi_us|None) for a comparison leaf on a
     ts_day column; open ends are None."""
@@ -375,6 +423,7 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
         # intersect into ONE day group; other conjuncts derive as usual
         groups: Needles = []
         intervals: dict = {}
+        years: dict = {}
         for c in _flatten_and(e):
             iv = _ts_leaf_interval(c, ctx)
             if iv is not None:
@@ -384,6 +433,14 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                 hi = cur[1] if hi is None else (hi if cur[1] is None else min(cur[1], hi))
                 intervals[name] = (lo, hi)
                 continue
+            yv = _year_leaf(c, ctx)
+            if yv is not None:
+                name, lo, hi = yv
+                cur = years.get(name, (None, None))
+                lo = cur[0] if lo is None else (lo if cur[0] is None else max(cur[0], lo))
+                hi = cur[1] if hi is None else (hi if cur[1] is None else min(cur[1], hi))
+                years[name] = (lo, hi)
+                continue
             d = derive_needles(c, ctx)
             if d:
                 groups += d
@@ -392,6 +449,11 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                 g = _day_cnf(lo, hi, ctx.margin_days)
                 if g:
                     groups += g
+        for lo, hi in years.values():
+            if lo is not None and hi is not None:
+                g = _year_needles(lo, hi)
+                if g:
+                    groups.append(g)
         return groups or None
     if cls == "Or":
         l, r = _children(e)
@@ -406,6 +468,13 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
         if lo is not None and hi is not None:
             return _day_cnf(lo, hi, ctx.margin_days)
         return None  # one-sided range alone: unbounded day set
+    yv = _year_leaf(e, ctx)
+    if yv is not None:
+        _name, lo, hi = yv
+        if lo is not None and hi is not None:
+            g = _year_needles(lo, hi)
+            return [g] if g else None
+        return None
     if cls in ("EqualTo", "EqualNullSafe"):
         l, r = _children(e)
         return _eq_needles(l, r, ctx)

@@ -30,7 +30,7 @@ import io
 import os
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import exprs as X
@@ -604,11 +604,90 @@ def _raw_lines_df(spark: SparkSession, files: list[str]) -> DataFrame:
     )
 
 
+def _raw_lines_df_jvm(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Split-parallel JVM raw-line reader (r9 verdict stretch item 9).
+
+    The Python streamer above is semantics-first (one task per file,
+    every byte through a Python worker) — ~4x slower than the fast
+    path. For files Spark's codec factory handles by NAME (plain text
+    and properly-named .gz), per-file line numbers are recoverable
+    WITHOUT per-file tasks:
+
+    1. every split carries `_metadata.file_block_start`, and a split's
+       rows are contiguous under `monotonically_increasing_id`, so
+       `mid - min(mid) OVER (file, block)` is the exact in-split line
+       index (no shuffle — the min comes from a small per-block
+       aggregate, broadcast back);
+    2. per-(file, block) line counts (empty lines INCLUDED — they
+       advance the counter) prefix-sum per file over block starts into
+       each block's starting line number;
+    3. line_number = block offset + in-split index + 1; empty lines
+       are dropped only AFTER numbering.
+
+    Both passes re-read the same deterministic file splits (leaf scan,
+    fixed listing), so the nondeterministic-by-annotation mid is
+    reproducible between them; parity with the Python streamer is
+    pinned in tests (CRLF, gzip, junk, multi-split).
+    """
+    df = (
+        spark.read.text(files)
+        .select(
+            F.col("value").alias("line"),
+            _normalize_file_uri(F.col("_metadata.file_path")).alias("log_file"),
+            F.col("_metadata.file_block_start").alias("__bstart"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    blocks = df.groupBy("log_file", "__bstart").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__minmid")
+    )
+    woff = (
+        Window.partitionBy("log_file")
+        .orderBy("__bstart")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blocks.select(
+        F.col("log_file").alias("__o_file"),
+        F.col("__bstart").alias("__o_bstart"),
+        F.col("__minmid"),
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__loff"),
+    )
+    cond = (F.col("log_file") == F.col("__o_file")) & (
+        F.col("__bstart") == F.col("__o_bstart")
+    )
+    return (
+        df.join(F.broadcast(offs), cond)
+        .withColumn(
+            "line_number", F.col("__loff") + (F.col("__mid") - F.col("__minmid")) + 1
+        )
+        .filter(F.length("line") > 0)
+        .select("log_file", "line_number", "line")
+    )
+
+
 def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> DataFrame:
     """Raw mode: per-file line numbers (empty + error lines advance the
     counter; empty lines emit no row; error rows keep parse_error=true and
-    the raw text)."""
-    df = _raw_lines_df(spark, files)
+    the raw text).
+
+    Files whose compression Spark resolves by NAME go through the
+    split-parallel JVM reader; gzip-by-magic-but-misnamed files (the
+    reference decompresses by content) stay on the per-file Python
+    streamer. Results union."""
+    import os.path as _osp
+
+    from .fs import has_scheme as _has_scheme
+
+    norm = [f if _has_scheme(f) else _osp.abspath(f) for f in files]
+    jvm_files, misnamed = _split_misnamed_gzip(norm, spark)
+    parts = []
+    if jvm_files:
+        parts.append(_raw_lines_df_jvm(spark, jvm_files))
+    if misnamed:
+        parts.append(_raw_lines_df(spark, misnamed))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
 
     ok, parts = _parse_columns(parsed, F.col("line"))
     cols = _projection(parsed, ok, parts)

@@ -34,12 +34,19 @@ def read_httpd_log_stream(
     path: str,
     format_type: Optional[str] = None,
     format_str: Optional[str] = None,
+    line_filter: Optional[str] = None,
     **options: str,
 ) -> DataFrame:
     """Streaming httpd log source. `path` is a directory watched for new
     files; format must be given explicitly (no sampling probe on an
     unbounded source). Extra `options` pass through to the file source
-    (e.g. maxFilesPerTrigger to bound micro-batch size)."""
+    (e.g. maxFilesPerTrigger to bound micro-batch size).
+
+    ``line_filter`` mirrors the batch reader's pre-regex substring skip
+    (r9 verdict item 5): a vectorized Contains on the raw line BELOW
+    the parse, so non-matching lines never reach the regex. Same
+    visible semantics as batch — the needle filters raw lines, false
+    positives are not re-filtered."""
     if format_str is None:
         if format_type == "combined":
             format_str = COMBINED_FORMAT
@@ -51,6 +58,8 @@ def read_httpd_log_stream(
 
     df = spark.readStream.options(**options).text(path)
     df = df.filter(F.length("value") > 0)
+    if line_filter:
+        df = df.filter(F.col("value").contains(line_filter))
     # same single-regex-execution shape as the batch fast path
     marked = X.materialization_barrier(
         X.marked_expr(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)

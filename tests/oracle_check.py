@@ -70,6 +70,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = []
+    matched = 0
+    rows_only = 0
     for name, qd in REGISTRY.items():
         if only and name not in only:
             continue
@@ -77,6 +79,7 @@ def main():
         srows = [tuple(r) for r in sdf.collect()]
         scols = [c.lower() for c in sdf.columns]
         if qd.oracle_sql is None:
+            rows_only += 1
             print(f"{name:28s} rows-only: {len(srows)} rows")
             continue
         orel = con.execute(qd.oracle_sql)
@@ -86,6 +89,8 @@ def main():
         ok_count = len(srows) == len(orows)
         ok_vals = row_set(srows) == row_set(orows)
         status = "MATCH" if (ok_cols and ok_count and ok_vals) else "MISMATCH"
+        if status == "MATCH":
+            matched += 1
         print(f"{name:28s} {status}  spark={len(srows)} duckdb={len(orows)} cols_ok={ok_cols}")
         if status == "MISMATCH":
             failures.append(name)
@@ -98,6 +103,28 @@ def main():
                     print(f"    spark-only:  {x}")
                 for x in list(oset - sset)[:3]:
                     print(f"    duckdb-only: {x}")
+    # ORACLE_SUMMARY=<path>: write a machine-readable sweep summary so
+    # the round-close gate can stamp CLOSE-TIME truth into
+    # docs/OPERATORS.md (the driver count there lags a round by
+    # construction — r9 verdict item 3)
+    summary_path = os.environ.get("ORACLE_SUMMARY")
+    if summary_path and not only:
+        import datetime
+        import json
+
+        with open(summary_path, "w") as fh:
+            json.dump(
+                {
+                    "matched": matched,
+                    "mismatched": len(failures),
+                    "rows_only": rows_only,
+                    "sf_dir": sf_dir,
+                    "utc": datetime.datetime.now(datetime.timezone.utc)
+                    .strftime("%Y-%m-%d %H:%MZ"),
+                },
+                fh,
+                indent=1,
+            )
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

@@ -235,3 +235,84 @@ def test_streaming_datasource_raw_mode_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(err for (_n, err, _l) in got)  # error rows survive
+
+
+def test_streaming_line_filter_applies_and_matches_batch(spark, tmp_path):
+    """r9 verdict item 5: line_filter threads through the streaming
+    source — rows equal the batch reader's line_filter semantics (raw
+    substring skip, false positives kept), and non-matching lines are
+    dropped before the regex."""
+    import shutil
+
+    logdir = tmp_path / "lfl"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+
+    stream = (
+        spark.readStream.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+        .option("line_filter", "frank")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_lf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.sql("SELECT * FROM ds_lf_stream"))
+    want = _rows(
+        read_httpd_log(
+            spark, str(logdir), format_type="common", line_filter="frank"
+        )
+    )
+    assert got == want
+    assert 0 < len(got) < _rows(
+        read_httpd_log(spark, str(logdir), format_type="common")
+    ).__len__()
+
+
+def test_batch_datasource_line_filter_matches_reader(spark, tmp_path):
+    import shutil
+
+    logdir = tmp_path / "lfb"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+    got = _rows(
+        spark.read.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+        .option("line_filter", "frank")
+        .load()
+    )
+    want = _rows(
+        read_httpd_log(
+            spark, str(logdir), format_type="common", line_filter="frank"
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_raw_mode_ignores_line_filter_in_datasource(spark, tmp_path):
+    """raw mode must count every line: the needle is ignored exactly
+    like the batch reader does."""
+    import shutil
+
+    logdir = tmp_path / "lfr"
+    logdir.mkdir()
+    shutil.copy(data("common", "with_errors.log"), logdir / "a.log")
+    got = _rows(
+        spark.read.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+        .option("raw", "true")
+        .option("line_filter", "no-such-needle")
+        .load()
+    )
+    want = _rows(
+        read_httpd_log(spark, str(logdir), format_type="common", raw=True)
+    )
+    assert got == want and len(got) > 0

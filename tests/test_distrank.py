@@ -11,14 +11,20 @@ from duckdb_httpd_log_spark.operators.distrank import ntile_expr, with_global_ra
 
 def _check(spark, rows, desc=False):
     df = spark.createDataFrame(rows, "k long, v long")
-    order = [F.col("v").desc(), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    # helper takes (col, asc) tuples for desc; the naive window takes
+    # the equivalent SortOrder columns
+    if desc:
+        order = [(F.col("v"), False), F.col("k")]
+        worder = [F.col("v").desc(), F.col("k")]
+    else:
+        order = worder = [F.col("v"), F.col("k")]
     got = {
         r.k: (r.rn, r.n, r.cum)
         for r in with_global_rank(
             spark, df, order, rn_col="rn", n_col="n", cum_col="cum", cum_src="v"
         ).collect()
     }
-    w = Window.orderBy(*order)
+    w = Window.orderBy(*worder)
     exp = {
         r.k: (r.rn, r.n, r.cum)
         for r in df.select(
@@ -68,7 +74,11 @@ from duckdb_httpd_log_spark.operators.distrank import with_grouped_rank
 
 def _check_grouped(spark, rows, keys=("g",), desc=False):
     df = spark.createDataFrame(rows, "g string, k long, v long")
-    order = [F.col("v").desc(), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    if desc:
+        order = [(F.col("v"), False), F.col("k")]
+        worder = [F.col("v").desc(), F.col("k")]
+    else:
+        order = worder = [F.col("v"), F.col("k")]
     got = {
         r.k: (r.rn, r.n, r.cum)
         for r in with_grouped_rank(
@@ -76,7 +86,7 @@ def _check_grouped(spark, rows, keys=("g",), desc=False):
             cum_col="cum", cum_src="v",
         ).collect()
     }
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*worder)
     exp = {
         r.k: (r.rn, r.n, r.cum)
         for r in df.select(
@@ -140,3 +150,41 @@ def test_grouped_null_keys_match_window(spark):
     ]
     _check_grouped(spark, rows)
     _check_grouped(spark, rows, desc=True)
+
+
+def test_adaptive_dispatch_small_known_input_uses_naive(spark, tmp_path):
+    """Parquet-backed input with known stats far under the threshold:
+    the helper must emit the plain window plan (no offsets join)."""
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("g", i, (i * 7) % 5) for i in range(100)], "g string, k long, v long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = with_grouped_rank(spark, df, ["g"], [F.col("v"), F.col("k")])
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__o_pid" not in plan  # naive window, not the two-phase scan
+    # and it is value-identical to the two-phase path (forced via conf)
+    old = spark.conf.get("spark.graft.distrank.naiveMaxBytes", None)
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        forced = with_grouped_rank(spark, df, ["g"], [F.col("v"), F.col("k")])
+        assert "__o_pid" in forced._jdf.queryExecution().analyzed().toString()
+        a = sorted((r.k, r.rn) for r in out.collect())
+        b = sorted((r.k, r.rn) for r in forced.collect())
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+        else:
+            spark.conf.set("spark.graft.distrank.naiveMaxBytes", old)
+
+
+def test_unknown_stats_route_to_scale_path(spark):
+    """createDataFrame inputs have no size estimate: the safe direction
+    is the two-phase scan (it must never silently single-task a huge
+    unknown input)."""
+    df = spark.createDataFrame(
+        [("g", i, i % 3) for i in range(50)], "g string, k long, v long"
+    )
+    out = with_grouped_rank(spark, df, ["g"], [F.col("v"), F.col("k")])
+    assert "__o_pid" in out._jdf.queryExecution().analyzed().toString()

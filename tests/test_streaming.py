@@ -716,3 +716,37 @@ def test_windowed_percentiles_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) == 2
     assert got == exp
+
+
+def test_stream_line_filter_prefilters_below_regex(spark, tmp_path):
+    """r9 verdict item 5 (executor-parallel path): line_filter= puts a
+    Contains on the raw value BELOW the parse regex in the streaming
+    plan, and rows equal the batch reader's line_filter semantics."""
+    logdir = tmp_path / "logs_lf"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+
+    stream = read_httpd_log_stream(
+        spark, str(logdir), format_type="common", line_filter="frank"
+    )
+    # plan shape: Contains(value) below the regexp projection
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "Contains(value" in plan and "regexp_replace(value" in plan
+    assert plan.index("regexp_replace(value") < plan.rindex("Contains(value")
+    _run_stream(stream, "stream_lf")
+    got = sorted(
+        map(str, spark.sql("SELECT * FROM stream_lf").drop("log_file").collect())
+    )
+    from duckdb_httpd_log_spark import read_httpd_log
+
+    want = sorted(
+        map(
+            str,
+            read_httpd_log(
+                spark, str(logdir), format_type="common", line_filter="frank"
+            )
+            .drop("log_file")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

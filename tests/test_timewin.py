@@ -209,3 +209,29 @@ def test_sliced_range_frame_negative_epoch(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_adaptive_dispatch_small_known_input_uses_naive(spark, tmp_path):
+    """r10: parquet-backed input far under the size threshold takes the
+    plain per-key window (no slice machinery); forcing the conf to 0
+    re-enables the sliced path, values identical."""
+    p = str(tmp_path / "ev.parquet")
+    _events(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = with_next_us(df, ["k"], "us", "id", slice_us=SLICE)
+    assert "__next_slice_first" not in out._jdf.queryExecution().analyzed().toString()
+    spark.conf.set("spark.graft.timewin.naiveMaxBytes", "0")
+    try:
+        forced = with_next_us(df, ["k"], "us", "id", slice_us=SLICE)
+        assert "__next_slice_first" in forced._jdf.queryExecution().analyzed().toString()
+        a = sorted((r.id, r.next_us) for r in out.collect())
+        b = sorted((r.id, r.next_us) for r in forced.collect())
+        assert a == b
+        # sliced_range_frame: naive form is the single all-covering slice
+        aug = sliced_range_frame(df, "us", lookback_us=500, slice_us=1000)
+        assert "__ctx" in aug.columns
+    finally:
+        spark.conf.unset("spark.graft.timewin.naiveMaxBytes")
+    naive_aug = sliced_range_frame(df, "us", lookback_us=500, slice_us=1000)
+    assert naive_aug.filter("__ctx").count() == 0  # no context copies
+    assert naive_aug.select("__slice").distinct().count() == 1

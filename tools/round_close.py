@@ -11,8 +11,12 @@ of the builder's gate instead of waiting for a judge read):
   3. executing dtype audit         — pandas-kind parity on every
                                      oracle at sf0.01 (int-vs-float
                                      gates, width/unit reported);
-  4. operator-index regeneration   — docs/OPERATORS.md counts match
-                                     the registry at HEAD.
+  4. local oracle sweep            — the full registry vs DuckDB at
+                                     sf0.01, summary written for the
+                                     close-time stamp;
+  5. operator-index regeneration   — docs/OPERATORS.md counts match
+                                     the registry at HEAD, plus the
+                                     close-time sweep line from step 4.
 
 Record the output in the round-close commit message. Bench and the
 full pytest suite stay separate (they have their own artifacts).
@@ -32,15 +36,21 @@ STEPS = [
     ("scale-rehearsal --assert", [sys.executable, "tools/scale_rehearsal.py", "--assert"]),
     ("thread-invariance audit", [sys.executable, "tools/thread_invariance_audit.py"]),
     ("executing dtype audit", [sys.executable, "tools/dtype_audit.py"]),
+    # full-registry local oracle sweep; writes the close-time summary
+    # that the index regen below stamps into docs/OPERATORS.md (the
+    # driver count there lags a round by construction)
+    ("local oracle sweep", [sys.executable, "tests/oracle_check.py"]),
     ("operator index regen", [sys.executable, "tools/gen_operator_index.py"]),
 ]
 
 
 def main() -> int:
+    env = dict(os.environ)
+    env["ORACLE_SUMMARY"] = os.path.join(ROOT, "docs", ".oracle_sweep_local.json")
     failures = []
     for name, cmd in STEPS:
         print(f"== {name} ==", flush=True)
-        rc = subprocess.call(cmd, cwd=ROOT)
+        rc = subprocess.call(cmd, cwd=ROOT, env=env)
         if rc != 0:
             failures.append(name)
             print(f"FAILED: {name} (exit {rc})", flush=True)

@@ -226,6 +226,11 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # the rehearsal certifies the SCALE path: disable the small-input
+    # naive-window dispatches so every ratio row measures the
+    # two-phase / sliced machinery it exists to prove (both sides)
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    spark.conf.set("spark.graft.timewin.naiveMaxBytes", "0")
 
     probe_tbl = (tables or ["lineitem"])[0]
     if not os.path.exists(f"{args.dir}/{probe_tbl}.parquet"):
