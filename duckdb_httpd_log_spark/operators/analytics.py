@@ -3709,7 +3709,7 @@ def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         spark,
         per_user,
-        [F.col("x").desc(), F.col("user_id")],
+        [(F.col("x"), False), F.col("user_id")],
         rn_col="rk",
         n_col="n",
     )
@@ -4419,7 +4419,7 @@ def q55_loo_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             scored,
             ["pri"],
-            [F.col("ratio_vs_peers").desc(), F.col("o_orderkey")],
+            [(F.col("ratio_vs_peers"), False), F.col("o_orderkey")],
             rn_col="rk",
         )
         .filter(F.col("rk") <= 3)
@@ -4883,3 +4883,53 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog timeline (r10): how many line items are "open"
+# (ordered but not yet shipped) on each active day. The scalable
+# interval-stabbing shape: each interval becomes a +1 event at its
+# start and a -1 event one day after its end, the fact-scale event
+# stream collapses to a per-day delta aggregate (one hash agg), and
+# the running total runs over the bounded DATE SPINE (~thousands of
+# rows at any corpus size) — never a per-interval window and never a
+# day x interval join. The orders⋈lineitem join shuffles on the order
+# key like the reference TPC-H shapes (q59 family).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_open_backlog",
+    """
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(l.l_shipdate AS DATE) + 1 AS d1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ev AS (
+        SELECT d0 AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT d1 AS d, -1 AS delta FROM iv
+    ),
+    daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY d)
+    SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_items
+    FROM daily
+    ORDER BY d
+    """,
+    "daily open-line-item backlog via +1/-1 interval events over the date spine",
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("l_shipdate").cast("date"), 1).alias("d1"),
+    )
+    ev = iv.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("d1").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
+    # cumulative over the DATE SPINE: bounded by the corpus time span,
+    # not the row count (the audited post-aggregate window class)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("delta").over(w).cast("bigint").alias("open_items")
+    ).orderBy("d")

@@ -909,3 +909,117 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Textual k-NN graph (r10): per-document top-K nearest neighbors by
+# word-3-gram Jaccard, candidates bounded by the shared DF-capped
+# shingle join — the text twin of similarity.ann_knn_graph (which ranks
+# by embedding cosine). Scale shape: nothing all-pairs — candidate
+# pairs exist only where a capped shingle is shared, the per-doc rank
+# partitions on doc_id (high-cardinality), and similarity is exact
+# integer-quantized Jaccard so the oracle ties cannot diverge.
+# ---------------------------------------------------------------------------
+KNN_TEXT_K = 3
+
+
+@register(
+    "dedup_text_knn",
+    f"""
+    WITH {_SQL_GRAMS},
+    gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT doc_a, doc_b, n_shared FROM inter
+        UNION ALL
+        SELECT doc_b, doc_a, n_shared FROM inter
+    ),
+    scored AS (
+        SELECT u.doc_a AS doc_id, u.doc_b AS nbr_id,
+               CAST(floor(u.n_shared * 1000000.0
+                          / (ga.n + gb.n - u.n_shared) + 0.5) AS BIGINT) AS jac_e6
+        FROM und u
+        JOIN gc ga ON ga.doc_id = u.doc_a
+        JOIN gc gb ON gb.doc_id = u.doc_b
+    ),
+    ranked AS (
+        SELECT doc_id, nbr_id, jac_e6,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jac_e6 DESC, nbr_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, nbr_id,
+           CAST(jac_e6 AS DOUBLE) / 1000000.0 AS jaccard,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {KNN_TEXT_K}
+    ORDER BY doc_id, rk
+    """,
+    "per-doc top-3 textual neighbors by word-3-gram Jaccard (DF-capped candidates)",
+)
+def dedup_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # gram IDENTITY only: 64-bit xxhash64 shingles (precedent + collision
+    # analysis in dedup_ngram_jaccard above)
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
+                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+                f" else array() end"
+            )
+        ).alias("gh"),
+    ).distinct()
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    und = inter.unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_shared",
+        )
+    )
+    ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac_e6 = fround(
+        F.col("n_shared") * F.lit(1000000.0)
+        / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac_e6").desc(), "nbr_id")
+    return (
+        und.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("nbr_id"),
+            jac_e6.alias("jac_e6"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= KNN_TEXT_K)
+        .select(
+            "doc_id",
+            "nbr_id",
+            (F.col("jac_e6").cast("double") / F.lit(1000000.0)).alias("jaccard"),
+            "rk",
+        )
+        .orderBy("doc_id", "rk")
+    )
