@@ -411,35 +411,7 @@ def read_httpd_log(
     # Verbatim columns = regex captures emitted unchanged: strings
     # except %X's remapped values; int/bigint digit tokens. Timestamps,
     # intervals, booleans, log_file, and hive keys are excluded.
-    from .logformat import BIGINT as _BI, INTEGER as _IN, VARCHAR as _VC, TsFormat
-    from .pushdown import LineFilterableFrame, PushdownContext
-
-    non_verbatim = {
-        f.column_name for f in parsed.fields if f.directive == "%X"
-    } | {"log_file"}
-    vstr = {
-        n for n, t in schema if t == _VC and n not in non_verbatim
-    }
-    vint = {n for n, t in schema if t in (_IN, _BI)}
-    # timestamp columns whose raw text is the deterministic Apache %t
-    # layout `[dd/MMM/yyyy:HH:mm:ss Z]`: single plain-%t groups only —
-    # a combined (epoch/strftime/frac) group's raw text is NOT that
-    # layout, so day needles would be unsound there
-    from collections import Counter as _Counter
-
-    _tgrp = _Counter(
-        f.timestamp_group_id
-        for f in parsed.fields
-        if f.directive == "%t" and not f.should_skip
-    )
-    ts_day = {
-        f.column_name
-        for f in parsed.fields
-        if f.directive == "%t"
-        and not f.should_skip
-        and f.timestamp_type == TsFormat.APACHE_DEFAULT
-        and _tgrp[f.timestamp_group_id] == 1
-    }
+    from .pushdown import LineFilterableFrame
 
     def _rebuild(cnf):
         return read_httpd_log(
@@ -454,11 +426,46 @@ def read_httpd_log(
             _pre_cnf=cnf,
         )
 
-    return LineFilterableFrame(
-        df,
-        _rebuild,
-        PushdownContext(verbatim_str=vstr, verbatim_int=vint, ts_day_cols=ts_day),
+    return LineFilterableFrame(df, _rebuild, pushdown_context(parsed, schema))
+
+
+def pushdown_context(parsed: ParsedFormat, schema: list):
+    """PushdownContext for a scan of ``parsed`` emitting ``schema``
+    (name, type) pairs — what sources/pushdown.py may assume VERBATIM
+    (shared by the batch reader and the streaming source):
+
+    - strings: regex captures emitted unchanged — excludes %X's
+      remapped close/keepalive/aborted values and log_file;
+    - ints: digit tokens (try_cast);
+    - ts_day_cols: timestamp columns whose raw text is the
+      deterministic Apache %t layout `[dd/MMM/yyyy:HH:mm:ss Z]` —
+      single plain-%t groups only (a combined epoch/strftime/frac
+      group's raw text is NOT that layout, so day needles would be
+      unsound there)."""
+    from collections import Counter as _Counter
+
+    from .logformat import BIGINT as _BI, INTEGER as _IN, VARCHAR as _VC, TsFormat
+    from .pushdown import PushdownContext
+
+    non_verbatim = {
+        f.column_name for f in parsed.fields if f.directive == "%X"
+    } | {"log_file"}
+    vstr = {n for n, t in schema if t == _VC and n not in non_verbatim}
+    vint = {n for n, t in schema if t in (_IN, _BI)}
+    _tgrp = _Counter(
+        f.timestamp_group_id
+        for f in parsed.fields
+        if f.directive == "%t" and not f.should_skip
     )
+    ts_day = {
+        f.column_name
+        for f in parsed.fields
+        if f.directive == "%t"
+        and not f.should_skip
+        and f.timestamp_type == TsFormat.APACHE_DEFAULT
+        and _tgrp[f.timestamp_group_id] == 1
+    }
+    return PushdownContext(verbatim_str=vstr, verbatim_int=vint, ts_day_cols=ts_day)
 
 
 def _parse_columns(parsed: ParsedFormat, value):

@@ -35,6 +35,7 @@ def read_httpd_log_stream(
     format_type: Optional[str] = None,
     format_str: Optional[str] = None,
     line_filter: Optional[str] = None,
+    _pre_cnf=None,
     **options: str,
 ) -> DataFrame:
     """Streaming httpd log source. `path` is a directory watched for new
@@ -46,7 +47,13 @@ def read_httpd_log_stream(
     (r9 verdict item 5): a vectorized Contains on the raw line BELOW
     the parse, so non-matching lines never reach the regex. Same
     visible semantics as batch — the needle filters raw lines, false
-    positives are not re-filtered."""
+    positives are not re-filtered.
+
+    The result additionally performs the AUTOMATIC pushdown (exactly
+    like the batch fast path): a typed ``.filter(...)`` placed directly
+    on it derives sound raw-line needles (sources/pushdown.py) and
+    re-plans the stream with them below the regex; ``_pre_cnf`` is that
+    machinery's internal re-entry argument."""
     if format_str is None:
         if format_type == "combined":
             format_str = COMBINED_FORMAT
@@ -60,6 +67,10 @@ def read_httpd_log_stream(
     df = df.filter(F.length("value") > 0)
     if line_filter:
         df = df.filter(F.col("value").contains(line_filter))
+    if _pre_cnf:
+        from ..sources.pushdown import apply_cnf
+
+        df = apply_cnf(df, _pre_cnf)
     # same single-regex-execution shape as the batch fast path
     marked = X.materialization_barrier(
         X.marked_expr(F.col("value"), parsed.regex_pattern, parsed.num_capture_groups)
@@ -68,7 +79,28 @@ def read_httpd_log_stream(
     ok, parts = X.ok_and_parts(F.col("__m"), parsed.num_capture_groups)
     cols = _projection(parsed, ok, parts)
     cols.append(F.col("__f").alias("log_file"))
-    return df.filter(ok).select(*cols)
+    out = df.filter(ok).select(*cols)
+    if _pre_cnf is not None:
+        return out
+
+    from ..sources.logformat import generate_schema
+    from ..sources.pushdown import LineFilterableFrame
+    from ..sources.reader import pushdown_context
+
+    def _rebuild(cnf):
+        return read_httpd_log_stream(
+            spark,
+            path,
+            format_type=format_type,
+            format_str=format_str,
+            line_filter=line_filter,
+            _pre_cnf=cnf,
+            **options,
+        )
+
+    return LineFilterableFrame(
+        out, _rebuild, pushdown_context(parsed, generate_schema(parsed, False))
+    )
 
 
 def windowed_status_counts(

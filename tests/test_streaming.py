@@ -750,3 +750,32 @@ def test_stream_line_filter_prefilters_below_regex(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_automatic_pushdown_derives_needles(spark, tmp_path):
+    """r10: a typed filter placed directly on the streaming scan derives
+    the raw-line needles automatically (no line_filter= anywhere) and
+    rows equal the un-pushed streaming plan."""
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+    logdir = tmp_path / "logs_auto"
+    logdir.mkdir()
+    shutil.copy(data("common", "sample.log"), logdir / "a.log")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    assert isinstance(stream, LineFilterableFrame) and stream.isStreaming
+    pushed = stream.filter(F.col("status") == 404)
+    plan = pushed._jdf.queryExecution().analyzed().toString()
+    assert "Contains(value" in plan  # derived needle below the parse
+    _run_stream(pushed, "stream_auto_pushed")
+    got = sorted(
+        map(str, spark.sql("SELECT * FROM stream_auto_pushed").drop("log_file").collect())
+    )
+    naive = super(LineFilterableFrame, stream).filter(F.col("status") == 404)
+    _run_stream(naive, "stream_auto_naive")
+    want = sorted(
+        map(str, spark.sql("SELECT * FROM stream_auto_naive").drop("log_file").collect())
+    )
+    assert got == want and len(got) == 1
