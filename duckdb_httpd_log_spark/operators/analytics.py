@@ -4910,9 +4910,10 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d1 AS d, -1 AS delta FROM iv
     ),
     daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY d)
-    SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_items
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_items
     FROM daily
-    ORDER BY d
+    ORDER BY day
     """,
     "daily open-line-item backlog via +1/-1 interval events over the date spine",
 )
@@ -4928,8 +4929,11 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
     # cumulative over the DATE SPINE: bounded by the corpus time span,
-    # not the row count (the audited post-aggregate window class)
+    # not the row count (the audited post-aggregate window class);
+    # the day goes out as a STRING (repo date-output convention — the
+    # engines' pandas date dtypes disagree, values don't)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
-        "d", F.sum("delta").over(w).cast("bigint").alias("open_items")
-    ).orderBy("d")
+        F.col("d").cast("string").alias("day"),
+        F.sum("delta").over(w).cast("bigint").alias("open_items"),
+    ).orderBy("day")

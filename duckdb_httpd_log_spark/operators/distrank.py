@@ -102,6 +102,14 @@ def _sample_tuples(df: DataFrame, pairs) -> List[tuple]:
             .limit(_SAMPLE_CAP)
             .collect()
         )
+        if len(samp) >= _SAMPLE_CAP and frac > 1e-12:
+            # the LIMIT bound: CollectLimit takes the FIRST partitions,
+            # which would bias bounds toward early file splits (e.g.
+            # early dates in time-ordered data) — resample thinner for
+            # an unbiased Bernoulli draw (floor well below the initial
+            # 1e-7 so even ~1e12-row inputs converge to an unbound draw)
+            frac = max(frac * (_SAMPLE_TARGET / (2.0 * _SAMPLE_CAP)), 1e-12)
+            continue
         if len(samp) >= min_rows or frac >= 1.0:
             break
         # unknown stats (defaultSizeInBytes = Long.MaxValue) start the
