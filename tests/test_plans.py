@@ -222,3 +222,30 @@ def test_two_phase_rank_ops_partition_local(spark):
             assert "pid" in plan or "ExistingRDD" in plan, name
     finally:
         spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+
+
+def test_distrank_two_phase_physical_shape(spark, tmp_path):
+    """r10 pin: the forced two-phase rank must show the pinned-bounds
+    shape — NO range exchange (the r9 repartitionByRange is gone), NO
+    checkpoint lineage truncation (Scan ExistingRDD), a broadcast
+    offsets join, and the window's hash exchange."""
+    from duckdb_httpd_log_spark.operators.distrank import with_grouped_rank
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [((None if i % 7 == 0 else f"g{i % 3}"), i, (i * 37) % 11) for i in range(400)],
+        "g string, k long, v long",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        out = with_grouped_rank(spark, df, ["g"], [F.col("v"), F.col("k")])
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" in plan
