@@ -188,3 +188,41 @@ def test_unknown_stats_route_to_scale_path(spark):
     )
     out = with_grouped_rank(spark, df, ["g"], [F.col("v"), F.col("k")])
     assert "__o_pid" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_two_phase_mixed_types_forced(spark):
+    """Decimal, timestamp, and desc components through the FORCED
+    two-phase path: pins the bound-literal round-trip (F.lit of
+    Decimal/datetime) and composite monotonicity for non-long types —
+    at sf0.01 the adaptive dispatch picks the naive window, so only
+    this test and the rehearsals exercise these literals."""
+    import datetime as dt
+    from decimal import Decimal
+
+    rows = [
+        (
+            f"g{i % 3}",
+            i,
+            Decimal(f"{(i * 37) % 50}.{i % 100:02d}"),
+            dt.datetime(2024, 1 + (i % 12), 1 + (i % 28), i % 24, 0, 0),
+        )
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, price decimal(10,2), ts timestamp")
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        got = {
+            r.k: r.rn
+            for r in with_grouped_rank(
+                spark, df, ["g"],
+                [(F.col("price"), False), F.col("ts"), F.col("k")],
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+    w = Window.partitionBy("g").orderBy(F.col("price").desc(), "ts", "k")
+    exp = {
+        r.k: r.rn
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == exp
