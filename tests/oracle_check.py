@@ -65,6 +65,12 @@ def main():
         master=os.environ.get("ORACLE_MASTER", "local[8]"),
         shuffle_partitions=int(os.environ.get("ORACLE_PARTS", "8")),
     )
+    if os.environ.get("ORACLE_FORCE_SCALE"):
+        # prove every oracle THROUGH the scale machinery (two-phase
+        # rank, sliced time windows) — the size-adaptive dispatches
+        # would otherwise pick the naive window at oracle scale
+        spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+        spark.conf.set("spark.graft.timewin.naiveMaxBytes", "0")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
