@@ -15,6 +15,7 @@ Public API:
 from .session import get_spark, register_tables
 from .sources.conf import read_httpd_conf
 from .sources.reader import read_httpd_log
+from .sources.writer import write_httpd_log
 
 
 def register_datasource(spark) -> None:
@@ -42,6 +43,7 @@ def register_log_view(spark, name: str, path, **kwargs) -> None:
 
 __all__ = [
     "read_httpd_log",
+    "write_httpd_log",
     "read_httpd_conf",
     "get_spark",
     "register_datasource",
