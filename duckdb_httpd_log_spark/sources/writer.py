@@ -184,3 +184,34 @@ def write_httpd_log(
     parsed = parse_format_string(format_str)
     line = format_line_expr(parsed)  # validates the format before any IO
     df.select(line.alias("value")).write.mode(mode).options(**options).text(path)
+
+
+def write_httpd_log_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    format_type: Optional[str] = None,
+    format_str: Optional[str] = None,
+    **options: str,
+):
+    """Streaming twin: render a STREAMING typed log DataFrame to rolling
+    text files (one line per row, same inverse-formatting contract).
+    Returns the started StreamingQuery; pass trigger options etc. via
+    the writeStream ``options``."""
+    if format_str is None:
+        if format_type == "combined":
+            format_str = COMBINED_FORMAT
+        elif format_type in ("common", None):
+            format_str = COMMON_FORMAT
+        else:
+            raise ValueError(f"Invalid format_type '{format_type}' for writing")
+    parsed = parse_format_string(format_str)
+    line = format_line_expr(parsed)
+    return (
+        df.select(line.alias("value"))
+        .writeStream.format("text")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .options(**options)
+        .start()
+    )

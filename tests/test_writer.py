@@ -118,3 +118,28 @@ def test_unsupported_format_raises(spark):
     df = None
     with pytest.raises(ValueError):
         write_httpd_log(df, "/tmp/x", format_str="%{sec}t %{msec_frac}t %h")
+
+
+def test_streaming_writer_round_trips(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.writer import write_httpd_log_stream
+    from duckdb_httpd_log_spark.streaming.log_stream import read_httpd_log_stream
+
+    indir = tmp_path / "sin"
+    indir.mkdir()
+    (indir / "a.log").write_text(
+        '5.5.5.5 - u [10/Oct/2024:13:55:36 +0000] "GET /s HTTP/1.1" 200 11\n'
+        '6.6.6.6 - - [10/Oct/2024:13:55:37 +0000] "POST /t HTTP/1.1" 404 0\n'
+    )
+    stream = read_httpd_log_stream(spark, str(indir), format_type="common")
+    out = str(tmp_path / "sout")
+    q = write_httpd_log_stream(
+        stream.drop("log_file").withColumn("log_file", F.lit("x")),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        format_type="common",
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = read_httpd_log(spark, f"{out}/part-*", format_type="common")
+    src = read_httpd_log(spark, str(indir), format_type="common")
+    assert _rows_no_file(back) == _rows_no_file(src)
