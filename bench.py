@@ -403,6 +403,26 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_2m_raw"] = round(statistics.median(runs), 4)
 
+        # inverse-formatter sink (r10): render the 2M-row typed frame
+        # back to CLF text — one codegen'd concat projection + text write
+        from duckdb_httpd_log_spark import write_httpd_log
+
+        typed_2m = read_httpd_log(spark, big_path, format_type="combined")
+
+        def _write_once(tag):
+            write_httpd_log(
+                typed_2m, os.path.join(td, f"wout_{tag}"),
+                format_type="combined", mode="overwrite",
+            )
+
+        _write_once("warm")
+        runs = []
+        for i in range(N_RUNS):
+            t0 = time.perf_counter()
+            _write_once(str(i))
+            runs.append(time.perf_counter() - t0)
+        timings["log_write_2m"] = round(statistics.median(runs), 4)
+
         # parse-error-heavy axis (r8 verdict stretch item 7): 2M lines
         # with 20% junk — measures the error path's cost (mark-and-split
         # miss -> NULL typed columns + retained raw line) separately
