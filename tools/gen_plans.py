@@ -171,6 +171,9 @@ INTEREST = [
     # r5: the last two single-task global windows, now on distrank
     "events_session_stats",
     "orders_customer_lifespan",
+    # r10 additions
+    "dedup_text_knn",
+    "orders_open_backlog",
 ]
 
 NODES = [
