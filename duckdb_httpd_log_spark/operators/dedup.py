@@ -76,6 +76,40 @@ def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.join(F.broadcast(hot), "g", "left_anti")
 
 
+def _hashed_capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): distinct DF-capped xxhash64 word-3-gram shingles,
+    materialized once.
+
+    Gram IDENTITY only, not content: hashing inside the gram-building
+    transform means the distinct, the DF-cap aggregate, and the pair
+    joins all shuffle 8-byte longs instead of ~20-byte strings
+    (collision odds over ~10^6 distinct shingles are ~10^-7 — far below
+    the engines' float-rounding agreement threshold; the oracle's
+    cap-on-string is identical sans collisions). Multiple consumers
+    (doc sizes + both sides of a pair join) carry alias renames that
+    defeat exchange reuse — the lazy serialized checkpoint runs the
+    explode pipeline once. Shared by dedup_ngram_jaccard and
+    dedup_text_knn."""
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) >= {NGRAM} then"
+                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
+                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
+                f" else array() end"
+            )
+        ).alias("gh"),
+    ).distinct()
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
+    return grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+
+
+
 # SQL fragments shared by the oracle queries (DuckDB dialect)
 _SQL_GRAMS = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -137,32 +171,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-3-gram Jaccard near-dup pairs at threshold 0.5 with hot-shingle DF cap",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The whole pipeline only needs gram IDENTITY, not content: hash each
-    # shingle to a 64-bit xxhash64 INSIDE the gram-building transform, so
-    # the distinct, the DF-cap aggregate, and the pair join all shuffle
-    # 8-byte longs instead of ~20-byte strings (collision odds over ~10^6
-    # distinct shingles are ~10^-7 — far below the engines' float-
-    # rounding agreement threshold; the oracle's cap-on-string is
-    # identical sans collisions). Three consumers (gc + both sides of
-    # the pair join) with alias renames that defeat exchange reuse —
-    # materialize once.
-    docs_t = table(spark, sf_dir, "documents")
-    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"case when size(t) >= {NGRAM} then"
-                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
-                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
-                f" else array() end"
-            )
-        ).alias("gh"),
-    ).distinct()
-    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
-    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    grams = _hashed_capped_grams(spark, sf_dir)
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
@@ -963,25 +972,7 @@ KNN_TEXT_K = 3
 def dedup_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # gram IDENTITY only: 64-bit xxhash64 shingles (precedent + collision
-    # analysis in dedup_ngram_jaccard above)
-    docs_t = table(spark, sf_dir, "documents")
-    toks = docs_t.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"case when size(t) >= {NGRAM} then"
-                f" transform(sequence(1, size(t) - {NGRAM - 1}),"
-                f"  i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1])))"
-                f" else array() end"
-            )
-        ).alias("gh"),
-    ).distinct()
-    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > DF_CAP)
-    grams = grams.join(F.broadcast(hot), "gh", "left_anti").localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    grams = _hashed_capped_grams(spark, sf_dir)
     gc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
