@@ -486,11 +486,32 @@ def main() -> None:
             df = read_httpd_log(spark, date_path, format_type="combined")
             return super(LineFilterableFrame, df).filter(_dpred).count()
 
+        # one-sided "since X" pushdown (r11 / r10 verdict item 1): the
+        # open-above range closes from the file's mtime — pinned here
+        # (utime) just past the corpus's last day, so the 3-day tail
+        # derives full DAY needles (~3/28 of lines reach the regex)
+        _ot = time.mktime((2024, 10, 29, 0, 0, 0, 0, 0, 0))
+        os.utime(date_path, (_ot, _ot))
+        _opred = _F.col("timestamp") >= "2024-10-26 00:00:00"
+
+        def _open_pushed():
+            return (
+                read_httpd_log(spark, date_path, format_type="combined")
+                .filter(_opred)
+                .count()
+            )
+
+        def _open_naive():
+            df = read_httpd_log(spark, date_path, format_type="combined")
+            return super(LineFilterableFrame, df).filter(_opred).count()
+
         for key, fnp in (
             ("log_scan_2m_path_pushdown", _pushed),
             ("log_scan_2m_path_naive", _naive),
             ("log_scan_2m_date_pushdown", _date_pushed),
             ("log_scan_2m_date_naive", _date_naive),
+            ("log_scan_2m_since_pushdown", _open_pushed),
+            ("log_scan_2m_since_naive", _open_naive),
         ):
             fnp()  # warm-up
             runs = []

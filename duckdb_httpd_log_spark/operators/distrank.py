@@ -40,6 +40,7 @@ the previous ``.desc()`` form produced.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -128,14 +129,19 @@ def _pick_bounds(samples: List[tuple], pairs, nparts: int) -> List[tuple]:
     split points."""
     rows = list(samples)
     # iterative stable sorts, last component first = lexicographic;
-    # (not-null, value) keys place NULL first under asc and (with
-    # reverse) last under desc — Spark's default null placement
+    # (not-null, is-nan, value) keys place NULL first under asc and
+    # (with reverse) last under desc, and sort NaN greatest among
+    # non-null — Spark's null placement and NaN ordering (Python NaN
+    # comparisons are all false, so a bare t[i] key would leave NaN
+    # rows wherever the stable sort found them)
+    def _key(t, i):
+        v = t[i]
+        nan = isinstance(v, float) and math.isnan(v)
+        return (v is not None, nan, 0.0 if nan else v)
+
     for i in range(len(pairs) - 1, -1, -1):
         asc = pairs[i][1]
-        rows.sort(
-            key=lambda t, i=i: (t[i] is not None, t[i]),
-            reverse=not asc,
-        )
+        rows.sort(key=lambda t, i=i: _key(t, i), reverse=not asc)
     bounds: List[tuple] = []
     n = len(rows)
     if n == 0:
@@ -177,6 +183,15 @@ def _bucket_expr(pairs, bounds: List[tuple]) -> Column:
     deterministic expression, monotone in the order (bucket(a) <=
     bucket(b) whenever a sorts before b), so bucket-local ranks rebase
     to exact global ranks.
+
+    Monotonicity is STRUCTURAL, independent of the bound values or
+    their order: every _lex_after(b) predicate is itself monotone in
+    the row order, and left-subtree ids < right-subtree ids, so by
+    induction the tree is monotone for ANY bounds list. A mis-sorted
+    bounds list (e.g. a NaN-confused sample sort) can therefore only
+    skew bucket BALANCE — never ranks (pinned empirically:
+    tests/test_distrank.py NaN case was verified correct even under a
+    deliberately scrambled bounds permutation).
 
     Emitted as a BINARY-SEARCH CASE tree: evaluation touches
     O(log nbounds) comparisons per row (a flat sum over all bounds

@@ -336,3 +336,33 @@ def read_all(spark: Optional[SparkSession], path: str) -> bytes:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
+
+def max_mtime(spark: Optional[SparkSession], files: list[str]) -> Optional[float]:
+    """Largest modification time (epoch seconds, UTC) over ``files``,
+    or None when any file's mtime is unavailable. Local paths stat
+    directly (no JVM); scheme-qualified paths go through Hadoop's
+    FileSystem (getModificationTime is epoch millis). Used by the
+    time-range pushdown to close an open-above interval: a log line's
+    %t instant cannot be later than its file's last modification
+    (+clock-skew margin), so max mtime is a sound upper bound for any
+    timestamp in a FIXED file set (batch only — a stream's future
+    files would arrive with later mtimes)."""
+    if not files:
+        return None
+    best: Optional[float] = None
+    try:
+        for f in files:
+            if has_scheme(f) and scheme_of(f) != "file":
+                s = _session_or_none(spark)
+                if s is None:
+                    return None
+                _jvm, hfs, jpath = _fs_for(s, f)
+                t = hfs.getFileStatus(jpath).getModificationTime() / 1000.0
+            else:
+                p = _uri_path(f) if has_scheme(f) else f
+                t = os.path.getmtime(p)
+            if best is None or t > best:
+                best = t
+    except Exception:
+        return None
+    return best

@@ -163,6 +163,10 @@ class FormatField:
     is_end_timestamp: bool = False
     # 1-based index of this field's regex capture group (None if non-capturing)
     capture_index: Optional[int] = None
+    # span of this directive's raw text in original_format_str (includes any
+    # stripped %400,501 / %!200 status condition); -1 when built by hand
+    raw_start: int = -1
+    raw_end: int = -1
 
 
 @dataclass
@@ -367,6 +371,7 @@ def parse_format_string(format_str: str) -> ParsedFormat:
 
         modifier = ""
         directive = ""
+        field_start = pos
 
         # Skip optional status-code condition: %400,501{..} / %!200,304{..}
         # (conditions are stripped; the directive behaves unconditionally)
@@ -410,6 +415,8 @@ def parse_format_string(format_str: str) -> ParsedFormat:
             type=get_data_type(directive, modifier),
             is_quoted=in_quotes,
             modifier=modifier,
+            raw_start=field_start,
+            raw_end=pos,
         )
         if directive == "%t":
             if modifier == "":
@@ -465,8 +472,11 @@ def generate_regex_pattern(parsed: ParsedFormat) -> tuple[str, int]:
             continue
         if c == "%" and field_idx < len(parsed.fields):
             f = parsed.fields[field_idx]
-            # advance past the directive text
-            if f.modifier:
+            # advance past the directive text (raw span covers stripped
+            # %400,501 / %!200 status conditions too)
+            if f.raw_end > pos:
+                pos = f.raw_end
+            elif f.modifier:
                 close = fmt.find("}", pos)
                 if f.directive.startswith("%^"):
                     pos = close + 4  # }^ti / }^to

@@ -45,6 +45,19 @@ Soundness per leaf:
   days; wider ranges fall back to parse-everything. Bounded
   ``year(ts)`` predicates map to plain ``/yyyy:`` needles (digits
   only — no case issue), +-1-year margin.
+- OPEN-ABOVE ranges (``ts >= lo`` / ``year(ts) >= y`` — the "since X"
+  filter) close their open end at derivation time from the FILE
+  LISTING's max modification time (fs.max_mtime): a log line's %t is
+  the request-arrival instant, written to the file no later than the
+  file's last modification, so max mtime (+the usual margins) bounds
+  every instant in a fixed file set. Batch scans only — a stream's
+  future files arrive with later mtimes, so the streaming source
+  never binds this. Opt out with spark.graft.pushdown.mtimeBound=
+  false for pathological corpora carrying future-dated lines (the
+  one assumption this leans on).
+- bounded ranges too wide for day tokens (and mtime-closed ranges)
+  degrade to a coarser ``/yyyy:`` year-needle group instead of
+  falling back to parse-everything.
 Conjunctions push every derivable conjunct and INTERSECT the time
 ranges split across their leaves; disjunctions push only if every
 branch is derivable (as an OR-of-needles group); anything else falls
@@ -109,6 +122,23 @@ class PushdownContext:
     verbatim_int: set = field(default_factory=set)
     ts_day_cols: set = field(default_factory=set)
     margin_days: int = 2
+    # Closes an OPEN-ABOVE time range (``ts >= lo``, the "since X"
+    # filter) at derivation time: returns an upper-bound epoch-µs for
+    # any %t instant in the scanned FILE SET, or None. Batch scans
+    # bind it to the listing's max modification time (fs.max_mtime) —
+    # a line's request time cannot be later than its file's last
+    # write (+margin_days / +1y of skew slack applied downstream).
+    # Streaming scans leave it None: future files arrive with later
+    # mtimes, so no bind-time bound is sound there.
+    hi_us_fn: Optional[Callable[[], Optional[int]]] = None
+    _hi_us_cache: object = field(default=(), repr=False)
+
+    def hi_us(self) -> Optional[int]:
+        if self.hi_us_fn is None:
+            return None
+        if self._hi_us_cache == ():
+            object.__setattr__(self, "_hi_us_cache", self.hi_us_fn())
+        return self._hi_us_cache
 
 
 def _simple(e) -> str:
@@ -383,6 +413,39 @@ def _day_cnf(lo_us: int, hi_us: int, margin: int) -> Optional[Needles]:
     return [sorted(days), sorted(months)]
 
 
+def _year_group_from_us(lo_us: int, hi_us: int, margin: int) -> Optional[List[Needle]]:
+    """Fallback when a bounded range is too wide for day needles: the
+    ``/yyyy:`` year group spanning [lo, hi] (+margin days each side;
+    _year_needles adds a further +-1 year of zone/skew slack). Much
+    coarser than day tokens but still skips whole off-year files."""
+    if lo_us > hi_us:
+        return None
+    epoch = _dt.date(1970, 1, 1)
+    try:
+        ylo = (epoch + _dt.timedelta(days=lo_us // _US_PER_DAY - margin)).year
+        yhi = (epoch + _dt.timedelta(days=hi_us // _US_PER_DAY + margin)).year
+    except OverflowError:
+        return None
+    return _year_needles(ylo, yhi)
+
+
+def _bounded_time_groups(
+    lo_us: Optional[int], hi_us: Optional[int], ctx: "PushdownContext"
+) -> Optional[Needles]:
+    """CNF groups for a time interval, closing an open-above end from
+    the file listing's mtime bound (ctx.hi_us) when available. Day
+    needles when the range is narrow enough, year needles otherwise."""
+    if lo_us is not None and hi_us is None:
+        hi_us = ctx.hi_us()
+    if lo_us is None or hi_us is None:
+        return None  # open-below (or unclosable) range: no sound needle
+    g = _day_cnf(lo_us, hi_us, ctx.margin_days)
+    if g:
+        return g
+    yg = _year_group_from_us(lo_us, hi_us, ctx.margin_days)
+    return [yg] if yg else None
+
+
 def _flatten_and(e) -> list:
     if _simple(e) == "And":
         l, r = _children(e)
@@ -445,11 +508,17 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
             if d:
                 groups += d
         for lo, hi in intervals.values():
-            if lo is not None and hi is not None:
-                g = _day_cnf(lo, hi, ctx.margin_days)
-                if g:
-                    groups += g
+            g = _bounded_time_groups(lo, hi, ctx)
+            if g:
+                groups += g
         for lo, hi in years.values():
+            if lo is not None and hi is None:
+                hi_us = ctx.hi_us()
+                if hi_us is not None:
+                    hi = (
+                        _dt.date(1970, 1, 1)
+                        + _dt.timedelta(days=hi_us // _US_PER_DAY)
+                    ).year
             if lo is not None and hi is not None:
                 g = _year_needles(lo, hi)
                 if g:
@@ -464,13 +533,18 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
         return None
     iv = _ts_leaf_interval(e, ctx)
     if iv is not None:
-        name, lo, hi = iv
-        if lo is not None and hi is not None:
-            return _day_cnf(lo, hi, ctx.margin_days)
-        return None  # one-sided range alone: unbounded day set
+        _name, lo, hi = iv
+        # open-above closes from the listing's mtime bound; too-wide
+        # bounded ranges degrade to year needles (_bounded_time_groups)
+        return _bounded_time_groups(lo, hi, ctx)
     yv = _year_leaf(e, ctx)
     if yv is not None:
         _name, lo, hi = yv
+        if lo is not None and hi is None:
+            hi_us = ctx.hi_us()
+            if hi_us is None:
+                return None
+            hi = (_dt.date(1970, 1, 1) + _dt.timedelta(days=hi_us // _US_PER_DAY)).year
         if lo is not None and hi is not None:
             g = _year_needles(lo, hi)
             return [g] if g else None

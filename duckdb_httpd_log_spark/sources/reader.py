@@ -426,10 +426,26 @@ def read_httpd_log(
             _pre_cnf=cnf,
         )
 
-    return LineFilterableFrame(df, _rebuild, pushdown_context(parsed, schema))
+    def _mtime_hi_us():
+        # upper-bound epoch-µs for any %t instant in this FIXED file
+        # set: the listing's max modification time (see fs.max_mtime).
+        # Opt out with spark.graft.pushdown.mtimeBound=false (e.g. for
+        # pathological corpora carrying future-dated lines).
+        if str(
+            spark.conf.get("spark.graft.pushdown.mtimeBound", "true")
+        ).lower() != "true":
+            return None
+        from .fs import max_mtime
+
+        mt = max_mtime(spark, files)
+        return None if mt is None else int(mt * 1_000_000)
+
+    return LineFilterableFrame(
+        df, _rebuild, pushdown_context(parsed, schema, hi_us_fn=_mtime_hi_us)
+    )
 
 
-def pushdown_context(parsed: ParsedFormat, schema: list):
+def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
     """PushdownContext for a scan of ``parsed`` emitting ``schema``
     (name, type) pairs — what sources/pushdown.py may assume VERBATIM
     (shared by the batch reader and the streaming source):
@@ -465,7 +481,12 @@ def pushdown_context(parsed: ParsedFormat, schema: list):
         and f.timestamp_type == TsFormat.APACHE_DEFAULT
         and _tgrp[f.timestamp_group_id] == 1
     }
-    return PushdownContext(verbatim_str=vstr, verbatim_int=vint, ts_day_cols=ts_day)
+    return PushdownContext(
+        verbatim_str=vstr,
+        verbatim_int=vint,
+        ts_day_cols=ts_day,
+        hi_us_fn=hi_us_fn,
+    )
 
 
 def _parse_columns(parsed: ParsedFormat, value):

@@ -101,7 +101,10 @@ def _field_text(f: FormatField) -> Column:
             ).otherwise(col.cast("string"))
         return _dash_null(col)
     if f.type == INTERVAL:
-        us = col.cast("long")  # DayTimeIntervalType -> exact µs
+        # DayTimeIntervalType -> long truncates to end-field SECONDS;
+        # go through decimal(20,6) (seconds with fractional µs) for
+        # exact microseconds
+        us = (col.cast("decimal(20,6)") * F.lit(1_000_000)).cast("long")
         if f.directive == "%T":
             if f.modifier == "ms":
                 us = (us / F.lit(1000)).cast("long")
@@ -146,7 +149,10 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
         c = fmt[pos]
         if c == "%" and field_idx < len(parsed.fields):
             f = parsed.fields[field_idx]
-            if f.modifier:
+            # raw span covers stripped %400,501 / %!200 status conditions
+            if f.raw_end > pos:
+                pos = f.raw_end
+            elif f.modifier:
                 close = fmt.find("}", pos)
                 pos = close + (4 if f.directive.startswith("%^") else 2)
             else:

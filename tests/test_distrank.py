@@ -226,3 +226,47 @@ def test_two_phase_mixed_types_forced(spark):
         for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_two_phase_nan_ordering_forced(spark, desc):
+    """ADVICE r10: NaN in a double order column. Python NaN comparisons
+    are all false, so _pick_bounds needs an explicit is-nan sort key to
+    match Spark's NaN-greatest total order (without it the sample sort
+    leaves real inversions and bounds skew bucket balance); _lex_after
+    relies on Spark's NaN comparison semantics (NaN = NaN true,
+    NaN > x true). Ranks stay exact even under mis-sorted bounds —
+    _bucket_expr's monotonicity is structural (see its docstring) —
+    so this pins the NaN *comparison* path end-to-end and the balanced
+    key, asc and desc."""
+    # reverse-ordered values with NaN every 3rd row: Python's broken
+    # NaN comparisons leave real inversions among the NON-nan values
+    # after a stable sort (transitivity breaks inside Timsort merges),
+    # so a bad key picks non-monotone bounds here
+    nan = float("nan")
+    rows = []
+    for i in range(300):
+        if i % 3 == 0:
+            v = nan
+        elif i % 31 == 0:
+            v = None
+        else:
+            v = float(300 - i)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "k long, v double")
+    order = [(F.col("v"), False), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    worder = [F.col("v").desc(), F.col("k")] if desc else [F.col("v"), F.col("k")]
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        got = {
+            r.k: r.rn
+            for r in with_global_rank(spark, df, order, rn_col="rn").collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+    w = Window.orderBy(*worder)
+    exp = {
+        r.k: r.rn
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == exp

@@ -296,3 +296,19 @@ def test_detect_majority_rule():
     lines = [COMMON_LINE] * 2 + ["junk"] * 8
     fmt, _ = detect_format(lines)
     assert fmt == "unknown"
+
+
+def test_status_condition_regex_consumes_condition_text():
+    # ADVICE r10: the regex walker must consume the stripped condition
+    # chars — '%400s' must NOT leave a literal '00s' in the pattern
+    import re
+
+    for fmt, line in [
+        ("%h %400s %b", "1.2.3.4 400 123"),
+        ("%h %!200,304s %b", "1.2.3.4 500 99"),
+        ("%h %!200{Referer}i %b", '1.2.3.4 http://r 7'),
+    ]:
+        p = parse_format_string(fmt)
+        pat = p.regex_pattern
+        assert "00s" not in pat and "200,304" not in pat and "!200" not in pat
+        assert re.match(pat.replace("++", "+").replace("*+", "*"), line), (fmt, pat)

@@ -12,6 +12,7 @@ Three contracts:
 """
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -106,12 +107,24 @@ def test_non_derivable_falls_back(spark, log_path):
     assert out.count() == 3
 
 
-def test_timestamp_filter_not_pushed(spark, log_path):
-    # timestamp columns are transformed, never verbatim
+def test_future_dated_lines_outside_mtime_contract(spark, log_path):
+    # The mtime bound assumes %t <= file mtime (+margin) — true for any
+    # real logger writing request-arrival time. The year-2125 fixture
+    # row VIOLATES that assumption (a future-dated line in a
+    # just-written file), so the pushed plan excludes it by design;
+    # spark.graft.pushdown.mtimeBound=false is the documented escape
+    # hatch and must recover the exact unpushed semantics.
     df = _scan(spark, log_path)
-    out = df.filter(F.col("timestamp") >= F.lit("2025-01-01").cast("timestamp"))
-    assert "Contains(value" not in _optimized(out)
-    assert out.count() == 1  # only the year-2125 row
+    pred = F.col("timestamp") >= F.lit("2025-01-01").cast("timestamp")
+    pushed = df.filter(pred)
+    assert "Contains(value" in _optimized(pushed)  # year needles pushed
+    spark.conf.set("spark.graft.pushdown.mtimeBound", "false")
+    try:
+        out = _scan(spark, log_path).filter(pred)
+        assert "Contains(value" not in _optimized(out)
+        assert out.count() == 1  # only the year-2125 row
+    finally:
+        spark.conf.unset("spark.graft.pushdown.mtimeBound")
 
 
 def test_explicit_line_filter_composes(spark, log_path):
@@ -297,20 +310,75 @@ def test_date_conjunction_with_verbatim(spark, multiday_path):
     assert "Contains(value" in plan  # the verbatim conjunct pushed too
 
 
-def test_one_sided_range_not_pushed(spark, multiday_path):
-    df = read_httpd_log(spark, multiday_path, format_type="combined")
-    out = df.filter(F.col("timestamp") >= "2024-10-13 00:00:00")
-    assert "/oct/" not in _optimized(out)
-    assert out.count() == 12
-
-
-def test_wide_range_not_pushed(spark, multiday_path):
-    df = read_httpd_log(spark, multiday_path, format_type="combined")
-    out = df.filter(
-        F.col("timestamp").between("2024-01-01 00:00:00", "2024-12-31 00:00:00")
+def test_one_sided_range_pushes_year_needles_from_mtime(spark, multiday_path):
+    # r10 verdict item 1: `ts >= lo` (the "since X" filter) closes its
+    # open end from the listing's max mtime. The fixture file's mtime
+    # is "now" (test run time), so the range is too wide for day
+    # needles and degrades to a /yyyy: year group — still pushed below
+    # the regex, still value-identical.
+    out, n = _pushed_vs_naive(
+        spark, multiday_path, F.col("timestamp") >= "2024-10-13 00:00:00"
     )
-    assert "/oct/" not in _optimized(out)  # > _MAX_DAY_NEEDLES days
-    assert out.count() == 44
+    assert n == 12
+    plan = _optimized(out)
+    assert "/oct/" not in plan  # too wide for day needles
+    assert re.search(r"Contains\(value#\d+, /2024:\)", plan)
+    assert _contains_below_regex(plan)
+
+
+def test_one_sided_range_pushes_day_needles_when_mtime_close(spark, multiday_path, tmp_path):
+    # when the file's mtime is close to the range start, the closed
+    # interval is narrow enough for full DAY needles
+    import shutil
+    import time as _time
+
+    p = tmp_path / "recent.log"
+    shutil.copy(multiday_path, p)
+    mt = _time.mktime((2024, 10, 15, 12, 0, 0, 0, 0, 0))
+    os.utime(p, (mt, mt))
+    out, n = _pushed_vs_naive(
+        spark, str(p), F.col("timestamp") >= "2024-10-13 00:00:00"
+    )
+    assert n == 12
+    plan = _optimized(out)
+    assert _day_contains_below_regex(plan, "/oct/2024")
+
+
+def test_one_sided_range_mtime_bound_conf_disables(spark, multiday_path):
+    spark.conf.set("spark.graft.pushdown.mtimeBound", "false")
+    try:
+        df = read_httpd_log(spark, multiday_path, format_type="combined")
+        out = df.filter(F.col("timestamp") >= "2024-10-13 00:00:00")
+        plan = _optimized(out)
+        assert "Contains(value" not in plan and "/2024:" not in plan
+        assert out.count() == 12
+    finally:
+        spark.conf.unset("spark.graft.pushdown.mtimeBound")
+
+
+def test_open_below_range_not_pushed(spark, multiday_path):
+    # `ts <= hi` has no sound lower bound (an old line can live in a
+    # recently-modified file) — must fall back unchanged
+    df = read_httpd_log(spark, multiday_path, format_type="combined")
+    out = df.filter(F.col("timestamp") <= "2024-10-10 23:59:59")
+    plan = _optimized(out)
+    assert "Contains(value" not in plan and "/2024:" not in plan
+    assert out.count() == 20
+
+
+def test_wide_range_degrades_to_year_needles(spark, multiday_path):
+    # > _MAX_DAY_NEEDLES days: no day tokens, but the bounded range
+    # still pushes its /yyyy: year group
+    out, n = _pushed_vs_naive(
+        spark,
+        multiday_path,
+        F.col("timestamp").between("2024-01-01 00:00:00", "2024-12-31 00:00:00"),
+    )
+    assert n == 44
+    plan = _optimized(out)
+    assert "/oct/" not in plan
+    assert re.search(r"Contains\(value#\d+, /2024:\)", plan)
+    assert _contains_below_regex(plan)
 
 
 def test_date_pushdown_non_utc_session_tz(spark, multiday_path):

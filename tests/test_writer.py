@@ -143,3 +143,92 @@ def test_streaming_writer_round_trips(spark, tmp_path):
     back = read_httpd_log(spark, f"{out}/part-*", format_type="common")
     src = read_httpd_log(spark, str(indir), format_type="common")
     assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_interval_round_trip_us_exact(spark, tmp_path):
+    # ADVICE r10 (high): interval->long truncates to SECONDS; rendering
+    # must go through exact microseconds. 2,500,000us under %D must
+    # write "2500000" (not "2"), and %T must write "2" (not "0").
+    fmt = '%h %l %u %t "%r" %>s %b %D'
+    src = read_httpd_log(spark, data("directives", "duration.log"), format_str=fmt)
+    out = str(tmp_path / "dur_us")
+    write_httpd_log(src, out, format_str=fmt)
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    rendered = sorted(int(line.rsplit(" ", 1)[1]) for line in txt.splitlines())
+    assert rendered == [250, 50000, 1500000]
+    back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
+
+
+@pytest.mark.parametrize(
+    "fixture,fmt,expected",
+    [
+        ("duration_sec.log", '%h %l %u %t "%r" %>s %b %T', [0, 2, 5]),
+        ("duration_unit.log", '%h %l %u %t "%r" %>s %b %{ms}T', [50, 250, 1500]),
+    ],
+)
+def test_interval_round_trip_T_units(spark, tmp_path, fixture, fmt, expected):
+    src = read_httpd_log(spark, data("directives", fixture), format_str=fmt)
+    out = str(tmp_path / f"dur_{fixture.replace('.', '_')}")
+    write_httpd_log(src, out, format_str=fmt)
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    rendered = sorted(int(line.rsplit(" ", 1)[1]) for line in txt.splitlines())
+    assert rendered == expected
+    back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_conditional_directive_renders_clean(spark, tmp_path):
+    # ADVICE r10 (low): the walker must consume the stripped status
+    # condition text ('%400s' / '%!200,304s') instead of emitting it as
+    # literal garbage in every line.
+    fmt = "%h %400s %b"
+    p = tmp_path / "c.log"
+    p.write_text("7.7.7.7 400 123\n7.7.7.8 - 9\n")
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    out = str(tmp_path / "cout")
+    write_httpd_log(src, out, format_str=fmt)
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    assert sorted(txt.splitlines()) == ["7.7.7.7 400 123", "7.7.7.8 - 9"]
+    fmt2 = "%h %!200,304s %b"
+    src2 = read_httpd_log(spark, str(p), format_str=fmt2)
+    out2 = str(tmp_path / "cout2")
+    write_httpd_log(src2, out2, format_str=fmt2)
+    txt2 = open(glob.glob(f"{out2}/part-*.txt")[0]).read()
+    assert sorted(txt2.splitlines()) == ["7.7.7.7 400 123", "7.7.7.8 - 9"]
+
+
+def test_batch_stream_line_parity(spark, tmp_path):
+    # the streaming twin must render byte-identical lines to the batch
+    # writer for the same rows
+    from duckdb_httpd_log_spark.sources.writer import write_httpd_log_stream
+    from duckdb_httpd_log_spark.streaming.log_stream import read_httpd_log_stream
+
+    indir = tmp_path / "pin"
+    indir.mkdir()
+    (indir / "a.log").write_text(
+        '8.8.8.8 - u [10/Oct/2024:13:55:36 +0000] "GET /p?a=1 HTTP/1.1" 200 11\n'
+        '9.9.9.9 - - [11/Oct/2024:03:05:07 +0000] "POST /q HTTP/1.1" 404 0\n'
+    )
+    bout = str(tmp_path / "bout")
+    write_httpd_log(
+        read_httpd_log(spark, str(indir), format_type="common"), bout,
+        format_type="common",
+    )
+    sout = str(tmp_path / "sout2")
+    q = write_httpd_log_stream(
+        read_httpd_log_stream(spark, str(indir), format_type="common"),
+        sout,
+        checkpoint=str(tmp_path / "ck2"),
+        format_type="common",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def lines(d):
+        out = []
+        for f in glob.glob(f"{d}/part-*"):
+            out.extend(open(f).read().splitlines())
+        return sorted(out)
+
+    assert lines(bout) == lines(sout) != []
