@@ -357,11 +357,19 @@ def main() -> None:
         gen_log(log_path)
         read_httpd_log(spark, log_path, format_type="combined").count()  # warm-up
         runs = []
-        for _ in range(N_RUNS):
+        for _ in range(9):  # N=9: this axis wobbled r9->r10; keep a band
             t0 = time.perf_counter()
             read_httpd_log(spark, log_path, format_type="combined").count()
             runs.append(time.perf_counter() - t0)
         timings["log_scan_200k_combined"] = round(statistics.median(runs), 4)
+        runs.sort()
+        scan_band = {
+            "median9": round(statistics.median(runs), 4),
+            "p25": round(runs[2], 4),
+            "p75": round(runs[6], 4),
+            "min": round(runs[0], 4),
+            "max": round(runs[-1], 4),
+        }
 
         multi = os.path.join(td, "multi")
         os.makedirs(multi)
@@ -566,12 +574,24 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings["log_scan_200k_autodetect"] = round(statistics.median(runs), 4)
 
-    # Noise re-measure (r4 verdict #7): the queries whose r3->r4 deltas
-    # were ambiguous (trained-index cost vs loop noise) get an N>=9
-    # standalone pass with spread, so the next verdict can attribute a
-    # 1.4-1.7x delta to work or to variance.
+    # Noise re-measure (r4 verdict #7, widened r11 per r10 verdict item
+    # 2): band the legacy ambiguous four, the TOP-10 most expensive
+    # registry entries of THIS run (so the board's priciest rows always
+    # carry a spread), and the r10 wobble entries — any >1.3x
+    # round-over-round move can then be adjudicated noise-vs-real from
+    # the p25-p75 band instead of a judge guess.
     noise: dict[str, dict[str, float]] = {}
-    for name in ["kmeans_train", "ann_lsh_topk", "multimodal_resize", "multimodal_features"]:
+    _band_names = [
+        "kmeans_train", "ann_lsh_topk", "multimodal_resize", "multimodal_features",
+        # r10 wobbles
+        "dedup_semantic_clusters", "probe_trigram_checksum",
+    ]
+    _top10 = sorted(
+        (n for n in timings if n in REGISTRY),
+        key=lambda n: timings[n],
+        reverse=True,
+    )[:10]
+    for name in dict.fromkeys(_band_names + _top10):
         qd = REGISTRY.get(name)
         if qd is None:
             continue
@@ -588,6 +608,8 @@ def main() -> None:
             "min": round(runs[0], 4),
             "max": round(runs[-1], 4),
         }
+        gc.collect()
+    noise["log_scan_200k_combined"] = scan_band
 
     # Host-speed calibration: two fixed-work references whose wall
     # clock depends only on the box (CPU + JVM), never on repo code.

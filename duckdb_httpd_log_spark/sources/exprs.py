@@ -266,6 +266,52 @@ def translate_strftime(fmt: str) -> tuple[str, str, int]:
     return cleanup, "".join(spark_pat), (n_groups if needs_cleanup else 0)
 
 
+# strftime -> Java OUTPUT pattern (the writer's inverse of
+# translate_strftime). Discarded-on-read tokens render deterministic
+# text the reader's discard regexes re-accept (%Z -> the session zone's
+# literal 'UTC', %a/%A/%j derive from the date, %p/%P render AM/PM), so
+# read(write(read(x))) == read(x) holds at the TYPED level even where
+# the raw text can't be byte-identical (%e pad, %I hour-as-given).
+_STRFTIME_TO_OUTPUT = {
+    **_STRFTIME_TO_SPARK,
+    "%e": "d",       # reader strips the pad and takes 1-2 digits
+    "%Z": "'UTC'",   # session zone is UTC (session.py); reader discards
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%j": "DDD",
+    "%p": "a",
+    "%P": "a",       # reader's discard regex accepts either case
+    "%%": "'%'",
+}
+
+
+def strftime_to_output_pattern(fmt: str) -> str:
+    """Java DateTimeFormatter OUTPUT pattern rendering a timestamp so the
+    reader's ``translate_strftime(fmt)`` parse recovers the same instant.
+    Raises ValueError on tokens with no deterministic rendering."""
+    out: list[str] = []
+    lit_buf: list[str] = []
+
+    def flush():
+        if lit_buf:
+            out.append(_java_quote_literal("".join(lit_buf)))
+            lit_buf.clear()
+
+    for kind, tok in _strftime_tokens(fmt):
+        if kind == "lit":
+            lit_buf.append(tok)
+            continue
+        sp = _STRFTIME_TO_OUTPUT.get(tok)
+        if sp is None:
+            raise ValueError(
+                f"write_httpd_log cannot render strftime token {tok!r}"
+            )
+        flush()
+        out.append(sp)
+    flush()
+    return "".join(out)
+
+
 def strftime_value_and_pattern(raw: Column, fmt: str) -> tuple[Column, str]:
     """Return (cleaned value column, spark pattern) for one strftime field."""
     cleanup, spark_pat, n_keep = translate_strftime(fmt)

@@ -13,9 +13,11 @@ tests/test_writer.py.
 Everything is a single Catalyst ``concat`` projection: one codegen'd
 expression per line, no Python on the row path, splittable text write.
 Supported directives are the reader's VARCHAR/INTEGER/BIGINT/INTERVAL
-families, plain and epoch ``%t``, and ``%r``; strftime/fractional/
-multi-field timestamp groups raise ``ValueError`` (their raw text is
-not reconstructible from one TIMESTAMP column).
+families, plain/epoch/strftime ``%t`` (strftime renders through
+exprs.strftime_to_output_pattern — discarded-on-read tokens get
+deterministic text the reader re-accepts), and ``%r``; fractional and
+multi-field timestamp groups raise ``ValueError`` (their raw text
+split is not reconstructible from one TIMESTAMP column).
 """
 
 from __future__ import annotations
@@ -68,6 +70,10 @@ def _field_text(f: FormatField) -> Column:
             return F.concat(
                 F.lit("["), F.date_format(col, APACHE_TS_PATTERN), F.lit("]")
             )
+        if f.timestamp_type == TsFormat.STRFTIME:
+            from .exprs import strftime_to_output_pattern
+
+            return F.date_format(col, strftime_to_output_pattern(f.strftime_format))
         if f.timestamp_type == TsFormat.EPOCH_SEC:
             return (F.unix_micros(col) / F.lit(1_000_000)).cast("bigint").cast("string")
         if f.timestamp_type == TsFormat.EPOCH_MSEC:
@@ -126,12 +132,14 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
     grp = _Counter(f.timestamp_group_id for f in ts_fields)
     for f in ts_fields:
         if grp[f.timestamp_group_id] > 1 or f.timestamp_type in (
-            TsFormat.STRFTIME,
             TsFormat.FRAC_MSEC,
             TsFormat.FRAC_USEC,
         ):
+            # multi-field groups / standalone frac fields combine into
+            # one TIMESTAMP on read; their raw text split is not
+            # reconstructible from that single column
             raise ValueError(
-                "write_httpd_log supports single plain/epoch %t fields only"
+                "write_httpd_log supports single plain/epoch/strftime %t fields only"
             )
     pieces: list[Column] = []
     lit_buf: list[str] = []

@@ -270,3 +270,36 @@ def test_two_phase_nan_ordering_forced(spark, desc):
         for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == exp
+
+
+def test_adaptive_dispatch_boundary_both_sides(spark, tmp_path):
+    """r10 verdict item 6: pin the dispatch BOUNDARY. The same query
+    runs just under (naive window) and just over (two-phase) the
+    naiveMaxBytes threshold via the conf; outputs must be identical and
+    each side must take its expected physical shape (__pid bucket
+    projection only in the two-phase plan)."""
+    from duckdb_httpd_log_spark.operators.distrank import _estimated_bytes
+
+    p = str(tmp_path / "boundary.parquet")
+    spark.createDataFrame(
+        [(i, (i * 13) % 37) for i in range(500)], "k long, v long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _estimated_bytes(df)
+    assert 0 < est < (1 << 62), "createDataFrame must have known stats"
+    results = {}
+    for label, thr in (("naive", est + 1), ("scale", max(est - 1, 0))):
+        spark.conf.set("spark.graft.distrank.naiveMaxBytes", str(thr))
+        try:
+            out = with_global_rank(
+                spark, df, [F.col("v"), F.col("k")], rn_col="rn"
+            )
+            plan = out._jdf.queryExecution().analyzed().toString()
+            if label == "naive":
+                assert "__pid" not in plan, "under threshold must stay naive"
+            else:
+                assert "__pid" in plan, "over threshold must go two-phase"
+            results[label] = {r.k: r.rn for r in out.collect()}
+        finally:
+            spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+    assert results["naive"] == results["scale"]

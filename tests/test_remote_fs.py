@@ -438,3 +438,27 @@ def test_remote_gzip_sample_drops_cut_line_when_raw_head_truncated(spark, tmp_pa
     # dropped rather than surfacing as a bogus truncated record
     assert all(s in set(lines) for s in sample)
     assert sample == lines[: len(sample)]
+
+
+def test_read_remote_misnamed_gzip_raw_mode(spark, tmp_path):
+    # r10 verdict stretch item 8: RAW mode on a content-sniffed
+    # misnamed-gzip file through a scheme-qualified path — the Python
+    # streamer fallback (pyconvert.iter_log_lines) must route via
+    # pyarrow.fs on executors, with per-file line numbers intact
+    dst = tmp_path / "misnamed_raw.log"
+    shutil.copy(data("compressed", "server1.log.gz"), dst)
+    loc = read_httpd_log(spark, str(dst), raw=True)
+    rem = read_httpd_log(spark, "file://" + str(dst), raw=True)
+    lrows = loc.orderBy("line_number").drop("log_file").collect()
+    rrows = rem.orderBy("line_number").drop("log_file").collect()
+    assert list(map(tuple, lrows)) == list(map(tuple, rrows))
+    assert [r.line_number for r in rrows] == [1, 2]
+    assert not any(r.parse_error for r in rrows)
+
+    # mixed remote glob: plain + misnamed gz, raw mode, both files
+    (tmp_path / "plain2.log").write_bytes(
+        gzip.decompress(dst.read_bytes())
+    )
+    mixed = read_httpd_log(spark, "file://" + str(tmp_path) + "/*", raw=True)
+    assert mixed.count() == 4
+    assert mixed.select("log_file").distinct().count() == 2

@@ -232,3 +232,67 @@ def test_batch_stream_line_parity(spark, tmp_path):
         return sorted(out)
 
     assert lines(bout) == lines(sout) != []
+
+
+@pytest.mark.parametrize(
+    "sfmt,sample",
+    [
+        ("%Y-%m-%d %H:%M:%S", "2024-10-10 13:55:36"),
+        ("%d/%b/%Y:%H:%M:%S %z", "10/Oct/2024:13:55:36 +0000"),
+        # discarded-on-read tokens: %a weekday, %Z zone name — the
+        # writer renders deterministic text the reader re-accepts
+        ("%a, %d %b %Y %H:%M:%S %Z", "Thu, 10 Oct 2024 13:55:36 UTC"),
+        # %e space-padded day and fractional %f
+        ("%Y-%m-%dT%H:%M:%S.%f", "2024-10-10T13:55:36.123456"),
+    ],
+)
+def test_strftime_t_round_trips(spark, tmp_path, sfmt, sample):
+    # r10 verdict item 4: strftime %t renders via the inverted
+    # translate_strftime table; read(write(read(x))) == read(x)
+    fmt = f"%h %{{{sfmt}}}t %>s"
+    p = tmp_path / "s.log"
+    p.write_text(f"1.2.3.4 {sample} 200\n5.6.7.8 {sample} 404\n")
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    assert src.filter(F.col("timestamp").isNull()).count() == 0, "fixture must parse"
+    out = str(tmp_path / "sout")
+    write_httpd_log(src, out, format_str=fmt)
+    back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def _read_back_fmt(spark, outdir, fmt):
+    return read_httpd_log(spark, f"{outdir}/part-*.txt", format_str=fmt)
+
+
+def test_strftime_round_trip_values(spark, tmp_path):
+    fmt = "%h %{%Y-%m-%d %H:%M:%S}t %>s %b"
+    p = tmp_path / "v.log"
+    p.write_text(
+        "1.1.1.1 2024-10-10 13:55:36 200 10\n"
+        "2.2.2.2 2024-12-31 23:59:59 404 -\n"
+    )
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    out = str(tmp_path / "vout")
+    write_httpd_log(src, out, format_str=fmt)
+    back = _read_back_fmt(spark, out, fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_strftime_discard_tokens_round_trip_typed(spark, tmp_path):
+    fmt = "%h %{%a, %d %b %Y %H:%M:%S %Z}t %>s"
+    p = tmp_path / "d.log"
+    p.write_text("1.1.1.1 Thu, 10 Oct 2024 13:55:36 GMT 200\n")
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    assert src.collect()[0].timestamp is not None
+    out = str(tmp_path / "dout")
+    write_httpd_log(src, out, format_str=fmt)
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    # weekday re-derived from the date; zone renders the session zone
+    assert "Thu, 10 Oct 2024 13:55:36 UTC" in txt
+    back = _read_back_fmt(spark, out, fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_multifield_ts_group_still_raises(spark):
+    with pytest.raises(ValueError):
+        write_httpd_log(None, "/tmp/x", format_str="%{sec}t %{msec_frac}t %h")
