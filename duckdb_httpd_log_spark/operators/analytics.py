@@ -4937,3 +4937,44 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("string").alias("day"),
         F.sum("delta").over(w).cast("bigint").alias("open_items"),
     ).orderBy("day")
+
+
+@register(
+    "orders_retention_cohort",
+    """
+    WITH first AS (
+        SELECT o_custkey, min(year(o_orderdate)) AS cohort FROM orders GROUP BY o_custkey
+    ),
+    sz AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+    active AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders)
+    SELECT f.cohort, a.yr,
+           count(*) AS n_active,
+           floor((count(*) * 1.0 / max(s.cohort_size)) * 1e4 + 0.5) / 1e4 AS retention
+    FROM active a
+    JOIN first f USING (o_custkey)
+    JOIN sz s ON s.cohort = f.cohort
+    GROUP BY f.cohort, a.yr
+    ORDER BY f.cohort, a.yr
+    """,
+    "classic cohort-retention matrix: customers cohorted by first-order "
+    "year, per-(cohort, year) active fraction. One fact shuffle on "
+    "custkey feeds BOTH the cohort assignment and the activity dedup; "
+    "cohort sizes are a year-cardinality agg joined broadcast-side",
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    sz = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    active = orders.distinct()
+    return (
+        active.join(first, "o_custkey")
+        .join(F.broadcast(sz), "cohort")
+        .groupBy("cohort", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            fround(F.count(F.lit(1)) * 1.0 / F.max("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort", "yr")
+    )

@@ -2323,3 +2323,154 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, lang,
+           len(t) AS n_words,
+           floor((list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+           floor((len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1)) * 1e4 + 0.5) / 1e4 AS frac_alpha,
+           len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS n_stop,
+           CAST(len(t) BETWEEN 50 AND 100000 AS INT) AS pass_words,
+           CAST(list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1) BETWEEN 3 AND 10 AS INT) AS pass_mwl,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1) >= 0.8 AS INT) AS pass_alpha,
+           CAST(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) >= 2 AS INT) AS pass_stop,
+           CAST(len(t) BETWEEN 50 AND 100000
+                AND list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1) BETWEEN 3 AND 10
+                AND len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(t), 1) >= 0.8
+                AND len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) >= 2 AS INT) AS pass_all
+    FROM toks
+    ORDER BY doc_id
+    """,
+    "Gopher-style quality gates: word count, mean word length, alpha "
+    "fraction, stopword presence (Rae et al. 2021 repetition/quality "
+    "rules adapted to the corpus) — pure codegen'd array expressions, "
+    "per-doc, no shuffle",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", "text", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    wl_sum = F.expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)")
+    mwl = wl_sum * 1.0 / F.greatest(n, F.lit(1))
+    alpha = F.expr("size(filter(t, x -> x rlike '[a-z]'))") * 1.0 / F.greatest(n, F.lit(1))
+    stop_lst = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = F.expr(f"size(filter(t, x -> x in ({stop_lst})))")
+    pass_words = n.between(50, 100000)
+    pass_mwl = mwl.between(3, 10)
+    pass_alpha = alpha >= 0.8
+    pass_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_words"),
+        fround(mwl, 4).alias("mean_word_len"),
+        fround(alpha, 4).alias("frac_alpha"),
+        n_stop.alias("n_stop"),
+        pass_words.cast("int").alias("pass_words"),
+        pass_mwl.cast("int").alias("pass_mwl"),
+        pass_alpha.cast("int").alias("pass_alpha"),
+        pass_stop.cast("int").alias("pass_stop"),
+        (pass_words & pass_mwl & pass_alpha & pass_stop).cast("int").alias("pass_all"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_filter",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           floor((max(cnt) * 1.0 / sum(cnt)) * 1e4 + 0.5) / 1e4 AS top_gram_frac,
+           floor((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt)) * 1e4 + 0.5) / 1e4 AS dup_gram_frac
+    FROM c
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "per-doc 2-gram repetition stats (Gopher repetition filters): "
+    "top-2-gram mass and duplicated-2-gram mass — explode -> hash agg "
+    "on (doc_id, gram), partial-agg combines map-side; no window, no "
+    "driver state, scales with executors",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = F.sum("cnt")
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            tot.alias("n_grams"),
+            fround(F.max("cnt") * 1.0 / tot, 4).alias("top_gram_frac"),
+            fround(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)) * 1.0 / tot,
+                4,
+            ).alias("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_oov_rate",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 16)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           floor((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    "per-doc out-of-vocabulary rate against the corpus's top-16 token "
+    "vocab (deterministic count-desc/token-asc cutoff): the vocab is a "
+    "bounded agg output broadcast to the token stream — one fact "
+    "shuffle for the corpus counts, broadcast join for the scoring",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(16)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    is_oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(is_oov).alias("n_oov"),
+            fround(F.sum(is_oov) * 1.0 / F.count(F.lit(1)), 4).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
