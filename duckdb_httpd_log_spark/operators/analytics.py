@@ -4956,10 +4956,11 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.cohort, a.yr
     ORDER BY f.cohort, a.yr
     """,
-    "classic cohort-retention matrix: customers cohorted by first-order "
-    "year, per-(cohort, year) active fraction. One fact shuffle on "
-    "custkey feeds BOTH the cohort assignment and the activity dedup; "
-    "cohort sizes are a year-cardinality agg joined broadcast-side",
+    "year-grain cohort-retention matrix on ORDERS (q29 is day-offset "
+    "retention on events): customers cohorted by first-order year, "
+    "per-(cohort, year) active fraction. One fact shuffle on custkey "
+    "feeds BOTH the cohort assignment and the activity dedup; cohort "
+    "sizes are a year-cardinality agg joined broadcast-side",
 )
 def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(

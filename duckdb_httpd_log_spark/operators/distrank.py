@@ -264,10 +264,24 @@ def _two_phase(
     n_col: Optional[str],
     cum_col: Optional[str],
     cum_src: Optional[str],
+    materialize: bool = False,
 ) -> DataFrame:
     thr = int(spark.conf.get(NAIVE_MAX_BYTES_CONF, _DEFAULT_NAIVE_MAX))
     if _estimated_bytes(df) <= thr:
         return _naive_rank(df, keys, order_cols, rn_col, n_col, cum_col, cum_src)
+    if materialize:
+        # EXPENSIVE-LINEAGE opt-in: the counts pass re-runs the input
+        # lineage (module docstring trade). For a scan-cheap input the
+        # re-run is faster than any materialization; for a join/derive-
+        # heavy lineage a persist turns the double scan into one
+        # (measured on a sha2-derived lineitem x orders lineage at
+        # sf0.1: 4.09s -> 2.67s; plain parquet-scan input: 2.03s,
+        # where a persist would only add cost). Cleanup rides the
+        # ContextCleaner after the DataFrame is GC'd — the same
+        # lifecycle bench.py's gc.collect() cadence manages.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     nparts = max(spark.sparkContext.defaultParallelism, 1)
     order_pairs = _norm_order(order_cols)
     # bucket on (keys..., order...) like the old repartitionByRange:
@@ -331,6 +345,7 @@ def with_global_rank(
     n_col: Optional[str] = None,
     cum_col: Optional[str] = None,
     cum_src: Optional[str] = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Attach a global ``rn_col`` (1-based row_number under
     ``order_cols``) and optionally the total row count ``n_col`` and a
@@ -338,9 +353,16 @@ def with_global_rank(
     with bucket-local windows only (module docstring).
 
     ``order_cols`` must be a total order (include a tiebreak key);
-    descending components as ``(col, False)`` tuples.
+    descending components as ``(col, False)`` tuples. Pass
+    ``materialize=True`` when the input lineage is expensive to
+    recompute (joins / heavy derivations): the two-phase scan reads
+    the input twice, and a persist then halves the work (see
+    _two_phase).
     """
-    return _two_phase(spark, df, [], order_cols, rn_col, n_col, cum_col, cum_src)
+    return _two_phase(
+        spark, df, [], order_cols, rn_col, n_col, cum_col, cum_src,
+        materialize=materialize,
+    )
 
 
 def with_grouped_rank(
@@ -352,6 +374,7 @@ def with_grouped_rank(
     n_col: Optional[str] = None,
     cum_col: Optional[str] = None,
     cum_src: Optional[str] = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-group ``row_number() OVER (PARTITION BY keys ORDER BY
     order_cols)`` without per-group sort tasks (module docstring).
@@ -359,6 +382,8 @@ def with_grouped_rank(
     through one sort task — fatal for 2..30 distinct key values over a
     fact table; here sort work spreads over all buckets and each
     group's bucket-local ranks rebase by the broadcast offsets.
+    ``materialize=True`` persists an expensive input lineage so the
+    counts pass doesn't recompute it (see _two_phase).
 
     ``keys`` are column names; ``order_cols`` must be a per-group
     total order, descending components as ``(col, False)`` tuples.
@@ -366,7 +391,10 @@ def with_grouped_rank(
     group's total row count, ``cum_col`` = the group's running sum of
     ``cum_src`` under the same order.
     """
-    return _two_phase(spark, df, list(keys), order_cols, rn_col, n_col, cum_col, cum_src)
+    return _two_phase(
+        spark, df, list(keys), order_cols, rn_col, n_col, cum_col, cum_src,
+        materialize=materialize,
+    )
 
 
 def ntile_expr(rn_col: str, n_col: str, k: int) -> Column:

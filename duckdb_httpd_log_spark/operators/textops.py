@@ -2396,10 +2396,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     ORDER BY doc_id
     """,
-    "per-doc 2-gram repetition stats (Gopher repetition filters): "
-    "top-2-gram mass and duplicated-2-gram mass — explode -> hash agg "
-    "on (doc_id, gram), partial-agg combines map-side; no window, no "
-    "driver state, scales with executors",
+    "per-doc 2-gram MASS stats, complementing text_repetition's "
+    "distinct-ratio signals: top-2-gram mass (max gram frequency / "
+    "total) and duplicated-2-gram mass (tokens inside grams occurring "
+    ">1), the Rae et al. 2021 duplication-mass variant — explode -> "
+    "hash agg on (doc_id, gram), partial-agg combines map-side",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

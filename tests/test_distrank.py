@@ -303,3 +303,36 @@ def test_adaptive_dispatch_boundary_both_sides(spark, tmp_path):
         finally:
             spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
     assert results["naive"] == results["scale"]
+
+
+def test_materialize_opt_in_identical(spark):
+    """materialize=True (expensive-lineage persist) must be value-
+    identical to the default recompute path, forced two-phase."""
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(300)], "k long, v long"
+    )
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        a = {
+            r.k: r.rn
+            for r in with_global_rank(
+                spark, df, [F.col("v"), F.col("k")], rn_col="rn"
+            ).collect()
+        }
+        b = {
+            r.k: r.rn
+            for r in with_global_rank(
+                spark, df, [F.col("v"), F.col("k")], rn_col="rn",
+                materialize=True,
+            ).collect()
+        }
+        g = {
+            r.k: r.rn
+            for r in with_grouped_rank(
+                spark, df.withColumn("g", F.col("k") % 3), ["g"],
+                [F.col("v"), F.col("k")], rn_col="rn", materialize=True,
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+    assert a == b and len(g) == 300
