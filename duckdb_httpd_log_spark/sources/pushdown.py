@@ -58,6 +58,10 @@ Soundness per leaf:
 - bounded ranges too wide for day tokens (and mtime-closed ranges)
   degrade to a coarser ``/yyyy:`` year-needle group instead of
   falling back to parse-everything.
+- single strftime ``%t`` columns whose format contains ``%Y`` render
+  the 4-digit year verbatim, so bounded/mtime-closed time and year
+  predicates push BARE year-digit needles (no layout punctuation is
+  assumed) — day needles stay Apache-%t-only.
 Conjunctions push every derivable conjunct and INTERSECT the time
 ranges split across their leaves; disjunctions push only if every
 branch is derivable (as an OR-of-needles group); anything else falls
@@ -121,6 +125,11 @@ class PushdownContext:
     verbatim_str: set = field(default_factory=set)
     verbatim_int: set = field(default_factory=set)
     ts_day_cols: set = field(default_factory=set)
+    # single strftime-%t columns whose format contains %Y: the 4-digit
+    # year renders VERBATIM somewhere in the raw text, so bounded year
+    # sets map to bare year-digit needles (weaker than the anchored
+    # /yyyy: form — no surrounding punctuation can be assumed)
+    ts_year_cols: set = field(default_factory=set)
     margin_days: int = 2
     # Closes an OPEN-ABOVE time range (``ts >= lo``, the "since X"
     # filter) at derivation time: returns an upper-bound epoch-µs for
@@ -256,7 +265,9 @@ def _ts_attr(e, ctx) -> Optional[Tuple[str, str]]:
         except Exception:
             return None
         if s == "AttributeReference":
-            if cur.name() in ctx.ts_day_cols and dt == "timestamp":
+            if dt == "timestamp" and (
+                cur.name() in ctx.ts_day_cols or cur.name() in ctx.ts_year_cols
+            ):
                 return cur.name(), domain or "timestamp"
             return None
         if s in ("Cast", "AnsiCast", "TryCast"):
@@ -320,7 +331,7 @@ def _year_leaf(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
     needles (one per year, +-1 margin for zone/offset boundary
     shifts)."""
     op = _CMP_OPS.get(_simple(e))
-    if op is None or not ctx.ts_day_cols:
+    if op is None or not (ctx.ts_day_cols or ctx.ts_year_cols):
         return None
     l, r = _children(e)
     for a, b, flip in ((l, r, False), (r, l, True)):
@@ -330,7 +341,9 @@ def _year_leaf(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
         if _simple(au) != "Year":
             continue
         kids = _children(au)
-        if len(kids) != 1 or _attr_name(kids[0]) not in ctx.ts_day_cols:
+        if len(kids) != 1 or _attr_name(kids[0]) not in (
+            ctx.ts_day_cols | ctx.ts_year_cols
+        ):
             continue
         name = _attr_name(kids[0])
         val, dt = _literal(b)
@@ -360,9 +373,9 @@ def _year_needles(lo: int, hi: int) -> Optional[List[Needle]]:
 
 def _ts_leaf_interval(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int]]]:
     """(col, lo_us|None, hi_us|None) for a comparison leaf on a
-    ts_day column; open ends are None."""
+    ts_day / ts_year column; open ends are None."""
     op = _CMP_OPS.get(_simple(e))
-    if op is None or not ctx.ts_day_cols:
+    if op is None or not (ctx.ts_day_cols or ctx.ts_year_cols):
         return None
     l, r = _children(e)
     for a, b, flip in ((l, r, False), (r, l, True)):
@@ -413,36 +426,61 @@ def _day_cnf(lo_us: int, hi_us: int, margin: int) -> Optional[Needles]:
     return [sorted(days), sorted(months)]
 
 
-def _year_group_from_us(lo_us: int, hi_us: int, margin: int) -> Optional[List[Needle]]:
-    """Fallback when a bounded range is too wide for day needles: the
-    ``/yyyy:`` year group spanning [lo, hi] (+margin days each side;
-    _year_needles adds a further +-1 year of zone/skew slack). Much
-    coarser than day tokens but still skips whole off-year files."""
+def _bare_year_needles(lo: int, hi: int) -> Optional[List[Needle]]:
+    """Year needles for strftime-%Y columns: the bare 4-digit strings
+    (plain case-sensitive Contains) — no surrounding punctuation can be
+    assumed about the layout, so weaker than /yyyy: but still sound
+    (the %Y render IS those digits). Same +-1 margin and 4-year cap as
+    _year_needles."""
+    if lo > hi or hi - lo + 1 > 4:
+        return None
+    if lo - 1 < 1000 or hi + 1 > 9998:
+        return None
+    return [str(y) for y in range(lo - 1, hi + 2)]
+
+
+def _render_years(name: str, ctx: "PushdownContext", lo: int, hi: int) -> Optional[List[Needle]]:
+    if name in ctx.ts_day_cols:
+        return _year_needles(lo, hi)
+    return _bare_year_needles(lo, hi)
+
+
+def _year_group_from_us(
+    name: str, lo_us: int, hi_us: int, ctx: "PushdownContext"
+) -> Optional[List[Needle]]:
+    """Fallback when a bounded range is too wide for day needles (or
+    the column is strftime-%Y): the year group spanning [lo, hi]
+    (+margin days each side; the renderer adds a further +-1 year of
+    zone/skew slack). Much coarser than day tokens but still skips
+    whole off-year files."""
     if lo_us > hi_us:
         return None
     epoch = _dt.date(1970, 1, 1)
     try:
-        ylo = (epoch + _dt.timedelta(days=lo_us // _US_PER_DAY - margin)).year
-        yhi = (epoch + _dt.timedelta(days=hi_us // _US_PER_DAY + margin)).year
+        ylo = (epoch + _dt.timedelta(days=lo_us // _US_PER_DAY - ctx.margin_days)).year
+        yhi = (epoch + _dt.timedelta(days=hi_us // _US_PER_DAY + ctx.margin_days)).year
     except OverflowError:
         return None
-    return _year_needles(ylo, yhi)
+    return _render_years(name, ctx, ylo, yhi)
 
 
 def _bounded_time_groups(
-    lo_us: Optional[int], hi_us: Optional[int], ctx: "PushdownContext"
+    name: str, lo_us: Optional[int], hi_us: Optional[int], ctx: "PushdownContext"
 ) -> Optional[Needles]:
-    """CNF groups for a time interval, closing an open-above end from
-    the file listing's mtime bound (ctx.hi_us) when available. Day
-    needles when the range is narrow enough, year needles otherwise."""
+    """CNF groups for a time interval on column ``name``, closing an
+    open-above end from the file listing's mtime bound (ctx.hi_us)
+    when available. Apache-%t columns get day needles when the range
+    is narrow enough and /yyyy: year needles otherwise; strftime-%Y
+    columns get bare year-digit needles only (no layout assumed)."""
     if lo_us is not None and hi_us is None:
         hi_us = ctx.hi_us()
     if lo_us is None or hi_us is None:
         return None  # open-below (or unclosable) range: no sound needle
-    g = _day_cnf(lo_us, hi_us, ctx.margin_days)
-    if g:
-        return g
-    yg = _year_group_from_us(lo_us, hi_us, ctx.margin_days)
+    if name in ctx.ts_day_cols:
+        g = _day_cnf(lo_us, hi_us, ctx.margin_days)
+        if g:
+            return g
+    yg = _year_group_from_us(name, lo_us, hi_us, ctx)
     return [yg] if yg else None
 
 
@@ -507,11 +545,11 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
             d = derive_needles(c, ctx)
             if d:
                 groups += d
-        for lo, hi in intervals.values():
-            g = _bounded_time_groups(lo, hi, ctx)
+        for name, (lo, hi) in intervals.items():
+            g = _bounded_time_groups(name, lo, hi, ctx)
             if g:
                 groups += g
-        for lo, hi in years.values():
+        for name, (lo, hi) in years.items():
             if lo is not None and hi is None:
                 hi_us = ctx.hi_us()
                 if hi_us is not None:
@@ -520,7 +558,7 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                         + _dt.timedelta(days=hi_us // _US_PER_DAY)
                     ).year
             if lo is not None and hi is not None:
-                g = _year_needles(lo, hi)
+                g = _render_years(name, ctx, lo, hi)
                 if g:
                     groups.append(g)
         return groups or None
@@ -533,20 +571,20 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
         return None
     iv = _ts_leaf_interval(e, ctx)
     if iv is not None:
-        _name, lo, hi = iv
+        name, lo, hi = iv
         # open-above closes from the listing's mtime bound; too-wide
         # bounded ranges degrade to year needles (_bounded_time_groups)
-        return _bounded_time_groups(lo, hi, ctx)
+        return _bounded_time_groups(name, lo, hi, ctx)
     yv = _year_leaf(e, ctx)
     if yv is not None:
-        _name, lo, hi = yv
+        name, lo, hi = yv
         if lo is not None and hi is None:
             hi_us = ctx.hi_us()
             if hi_us is None:
                 return None
             hi = (_dt.date(1970, 1, 1) + _dt.timedelta(days=hi_us // _US_PER_DAY)).year
         if lo is not None and hi is not None:
-            g = _year_needles(lo, hi)
+            g = _render_years(name, ctx, lo, hi)
             return [g] if g else None
         return None
     if cls in ("EqualTo", "EqualNullSafe"):
@@ -585,7 +623,19 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
             # to_date(ts) IN (d1, d2, ...): union each literal's day
             # and month-year tokens (cross-product over-approximation
             # of the OR — sound, the typed filter removes extras)
-            _name, domain = side
+            name, domain = side
+            if name in ctx.ts_year_cols:
+                # strftime-%Y column: union the bare-year needles
+                yrs: set = set()
+                for lit in kids[1:]:
+                    ivl = _time_literal_interval(lit, domain)
+                    if ivl is None:
+                        return None
+                    g = _year_group_from_us(name, ivl[0], ivl[1], ctx)
+                    if g is None:
+                        return None
+                    yrs.update(g)
+                return [sorted(yrs)] if yrs else None
             day_toks: set = set()
             month_toks: set = set()
             for lit in kids[1:]:

@@ -481,10 +481,23 @@ def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
         and f.timestamp_type == TsFormat.APACHE_DEFAULT
         and _tgrp[f.timestamp_group_id] == 1
     }
+    # single strftime-%t fields whose format contains %Y: the 4-digit
+    # year renders verbatim in the matched text (translate_strftime
+    # maps %Y -> yyyy), so bounded year sets push as bare-digit needles
+    ts_year = {
+        f.column_name
+        for f in parsed.fields
+        if f.directive == "%t"
+        and not f.should_skip
+        and f.timestamp_type == TsFormat.STRFTIME
+        and "%Y" in f.strftime_format
+        and _tgrp[f.timestamp_group_id] == 1
+    }
     return PushdownContext(
         verbatim_str=vstr,
         verbatim_int=vint,
         ts_day_cols=ts_day,
+        ts_year_cols=ts_year,
         hi_us_fn=hi_us_fn,
     )
 

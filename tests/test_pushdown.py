@@ -436,3 +436,87 @@ def test_year_wide_range_not_pushed(spark, log_path):
     out = df.filter((F.year("timestamp") >= 2000) & (F.year("timestamp") <= 2200))
     assert "/20" not in _optimized(out).split("regexp_replace")[-1] or True
     assert out.count() == 5  # all rows, incl. 2125
+
+
+# --- strftime-%Y year needles (r11) ------------------------------------------
+@pytest.fixture(scope="module")
+def strftime_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pushsfy") / "app.log"
+    lines = []
+    for yr in (2022, 2023, 2024):
+        for d in (5, 15, 25):
+            lines.append(f"10.0.{yr % 100}.{d} {yr}-03-{d:02d} 10:00:00 200")
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+_SFMT = "%h %{%Y-%m-%d %H:%M:%S}t %>s"
+
+
+def _pushed_vs_naive_fmt(spark, path, fmt, pred):
+    df = read_httpd_log(spark, path, format_str=fmt)
+    pushed = sorted(map(str, df.filter(pred).collect()))
+    naive = sorted(map(str, super(LineFilterableFrame, df).filter(pred).collect()))
+    assert pushed == naive, str(pred)
+    return df.filter(pred), len(pushed)
+
+
+def test_strftime_year_equality_pushes_bare_digits(spark, strftime_path):
+    out, n = _pushed_vs_naive_fmt(
+        spark, strftime_path, _SFMT, F.year("timestamp") == 2023
+    )
+    assert n == 3
+    plan = _optimized(out)
+    # bare digits, NOT the /yyyy: Apache form
+    assert re.search(r"Contains\(value#\d+, 2023\)", plan)
+    assert "/2023:" not in plan
+    assert _contains_below_regex(plan)
+
+
+def test_strftime_bounded_range_pushes_year_needles(spark, strftime_path):
+    out, n = _pushed_vs_naive_fmt(
+        spark,
+        strftime_path,
+        _SFMT,
+        F.col("timestamp").between("2024-01-01 00:00:00", "2024-12-31 23:59:59"),
+    )
+    assert n == 3
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, 2024\)", plan)
+
+
+def test_strftime_one_sided_closes_from_mtime(spark, strftime_path, tmp_path):
+    import shutil
+    import time as _time
+
+    p = tmp_path / "recent_sf.log"
+    shutil.copy(strftime_path, p)
+    mt = _time.mktime((2024, 6, 1, 0, 0, 0, 0, 0, 0))
+    os.utime(p, (mt, mt))
+    out, n = _pushed_vs_naive_fmt(
+        spark, str(p), _SFMT, F.col("timestamp") >= "2023-06-01 00:00:00"
+    )
+    assert n == 3  # only the 2024-03 rows
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, 2023\)", plan)
+    assert _contains_below_regex(plan)
+
+
+def test_strftime_to_date_in_pushes_year_union(spark, strftime_path):
+    pred = F.to_date("timestamp").isin("2022-03-15", "2024-03-05")
+    out, n = _pushed_vs_naive_fmt(spark, strftime_path, _SFMT, pred)
+    assert n == 2
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, 2022\)", plan)
+    assert re.search(r"Contains\(value#\d+, 2024\)", plan)
+
+
+def test_two_digit_year_strftime_not_pushed(spark, tmp_path):
+    # %y renders 2 digits — no sound 4-digit needle exists
+    fmt = "%h %{%y-%m-%d %H:%M:%S}t %>s"
+    p = tmp_path / "y2.log"
+    p.write_text("1.1.1.1 23-03-05 10:00:00 200\n1.1.1.2 24-03-05 10:00:00 404\n")
+    df = read_httpd_log(spark, str(p), format_str=fmt)
+    out = df.filter(F.year("timestamp") == 2023)
+    assert "Contains(value" not in _optimized(out)
+    assert out.count() == 1
