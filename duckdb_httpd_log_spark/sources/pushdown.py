@@ -62,6 +62,10 @@ Soundness per leaf:
   the 4-digit year verbatim, so bounded/mtime-closed time and year
   predicates push BARE year-digit needles (no layout punctuation is
   assumed) — day needles stay Apache-%t-only.
+- single epoch ``%t`` columns (``%{sec}t``/``%{msec}t``/``%{usec}t``)
+  render the decimal epoch value verbatim, so a bounded range pushes a
+  digit-PREFIX cover (every in-range token starts with one of <= 12
+  prefixes; most-selective cover chosen; digit-count boundaries bail).
 Conjunctions push every derivable conjunct and INTERSECT the time
 ranges split across their leaves; disjunctions push only if every
 branch is derivable (as an OR-of-needles group); anything else falls
@@ -130,6 +134,12 @@ class PushdownContext:
     # sets map to bare year-digit needles (weaker than the anchored
     # /yyyy: form — no surrounding punctuation can be assumed)
     ts_year_cols: set = field(default_factory=set)
+    # single epoch-%t columns: name -> µs-per-rendered-unit (1e6 for
+    # %{sec}t, 1e3 for %{msec}t, 1 for %{usec}t). The raw token IS the
+    # decimal rendering of the epoch value, so a bounded range maps to
+    # a covering set of digit-PREFIX needles (every integer in the
+    # range starts with one of them)
+    ts_epoch_cols: dict = field(default_factory=dict)
     margin_days: int = 2
     # Closes an OPEN-ABOVE time range (``ts >= lo``, the "since X"
     # filter) at derivation time: returns an upper-bound epoch-µs for
@@ -266,7 +276,9 @@ def _ts_attr(e, ctx) -> Optional[Tuple[str, str]]:
             return None
         if s == "AttributeReference":
             if dt == "timestamp" and (
-                cur.name() in ctx.ts_day_cols or cur.name() in ctx.ts_year_cols
+                cur.name() in ctx.ts_day_cols
+                or cur.name() in ctx.ts_year_cols
+                or cur.name() in ctx.ts_epoch_cols
             ):
                 return cur.name(), domain or "timestamp"
             return None
@@ -375,7 +387,7 @@ def _ts_leaf_interval(e, ctx) -> Optional[Tuple[str, Optional[int], Optional[int
     """(col, lo_us|None, hi_us|None) for a comparison leaf on a
     ts_day / ts_year column; open ends are None."""
     op = _CMP_OPS.get(_simple(e))
-    if op is None or not (ctx.ts_day_cols or ctx.ts_year_cols):
+    if op is None or not (ctx.ts_day_cols or ctx.ts_year_cols or ctx.ts_epoch_cols):
         return None
     l, r = _children(e)
     for a, b, flip in ((l, r, False), (r, l, True)):
@@ -442,7 +454,40 @@ def _bare_year_needles(lo: int, hi: int) -> Optional[List[Needle]]:
 def _render_years(name: str, ctx: "PushdownContext", lo: int, hi: int) -> Optional[List[Needle]]:
     if name in ctx.ts_day_cols:
         return _year_needles(lo, hi)
-    return _bare_year_needles(lo, hi)
+    if name in ctx.ts_year_cols:
+        return _bare_year_needles(lo, hi)
+    return None  # epoch columns carry no year digits
+
+
+_MAX_EPOCH_NEEDLES = 12
+
+
+def _epoch_prefix_needles(
+    lo_us: int, hi_us: int, unit_us: int, margin: int
+) -> Optional[List[Needle]]:
+    """Digit-prefix cover of a bounded epoch range: the raw token is
+    the decimal epoch value, so every in-range token starts with one of
+    the returned prefixes. Picks the LONGEST prefix length whose cover
+    stays within _MAX_EPOCH_NEEDLES (longest = most selective); bails
+    on negative values or a digit-count boundary inside the range
+    (999999999 -> 1000000000), where no fixed-length prefix set is
+    sound."""
+    lo_us -= margin * _US_PER_DAY
+    hi_us += margin * _US_PER_DAY
+    lo_t = lo_us // unit_us
+    hi_t = hi_us // unit_us
+    if lo_t < 0 or lo_t > hi_t:
+        return None
+    slo, shi = str(lo_t), str(hi_t)
+    if len(slo) != len(shi):
+        return None
+    d = len(slo)
+    for cut in range(0, d):  # cut = digits dropped from the right
+        div = 10 ** cut
+        n = hi_t // div - lo_t // div + 1
+        if n <= _MAX_EPOCH_NEEDLES:
+            return [str(p) for p in range(lo_t // div, hi_t // div + 1)]
+    return None
 
 
 def _year_group_from_us(
@@ -476,6 +521,11 @@ def _bounded_time_groups(
         hi_us = ctx.hi_us()
     if lo_us is None or hi_us is None:
         return None  # open-below (or unclosable) range: no sound needle
+    if name in ctx.ts_epoch_cols:
+        g = _epoch_prefix_needles(
+            lo_us, hi_us, ctx.ts_epoch_cols[name], ctx.margin_days
+        )
+        return [g] if g else None
     if name in ctx.ts_day_cols:
         g = _day_cnf(lo_us, hi_us, ctx.margin_days)
         if g:
@@ -624,6 +674,22 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
             # and month-year tokens (cross-product over-approximation
             # of the OR — sound, the typed filter removes extras)
             name, domain = side
+            if name in ctx.ts_epoch_cols:
+                # union each literal's prefix cover into ONE OR group
+                toks: set = set()
+                for lit in kids[1:]:
+                    ivl = _time_literal_interval(lit, domain)
+                    if ivl is None:
+                        return None
+                    g = _epoch_prefix_needles(
+                        ivl[0], ivl[1], ctx.ts_epoch_cols[name], ctx.margin_days
+                    )
+                    if g is None:
+                        return None
+                    toks.update(g)
+                if not toks or len(toks) > _MAX_EPOCH_NEEDLES:
+                    return None
+                return [sorted(toks)]
             if name in ctx.ts_year_cols:
                 # strftime-%Y column: union the bare-year needles
                 yrs: set = set()

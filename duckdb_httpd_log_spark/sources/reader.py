@@ -493,11 +493,27 @@ def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
         and "%Y" in f.strftime_format
         and _tgrp[f.timestamp_group_id] == 1
     }
+    # single epoch %t fields: the raw token is the decimal epoch value,
+    # so bounded ranges push digit-prefix needle covers
+    _epoch_unit = {
+        TsFormat.EPOCH_SEC: 1_000_000,
+        TsFormat.EPOCH_MSEC: 1_000,
+        TsFormat.EPOCH_USEC: 1,
+    }
+    ts_epoch = {
+        f.column_name: _epoch_unit[f.timestamp_type]
+        for f in parsed.fields
+        if f.directive == "%t"
+        and not f.should_skip
+        and f.timestamp_type in _epoch_unit
+        and _tgrp[f.timestamp_group_id] == 1
+    }
     return PushdownContext(
         verbatim_str=vstr,
         verbatim_int=vint,
         ts_day_cols=ts_day,
         ts_year_cols=ts_year,
+        ts_epoch_cols=ts_epoch,
         hi_us_fn=hi_us_fn,
     )
 

@@ -520,3 +520,95 @@ def test_two_digit_year_strftime_not_pushed(spark, tmp_path):
     out = df.filter(F.year("timestamp") == 2023)
     assert "Contains(value" not in _optimized(out)
     assert out.count() == 1
+
+
+# --- epoch-%t digit-prefix needles (r11) --------------------------------------
+@pytest.fixture(scope="module")
+def epoch_path(tmp_path_factory):
+    # epoch seconds across ~40 days of Oct-Nov 2024 (1727740800 = 2024-10-01)
+    p = tmp_path_factory.mktemp("pushepoch") / "epoch.log"
+    base = 1727740800
+    lines = []
+    for d in range(40):
+        for h in (0, 8, 16):
+            lines.append(f"10.0.{d % 256}.{h} {base + d * 86400 + h * 3600} 200")
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+_EFMT = "%h %{sec}t %>s"
+
+
+def test_epoch_day_range_pushes_prefix_cover(spark, epoch_path):
+    # one UTC day = 86400s: the cover is a handful of epoch prefixes
+    out, n = _pushed_vs_naive_fmt(
+        spark,
+        epoch_path,
+        _EFMT,
+        F.col("timestamp").between("2024-10-10 00:00:00", "2024-10-10 23:59:59"),
+    )
+    assert n == 3
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, 17285\d*\)", plan)
+    assert _contains_below_regex(plan)
+
+
+def test_epoch_date_equality_pushes(spark, epoch_path):
+    out, n = _pushed_vs_naive_fmt(
+        spark, epoch_path, _EFMT, F.to_date("timestamp") == "2024-10-20"
+    )
+    assert n == 3
+    assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
+
+
+def test_epoch_one_sided_closes_from_mtime(spark, epoch_path, tmp_path):
+    import shutil
+    import time as _time
+
+    p = tmp_path / "recent_epoch.log"
+    shutil.copy(epoch_path, p)
+    mt = 1727740800 + 41 * 86400  # just past the data's last day
+    os.utime(p, (mt, mt))
+    out, n = _pushed_vs_naive_fmt(
+        spark, str(p), _EFMT, F.col("timestamp") >= "2024-11-05 00:00:00"
+    )
+    assert n == 15  # Nov 05..09 inclusive, 3 rows/day
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, \d+\)", plan)
+    assert _contains_below_regex(plan)
+
+
+def test_epoch_in_list_pushes_union(spark, epoch_path):
+    pred = F.to_date("timestamp").isin("2024-10-05", "2024-11-01")
+    out, n = _pushed_vs_naive_fmt(spark, epoch_path, _EFMT, pred)
+    assert n == 6
+    assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
+
+
+def test_epoch_msec_variant_pushes(spark, tmp_path):
+    p = tmp_path / "ms.log"
+    base = 1727740800
+    p.write_text(
+        "".join(
+            f"1.1.1.{i} {(base + i * 86400) * 1000} 200\n" for i in range(5)
+        )
+    )
+    out, n = _pushed_vs_naive_fmt(
+        spark, str(p), "%h %{msec}t %>s",
+        F.to_date("timestamp") == "2024-10-03",
+    )
+    assert n == 1
+    assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
+
+
+def test_epoch_digit_boundary_bails(spark, tmp_path):
+    # a range straddling the 999999999 -> 1000000000 digit-count
+    # boundary has no fixed-length prefix cover — must fall back
+    p = tmp_path / "bd.log"
+    p.write_text("1.1.1.1 999999000 200\n1.1.1.2 1000000500 404\n")
+    df = read_httpd_log(spark, str(p), format_str=_EFMT)
+    pred = F.col("timestamp").between("2001-09-08 00:00:00", "2001-09-10 00:00:00")
+    out = df.filter(pred)
+    assert "Contains(value" not in _optimized(out)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
