@@ -779,3 +779,50 @@ def test_stream_automatic_pushdown_derives_needles(spark, tmp_path):
         map(str, spark.sql("SELECT * FROM stream_auto_naive").drop("log_file").collect())
     )
     assert got == want and len(got) == 1
+
+
+def test_stream_year_and_epoch_needles_no_mtime(spark, tmp_path):
+    """r11: bounded year/epoch predicates derive needles in STREAMING
+    scans too, but one-sided 'since X' ranges must NOT (the mtime bound
+    is batch-only — a stream's future files arrive later)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+    logdir = tmp_path / "logs_sfy"
+    logdir.mkdir()
+    (logdir / "a.log").write_text(
+        "1.1.1.1 2023-03-05 10:00:00 200\n"
+        "1.1.1.2 2024-03-05 10:00:00 404\n"
+    )
+    fmt = "%h %{%Y-%m-%d %H:%M:%S}t %>s"
+    stream = read_httpd_log_stream(spark, str(logdir), format_str=fmt)
+    bounded = stream.filter(F.year("timestamp") == 2024)
+    plan = bounded._jdf.queryExecution().analyzed().toString()
+    assert "Contains(value" in plan  # bare year digits pushed
+
+    one_sided = read_httpd_log_stream(spark, str(logdir), format_str=fmt).filter(
+        F.col("timestamp") >= "2024-01-01 00:00:00"
+    )
+    plan2 = one_sided._jdf.queryExecution().analyzed().toString()
+    assert "Contains(value" not in plan2  # no mtime bound in streams
+
+    _run_stream(bounded, "stream_year_pushed")
+    got = spark.sql("SELECT client_host FROM stream_year_pushed").collect()
+    assert [r.client_host for r in got] == ["1.1.1.2"]
+
+    # epoch flavor: bounded range pushes digit prefixes in streams
+    edir = tmp_path / "logs_epoch"
+    edir.mkdir()
+    (edir / "e.log").write_text(
+        "2.2.2.2 1727740800 200\n2.2.2.3 1730419200 404\n"
+    )
+    es = read_httpd_log_stream(spark, str(edir), format_str="%h %{sec}t %>s")
+    eb = es.filter(
+        F.col("timestamp").between("2024-10-01 00:00:00", "2024-10-01 23:59:59")
+    )
+    eplan = eb._jdf.queryExecution().analyzed().toString()
+    assert "Contains(value" in eplan
+    _run_stream(eb, "stream_epoch_pushed")
+    erows = spark.sql("SELECT client_host FROM stream_epoch_pushed").collect()
+    assert [r.client_host for r in erows] == ["2.2.2.2"]
