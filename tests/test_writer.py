@@ -296,3 +296,65 @@ def test_strftime_discard_tokens_round_trip_typed(spark, tmp_path):
 def test_multifield_ts_group_still_raises(spark):
     with pytest.raises(ValueError):
         write_httpd_log(None, "/tmp/x", format_str="%{sec}t %{msec_frac}t %h")
+
+
+_POOL_VALUES = {
+    "%h": "10.1.2.3",
+    "%l": "-",
+    "%u": "alice",
+    "%>s": "404",
+    "%s": "200",
+    "%b": "512",
+    "%B": "512",
+    "%D": "2500000",
+    "%T": "3",
+    "%{ms}T": "250",
+    "%k": "2",
+    "%X": "+",
+    "%v": "vhost.example",
+    "%{User-Agent}i": "curl/8",
+    "%{Referer}i": "http://r/x",
+}
+_TS_VALUES = {
+    "%t": "[10/Oct/2024:13:55:36 +0000]",
+    "%{sec}t": "1727740800",
+    "%{msec}t": "1727740800123",
+    "%{usec}t": "1727740800123456",
+    "%{%Y-%m-%d %H:%M:%S}t": "2024-10-01 12:30:45",
+    "%{%d/%b/%Y %H:%M:%S %z}t": "01/Oct/2024 12:30:45 +0000",
+}
+
+
+def test_writer_random_format_round_trip_sweep(spark, tmp_path):
+    """Seeded sweep over random supported formats (every writer family
+    incl. the r11 strftime/epoch %t flavors): read -> write -> read is
+    identity on the typed rows for each generated format."""
+    import random
+
+    rng = random.Random(411)
+    quoted_ok = {"%{User-Agent}i", "%{Referer}i"}
+    pool = list(_POOL_VALUES)
+    for case in range(12):
+        n = rng.randrange(2, 6)
+        fields = rng.sample(pool, n)
+        ts = rng.choice(list(_TS_VALUES))
+        fields.insert(rng.randrange(len(fields) + 1), ts)
+        fmt_parts, val_parts = [], []
+        for f in fields:
+            v = _TS_VALUES.get(f, _POOL_VALUES.get(f))
+            if f in quoted_ok and rng.random() < 0.5:
+                fmt_parts.append(f'"{f}"')
+                val_parts.append(f'"{v}"')
+            else:
+                fmt_parts.append(f)
+                val_parts.append(v)
+        fmt = " ".join(fmt_parts)
+        line = " ".join(val_parts)
+        p = tmp_path / f"rt{case}.log"
+        p.write_text(line + "\n")
+        src = read_httpd_log(spark, str(p), format_str=fmt)
+        assert src.count() == 1, (fmt, line)
+        out = str(tmp_path / f"rtout{case}")
+        write_httpd_log(src, out, format_str=fmt)
+        back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+        assert _rows_no_file(back) == _rows_no_file(src), (fmt, line)
