@@ -249,3 +249,22 @@ def test_distrank_two_phase_physical_shape(spark, tmp_path):
     assert "ExistingRDD" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_r11_ops_plan_shapes(spark):
+    """r11 pins: gopher rules are pure projection (no exchange at all);
+    repetition filter is explode -> ONE hash-agg exchange chain;
+    oov_rate broadcasts the bounded vocab (never a shuffle join of
+    tokens x vocab); retention cohort broadcasts cohort sizes."""
+    plan = _plan(REGISTRY["text_gopher_rules"].spark_fn(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan  # per-row math only
+
+    plan = _plan(REGISTRY["text_repetition_filter"].spark_fn(spark, SF_DIR))
+    assert "Generate explode" in plan and "HashAggregate" in plan
+
+    plan = _plan(REGISTRY["text_oov_rate"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(REGISTRY["orders_retention_cohort"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -174,6 +174,11 @@ INTEREST = [
     # r10 additions
     "dedup_text_knn",
     "orders_open_backlog",
+    # r11 additions
+    "text_gopher_rules",
+    "text_repetition_filter",
+    "text_oov_rate",
+    "orders_retention_cohort",
 ]
 
 NODES = [
