@@ -486,6 +486,10 @@ def _epoch_prefix_needles(
         div = 10 ** cut
         n = hi_t // div - lo_t // div + 1
         if n <= _MAX_EPOCH_NEEDLES:
+            if d - cut <= 4:
+                # a <=4-digit prefix matches far too much of any line
+                # (status codes, bytes, ports) to pay for the byte scan
+                return None
             return [str(p) for p in range(lo_t // div, hi_t // div + 1)]
     return None
 
