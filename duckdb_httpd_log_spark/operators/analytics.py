@@ -4979,3 +4979,95 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "yr")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(floor((value * 1e4) + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+        SELECT event_type, vq,
+               row_number() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n,
+               min(CASE WHEN rn = (n + 1) // 2 THEN vq END) AS med_q
+        FROM r1 GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, abs(v.vq - m.med_q) AS dq
+        FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, dq,
+               row_number() OVER (PARTITION BY event_type ORDER BY dq) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, min(CASE WHEN rn = (n + 1) // 2 THEN dq END) AS mad_q
+        FROM r2 GROUP BY event_type
+    )
+    SELECT m.event_type,
+           m.n AS n_events,
+           CAST(m.med_q AS DOUBLE) / 1e4 AS median_value,
+           CAST(d.mad_q AS DOUBLE) / 1e4 AS mad,
+           CAST(sum(CASE WHEN x.dq > 3 * d.mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor((sum(CASE WHEN x.dq > 3 * d.mad_q THEN 1 ELSE 0 END) * 1.0 / m.n) * 1e4 + 0.5) / 1e4 AS outlier_share
+    FROM dev x
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.n, m.med_q, d.mad_q
+    ORDER BY m.event_type
+    """,
+    "median-absolute-deviation outlier detection per event type (robust "
+    "3-sigma equivalent) on the 1e-4-quantized value grid: BOTH medians "
+    "run through the two-phase grouped rank (positional pick) — never a "
+    "single-task per-type sort; deviations re-join the tiny per-type "
+    "median table broadcast-side",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", fround(F.col("value") * 1e4).cast("long").alias("vq")
+    )
+    r1 = with_grouped_rank(
+        spark, v, ["event_type"], [F.col("vq")], rn_col="rn", n_col="n"
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("vq"))).alias("med_q"),
+    )
+    dev = v.join(F.broadcast(med.select("event_type", "med_q")), "event_type").select(
+        "event_type", F.abs(F.col("vq") - F.col("med_q")).alias("dq")
+    )
+    r2 = with_grouped_rank(
+        spark, dev, ["event_type"], [F.col("dq")], rn_col="rn", n_col="n"
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dq"))).alias("mad_q"),
+    )
+    out_flag = F.when(F.col("dq") > 3 * F.col("mad_q"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_q", "mad_q")
+        .agg(
+            F.sum(out_flag).cast("long").alias("n_outliers"),
+            fround(F.sum(out_flag) * 1.0 / F.max("n"), 4).alias("outlier_share"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (F.col("med_q").cast("double") / 1e4).alias("median_value"),
+            (F.col("mad_q").cast("double") / 1e4).alias("mad"),
+            "n_outliers",
+            "outlier_share",
+        )
+        .orderBy("event_type")
+    )
