@@ -513,6 +513,40 @@ def main() -> None:
             df = read_httpd_log(spark, date_path, format_type="combined")
             return super(LineFilterableFrame, df).filter(_opred).count()
 
+        # epoch-%t digit-prefix pushdown (r11): 2M combined-shaped lines
+        # with an epoch-seconds timestamp over 28 days, one-day filter
+        # -> six 5-digit prefix needles skip the 9-field regex on ~79%
+        # of lines (measured 0.84 -> 0.67 s; a 3-field format shows no
+        # win — its regex is cheaper than the OR-of-Contains)
+        epoch_path = os.path.join(td, "bench_epoch.log")
+        _eb = 1727740800  # 2024-10-01 UTC
+        import random as _rnd
+
+        _er = _rnd.Random(0xE70C)
+        _epaths = ["/api/v1/data", "/index.html", "/img/logo.png", "/search"]
+        with open(epoch_path, "w") as _fh:
+            for i in range(2_000_000):
+                _fh.write(
+                    f"10.{_er.randrange(256)}.{_er.randrange(256)}.{_er.randrange(9)} - "
+                    f"u{_er.randrange(40)} {_eb + (i % 28) * 86400 + _er.randrange(86400)} "
+                    f'"GET {_er.choice(_epaths)} HTTP/1.1" {_er.choice([200, 304, 404, 500])} '
+                    f'{_er.randrange(100000)} "http://ref/{_er.randrange(50)}" '
+                    f'"Mozilla/5.0 (X11; u{_er.randrange(9)})"\n'
+                )
+        _efmt = '%h %l %u %{sec}t "%r" %>s %b "%{Referer}i" "%{User-Agent}i"'
+        _epred = _F.to_date("timestamp") == "2024-10-15"
+
+        def _epoch_pushed():
+            return (
+                read_httpd_log(spark, epoch_path, format_str=_efmt)
+                .filter(_epred)
+                .count()
+            )
+
+        def _epoch_naive():
+            df = read_httpd_log(spark, epoch_path, format_str=_efmt)
+            return super(LineFilterableFrame, df).filter(_epred).count()
+
         for key, fnp in (
             ("log_scan_2m_path_pushdown", _pushed),
             ("log_scan_2m_path_naive", _naive),
@@ -520,6 +554,8 @@ def main() -> None:
             ("log_scan_2m_date_naive", _date_naive),
             ("log_scan_2m_since_pushdown", _open_pushed),
             ("log_scan_2m_since_naive", _open_naive),
+            ("log_scan_2m_epoch_pushdown", _epoch_pushed),
+            ("log_scan_2m_epoch_naive", _epoch_naive),
         ):
             fnp()  # warm-up
             runs = []
