@@ -210,12 +210,29 @@ def _fs_for(spark: SparkSession, path: str):
     return jvm, fs, jpath
 
 
+# Modification times captured as a side effect of listing: Hadoop's
+# LocatedFileStatus already carries them, so max_mtime can answer from
+# the SAME listing the scan binds to instead of paying one
+# getFileStatus RPC per file (100k files = 100k avoided round trips).
+# Bounded: cleared when it outgrows _MTIME_HINT_CAP.
+_MTIME_HINTS: dict[str, float] = {}
+_MTIME_HINT_CAP = 1_000_000
+
+
+def _hint_mtime(path: str, epoch_sec: float) -> None:
+    if len(_MTIME_HINTS) >= _MTIME_HINT_CAP:
+        _MTIME_HINTS.clear()
+    _MTIME_HINTS[path] = epoch_sec
+
+
 def _list_files_recursive(fs, jpath) -> list[str]:
     out: list[str] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
-        out.append(st.getPath().toString())
+        uri = st.getPath().toString()
+        _hint_mtime(uri, st.getModificationTime() / 1000.0)
+        out.append(uri)
     return out
 
 
@@ -259,14 +276,18 @@ def expand_remote(spark: Optional[SparkSession], pattern: str) -> list[str]:
                 if st.isDirectory():
                     files.extend(_list_files_recursive(fs, st.getPath()))
                 else:
-                    files.append(st.getPath().toString())
+                    uri = st.getPath().toString()
+                    _hint_mtime(uri, st.getModificationTime() / 1000.0)
+                    files.append(uri)
     else:
         if fs.exists(jpath):
             st = fs.getFileStatus(jpath)
             if st.isDirectory():
                 files.extend(_list_files_recursive(fs, jpath))
             else:
-                files.append(st.getPath().toString())
+                uri = st.getPath().toString()
+                _hint_mtime(uri, st.getModificationTime() / 1000.0)
+                files.append(uri)
     return files
 
 
@@ -352,7 +373,12 @@ def max_mtime(spark: Optional[SparkSession], files: list[str]) -> Optional[float
     best: Optional[float] = None
     try:
         for f in files:
-            if has_scheme(f) and scheme_of(f) != "file":
+            hint = _MTIME_HINTS.get(f)
+            if hint is not None:
+                # from the SAME listing the scan bound to — consistent
+                # with what the executors will read, and free
+                t = hint
+            elif has_scheme(f) and scheme_of(f) != "file":
                 s = _session_or_none(spark)
                 if s is None:
                     return None

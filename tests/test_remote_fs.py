@@ -462,3 +462,25 @@ def test_read_remote_misnamed_gzip_raw_mode(spark, tmp_path):
     mixed = read_httpd_log(spark, "file://" + str(tmp_path) + "/*", raw=True)
     assert mixed.count() == 4
     assert mixed.select("log_file").distinct().count() == 2
+
+
+def test_mtime_hints_populated_by_listing(spark, tmp_path):
+    # r11: the listing captures modification times, so max_mtime
+    # answers without a per-file getFileStatus round trip
+    import time as _time
+
+    from duckdb_httpd_log_spark.sources.fs import _MTIME_HINTS, expand_paths, max_mtime
+
+    d = tmp_path / "hints"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.log").write_text("x\n")
+    for i in range(3):
+        m = _time.mktime((2024, 5, 1 + i, 0, 0, 0, 0, 0, 0))
+        os.utime(d / f"f{i}.log", (m, m))
+    mt = _time.mktime((2024, 5, 3, 0, 0, 0, 0, 0, 0))
+    files = expand_paths("file://" + str(d) + "/*.log", spark)
+    assert len(files) == 3
+    assert any(f.endswith("f2.log") and f in _MTIME_HINTS for f in files)
+    got = max_mtime(spark, files)
+    assert got is not None and abs(got - mt) < 2.0
