@@ -612,3 +612,77 @@ def test_epoch_digit_boundary_bails(spark, tmp_path):
     assert "Contains(value" not in _optimized(out)
     naive = super(LineFilterableFrame, df).filter(pred)
     assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_randomized_time_pushdown_equals_naive_sweep(spark, tmp_path):
+    """Seeded random time predicates x all three timestamp layouts
+    (Apache %t, strftime %Y, epoch sec): the pushed plan must be
+    row-identical to parse-then-filter for every derivable-or-not
+    shape — equality, bounded ranges (narrow AND wide), one-sided
+    ranges under a pinned mtime, year comparisons, IN lists."""
+    import random
+    import time as _time
+
+    rng = random.Random(1111)
+    eb = 1727740800  # 2024-10-01 UTC
+    corpora = {}
+
+    ap = tmp_path / "rand_apache.log"
+    ap.write_text("".join(
+        f'10.0.{d}.{h} - u [{d:02d}/Oct/2024:{h:02d}:00:00 +0000] '
+        f'"GET /r/{d} HTTP/1.1" 200 {d * 10 + h}\n'
+        for d in range(1, 29) for h in (0, 12)
+    ))
+    corpora["apache"] = (str(ap), None)  # format_type common default
+
+    sf = tmp_path / "rand_strftime.log"
+    sf.write_text("".join(
+        f"10.1.{d}.{h} 2024-10-{d:02d} {h:02d}:00:00 200\n"
+        for d in range(1, 29) for h in (0, 12)
+    ))
+    corpora["strftime"] = (str(sf), "%h %{%Y-%m-%d %H:%M:%S}t %>s")
+
+    ep = tmp_path / "rand_epoch.log"
+    ep.write_text("".join(
+        f"10.2.{d}.{h} {eb + (d - 1) * 86400 + h * 3600} 200\n"
+        for d in range(1, 29) for h in (0, 12)
+    ))
+    corpora["epoch"] = (str(ep), "%h %{sec}t %>s")
+
+    # pin every corpus file's mtime just past the data so one-sided
+    # ranges close deterministically
+    mt = _time.mktime((2024, 10, 29, 12, 0, 0, 0, 0, 0))
+    for path, _f in corpora.values():
+        os.utime(path, (mt, mt))
+
+    def rand_day():
+        return f"2024-10-{rng.randrange(1, 29):02d}"
+
+    for name, (path, fmt) in corpora.items():
+        df = (
+            read_httpd_log(spark, path, format_str=fmt)
+            if fmt
+            else read_httpd_log(spark, path, format_type="common")
+        )
+        preds = []
+        for _ in range(8):
+            kind = rng.randrange(6)
+            if kind == 0:
+                preds.append(F.to_date("timestamp") == rand_day())
+            elif kind == 1:
+                a, b = sorted((rand_day(), rand_day()))
+                preds.append(F.col("timestamp").between(f"{a} 00:00:00", f"{b} 23:59:59"))
+            elif kind == 2:
+                preds.append(F.col("timestamp") >= f"{rand_day()} {rng.randrange(24):02d}:00:00")
+            elif kind == 3:
+                preds.append(F.col("timestamp") <= f"{rand_day()} 23:59:59")
+            elif kind == 4:
+                preds.append(F.year("timestamp") == rng.choice([2023, 2024, 2025]))
+            else:
+                preds.append(F.to_date("timestamp").isin(rand_day(), rand_day()))
+        for pred in preds:
+            pushed = sorted(map(str, df.filter(pred).collect()))
+            naive = sorted(
+                map(str, super(LineFilterableFrame, df).filter(pred).collect())
+            )
+            assert pushed == naive, (name, str(pred))
