@@ -179,6 +179,7 @@ INTEREST = [
     "text_repetition_filter",
     "text_oov_rate",
     "orders_retention_cohort",
+    "events_anomaly_mad",
 ]
 
 NODES = [
