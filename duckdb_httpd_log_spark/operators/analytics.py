@@ -5036,6 +5036,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("value").isNotNull()).select(
         "event_type", fround(F.col("value") * 1e4).cast("long").alias("vq")
     )
+    # ordering by vq ALONE (no tiebreak) is safe here because only the
+    # VALUE at the picked rank is extracted and tied rows share that
+    # value; rn itself is never consumed positionally (same contract as
+    # q52's cents rank)
     r1 = with_grouped_rank(
         spark, v, ["event_type"], [F.col("vq")], rn_col="rn", n_col="n"
     )

@@ -2357,8 +2357,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl_sum = F.expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)")
     mwl = wl_sum * 1.0 / F.greatest(n, F.lit(1))
     alpha = F.expr("size(filter(t, x -> x rlike '[a-z]'))") * 1.0 / F.greatest(n, F.lit(1))
-    stop_lst = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    n_stop = F.expr(f"size(filter(t, x -> x in ({stop_lst})))")
+    n_stop = F.expr(f"size(filter(t, x -> x in ({_sql_list(STOPWORDS['en'])})))")
     pass_words = n.between(50, 100000)
     pass_mwl = mwl.between(3, 10)
     pass_alpha = alpha >= 0.8

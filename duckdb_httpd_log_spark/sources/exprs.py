@@ -274,8 +274,12 @@ def translate_strftime(fmt: str) -> tuple[str, str, int]:
 # the raw text can't be byte-identical (%e pad, %I hour-as-given).
 _STRFTIME_TO_OUTPUT = {
     **_STRFTIME_TO_SPARK,
-    "%e": "d",       # reader strips the pad and takes 1-2 digits
-    "%Z": "'UTC'",   # session zone is UTC (session.py); reader discards
+    "%e": "dd",      # zero-padded: the reader's [\s\d]\d regex and its
+                     # 1-2-digit cleanup both accept it ('d' would emit
+                     # 1 char for days < 10 and fail the line regex)
+    "%Z": "zzz",     # the SESSION zone's name — a literal 'UTC' would
+                     # contradict the other fields under a non-UTC
+                     # session zone; reader discards it either way
     "%a": "EEE",
     "%A": "EEEE",
     "%j": "DDD",

@@ -220,19 +220,26 @@ _MTIME_HINT_CAP = 1_000_000
 
 
 def _hint_mtime(path: str, epoch_sec: float) -> None:
-    if len(_MTIME_HINTS) >= _MTIME_HINT_CAP:
-        _MTIME_HINTS.clear()
-    _MTIME_HINTS[path] = epoch_sec
+    # stop INSERTING at the cap (never clear): a single listing larger
+    # than the cap must not evict its own earlier entries — max_mtime
+    # falls back to per-file stats only for the uncached tail
+    if len(_MTIME_HINTS) < _MTIME_HINT_CAP or path in _MTIME_HINTS:
+        _MTIME_HINTS[path] = epoch_sec
+
+
+def _note_status(st, files: list) -> None:
+    """Append a Hadoop FileStatus's URI to ``files``, capturing its
+    modification time as a listing side effect (see _MTIME_HINTS)."""
+    uri = st.getPath().toString()
+    _hint_mtime(uri, st.getModificationTime() / 1000.0)
+    files.append(uri)
 
 
 def _list_files_recursive(fs, jpath) -> list[str]:
     out: list[str] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
-        st = it.next()
-        uri = st.getPath().toString()
-        _hint_mtime(uri, st.getModificationTime() / 1000.0)
-        out.append(uri)
+        _note_status(it.next(), out)
     return out
 
 
@@ -276,18 +283,14 @@ def expand_remote(spark: Optional[SparkSession], pattern: str) -> list[str]:
                 if st.isDirectory():
                     files.extend(_list_files_recursive(fs, st.getPath()))
                 else:
-                    uri = st.getPath().toString()
-                    _hint_mtime(uri, st.getModificationTime() / 1000.0)
-                    files.append(uri)
+                    _note_status(st, files)
     else:
         if fs.exists(jpath):
             st = fs.getFileStatus(jpath)
             if st.isDirectory():
                 files.extend(_list_files_recursive(fs, jpath))
             else:
-                uri = st.getPath().toString()
-                _hint_mtime(uri, st.getModificationTime() / 1000.0)
-                files.append(uri)
+                _note_status(st, files)
     return files
 
 

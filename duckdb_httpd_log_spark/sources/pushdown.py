@@ -538,6 +538,18 @@ def _bounded_time_groups(
     return [yg] if yg else None
 
 
+def _close_year_hi(ctx: "PushdownContext") -> Optional[int]:
+    """Year of the listing's mtime bound, for closing an open-above
+    ``year(ts) >= y`` — None when unavailable or out of calendar range."""
+    hi_us = ctx.hi_us()
+    if hi_us is None:
+        return None
+    try:
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=hi_us // _US_PER_DAY)).year
+    except OverflowError:
+        return None
+
+
 def _flatten_and(e) -> list:
     if _simple(e) == "And":
         l, r = _children(e)
@@ -605,12 +617,7 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                 groups += g
         for name, (lo, hi) in years.items():
             if lo is not None and hi is None:
-                hi_us = ctx.hi_us()
-                if hi_us is not None:
-                    hi = (
-                        _dt.date(1970, 1, 1)
-                        + _dt.timedelta(days=hi_us // _US_PER_DAY)
-                    ).year
+                hi = _close_year_hi(ctx)
             if lo is not None and hi is not None:
                 g = _render_years(name, ctx, lo, hi)
                 if g:
@@ -633,10 +640,7 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
     if yv is not None:
         name, lo, hi = yv
         if lo is not None and hi is None:
-            hi_us = ctx.hi_us()
-            if hi_us is None:
-                return None
-            hi = (_dt.date(1970, 1, 1) + _dt.timedelta(days=hi_us // _US_PER_DAY)).year
+            hi = _close_year_hi(ctx)
         if lo is not None and hi is not None:
             g = _render_years(name, ctx, lo, hi)
             return [g] if g else None
@@ -695,7 +699,10 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                     return None
                 return [sorted(toks)]
             if name in ctx.ts_year_cols:
-                # strftime-%Y column: union the bare-year needles
+                # strftime-%Y column: union the bare-year needles,
+                # capped like the sibling day/epoch branches — a
+                # many-year IN list would otherwise push an arbitrarily
+                # wide OR-of-Contains that costs more than the parse
                 yrs: set = set()
                 for lit in kids[1:]:
                     ivl = _time_literal_interval(lit, domain)
@@ -705,7 +712,9 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                     if g is None:
                         return None
                     yrs.update(g)
-                return [sorted(yrs)] if yrs else None
+                if not yrs or len(yrs) > _MAX_DAY_NEEDLES:
+                    return None
+                return [sorted(yrs)]
             day_toks: set = set()
             month_toks: set = set()
             for lit in kids[1:]:

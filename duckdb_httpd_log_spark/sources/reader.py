@@ -414,9 +414,13 @@ def read_httpd_log(
     from .pushdown import LineFilterableFrame
 
     def _rebuild(cnf):
+        # re-plan over the BIND-TIME file list, not the original
+        # pattern: a re-expanded glob could pick up files created since
+        # the read, silently making the pushed plan see MORE data than
+        # the naive plan it must be value-identical to
         return read_httpd_log(
             spark,
-            path,
+            files,
             format_type=format_type,
             format_str=format_str,
             conf=conf,
@@ -428,9 +432,12 @@ def read_httpd_log(
 
     def _mtime_hi_us():
         # upper-bound epoch-µs for any %t instant in this FIXED file
-        # set: the listing's max modification time (see fs.max_mtime).
-        # Opt out with spark.graft.pushdown.mtimeBound=false (e.g. for
-        # pathological corpora carrying future-dated lines).
+        # set: the bind-time listing's max modification time (see
+        # fs.max_mtime, answered from the listing's own mtime hints).
+        # _rebuild pins the same bind-time list, so the bound and the
+        # scan always describe the SAME files. Opt out with
+        # spark.graft.pushdown.mtimeBound=false (e.g. for pathological
+        # corpora carrying future-dated lines).
         if str(
             spark.conf.get("spark.graft.pushdown.mtimeBound", "true")
         ).lower() != "true":
@@ -484,13 +491,21 @@ def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
     # single strftime-%t fields whose format contains %Y: the 4-digit
     # year renders verbatim in the matched text (translate_strftime
     # maps %Y -> yyyy), so bounded year sets push as bare-digit needles
+    from .logformat import _strftime_tokens
+
+    def _has_year_token(fmt: str) -> bool:
+        # token walk, not substring: '%%Y' is a literal '%'+'Y', which
+        # renders no 4-digit year (a substring test would push UNSOUND
+        # bare-year needles there)
+        return any(k == "spec" and t == "%Y" for k, t in _strftime_tokens(fmt))
+
     ts_year = {
         f.column_name
         for f in parsed.fields
         if f.directive == "%t"
         and not f.should_skip
         and f.timestamp_type == TsFormat.STRFTIME
-        and "%Y" in f.strftime_format
+        and _has_year_token(f.strftime_format)
         and _tgrp[f.timestamp_group_id] == 1
     }
     # single epoch %t fields: the raw token is the decimal epoch value,

@@ -686,3 +686,41 @@ def test_randomized_time_pushdown_equals_naive_sweep(spark, tmp_path):
                 map(str, super(LineFilterableFrame, df).filter(pred).collect())
             )
             assert pushed == naive, (name, str(pred))
+
+
+def test_pushed_plan_pinned_to_bind_time_listing(spark, tmp_path):
+    # review fix: the pushed plan (_rebuild) must scan the BIND-TIME
+    # file list, exactly like the naive plan it is value-identical to —
+    # a re-expanded glob would see files created since the read, and
+    # the stale-list mtime bound would then drop their newest rows
+    import shutil
+    import time as _time
+
+    d = tmp_path / "rotate"
+    d.mkdir()
+    old_mt = _time.mktime((2024, 10, 16, 0, 0, 0, 0, 0, 0))
+    (d / "monday.log").write_text(
+        '1.1.1.1 - u [15/Oct/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 1 "-" "ua"\n'
+    )
+    os.utime(d / "monday.log", (old_mt, old_mt))
+    df = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
+    assert df.count() == 1  # bound-time listing sees only monday
+
+    new_mt = _time.mktime((2024, 10, 23, 0, 0, 0, 0, 0, 0))
+    (d / "tuesday.log").write_text(
+        '2.2.2.2 - u [22/Oct/2024:10:00:00 +0000] "GET /b HTTP/1.1" 200 1 "-" "ua"\n'
+    )
+    os.utime(d / "tuesday.log", (new_mt, new_mt))
+
+    pred = F.col("timestamp") >= "2024-10-14 00:00:00"
+    pushed = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    got = sorted(r.client_host for r in pushed.collect())
+    want = sorted(r.client_host for r in naive.collect())
+    # point-in-time semantics: tuesday.log (created after the read) is
+    # invisible to BOTH plans; a fresh read sees both files
+    assert got == want == ["1.1.1.1"]
+    fresh = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
+    assert sorted(
+        r.client_host for r in fresh.filter(pred).collect()
+    ) == ["1.1.1.1", "2.2.2.2"]

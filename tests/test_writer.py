@@ -358,3 +358,23 @@ def test_writer_random_format_round_trip_sweep(spark, tmp_path):
         write_httpd_log(src, out, format_str=fmt)
         back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
         assert _rows_no_file(back) == _rows_no_file(src), (fmt, line)
+
+
+def test_strftime_e_day_round_trips_single_digit(spark, tmp_path):
+    # review fix: %e must render a 2-char day ('dd') — a 1-digit render
+    # fails the reader's [\s\d]\d regex and silently drops the row
+    fmt = "%h %{%e/%b/%Y %H:%M:%S}t %>s"
+    p = tmp_path / "e.log"
+    # the reader accepts the 2-char zero-padded %e form ("05"); the
+    # classic " 5" pad can't follow the possessive \s++ separator
+    p.write_text(
+        "1.1.1.1 05/Oct/2024 13:55:36 200\n"
+        "2.2.2.2 15/Oct/2024 13:55:36 404\n"
+    )
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    assert src.filter(F.col("timestamp").isNull()).count() == 0
+    out = str(tmp_path / "eout")
+    write_httpd_log(src, out, format_str=fmt)
+    back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+    assert back.count() == 2
+    assert _rows_no_file(back) == _rows_no_file(src)
