@@ -525,7 +525,23 @@ def generate_regex_pattern(parsed: ParsedFormat) -> tuple[str, int]:
                 f.capture_index = None
             field_idx += 1
         elif c in (" ", "\t"):
-            out.append(r"\s++")
+            # possessive \s++ is the default (~15% faster, no
+            # backtracking state) — EXCEPT when the next field is a
+            # strftime %t whose regex can itself start with whitespace
+            # (%e's [\s\d] pad, a leading literal space): the reference
+            # emits backtracking \s+ (:624) and parses ' 5/Oct/...',
+            # so the possessive would unsoundly eat the pad here
+            j = pos
+            while j < n and fmt[j] in (" ", "\t"):
+                j += 1
+            possessive = True
+            if j < n and fmt[j] == "%" and field_idx < len(parsed.fields):
+                nf = parsed.fields[field_idx]
+                if nf.directive == "%t" and nf.timestamp_type == TsFormat.STRFTIME:
+                    head = strftime_to_regex(nf.strftime_format)
+                    if head.startswith(("[\\s", "\\s")):
+                        possessive = False
+            out.append(r"\s++" if possessive else r"\s+")
             pos += 1
             while pos < n and fmt[pos] in (" ", "\t"):
                 pos += 1

@@ -621,3 +621,23 @@ def test_raw_mode_mixed_misnamed_gzip_and_plain(spark, tmp_path):
         ("a.log", 2): (True, ""),
         ("b.log", 1): (False, "2.2.2.2"),
     }
+
+
+def test_strftime_e_space_padded_day_parses(spark, tmp_path):
+    """Reference parity (httpd_log_format_parser.cpp:135, :624): Apache's
+    %e writes ' 5' for days < 10; the separator must backtrack so the
+    pad space reaches %e's [\\s\\d] class."""
+    fmt = "%h %{%e/%b/%Y %H:%M:%S}t %>s"
+    p = tmp_path / "epad.log"
+    p.write_text(
+        "1.1.1.1  5/Oct/2024 13:55:36 200\n"
+        "2.2.2.2 15/Oct/2024 13:55:36 404\n"
+        "3.3.3.3 05/Oct/2024 13:55:36 500\n"
+    )
+    df = read_httpd_log(spark, str(p), format_str=fmt)
+    rows = sorted((r.client_host, str(r.timestamp)) for r in df.collect())
+    assert rows == [
+        ("1.1.1.1", "2024-10-05 13:55:36"),
+        ("2.2.2.2", "2024-10-15 13:55:36"),
+        ("3.3.3.3", "2024-10-05 13:55:36"),
+    ]
