@@ -140,6 +140,14 @@ class PushdownContext:
     # a covering set of digit-PREFIX needles (every integer in the
     # range starts with one of them)
     ts_epoch_cols: dict = field(default_factory=dict)
+    # single strftime-%t columns whose format contains a CONTIGUOUS
+    # date-rendering token run (e.g. %Y-%m-%d or %d/%b/%Y — strict
+    # 2-digit %m/%d regexes, so the zero-padded rendering is the ONLY
+    # raw text that parses): name -> token run, a tuple of ("lit", ch)
+    # / ("spec", "Y"|"m"|"d"|"b") items. A bounded range renders each
+    # in-range day through the run VERBATIM — far more selective than
+    # the bare-year fallback (ts_year_cols) those columns also carry.
+    ts_date_cols: dict = field(default_factory=dict)
     margin_days: int = 2
     # Closes an OPEN-ABOVE time range (``ts >= lo``, the "since X"
     # filter) at derivation time: returns an upper-bound epoch-µs for
@@ -150,14 +158,13 @@ class PushdownContext:
     # Streaming scans leave it None: future files arrive with later
     # mtimes, so no bind-time bound is sound there.
     hi_us_fn: Optional[Callable[[], Optional[int]]] = None
-    _hi_us_cache: object = field(default=(), repr=False)
 
     def hi_us(self) -> Optional[int]:
-        if self.hi_us_fn is None:
-            return None
-        if self._hi_us_cache == ():
-            object.__setattr__(self, "_hi_us_cache", self.hi_us_fn())
-        return self._hi_us_cache
+        # deliberately NOT cached here: the reader's hi_us_fn caches the
+        # (expensive) mtime stat itself but re-reads the
+        # spark.graft.pushdown.mtimeBound conf on every derivation, so
+        # toggling the opt-out between filters on the same frame works
+        return None if self.hi_us_fn is None else self.hi_us_fn()
 
 
 def _simple(e) -> str:
@@ -494,6 +501,52 @@ def _epoch_prefix_needles(
     return None
 
 
+def _date_run_needles(
+    run: tuple, lo_us: int, hi_us: int, margin: int
+) -> Optional[Needles]:
+    """Full-date needles for a strftime column whose format carries a
+    contiguous date-rendering token run: each in-range day (±margin,
+    covering the line's own zone offset and the session zone exactly
+    like _day_cnf) renders through the run VERBATIM. Soundness: the
+    line regex for the run is the concatenation of strict sub-regexes
+    (%Y \\d{4}, %m/%d \\d{2} — a 1-digit token never matches) and
+    escaped literals, so a row whose parsed timestamp lands on day D
+    must contain D's zero-padded rendering as a substring. Month-name
+    runs (%b/%h — Spark's MMM parse is case-insensitive) emit one ci
+    group; all-digit runs emit plain case-sensitive Contains needles."""
+    if lo_us > hi_us:
+        return None
+    lo_day = lo_us // _US_PER_DAY - margin
+    hi_day = hi_us // _US_PER_DAY + margin
+    if hi_day - lo_day + 1 > _MAX_DAY_NEEDLES:
+        return None
+    has_month_name = any(k == "spec" and t == "b" for k, t in run)
+    epoch = _dt.date(1970, 1, 1)
+    out: set = set()
+    try:
+        for day in range(lo_day, hi_day + 1):
+            d = epoch + _dt.timedelta(days=day)
+            if not (1000 <= d.year <= 9999):
+                return None  # %Y is \d{4}: don't bet outside 4-digit years
+            parts = []
+            for k, t in run:
+                if k == "lit":
+                    parts.append(t)
+                elif t == "Y":
+                    parts.append(f"{d.year:04d}")
+                elif t == "m":
+                    parts.append(f"{d.month:02d}")
+                elif t == "d":
+                    parts.append(f"{d.day:02d}")
+                else:  # month abbreviation (%b/%h)
+                    parts.append(_MONTHS[d.month - 1])
+            s = "".join(parts)
+            out.add(("ci", s.lower()) if has_month_name else s)
+    except OverflowError:
+        return None
+    return [sorted(out)]
+
+
 def _year_group_from_us(
     name: str, lo_us: int, hi_us: int, ctx: "PushdownContext"
 ) -> Optional[List[Needle]]:
@@ -532,6 +585,12 @@ def _bounded_time_groups(
         return [g] if g else None
     if name in ctx.ts_day_cols:
         g = _day_cnf(lo_us, hi_us, ctx.margin_days)
+        if g:
+            return g
+    if name in ctx.ts_date_cols:
+        # strftime layout rendering a full date: day-level needles
+        # (falls through to the bare-year group when the range is wide)
+        g = _date_run_needles(ctx.ts_date_cols[name], lo_us, hi_us, ctx.margin_days)
         if g:
             return g
     yg = _year_group_from_us(name, lo_us, hi_us, ctx)
@@ -698,6 +757,27 @@ def derive_needles(e, ctx: PushdownContext) -> Optional[Needles]:
                 if not toks or len(toks) > _MAX_EPOCH_NEEDLES:
                     return None
                 return [sorted(toks)]
+            if name in ctx.ts_date_cols:
+                # full-date-rendering strftime column: union each
+                # literal's day needles into ONE OR group, same cap as
+                # the Apache-day branch; any literal too wide for day
+                # needles falls through to the coarser bare-year union
+                toks = set()
+                for lit in kids[1:]:
+                    ivl = _time_literal_interval(lit, domain)
+                    if ivl is None:
+                        toks = None
+                        break
+                    g = _date_run_needles(
+                        ctx.ts_date_cols[name], ivl[0], ivl[1], ctx.margin_days
+                    )
+                    if g is None:
+                        toks = None
+                        break
+                    toks.update(g[0])
+                if toks and len(toks) <= _MAX_DAY_NEEDLES:
+                    return [sorted(toks)]
+                # fall through to the bare-year union below
             if name in ctx.ts_year_cols:
                 # strftime-%Y column: union the bare-year needles,
                 # capped like the sibling day/epoch branches — a
@@ -775,12 +855,79 @@ def apply_cnf(df: DataFrame, cnf: Needles) -> DataFrame:
     return df
 
 
+# Catalyst nodes whose value can differ between the scan query and the
+# tiny driver-side file-pruning query (per-query "now" snapshots, ids,
+# randomness) — a conjunct containing one must never prune files, even
+# though Catalyst marks some of them deterministic.
+_QUERY_LOCAL_NODES = {
+    "CurrentDate",
+    "CurrentTimestamp",
+    "CurrentTimeZone",
+    "Now",
+    "LocalTimestamp",
+    "CurrentDatabase",
+    "CurrentCatalog",
+    "CurrentUser",
+    "InputFileName",
+    "SparkPartitionID",
+    "MonotonicallyIncreasingID",
+    "Uuid",
+    "Rand",
+    "Randn",
+}
+
+
+def _attrs_and_pruner_safe(e) -> Tuple[set, bool]:
+    """(attribute names referenced, safe-to-evaluate-out-of-query).
+
+    Safe means: no query-local node (see _QUERY_LOCAL_NODES) and no
+    subquery expression — those either change value across queries or
+    cannot be re-planned against the tiny one-column file frame."""
+    s = _simple(e)
+    if s in _QUERY_LOCAL_NODES or "Subquery" in s or s in ("Exists", "InSubquery"):
+        return set(), False
+    names = {e.name()} if s == "AttributeReference" else set()
+    ok = True
+    for c in _children(e):
+        n, o = _attrs_and_pruner_safe(c)
+        names |= n
+        ok = ok and o
+    return names, ok
+
+
+def file_prune_sql(cond, log_file_col: str = "log_file") -> Optional[str]:
+    """SQL string of the conjuncts of ``cond`` that reference ONLY the
+    ``log_file`` column, or None when no conjunct qualifies.
+
+    Every row of a file carries log_file == that file's path, so such a
+    conjunct is file-constant: a file where it evaluates to false/NULL
+    contributes no row to the filtered result and can be dropped from
+    the LISTING — skipping whole files beats any raw-line needle.
+    Evaluation happens through Spark itself (a one-column DataFrame of
+    the bind-time listing), so LIKE/regexp/substring semantics are
+    exact by construction. Reference parallelism anchor: the reference
+    opens one reader per listed file
+    (src/httpd_log_multi_file_info.cpp:236-249) — pruning the listing
+    is the Spark-native analogue of never opening the file."""
+    keep = []
+    for c in _flatten_and(cond):
+        try:
+            names, safe = _attrs_and_pruner_safe(c)
+            if safe and names == {log_file_col} and c.deterministic():
+                keep.append(f"({c.sql()})")
+        except Exception:
+            continue
+    return " AND ".join(keep) if keep else None
+
+
 class LineFilterableFrame(DataFrame):
     """read_httpd_log's fast-path result: a plain DataFrame whose
-    ``filter``/``where`` additionally attempts the raw-line Contains
-    pushdown. Every derived transformation returns a plain DataFrame,
-    so the pushdown applies exactly where it is sound: predicates
-    placed directly on the scan result."""
+    ``filter``/``where`` additionally attempts two scan re-plans —
+    pruning the FILE LISTING from log_file-only conjuncts (whole files
+    skipped) and the raw-line Contains pushdown (non-matching lines
+    never reach the parse regex). Every derived transformation returns
+    a plain DataFrame, so the pushdown applies exactly where it is
+    sound: predicates placed directly on the scan result."""
 
     def __new__(cls, *args, **kwargs):
         # the classic DataFrame.__new__ hard-codes the (jdf, sql_ctx)
@@ -790,12 +937,33 @@ class LineFilterableFrame(DataFrame):
     def __init__(
         self,
         df: DataFrame,
-        rebuild: Callable[[Needles], DataFrame],
+        rebuild: Callable[..., DataFrame],
         ctx: PushdownContext,
+        file_pairs: Optional[list] = None,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
         self._lf_ctx = ctx
+        # (bind-time path, row-visible log_file value) pairs; None when
+        # the reader can't vouch the mapping (remote schemes) or the
+        # rebuild can't take a subset (streaming source)
+        self._lf_files = file_pairs
+
+    def _pruned_subset(self, cond) -> Optional[list]:
+        """Bind-time paths surviving the log_file-only conjuncts of
+        ``cond``; None when nothing prunes (or pruning is unavailable)."""
+        if not self._lf_files:
+            return None
+        sql = file_prune_sql(cond)
+        if sql is None:
+            return None
+        tiny = self.sparkSession.createDataFrame(
+            [(v,) for _b, v in self._lf_files], "log_file string"
+        )
+        keep = {r[0] for r in tiny.filter(F.expr(sql)).collect()}
+        if len(keep) >= len(self._lf_files):
+            return None  # nothing pruned: keep the original plan
+        return [b for b, v in self._lf_files if v in keep]
 
     def filter(self, condition):  # type: ignore[override]
         plain = super().filter(condition)
@@ -809,10 +977,19 @@ class LineFilterableFrame(DataFrame):
             # time: date semantics follow spark.sql.session.timeZone
             tz = self.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
             ctx.margin_days = 1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z") else 2
+            subset = self._pruned_subset(cond)
+            if subset is not None and not subset:
+                # no file can produce a passing row: empty result,
+                # Catalyst folds the always-false filter to an empty
+                # LocalRelation — nothing is listed, opened, or parsed
+                return plain.filter(F.lit(False))
             cnf = derive_needles(cond, ctx)
-            if not cnf:
+            if not cnf and subset is None:
                 return plain
-            rebuilt = self._lf_rebuild(cnf)
+            if subset is not None:
+                rebuilt = self._lf_rebuild(cnf or [], subset)
+            else:
+                rebuilt = self._lf_rebuild(cnf)
             return rebuilt.filter(F.expr(cond.sql()))
         except Exception:
             # introspection is best-effort: any surprise keeps the

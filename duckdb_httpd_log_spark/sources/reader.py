@@ -413,22 +413,26 @@ def read_httpd_log(
     # intervals, booleans, log_file, and hive keys are excluded.
     from .pushdown import LineFilterableFrame
 
-    def _rebuild(cnf):
-        # re-plan over the BIND-TIME file list, not the original
-        # pattern: a re-expanded glob could pick up files created since
-        # the read, silently making the pushed plan see MORE data than
-        # the naive plan it must be value-identical to
+    def _rebuild(cnf, subset=None):
+        # re-plan over the BIND-TIME file list (optionally a PRUNED
+        # subset of it, when log_file-only conjuncts ruled whole files
+        # out), not the original pattern: a re-expanded glob could pick
+        # up files created since the read, silently making the pushed
+        # plan see MORE data than the naive plan it must be
+        # value-identical to
         return read_httpd_log(
             spark,
-            files,
+            files if subset is None else subset,
             format_type=format_type,
             format_str=format_str,
             conf=conf,
             raw=raw,
             hive_partitioning=hive_partitioning,
             line_filter=line_filter,
-            _pre_cnf=cnf,
+            _pre_cnf=cnf if cnf else [],
         )
+
+    _mt_cache: list = []
 
     def _mtime_hi_us():
         # upper-bound epoch-µs for any %t instant in this FIXED file
@@ -437,22 +441,93 @@ def read_httpd_log(
         # _rebuild pins the same bind-time list, so the bound and the
         # scan always describe the SAME files. Opt out with
         # spark.graft.pushdown.mtimeBound=false (e.g. for pathological
-        # corpora carrying future-dated lines).
+        # corpora carrying future-dated lines); the conf is re-read on
+        # EVERY derivation — only the mtime stat itself is cached — so
+        # toggling it between filters on the same frame takes effect.
         if str(
             spark.conf.get("spark.graft.pushdown.mtimeBound", "true")
         ).lower() != "true":
             return None
-        from .fs import max_mtime
+        if not _mt_cache:
+            from .fs import max_mtime
 
-        mt = max_mtime(spark, files)
+            _mt_cache.append(max_mtime(spark, files))
+        mt = _mt_cache[0]
         return None if mt is None else int(mt * 1_000_000)
 
+    # (bind path, row-visible log_file value) pairs for listing pruning
+    # — only when the mapping is provable: local paths normalize to
+    # os.path.abspath (what input_file_name round-trips to through
+    # _normalize_file_uri); remote schemes may percent-encode, so
+    # pruning is conservatively disabled there (the needle pushdown and
+    # Catalyst's row filter still apply).
+    import os.path as _osp
+
+    if all(not FS.has_scheme(f) or FS.scheme_of(f) == "file" for f in files):
+        from .fs import _uri_path as _fs_uri_path
+
+        file_pairs = [
+            (f, _fs_uri_path(f) if FS.has_scheme(f) else _osp.abspath(f))
+            for f in files
+        ]
+    else:
+        file_pairs = None
+
+    # epoch digit-prefix derivation only pays when the parse it skips
+    # is expensive (r11 A/B: 9-field combined 0.84->0.67 s, 3-field no
+    # win — the prefix Contains costs more than the short regex), so
+    # formats below the field-count threshold skip it entirely
+    epoch_min_fields = int(
+        spark.conf.get("spark.graft.pushdown.epochMinFields", "6")
+    )
+
     return LineFilterableFrame(
-        df, _rebuild, pushdown_context(parsed, schema, hi_us_fn=_mtime_hi_us)
+        df,
+        _rebuild,
+        pushdown_context(
+            parsed, schema, hi_us_fn=_mtime_hi_us, epoch_min_fields=epoch_min_fields
+        ),
+        file_pairs=file_pairs,
     )
 
 
-def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
+def _date_token_run(fmt: str):
+    """Contiguous date-rendering token run of a strftime format, or None.
+
+    A run is a maximal stretch of %Y/%m/%d/%b/%h specifiers and literal
+    characters that contains %Y, %d, and a month token — e.g. the
+    ``%Y-%m-%d`` of ``%Y-%m-%d %H:%M:%S`` or the ``%d/%b/%Y`` of an
+    ISO-ish access layout. Those specifiers parse through STRICT-width
+    regexes (\\d{4} / \\d{2} / [A-Za-z]{3}), so for a given calendar day
+    the run's rendering is the unique raw text that parses — the basis
+    of sources/pushdown.py's full-date needles. Returned as a tuple of
+    ("lit", ch) / ("spec", "Y"|"m"|"d"|"b") items."""
+    from .logformat import _strftime_tokens
+
+    spec_map = {"%Y": "Y", "%m": "m", "%d": "d", "%b": "b", "%h": "b"}
+    runs: list = []
+    cur: list = []
+    for kind, tok in _strftime_tokens(fmt):
+        if kind == "spec" and tok in spec_map:
+            cur.append(("spec", spec_map[tok]))
+        elif kind == "lit":
+            cur.append(("lit", tok))
+        else:
+            if cur:
+                runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    for run in runs:
+        specs = {t for k, t in run if k == "spec"}
+        if "Y" in specs and "d" in specs and ("m" in specs or "b" in specs):
+            return tuple(run)
+    return None
+
+
+def pushdown_context(
+    parsed: ParsedFormat, schema: list, hi_us_fn=None, epoch_min_fields: int = 0
+):
     """PushdownContext for a scan of ``parsed`` emitting ``schema``
     (name, type) pairs — what sources/pushdown.py may assume VERBATIM
     (shared by the batch reader and the streaming source):
@@ -508,27 +583,46 @@ def pushdown_context(parsed: ParsedFormat, schema: list, hi_us_fn=None):
         and _has_year_token(f.strftime_format)
         and _tgrp[f.timestamp_group_id] == 1
     }
+    # single strftime-%t fields whose format renders a CONTIGUOUS full
+    # date (%Y-%m-%d / %d/%b/%Y style): bounded ranges push day-level
+    # full-date needles instead of degrading to bare year digits
+    ts_date = {}
+    for f in parsed.fields:
+        if (
+            f.directive == "%t"
+            and not f.should_skip
+            and f.timestamp_type == TsFormat.STRFTIME
+            and _tgrp[f.timestamp_group_id] == 1
+        ):
+            run = _date_token_run(f.strftime_format)
+            if run is not None:
+                ts_date[f.column_name] = run
     # single epoch %t fields: the raw token is the decimal epoch value,
-    # so bounded ranges push digit-prefix needle covers
+    # so bounded ranges push digit-prefix needle covers — but only when
+    # the parse the needles skip is expensive enough to beat the byte
+    # scan (epoch_min_fields gate; r11 A/B: 3-field formats lose)
     _epoch_unit = {
         TsFormat.EPOCH_SEC: 1_000_000,
         TsFormat.EPOCH_MSEC: 1_000,
         TsFormat.EPOCH_USEC: 1,
     }
-    ts_epoch = {
-        f.column_name: _epoch_unit[f.timestamp_type]
-        for f in parsed.fields
-        if f.directive == "%t"
-        and not f.should_skip
-        and f.timestamp_type in _epoch_unit
-        and _tgrp[f.timestamp_group_id] == 1
-    }
+    ts_epoch = {}
+    if parsed.num_capture_groups >= epoch_min_fields:
+        ts_epoch = {
+            f.column_name: _epoch_unit[f.timestamp_type]
+            for f in parsed.fields
+            if f.directive == "%t"
+            and not f.should_skip
+            and f.timestamp_type in _epoch_unit
+            and _tgrp[f.timestamp_group_id] == 1
+        }
     return PushdownContext(
         verbatim_str=vstr,
         verbatim_int=vint,
         ts_day_cols=ts_day,
         ts_year_cols=ts_year,
         ts_epoch_cols=ts_epoch,
+        ts_date_cols=ts_date,
         hi_us_fn=hi_us_fn,
     )
 

@@ -15,9 +15,13 @@ expression per line, no Python on the row path, splittable text write.
 Supported directives are the reader's VARCHAR/INTEGER/BIGINT/INTERVAL
 families, plain/epoch/strftime ``%t`` (strftime renders through
 exprs.strftime_to_output_pattern — discarded-on-read tokens get
-deterministic text the reader re-accepts), and ``%r``; fractional and
-multi-field timestamp groups raise ``ValueError`` (their raw text
-split is not reconstructible from one TIMESTAMP column).
+deterministic text the reader re-accepts), ``%r``, and (r12)
+MULTI-FIELD timestamp groups: every member renders from the group's
+single combined column — bases at their own resolution, frac tokens
+(``%{msec_frac}t``/``%{usec_frac}t``) carrying exactly the µs
+remainder the base drops — so the typed round trip holds for every
+instant the reader can produce. Only a frac-ONLY group raises
+``ValueError`` (its read column is always NULL).
 """
 
 from __future__ import annotations
@@ -49,11 +53,27 @@ def _dash_null(c: Column) -> Column:
     return F.coalesce(c.cast("string"), F.lit("-"))
 
 
-def _field_text(f: FormatField) -> Column:
+def _frac_text(col: Column, unit_us: int, width: int, carrier_mod: int) -> Column:
+    """Sub-second token for a frac %t field in a multi-field group:
+    the µs remainder the group's base rendering DROPS (mod
+    ``carrier_mod`` — 1e6 for seconds-resolution bases, 1e3 for
+    %{msec}t, 1 for %{usec}t), scaled to the token's unit and
+    zero-padded to the reader's fixed-width regex (\\d{3} / \\d{6}).
+    Read-back adds the token back onto the base, recovering the
+    instant exactly for any value the reader itself can produce."""
+    rem = F.pmod(F.unix_micros(col), F.lit(carrier_mod))
+    tok = (rem / F.lit(unit_us)).cast("long")
+    return F.lpad(tok.cast("string"), width, "0")
+
+
+def _field_text(f: FormatField, col: Optional[Column] = None) -> Column:
     """Raw-token expression for one directive from its typed column —
-    the exact inverse of exprs.regular_field_expr."""
+    the exact inverse of exprs.regular_field_expr. ``col`` overrides
+    the source column (used by multi-field timestamp groups, where
+    every member renders from the group head's combined column)."""
     name = f.column_name
-    col = F.col(name)
+    if col is None:
+        col = F.col(name)
     if f.directive in _REQUEST_DIRECTIVES:
         # method + path + query_string (leading '?' retained by the
         # reader) + protocol
@@ -126,21 +146,59 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
     """One Catalyst expression rendering a typed row as a raw log line
     under ``parsed``'s format string (literals, spacing, and quoting
     reproduced verbatim — the same walk generate_regex_pattern does)."""
-    from collections import Counter as _Counter
-
     ts_fields = [f for f in parsed.fields if f.type == TIMESTAMP]
-    grp = _Counter(f.timestamp_group_id for f in ts_fields)
+    groups: dict[int, list[FormatField]] = {}
     for f in ts_fields:
-        if grp[f.timestamp_group_id] > 1 or f.timestamp_type in (
-            TsFormat.FRAC_MSEC,
-            TsFormat.FRAC_USEC,
-        ):
-            # multi-field groups / standalone frac fields combine into
-            # one TIMESTAMP on read; their raw text split is not
-            # reconstructible from that single column
+        groups.setdefault(f.timestamp_group_id, []).append(f)
+
+    # Multi-field %t groups combine into ONE TIMESTAMP column on read
+    # (exprs.timestamp_group_expr: last plain/epoch base wins, strftime
+    # parts join, frac adds µs). The inverse renders every member from
+    # that single column: bases at their own resolution, frac tokens
+    # carrying exactly the remainder the base rendering drops — so
+    # read(write(read(x))) == read(x) holds for every instant the
+    # reader can produce. Only a frac-ONLY group stays unrenderable
+    # (its read column is always NULL).
+    _frac_types = (TsFormat.FRAC_MSEC, TsFormat.FRAC_USEC)
+    ts_override: dict[int, Column] = {}  # id(field) -> rendering
+    for fl in groups.values():
+        fracs = [f for f in fl if f.timestamp_type in _frac_types]
+        if len(fl) == 1 and not fracs:
+            continue  # single plain/epoch/strftime field: default path
+        bases = [f for f in fl if f.timestamp_type not in _frac_types]
+        if not bases:
             raise ValueError(
-                "write_httpd_log supports single plain/epoch/strftime %t fields only"
+                "write_httpd_log cannot render a frac-only %t group "
+                "(its combined column is always NULL on read)"
             )
+        head = fl[0]
+        col = F.col(head.column_name)
+        # µs granularity the EFFECTIVE base rendering preserves: the
+        # reader keeps the LAST plain/epoch base; strftime-only groups
+        # resolve to seconds unless some part carries %f
+        plain_epoch = [f for f in bases if f.timestamp_type != TsFormat.STRFTIME]
+        if plain_epoch:
+            carrier_mod = {
+                TsFormat.EPOCH_MSEC: 1_000,
+                TsFormat.EPOCH_USEC: 1,
+            }.get(plain_epoch[-1].timestamp_type, 1_000_000)
+        else:
+            from .logformat import _strftime_tokens
+
+            has_us = any(
+                k == "spec" and t == "%f"
+                for f in bases
+                for k, t in _strftime_tokens(f.strftime_format)
+            )
+            carrier_mod = 1 if has_us else 1_000_000
+        for f in fl:
+            if f.timestamp_type == TsFormat.FRAC_MSEC:
+                ts_override[id(f)] = _frac_text(col, 1_000, 3, carrier_mod)
+            elif f.timestamp_type == TsFormat.FRAC_USEC:
+                ts_override[id(f)] = _frac_text(col, 1, 6, carrier_mod)
+            else:
+                ts_override[id(f)] = _field_text(f, col=col)
+
     pieces: list[Column] = []
     lit_buf: list[str] = []
 
@@ -166,7 +224,8 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
             else:
                 pos += len(f.directive)
             flush()
-            pieces.append(_field_text(f))
+            ov = ts_override.get(id(f))
+            pieces.append(_field_text(f) if ov is None else ov)
             field_idx += 1
             continue
         lit_buf.append(c)

@@ -98,8 +98,19 @@ def read_httpd_log_stream(
             **options,
         )
 
+    # same epoch cost gate as the batch reader; no hi_us_fn (a stream's
+    # future files arrive with later mtimes — no sound bind-time bound)
+    # and no file_pairs (the file set grows; listing pruning is a
+    # batch-only re-plan)
+    epoch_min_fields = int(
+        spark.conf.get("spark.graft.pushdown.epochMinFields", "6")
+    )
     return LineFilterableFrame(
-        out, _rebuild, pushdown_context(parsed, generate_schema(parsed, False))
+        out,
+        _rebuild,
+        pushdown_context(
+            parsed, generate_schema(parsed, False), epoch_min_fields=epoch_min_fields
+        ),
     )
 
 

@@ -502,13 +502,77 @@ def test_strftime_one_sided_closes_from_mtime(spark, strftime_path, tmp_path):
     assert _contains_below_regex(plan)
 
 
-def test_strftime_to_date_in_pushes_year_union(spark, strftime_path):
+def test_strftime_to_date_in_pushes_date_union(spark, strftime_path):
+    # r12: a %Y-%m-%d layout pushes FULL-DATE needles for an IN list
+    # (previously degraded to bare-year digits)
     pred = F.to_date("timestamp").isin("2022-03-15", "2024-03-05")
     out, n = _pushed_vs_naive_fmt(spark, strftime_path, _SFMT, pred)
     assert n == 2
     plan = _optimized(out)
-    assert re.search(r"Contains\(value#\d+, 2022\)", plan)
-    assert re.search(r"Contains\(value#\d+, 2024\)", plan)
+    assert re.search(r"Contains\(value#\d+, 2022-03-15", plan)
+    assert re.search(r"Contains\(value#\d+, 2024-03-05", plan)
+    assert not re.search(r"Contains\(value#\d+, 2022\)", plan)
+
+
+# --- full-date strftime needles (r12) -----------------------------------------
+def test_strftime_date_equality_pushes_full_date(spark, strftime_path):
+    out, n = _pushed_vs_naive_fmt(
+        spark, strftime_path, _SFMT, F.to_date("timestamp") == "2023-03-15"
+    )
+    assert n == 1
+    plan = _optimized(out)
+    # zero-padded full-date needles over the ±margin window, below regex
+    assert re.search(r"Contains\(value#\d+, 2023-03-15", plan)
+    assert re.search(r"Contains\(value#\d+, 2023-03-14", plan)
+    assert _contains_below_regex(plan)
+
+
+def test_strftime_narrow_range_pushes_full_dates(spark, strftime_path):
+    out, n = _pushed_vs_naive_fmt(
+        spark,
+        strftime_path,
+        _SFMT,
+        F.col("timestamp").between("2024-03-04 00:00:00", "2024-03-06 23:59:59"),
+    )
+    assert n == 1
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, 2024-03-05", plan)
+    # the wide-range bare-year form must NOT be the needle here
+    assert not re.search(r"Contains\(value#\d+, 2024\)", plan)
+
+
+def test_strftime_dmy_month_name_layout_pushes_ci_dates(spark, tmp_path):
+    # %d/%b/%Y renders the month NAME — Spark's MMM parse is
+    # case-insensitive, so the full-date needles must be a ci group
+    fmt = "%h %{%d/%b/%Y %H:%M:%S}t %>s"
+    p = tmp_path / "dmy.log"
+    p.write_text(
+        "1.1.1.1 05/Mar/2024 10:00:00 200\n"
+        "1.1.1.2 15/mar/2024 11:00:00 404\n"  # lower-case month still parses
+        "1.1.1.3 25/Oct/2024 12:00:00 200\n"
+    )
+    out, n = _pushed_vs_naive_fmt(
+        spark, str(p), fmt, F.to_date("timestamp") == "2024-03-15"
+    )
+    assert n == 1
+    plan = _optimized(out)
+    # ci needles fold into one (?i) RLike alternation (see apply_cnf)
+    assert "15/mar/2024" in plan and "(?i)" in plan
+
+
+def test_strftime_time_only_layout_not_date_pushed(spark, tmp_path):
+    # a format whose date tokens are NOT contiguous with each other
+    # (month in a separate run) must not derive full-date needles
+    fmt = "%h %{%d x%Hx %m %Y}t %>s"
+    p = tmp_path / "split.log"
+    p.write_text("1.1.1.1 05 x10x 03 2024 200\n1.1.1.2 15 x11x 03 2023 404\n")
+    df = read_httpd_log(spark, str(p), format_str=fmt)
+    pred = F.to_date("timestamp") == "2024-03-05"
+    out = df.filter(pred)
+    plan = _optimized(out)
+    assert not re.search(r"Contains\(value#\d+, [^)]*2024-03", plan)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
 
 
 def test_two_digit_year_strftime_not_pushed(spark, tmp_path):
@@ -539,7 +603,48 @@ def epoch_path(tmp_path_factory):
 _EFMT = "%h %{sec}t %>s"
 
 
-def test_epoch_day_range_pushes_prefix_cover(spark, epoch_path):
+@pytest.fixture()
+def epoch_push(spark):
+    # r12: epoch needle derivation is gated on parse cost (the r11 A/B
+    # showed cheap formats lose); drop the gate so these tests exercise
+    # the derivation itself
+    spark.conf.set("spark.graft.pushdown.epochMinFields", "0")
+    yield
+    spark.conf.unset("spark.graft.pushdown.epochMinFields")
+
+
+def test_epoch_cheap_format_gated_off_by_default(spark, epoch_path):
+    # 3 capture groups < default epochMinFields=6: the byte scan would
+    # cost more than the short regex it skips — derivation must bail
+    df = read_httpd_log(spark, epoch_path, format_str=_EFMT)
+    pred = F.col("timestamp").between("2024-10-10 00:00:00", "2024-10-10 23:59:59")
+    out = df.filter(pred)
+    assert "Contains(value" not in _optimized(out)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_epoch_expensive_format_passes_gate_by_default(spark, tmp_path):
+    # a 6-field format clears the default gate with no conf set
+    fmt = '%h %l %u %{sec}t "%r" %>s'
+    p = tmp_path / "rich_epoch.log"
+    base = 1727740800
+    p.write_text(
+        "".join(
+            f'1.1.1.{d} - u {base + d * 86400} "GET /x HTTP/1.1" 200\n'
+            for d in range(5)
+        )
+    )
+    df = read_httpd_log(spark, str(p), format_str=fmt)
+    pred = F.to_date("timestamp") == "2024-10-03"
+    out = df.filter(pred)
+    plan = _optimized(out)
+    assert re.search(r"Contains\(value#\d+, \d+\)", plan)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_epoch_day_range_pushes_prefix_cover(spark, epoch_path, epoch_push):
     # one UTC day = 86400s: the cover is a handful of epoch prefixes
     out, n = _pushed_vs_naive_fmt(
         spark,
@@ -553,7 +658,7 @@ def test_epoch_day_range_pushes_prefix_cover(spark, epoch_path):
     assert _contains_below_regex(plan)
 
 
-def test_epoch_date_equality_pushes(spark, epoch_path):
+def test_epoch_date_equality_pushes(spark, epoch_path, epoch_push):
     out, n = _pushed_vs_naive_fmt(
         spark, epoch_path, _EFMT, F.to_date("timestamp") == "2024-10-20"
     )
@@ -561,7 +666,7 @@ def test_epoch_date_equality_pushes(spark, epoch_path):
     assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
 
 
-def test_epoch_one_sided_closes_from_mtime(spark, epoch_path, tmp_path):
+def test_epoch_one_sided_closes_from_mtime(spark, epoch_path, tmp_path, epoch_push):
     import shutil
     import time as _time
 
@@ -578,14 +683,14 @@ def test_epoch_one_sided_closes_from_mtime(spark, epoch_path, tmp_path):
     assert _contains_below_regex(plan)
 
 
-def test_epoch_in_list_pushes_union(spark, epoch_path):
+def test_epoch_in_list_pushes_union(spark, epoch_path, epoch_push):
     pred = F.to_date("timestamp").isin("2024-10-05", "2024-11-01")
     out, n = _pushed_vs_naive_fmt(spark, epoch_path, _EFMT, pred)
     assert n == 6
     assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
 
 
-def test_epoch_msec_variant_pushes(spark, tmp_path):
+def test_epoch_msec_variant_pushes(spark, tmp_path, epoch_push):
     p = tmp_path / "ms.log"
     base = 1727740800
     p.write_text(
@@ -601,7 +706,7 @@ def test_epoch_msec_variant_pushes(spark, tmp_path):
     assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
 
 
-def test_epoch_digit_boundary_bails(spark, tmp_path):
+def test_epoch_digit_boundary_bails(spark, tmp_path, epoch_push):
     # a range straddling the 999999999 -> 1000000000 digit-count
     # boundary has no fixed-length prefix cover — must fall back
     p = tmp_path / "bd.log"
@@ -614,7 +719,7 @@ def test_epoch_digit_boundary_bails(spark, tmp_path):
     assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
 
 
-def test_randomized_time_pushdown_equals_naive_sweep(spark, tmp_path):
+def test_randomized_time_pushdown_equals_naive_sweep(spark, tmp_path, epoch_push):
     """Seeded random time predicates x all three timestamp layouts
     (Apache %t, strftime %Y, epoch sec): the pushed plan must be
     row-identical to parse-then-filter for every derivable-or-not
@@ -720,6 +825,118 @@ def test_pushed_plan_pinned_to_bind_time_listing(spark, tmp_path):
     # point-in-time semantics: tuesday.log (created after the read) is
     # invisible to BOTH plans; a fresh read sees both files
     assert got == want == ["1.1.1.1"]
+    fresh = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
+    assert sorted(
+        r.client_host for r in fresh.filter(pred).collect()
+    ) == ["1.1.1.1", "2.2.2.2"]
+
+
+# --- log_file listing pruning (r12) -------------------------------------------
+@pytest.fixture(scope="module")
+def fleet_dir(tmp_path_factory):
+    """16 per-server log files: log_file predicates should prune the
+    LISTING, skipping whole files — the strongest possible pushdown."""
+    d = tmp_path_factory.mktemp("fleet")
+    for i in range(16):
+        (d / f"server{i:02d}.log").write_text(
+            "".join(
+                f'10.0.{i}.{j} - u [10/Oct/2024:0{j}:00:00 +0000] '
+                f'"GET /s{i}/r{j} HTTP/1.1" {200 if j % 2 else 500} {i * 100 + j} '
+                f'"-" "ua"\n'
+                for j in range(1, 4)
+            )
+        )
+    return str(d)
+
+
+def _fleet(spark, fleet_dir):
+    return read_httpd_log(spark, fleet_dir + "/*.log", format_type="combined")
+
+
+def test_log_file_like_prunes_listing(spark, fleet_dir):
+    df = _fleet(spark, fleet_dir)
+    assert len(df.inputFiles()) == 16
+    pred = F.col("log_file").like("%server03%")
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pruned.inputFiles()) == 1  # whole files skipped
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+    assert pruned.count() == 3
+
+
+def test_log_file_equality_and_in_prune(spark, fleet_dir):
+    df = _fleet(spark, fleet_dir)
+    one = os.path.join(fleet_dir, "server07.log")
+    for pred, want in [
+        (F.col("log_file") == one, 1),
+        (F.col("log_file").isin(one, os.path.join(fleet_dir, "server11.log")), 2),
+        (F.col("log_file").endswith("5.log"), 2),  # 05 and 15
+        (F.col("log_file").rlike("server(00|01|02)"), 3),
+    ]:
+        pruned = df.filter(pred)
+        naive = super(LineFilterableFrame, df).filter(pred)
+        assert len(pruned.inputFiles()) == want, str(pred)
+        assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_log_file_prune_composes_with_needles(spark, fleet_dir):
+    # log_file conjunct prunes the listing AND the status conjunct
+    # pushes a Contains needle below the regex — both re-plans at once
+    df = _fleet(spark, fleet_dir)
+    pred = F.col("log_file").like("%server0%") & (F.col("status") == 500)
+    pruned = df.filter(pred)
+    assert len(pruned.inputFiles()) == 10  # server00..09
+    plan = _optimized(pruned)
+    assert re.search(r"Contains\(value#\d+, 500\)", plan)
+    assert _contains_below_regex(plan)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_log_file_prune_to_empty_set(spark, fleet_dir):
+    df = _fleet(spark, fleet_dir)
+    pred = F.col("log_file").like("%nonexistent%")
+    pruned = df.filter(pred)
+    assert pruned.count() == 0
+    assert len(pruned.inputFiles()) == 0  # folded to an empty relation
+
+
+def test_log_file_disjunction_with_row_predicate_not_pruned(spark, fleet_dir):
+    # log_file OR status: files failing the LIKE can still contribute
+    # rows through the status branch — pruning would be UNSOUND
+    df = _fleet(spark, fleet_dir)
+    pred = F.col("log_file").like("%server03%") | (F.col("status") == 500)
+    out = df.filter(pred)
+    assert len(out.inputFiles()) == 16
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert sorted(map(str, out.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_log_file_prune_pinned_to_bind_time_listing(spark, tmp_path):
+    # point-in-time semantics: the pruned re-plan must not see files
+    # created after the original read
+    import time as _time
+
+    d = tmp_path / "pinfleet"
+    d.mkdir()
+    (d / "a.log").write_text(
+        '1.1.1.1 - u [10/Oct/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 1 "-" "ua"\n'
+    )
+    (d / "c.log").write_text(
+        '3.3.3.3 - u [10/Oct/2024:12:00:00 +0000] "GET /c HTTP/1.1" 200 1 "-" "ua"\n'
+    )
+    df = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
+    (d / "b.log").write_text(
+        '2.2.2.2 - u [10/Oct/2024:11:00:00 +0000] "GET /b HTTP/1.1" 200 1 "-" "ua"\n'
+    )
+    # matches a.log AND the post-read b.log; prunes c.log, so the
+    # re-plan genuinely fires — and must still not see b.log
+    pred = F.col("log_file").rlike("(a|b)\\.log$")
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r.client_host for r in pruned.collect())
+    assert got == sorted(r.client_host for r in naive.collect()) == ["1.1.1.1"]
     fresh = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
     assert sorted(
         r.client_host for r in fresh.filter(pred).collect()

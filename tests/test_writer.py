@@ -116,8 +116,10 @@ def test_gzip_output(spark, tmp_path):
 
 def test_unsupported_format_raises(spark):
     df = None
+    # %U (week-of-year) has no deterministic inverse rendering; the
+    # validation must fire BEFORE any IO (df is never touched)
     with pytest.raises(ValueError):
-        write_httpd_log(df, "/tmp/x", format_str="%{sec}t %{msec_frac}t %h")
+        write_httpd_log(df, "/tmp/x", format_str="%{%U %H:%M}t %h")
 
 
 def test_streaming_writer_round_trips(spark, tmp_path):
@@ -293,9 +295,73 @@ def test_strftime_discard_tokens_round_trip_typed(spark, tmp_path):
     assert _rows_no_file(back) == _rows_no_file(src)
 
 
-def test_multifield_ts_group_still_raises(spark):
+def test_frac_only_ts_group_raises(spark):
+    # a frac-only group's combined column is always NULL on read —
+    # nothing to render (multi-field groups themselves write since r12)
     with pytest.raises(ValueError):
-        write_httpd_log(None, "/tmp/x", format_str="%{sec}t %{msec_frac}t %h")
+        write_httpd_log(None, "/tmp/x", format_str="%{msec_frac}t %h")
+
+
+def _rt_fmt(spark, tmp_path, fmt, lines, tag):
+    src_p = tmp_path / f"{tag}.log"
+    src_p.write_text("\n".join(lines) + "\n")
+    src = read_httpd_log(spark, str(src_p), format_str=fmt)
+    assert src.filter(F.col(src.columns[1]).isNull()).count() == 0
+    out = str(tmp_path / f"{tag}_out")
+    write_httpd_log(src, out, format_str=fmt)
+    back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
+    assert _rows_no_file(back) == _rows_no_file(src), tag
+    return out
+
+
+def test_multifield_group_apache_plus_msec_frac_round_trips(spark, tmp_path):
+    # r12: %t %{msec_frac}t — the frac token carries exactly the µs
+    # remainder the bracketed seconds render drops
+    out = _rt_fmt(
+        spark, tmp_path, "%h %t %{msec_frac}t %>s",
+        ['1.1.1.1 [10/Oct/2024:13:55:36 +0000] 123 200',
+         '1.1.1.2 [10/Oct/2024:13:55:37 +0000] 045 404'],
+        "msecfrac",
+    )
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    assert " 123 " in txt and " 045 " in txt  # zero-padded \d{3} token
+
+
+def test_multifield_group_epoch_plus_usec_frac_round_trips(spark, tmp_path):
+    _rt_fmt(
+        spark, tmp_path, "%h %{sec}t %{usec_frac}t %>s",
+        ['2.2.2.2 1728568536 123456 200', '2.2.2.3 1728568537 000042 404'],
+        "usecfrac",
+    )
+    # epoch-msec base: the frac renders only the remainder the msec
+    # base does NOT already carry (000456, not 123456)
+    out = _rt_fmt(
+        spark, tmp_path, "%h %{msec}t %{usec_frac}t %>s",
+        ['3.3.3.3 1728568536123 000456 200'],
+        "msecbase",
+    )
+    txt = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    assert " 1728568536123 000456 " in txt
+
+
+def test_multifield_group_split_strftime_round_trips(spark, tmp_path):
+    # two strftime %t fields in ONE group (date part + time part) both
+    # render from the single combined column
+    _rt_fmt(
+        spark, tmp_path, "%h %{%Y-%m-%d}t %{%H:%M:%S}t %>s",
+        ['4.4.4.4 2024-10-08 13:55:36 200', '4.4.4.5 2024-10-09 01:02:03 404'],
+        "splitsf",
+    )
+
+
+def test_begin_end_ts_pair_round_trips(spark, tmp_path):
+    # begin/end %t fields form SEPARATE groups/columns
+    # (timestamp_original / timestamp) — both must render
+    _rt_fmt(
+        spark, tmp_path, "%h %{begin:%Y-%m-%d %H:%M:%S}t %{end:sec}t %>s",
+        ['5.5.5.5 2024-10-08 13:55:36 1728568536 200'],
+        "beginend",
+    )
 
 
 _POOL_VALUES = {
