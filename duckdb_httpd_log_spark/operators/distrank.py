@@ -276,9 +276,14 @@ def _two_phase(
         # heavy lineage a persist turns the double scan into one
         # (measured on a sha2-derived lineitem x orders lineage at
         # sf0.1: 4.09s -> 2.67s; plain parquet-scan input: 2.03s,
-        # where a persist would only add cost). Cleanup rides the
-        # ContextCleaner after the DataFrame is GC'd — the same
-        # lifecycle bench.py's gc.collect() cadence manages.
+        # where a persist would only add cost). RETENTION: both the
+        # counts pass and the final join consume the persisted input
+        # lazily, so there is no build-time point at which an eager
+        # unpersist is sound — the cached partitions stay pinned until
+        # the returned DataFrame's lineage is dropped (Python GC ->
+        # ContextCleaner, the lifecycle bench.py's gc.collect() cadence
+        # manages). Long-lived sessions holding the result should
+        # expect that storage, or recompute without materialize.
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -357,7 +362,9 @@ def with_global_rank(
     ``materialize=True`` when the input lineage is expensive to
     recompute (joins / heavy derivations): the two-phase scan reads
     the input twice, and a persist then halves the work (see
-    _two_phase).
+    _two_phase). The persisted blocks stay pinned while the returned
+    DataFrame's lineage is referenced — drop the reference (or avoid
+    materialize) in long-lived sessions to release executor storage.
     """
     return _two_phase(
         spark, df, [], order_cols, rn_col, n_col, cum_col, cum_src,

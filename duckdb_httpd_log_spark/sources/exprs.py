@@ -305,6 +305,27 @@ def strftime_to_output_pattern(fmt: str) -> str:
         if kind == "lit":
             lit_buf.append(tok)
             continue
+        if tok == "%Z":
+            # 'zzz' renders the session zone's SHORT NAME — for
+            # offset-style zones (GMT+05:30, Etc/GMT-5) that text
+            # contains digits/'+'/':' which the reader's %Z discard
+            # regex [A-Za-z/_]+ rejects, so the written line would
+            # silently fail the line regex on read-back. Raise up
+            # front instead of producing an unreadable corpus.
+            from pyspark.sql import SparkSession as _SS
+
+            sess = _SS.getActiveSession()
+            zone = (
+                sess.conf.get("spark.sql.session.timeZone", "UTC")
+                if sess is not None
+                else "UTC"
+            )
+            if any(c.isdigit() or c in "+:" for c in zone):
+                raise ValueError(
+                    f"write_httpd_log cannot render %Z under offset-style "
+                    f"session zone {zone!r} (the reader's %Z regex accepts "
+                    "zone NAMES only); set a named zone or drop %Z"
+                )
         sp = _STRFTIME_TO_OUTPUT.get(tok)
         if sp is None:
             raise ValueError(

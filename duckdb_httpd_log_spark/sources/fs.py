@@ -214,7 +214,13 @@ def _fs_for(spark: SparkSession, path: str):
 # LocatedFileStatus already carries them, so max_mtime can answer from
 # the SAME listing the scan binds to instead of paying one
 # getFileStatus RPC per file (100k files = 100k avoided round trips).
-# Bounded: cleared when it outgrows _MTIME_HINT_CAP.
+# Bounded: _hint_mtime stops INSERTING new paths at _MTIME_HINT_CAP
+# (existing paths keep refreshing; nothing is evicted — entries for
+# rotated/deleted files persist for the process lifetime, a bounded
+# ~100 MB worst case). Staleness guard: every listing REFRESHES the
+# hints for the paths it returns, so a bind's max_mtime always reflects
+# that bind's own listing; only a hypothetical caller consulting
+# max_mtime for paths it never listed could read a stale hint.
 _MTIME_HINTS: dict[str, float] = {}
 _MTIME_HINT_CAP = 1_000_000
 

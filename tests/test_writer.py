@@ -444,3 +444,23 @@ def test_strftime_e_day_round_trips_single_digit(spark, tmp_path):
     back = read_httpd_log(spark, f"{out}/part-*.txt", format_str=fmt)
     assert back.count() == 2
     assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_strftime_Z_offset_session_zone_raises(spark, tmp_path):
+    # 'zzz' under an offset-style session zone renders 'GMT+05:30',
+    # which the reader's %Z discard regex rejects — the writer must
+    # raise up front instead of producing an unreadable corpus
+    p = tmp_path / "z.log"
+    p.write_text("1.1.1.1 2024-10-08 13:55:36 UTC 200\n")
+    fmt = "%h %{%Y-%m-%d %H:%M:%S %Z}t %>s"
+    src = read_httpd_log(spark, str(p), format_str=fmt)
+    spark.conf.set("spark.sql.session.timeZone", "GMT+05:30")
+    try:
+        with pytest.raises(ValueError, match="offset-style"):
+            write_httpd_log(src, str(tmp_path / "zout"), format_str=fmt)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a NAMED zone still renders fine
+    write_httpd_log(src, str(tmp_path / "zok"), format_str=fmt)
+    back = read_httpd_log(spark, str(tmp_path / "zok") + "/part-*.txt", format_str=fmt)
+    assert _rows_no_file(back) == _rows_no_file(src)
