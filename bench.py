@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import gc
 import json
+import math
 import os
 import statistics
 import sys
@@ -547,6 +548,59 @@ def main() -> None:
             df = read_httpd_log(spark, epoch_path, format_str=_efmt)
             return super(LineFilterableFrame, df).filter(_epred).count()
 
+        # log_file listing pruning (r12 / r11 verdict item 1): a
+        # per-server predicate on the 16-file glob re-plans the scan
+        # over ONE file — 15/16 of the corpus is never opened, listed
+        # work the strongest pushdown can skip entirely
+        _fpred = _F.col("log_file").like("%server03%")
+        _fglob = os.path.join(multi, "server*.log")
+
+        def _prune_pushed():
+            return (
+                read_httpd_log(spark, _fglob, format_type="combined")
+                .filter(_fpred)
+                .count()
+            )
+
+        def _prune_naive():
+            df = read_httpd_log(spark, _fglob, format_type="combined")
+            return super(LineFilterableFrame, df).filter(_fpred).count()
+
+        # full-date strftime needles (r12 / r11 verdict item 2): an ISO
+        # %Y-%m-%d layout over 28 days, one-day filter -> 3 full-date
+        # needles (2024-10-14/15/16) skip the 9-field regex on ~25/28
+        # of lines; previously this degraded to a bare-year needle that
+        # matched EVERY line
+        iso_path = os.path.join(td, "bench_iso.log")
+        _ir = _rnd.Random(0x150D)
+        with open(iso_path, "w") as _fh:
+            for i in range(2_000_000):
+                _d = 1 + i % 28
+                _fh.write(
+                    f"10.{_ir.randrange(256)}.{_ir.randrange(256)}.{_ir.randrange(9)} - "
+                    f"u{_ir.randrange(40)} 2024-10-{_d:02d} "
+                    f"{_ir.randrange(24):02d}:{_ir.randrange(60):02d}:{_ir.randrange(60):02d} "
+                    f'"GET {_ir.choice(_epaths)} HTTP/1.1" {_ir.choice([200, 304, 404, 500])} '
+                    f'{_ir.randrange(100000)} "http://ref/{_ir.randrange(50)}" '
+                    f'"Mozilla/5.0 (X11; u{_ir.randrange(9)})"\n'
+                )
+        _ifmt = (
+            '%h %l %u %{%Y-%m-%d %H:%M:%S}t "%r" %>s %b '
+            '"%{Referer}i" "%{User-Agent}i"'
+        )
+        _ipred = _F.to_date("timestamp") == "2024-10-15"
+
+        def _iso_pushed():
+            return (
+                read_httpd_log(spark, iso_path, format_str=_ifmt)
+                .filter(_ipred)
+                .count()
+            )
+
+        def _iso_naive():
+            df = read_httpd_log(spark, iso_path, format_str=_ifmt)
+            return super(LineFilterableFrame, df).filter(_ipred).count()
+
         for key, fnp in (
             ("log_scan_2m_path_pushdown", _pushed),
             ("log_scan_2m_path_naive", _naive),
@@ -556,6 +610,10 @@ def main() -> None:
             ("log_scan_2m_since_naive", _open_naive),
             ("log_scan_2m_epoch_pushdown", _epoch_pushed),
             ("log_scan_2m_epoch_naive", _epoch_naive),
+            ("log_scan_16files_prune_pushdown", _prune_pushed),
+            ("log_scan_16files_prune_naive", _prune_naive),
+            ("log_scan_2m_isodate_pushdown", _iso_pushed),
+            ("log_scan_2m_isodate_naive", _iso_naive),
         ):
             fnp()  # warm-up
             runs = []
@@ -621,6 +679,10 @@ def main() -> None:
         "kmeans_train", "ann_lsh_topk", "multimodal_resize", "multimodal_features",
         # r10 wobbles
         "dedup_semantic_clusters", "probe_trigram_checksum",
+        # r11 calibration-noise movers (r11 verdict item 6): sub-0.5 s
+        # entries dominated by fixed JVM overhead — band them so their
+        # wobble stops needing manual adjudication
+        "q11_scalar_funcs", "q18_quantiles",
     ]
     _top10 = sorted(
         (n for n in timings if n in REGISTRY),
@@ -677,6 +739,72 @@ def main() -> None:
         "jvm_range_sum_s": round(min(jvm_runs), 4),
     }
 
+    # DuckDB wall-clock anchor (r11 verdict item 4): the reference
+    # publishes no numbers, so the 2x gate had no absolute anchor for
+    # 11 rounds. Every registry query already carries oracle SQL —
+    # time DuckDB running it on the SAME parquet tables at the SAME
+    # scale factor (median of 5, same box) and report the per-family
+    # Spark/DuckDB geometric-mean ratio. NOT apples-to-apples on
+    # absolute latency (DuckDB is a zero-JVM-overhead single process;
+    # Spark pays fixed per-query planning/task costs that amortize at
+    # 100 TB, exactly the regime this repo targets) — the anchor's job
+    # is catching queries whose PLAN is wrong by an order of magnitude,
+    # flagged below at >2x after subtracting nothing.
+    duckdb_sec: dict[str, float] = {}
+    try:
+        import duckdb as _duck
+
+        from duckdb_httpd_log_spark.plans.registry import TABLES as _TABLES
+
+        _con = _duck.connect()
+        for _t in _TABLES:
+            _con.execute(
+                f"CREATE VIEW {_t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{_t}.parquet')"
+            )
+        for name, qd in REGISTRY.items():
+            if qd.oracle_sql is None or name not in timings:
+                continue
+            try:
+                _runs = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    _con.execute(qd.oracle_sql).fetchall()
+                    _runs.append(time.perf_counter() - t0)
+                    if _runs[0] > 5.0:
+                        break  # cap anchor cost on pathological queries
+                duckdb_sec[name] = round(statistics.median(_runs), 4)
+            except Exception:
+                continue
+        _con.close()
+    except Exception:
+        pass
+
+    def _family_of(name: str) -> str:
+        qd = REGISTRY.get(name)
+        fam = getattr(qd, "family", None)
+        if fam:
+            return fam
+        return name.split("_", 1)[0]
+
+    _fam_ratios: dict[str, list] = {}
+    flagged = []
+    for name, dsec in duckdb_sec.items():
+        if dsec <= 0 or name not in timings:
+            continue
+        r = timings[name] / dsec
+        _fam_ratios.setdefault(_family_of(name), []).append(r)
+        # flag only AMORTIZED queries (>= 1 s Spark): below that the
+        # ratio is dominated by Spark's fixed per-query overhead
+        # (~0.1-0.3 s planning/tasks vs DuckDB's ~0.01 s process-local
+        # start), which is exactly the cost that vanishes at 100 TB
+        if timings[name] >= 1.0 and r > 2.0:
+            flagged.append(name)
+    duckdb_ratio_by_family = {
+        fam: round(math.exp(sum(math.log(x) for x in rs) / len(rs)), 3)
+        for fam, rs in sorted(_fam_ratios.items())
+    }
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -686,6 +814,11 @@ def main() -> None:
         "queries": timings,
         "noise": noise,
         "calibration": calibration,
+        "duckdb_sec": duckdb_sec,
+        "duckdb_ratio_by_family": duckdb_ratio_by_family,
+        "duckdb_over2x": sorted(
+            flagged, key=lambda n: timings[n] / duckdb_sec[n], reverse=True
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver's BENCH_r{N}.json keeps only a tail of stdout, which has
