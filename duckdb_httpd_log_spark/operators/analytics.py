@@ -5075,3 +5075,75 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_lag_autocorr",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    p AS (
+        SELECT 1 AS lag, a.c AS x, b.c AS y
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY
+        UNION ALL
+        SELECT 7, a.c, b.c
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY
+    ),
+    s AS (
+        SELECT lag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM p GROUP BY lag
+    )
+    SELECT lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0.0e0 AND (n * syy - sy * sy) > 0.0e0
+                THEN floor(((n * sxy - sx * sy)
+                            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e4 + 0.5) / 1e4
+                ELSE NULL END AS autocorr
+    FROM s ORDER BY lag
+    """,
+    "lag-1 / lag-7 Pearson autocorrelation of the daily event-count "
+    "series (weekly seasonality detector): integer day-count sums are "
+    "exact on both engines, the correlation assembles from them in one "
+    "identical double expression — a bounded day-spine self-join, "
+    "missing days drop their pairs",
+)
+def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = None
+    for lag in (1, 7):
+        a = d.select(F.col("day").alias("a_day"), F.col("c").alias("x"))
+        b = d.select(F.col("day").alias("b_day"), F.col("c").alias("y"))
+        p = (
+            a.join(b, F.col("b_day") == F.date_add(F.col("a_day"), lag))
+            .select(F.lit(lag).alias("lag"), "x", "y")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "case when (n * sxx - sx * sx) > 0.0e0 and (n * syy - sy * sy) > 0.0e0 "
+            "then floor(((n * sxy - sx * sy) "
+            "/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e4 + 0.5) / 1e4 "
+            "else null end"
+        ).alias("autocorr"),
+    ).orderBy("lag")

@@ -3796,3 +3796,42 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_e6",
         share_expr("w_e6", "tot_e6", 6).alias("share_e6"),
     ).orderBy("source")
+
+
+@register(
+    "corpus_global_shuffle",
+    """
+    WITH k AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+        FROM k
+    )
+    SELECT doc_id, pos, CAST((pos - 1) % 16 AS INT) AS shard
+    FROM r
+    ORDER BY doc_id
+    """,
+    "deterministic seeded GLOBAL training-shuffle order: md5(doc_id, "
+    "seed) sort key, exact global position via the two-phase "
+    "distributed rank (never a single-task window at scale), "
+    "round-robin shard of 16 — the resumable input order a trainer "
+    "replays without re-shuffling the corpus",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .distrank import with_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("k"),
+    )
+    ranked = with_global_rank(
+        spark, docs, [F.col("k"), F.col("doc_id")], rn_col="pos"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        ((F.col("pos") - 1) % 16).cast("int").alias("shard"),
+    ).orderBy("doc_id")

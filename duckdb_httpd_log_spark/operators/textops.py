@@ -2474,3 +2474,175 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): per-doc average
+# log-ratio of a TARGET domain's unigram LM over the RAW corpus LM,
+# add-1 smoothed over the shared vocab. Target here = lang='en' docs.
+# Every per-word log-ratio is quantized to exact integer µ-units
+# BEFORE the per-doc sum (floating sums are order-dependent across
+# engines; integer sums are not), and ln() is the portable pln()
+# polynomial, so Spark and DuckDB agree bit-for-bit.
+_DSIR_LR_E6 = (
+    "cast(floor(({lr}) * 1e6 + 0.5e0) as bigint)"
+)
+
+
+@register(
+    "text_dsir_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS ct,
+               CAST(count(*) + 1 AS BIGINT) AS cr
+        FROM toks GROUP BY tok
+    ),
+    q AS (SELECT tok, {_DSIR_LR_E6.format(lr=f"({pln('ct')} - {pln('cr')})")} AS lr_e6 FROM cnt),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + (SELECT count(*) FROM cnt) AS BIGINT) AS nt,
+               CAST(count(*) + (SELECT count(*) FROM cnt) AS BIGINT) AS nr
+        FROM toks
+    ),
+    c AS (SELECT {_DSIR_LR_E6.format(lr=f"({pln('nr')} - {pln('nt')})")} AS c_e6 FROM tot)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(((CAST(sum(q.lr_e6) AS DOUBLE) / count(*) + CAST(max(c.c_e6) AS DOUBLE)) / 1e6) * 1e4 + 0.5) / 1e4 AS dsir_weight
+    FROM toks t JOIN q USING (tok) CROSS JOIN c
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    "DSIR importance-resampling weights: per-doc mean log-ratio of the "
+    "target-domain (lang='en') unigram LM over the raw-corpus LM, add-1 "
+    "smoothed — one token-count shuffle builds the ratio table, the "
+    "scoring joins tokens to it (model-side table, shuffle hash join), "
+    "log-ratios quantized to integer µ-units so per-doc sums are exact",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1)
+        .cast("long")
+        .alias("ct"),
+        (F.count(F.lit(1)) + 1).cast("long").alias("cr"),
+    )
+    q = cnt.select(
+        "tok",
+        F.expr(_DSIR_LR_E6.format(lr=f"({pln('ct')} - {pln('cr')})")).alias("lr_e6"),
+    )
+    vsize = cnt.agg(F.count(F.lit(1)).alias("v"))
+    tot = (
+        toks.agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_raw"),
+            F.count(F.lit(1)).alias("r_raw"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            (F.col("t_raw") + F.col("v")).cast("long").alias("nt"),
+            (F.col("r_raw") + F.col("v")).cast("long").alias("nr"),
+        )
+    )
+    c = tot.select(
+        F.expr(_DSIR_LR_E6.format(lr=f"({pln('nr')} - {pln('nt')})")).alias("c_e6")
+    )
+    return (
+        toks.join(q, "tok")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "floor(((cast(sum(lr_e6) as double) / count(*) "
+                "+ cast(max(c_e6) as double)) / 1e6) * 1e4 + 0.5) / 1e4"
+            ).alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_msttr",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    e AS (
+        SELECT doc_id, unnest(range(len(t))) AS i, t
+        FROM toks WHERE len(t) >= 20
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i // 20 AS BIGINT) AS seg,
+               CAST(count(DISTINCT t[i + 1]) AS BIGINT) AS d
+        FROM e WHERE i < (len(t) // 20) * 20
+        GROUP BY doc_id, i // 20
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           floor((CAST(sum(d) AS DOUBLE) / (20.0e0 * count(*))) * 1e4 + 0.5) / 1e4 AS msttr
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """,
+    "mean segmental type-token ratio (MSTTR-20), the length-insensitive "
+    "lexical-diversity standard: distinct-token ratio per FULL 20-token "
+    "segment, averaged per doc — per-segment distinct counts are exact "
+    "integers so the cross-engine average is deterministic; one "
+    "(doc, seg) hash agg, ragged tails dropped, docs under 20 tokens "
+    "emit no row",
+)
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 20
+    )
+    e = toked.select(
+        "doc_id",
+        F.expr("size(t) div 20").alias("n_full"),
+        F.posexplode("t").alias("i", "tok"),
+    ).filter(F.col("i") < F.col("n_full") * 20)
+    seg = e.groupBy("doc_id", F.expr("i div 20").alias("seg")).agg(
+        F.countDistinct("tok").cast("long").alias("d")
+    )
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.expr(
+                "floor((cast(sum(d) as double) / (20.0e0 * count(*))) * 1e4 + 0.5) / 1e4"
+            ).alias("msttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_k_anonymity",
+    """
+    SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(*) < 5 AS INT) AS below_k
+    FROM documents
+    GROUP BY lang, source, n_chars // 200
+    ORDER BY lang, source, len_bucket
+    """,
+    "k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier tuple: group sizes and a below-k=5 re-identification "
+    "flag per group — single hash agg, integers only, the privacy gate a "
+    "curation pipeline runs before releasing per-group metadata",
+)
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", "source", F.expr("n_chars div 200").alias("len_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_n",
+            (F.col("group_n") < 5).cast("int").alias("below_k"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )

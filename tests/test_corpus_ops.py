@@ -657,3 +657,83 @@ def test_heaps_beta_sublinear(spark):
     # draws from a small CLOSED vocabulary, so beta legitimately hits
     # 0.0 once every token has been seen (real text sits ~0.4-0.6)
     assert 0.0 <= r["heaps_beta"] < 1.0
+
+
+# --- r12 operators ------------------------------------------------------------
+def test_global_shuffle_is_a_permutation_and_deterministic(spark):
+    out = corpus.corpus_global_shuffle(spark, SF_DIR)
+    rows = out.collect()
+    n = table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n
+    poss = sorted(r["pos"] for r in rows)
+    assert poss == list(range(1, n + 1))  # exact permutation, no ties lost
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(16))
+    # round-robin: shard sizes differ by at most 1
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows).values()
+    assert max(sizes) - min(sizes) <= 1
+    # deterministic: a second run yields the identical assignment
+    again = {r["doc_id"]: r["pos"] for r in corpus.corpus_global_shuffle(spark, SF_DIR).collect()}
+    assert all(again[r["doc_id"]] == r["pos"] for r in rows)
+
+
+def test_global_shuffle_order_is_hash_not_id(spark):
+    # the order must not be the identity order of doc_id (that would be
+    # no shuffle at all)
+    rows = corpus.corpus_global_shuffle(spark, SF_DIR).orderBy("pos").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids != sorted(ids)
+
+
+def test_msttr_bounds_and_repetition_sensitivity(spark):
+    from duckdb_httpd_log_spark.operators import textops
+
+    rows = textops.text_msttr(spark, SF_DIR).collect()
+    assert rows, "some docs must have >= 20 tokens"
+    for r in rows:
+        assert 0 < r["msttr"] <= 1.0
+        assert r["n_segments"] >= 1
+    # hand-check one doc against a local computation
+    doc = table(spark, SF_DIR, "documents").orderBy("doc_id").first()
+    toks = doc["text"].split(" ")
+    nfull = len(toks) // 20
+    if nfull:
+        want = sum(len(set(toks[i * 20:(i + 1) * 20])) for i in range(nfull)) / (20.0 * nfull)
+        got = next(r["msttr"] for r in rows if r["doc_id"] == doc["doc_id"])
+        assert abs(got - want) < 1e-3
+
+
+def test_k_anonymity_groups_sum_to_corpus(spark):
+    from duckdb_httpd_log_spark.operators import textops
+
+    rows = textops.docs_k_anonymity(spark, SF_DIR).collect()
+    total = sum(r["group_n"] for r in rows)
+    assert total == table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r["below_k"] == (1 if r["group_n"] < 5 else 0)
+
+
+def test_dsir_weights_favor_target_language(spark):
+    from duckdb_httpd_log_spark.operators import textops
+
+    docs = {r["doc_id"]: r["lang"] for r in table(spark, SF_DIR, "documents").collect()}
+    rows = textops.text_dsir_weights(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    en = [r["dsir_weight"] for r in rows if docs[r["doc_id"]] == "en"]
+    other = [r["dsir_weight"] for r in rows if docs[r["doc_id"]] != "en"]
+    if en and other:
+        # importance weights for the target domain exceed the rest on average
+        assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_lag_autocorr_shape_and_range(spark):
+    from duckdb_httpd_log_spark.operators import analytics
+
+    rows = {r["lag"]: r for r in analytics.events_lag_autocorr(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 7}
+    for lag, r in rows.items():
+        assert r["n_pairs"] > 0
+        if r["autocorr"] is not None:
+            assert -1.0 <= r["autocorr"] <= 1.0

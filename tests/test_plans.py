@@ -268,3 +268,33 @@ def test_r11_ops_plan_shapes(spark):
 
     plan = _plan(REGISTRY["orders_retention_cohort"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_r12_ops_plan_shapes(spark):
+    """r12 pins: global shuffle compiles through distrank's two-phase
+    shape at scale (never a single-task global window); DSIR joins the
+    token stream to the ratio table with the small constant broadcast;
+    MSTTR is indexed-explode -> two hash-agg chains; k-anonymity is ONE
+    hash agg with no join; lag-autocorr joins only the bounded day
+    spine (broadcast)."""
+    spark.conf.set("spark.graft.distrank.naiveMaxBytes", "0")
+    try:
+        plan = _plan(REGISTRY["corpus_global_shuffle"].spark_fn(spark, SF_DIR))
+        assert "pid" in plan or "ExistingRDD" in plan
+    finally:
+        spark.conf.unset("spark.graft.distrank.naiveMaxBytes")
+
+    plan = _plan(REGISTRY["text_dsir_weights"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # the 1-row constant c_e6
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    plan = _plan(REGISTRY["text_msttr"].spark_fn(spark, SF_DIR))
+    assert "Generate posexplode" in plan and "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(REGISTRY["docs_k_anonymity"].spark_fn(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+    plan = _plan(REGISTRY["events_lag_autocorr"].spark_fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan  # day spine stays broadcast

@@ -180,6 +180,12 @@ INTEREST = [
     "text_oov_rate",
     "orders_retention_cohort",
     "events_anomaly_mad",
+    # r12 additions
+    "corpus_global_shuffle",
+    "text_dsir_weights",
+    "text_msttr",
+    "docs_k_anonymity",
+    "events_lag_autocorr",
 ]
 
 NODES = [

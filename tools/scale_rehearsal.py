@@ -104,6 +104,12 @@ SLATE = [
     # round-9 addition: content-defined chunking dedup (token-hash
     # boundaries + per-doc cumsum + chunk-frequency semi-join)
     "dedup_cdc_chunks",
+    # round-12 additions: global shuffle order (two-phase rank at fact
+    # scale), DSIR weights (token x ratio-table join), MSTTR (indexed
+    # explode + two hash aggs)
+    "corpus_global_shuffle",
+    "text_dsir_weights",
+    "text_msttr",
 ]
 
 # id headrooms: far above any sf0.1 max key
