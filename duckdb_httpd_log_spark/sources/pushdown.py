@@ -895,25 +895,30 @@ def _attrs_and_pruner_safe(e) -> Tuple[set, bool]:
     return names, ok
 
 
-def file_prune_sql(cond, log_file_col: str = "log_file") -> Optional[str]:
-    """SQL string of the conjuncts of ``cond`` that reference ONLY the
-    ``log_file`` column, or None when no conjunct qualifies.
+def file_prune_sql(cond, prune_cols: Optional[set] = None) -> Optional[str]:
+    """SQL string of the conjuncts of ``cond`` that reference ONLY
+    file-constant columns (``prune_cols``: log_file and, when
+    hive_partitioning is on, the partition keys — all deterministic
+    functions of the file path), or None when no conjunct qualifies.
 
-    Every row of a file carries log_file == that file's path, so such a
-    conjunct is file-constant: a file where it evaluates to false/NULL
-    contributes no row to the filtered result and can be dropped from
-    the LISTING — skipping whole files beats any raw-line needle.
-    Evaluation happens through Spark itself (a one-column DataFrame of
-    the bind-time listing), so LIKE/regexp/substring semantics are
-    exact by construction. Reference parallelism anchor: the reference
-    opens one reader per listed file
-    (src/httpd_log_multi_file_info.cpp:236-249) — pruning the listing
-    is the Spark-native analogue of never opening the file."""
+    Every row of a file carries the same value for those columns, so
+    such a conjunct is file-constant: a file where it evaluates to
+    false/NULL contributes no row to the filtered result and can be
+    dropped from the LISTING — skipping whole files beats any raw-line
+    needle. Evaluation happens through Spark itself (a one-column
+    DataFrame of the bind-time listing with the same derived columns
+    attached), so LIKE/regexp/substring semantics are exact by
+    construction. Reference parallelism anchor: the reference opens one
+    reader per listed file (src/httpd_log_multi_file_info.cpp:236-249)
+    — pruning the listing is the Spark-native analogue of never
+    opening the file."""
+    if prune_cols is None:
+        prune_cols = {"log_file"}
     keep = []
     for c in _flatten_and(cond):
         try:
             names, safe = _attrs_and_pruner_safe(c)
-            if safe and names == {log_file_col} and c.deterministic():
+            if safe and names and names <= prune_cols and c.deterministic():
                 keep.append(f"({c.sql()})")
         except Exception:
             continue
@@ -940,6 +945,8 @@ class LineFilterableFrame(DataFrame):
         rebuild: Callable[..., DataFrame],
         ctx: PushdownContext,
         file_pairs: Optional[list] = None,
+        prune_prepare: Optional[Callable[[DataFrame], DataFrame]] = None,
+        prune_cols: Optional[set] = None,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
@@ -948,19 +955,28 @@ class LineFilterableFrame(DataFrame):
         # the reader can't vouch the mapping (remote schemes) or the
         # rebuild can't take a subset (streaming source)
         self._lf_files = file_pairs
+        # attaches the same derived file-constant columns (hive
+        # partition keys) to the tiny pruning frame that the scan
+        # attaches to its rows, so predicates on them evaluate
+        # identically; identity when hive_partitioning is off
+        self._lf_prune_prepare = prune_prepare
+        self._lf_prune_cols = prune_cols or {"log_file"}
 
     def _pruned_subset(self, cond) -> Optional[list]:
-        """Bind-time paths surviving the log_file-only conjuncts of
-        ``cond``; None when nothing prunes (or pruning is unavailable)."""
+        """Bind-time paths surviving the file-constant conjuncts of
+        ``cond`` (log_file / hive partition keys); None when nothing
+        prunes (or pruning is unavailable)."""
         if not self._lf_files:
             return None
-        sql = file_prune_sql(cond)
+        sql = file_prune_sql(cond, self._lf_prune_cols)
         if sql is None:
             return None
         tiny = self.sparkSession.createDataFrame(
             [(v,) for _b, v in self._lf_files], "log_file string"
         )
-        keep = {r[0] for r in tiny.filter(F.expr(sql)).collect()}
+        if self._lf_prune_prepare is not None:
+            tiny = self._lf_prune_prepare(tiny)
+        keep = {r[0] for r in tiny.filter(F.expr(sql)).select("log_file").collect()}
         if len(keep) >= len(self._lf_files):
             return None  # nothing pruned: keep the original plan
         return [b for b, v in self._lf_files if v in keep]

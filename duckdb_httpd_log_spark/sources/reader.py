@@ -297,6 +297,27 @@ def _projection(parsed: ParsedFormat, ok, parts) -> list:
     return cols
 
 
+def _attach_hive_cols(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Attach hive `key=value` directory segments of ``log_file`` as
+    string columns. Shared by the scan projection AND the tiny
+    listing-pruning frame (sources/pushdown.py), so a predicate on a
+    partition key evaluates identically against rows and against the
+    bind-time listing — the basis for whole-file partition pruning."""
+    import re as _re
+
+    for key in keys:
+        raw_val = F.regexp_extract(
+            F.col("log_file"), f"(?:^|/){_re.escape(key)}=([^/]*)/", 1
+        )
+        # unescape %XX like Spark's unescapePathName; '+' is a literal
+        # character in partition paths (url_decode would eat it), so
+        # shield it before decoding; fall back to the raw value on
+        # invalid escapes
+        shielded = F.regexp_replace(raw_val, r"\+", "%2B")
+        df = df.withColumn(key, F.coalesce(F.try_url_decode(shielded), raw_val))
+    return df
+
+
 def _hive_partition_keys(files: list[str]) -> list[str]:
     """Ordered `key=value` directory keys shared by every file; raises if
     files disagree (the host MultiFile layer's hive_partitioning option —
@@ -383,25 +404,17 @@ def read_httpd_log(
     # pin exact column order from the schema contract
     df = df.select(*[name for name, _t in schema])
 
+    hive_keys: list[str] = []
     if hive_partitioning:
-        import re as _re
-
+        hive_keys = _hive_partition_keys(files)
         schema_cols = set(df.columns)
-        for key in _hive_partition_keys(files):
+        for key in hive_keys:
             if key in schema_cols:
                 raise ValueError(
                     f"hive_partitioning=True but partition key '{key}' collides "
                     "with a log schema column"
                 )
-            raw_val = F.regexp_extract(
-                F.col("log_file"), f"(?:^|/){_re.escape(key)}=([^/]*)/", 1
-            )
-            # unescape %XX like Spark's unescapePathName; '+' is a literal
-            # character in partition paths (url_decode would eat it), so
-            # shield it before decoding; fall back to the raw value on
-            # invalid escapes
-            shielded = F.regexp_replace(raw_val, r"\+", "%2B")
-            df = df.withColumn(key, F.coalesce(F.try_url_decode(shielded), raw_val))
+        df = _attach_hive_cols(df, hive_keys)
 
     if raw_mode or _pre_cnf is not None:
         return df
@@ -488,6 +501,13 @@ def read_httpd_log(
             parsed, schema, hi_us_fn=_mtime_hi_us, epoch_min_fields=epoch_min_fields
         ),
         file_pairs=file_pairs,
+        # hive partition keys are deterministic functions of log_file,
+        # so predicates on them are file-constant too: the tiny pruning
+        # frame re-derives them with the SAME expressions the scan uses
+        prune_prepare=(
+            (lambda tiny: _attach_hive_cols(tiny, hive_keys)) if hive_keys else None
+        ),
+        prune_cols={"log_file", *hive_keys},
     )
 
 

@@ -201,11 +201,19 @@ def test_hive_partitioning_composes_with_pushdown(spark, tmp_path):
     out = df.filter((F.col("dt") == "2024-01-01") & (F.col("status") == 500))
     plan = _optimized(out)
     assert "Contains(value" in plan  # the status conjunct pushed
+    assert len(out.inputFiles()) == 1  # r12: the dt conjunct pruned the listing
     assert out.count() == 50
-    # hive key alone: not derivable, falls back, Catalyst still prunes
+    # hive key alone: no needle, but the LISTING prunes to one file
     out2 = df.filter(F.col("dt") == "2024-01-02")
     assert "Contains(value" not in _optimized(out2)
+    assert len(out2.inputFiles()) == 1
     assert out2.count() == 50
+    naive2 = super(LineFilterableFrame, df).filter(F.col("dt") == "2024-01-02")
+    assert sorted(map(str, out2.collect())) == sorted(map(str, naive2.collect()))
+    # hive key with %XX-escaped value still prunes identically
+    out3 = df.filter(F.col("dt").isin("2024-01-01", "2099-01-01"))
+    assert len(out3.inputFiles()) == 1
+    assert out3.count() == 50
 
 
 def test_like_escape_char_honored(spark, tmp_path):
