@@ -601,7 +601,45 @@ def main() -> None:
             df = read_httpd_log(spark, iso_path, format_str=_ifmt)
             return super(LineFilterableFrame, df).filter(_ipred).count()
 
+        # file-level mtime pruning (r12): 16 rotated per-month files,
+        # "since the last month" filter — 15/16 files' mtimes precede
+        # the bound, so the pruned plan never opens them at all
+        rot_dir = os.path.join(td, "rotated")
+        os.makedirs(rot_dir)
+        _rr = _rnd.Random(0x12A7)
+        _mon_abbr = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+        for m in range(1, 17):  # 2023-01 .. 2024-04, one file per month
+            yr = 2023 + (m - 1) // 12
+            mo = 1 + (m - 1) % 12
+            rp = os.path.join(rot_dir, f"{yr}-{mo:02d}.log")
+            with open(rp, "w") as _fh:
+                for i in range(125_000):
+                    _fh.write(
+                        f"10.{_rr.randrange(256)}.{m}.{_rr.randrange(9)} - "
+                        f"u{_rr.randrange(40)} "
+                        f"[{1 + i % 28:02d}/{_mon_abbr[mo - 1]}/{yr}:12:00:{i % 60:02d} +0000] "
+                        f'"GET {_rr.choice(_epaths)} HTTP/1.1" 200 {i % 977} "-" "ua"\n'
+                    )
+            # rotated just after the month ends — content <= mtime holds
+            mt = time.mktime((yr + (mo == 12), 1 + mo % 12, 1, 6, 0, 0, 0, 0, 0))
+            os.utime(rp, (mt, mt))
+        _rpred = _F.col("timestamp") >= "2024-04-01 00:00:00"
+
+        def _rot_pushed():
+            return (
+                read_httpd_log(spark, rot_dir + "/*.log", format_type="combined")
+                .filter(_rpred)
+                .count()
+            )
+
+        def _rot_naive():
+            df = read_httpd_log(spark, rot_dir + "/*.log", format_type="combined")
+            return super(LineFilterableFrame, df).filter(_rpred).count()
+
         for key, fnp in (
+            ("log_scan_rotated_since_pushdown", _rot_pushed),
+            ("log_scan_rotated_since_naive", _rot_naive),
             ("log_scan_2m_path_pushdown", _pushed),
             ("log_scan_2m_path_naive", _naive),
             ("log_scan_2m_date_pushdown", _date_pushed),

@@ -377,27 +377,39 @@ def max_mtime(spark: Optional[SparkSession], files: list[str]) -> Optional[float
     (+clock-skew margin), so max mtime is a sound upper bound for any
     timestamp in a FIXED file set (batch only — a stream's future
     files would arrive with later mtimes)."""
-    if not files:
+    mts = file_mtimes(spark, files)
+    if mts is None or any(t is None for t in mts):
         return None
-    best: Optional[float] = None
-    try:
-        for f in files:
+    return max(mts) if mts else None
+
+
+def file_mtimes(
+    spark: Optional[SparkSession], files: list[str]
+) -> Optional[list[Optional[float]]]:
+    """Per-file modification times (epoch seconds, UTC) aligned with
+    ``files``; an unavailable entry is None (callers must treat None
+    as 'unknown — never prune'). Answers from the listing's own mtime
+    hints when present (see _MTIME_HINTS), falling back to one stat
+    per file. Used by max_mtime (the open-above bound) and by the
+    file-level mtime pruning in sources/pushdown.py."""
+    out: list[Optional[float]] = []
+    for f in files:
+        try:
             hint = _MTIME_HINTS.get(f)
             if hint is not None:
                 # from the SAME listing the scan bound to — consistent
                 # with what the executors will read, and free
-                t = hint
+                out.append(hint)
             elif has_scheme(f) and scheme_of(f) != "file":
                 s = _session_or_none(spark)
                 if s is None:
-                    return None
+                    out.append(None)
+                    continue
                 _jvm, hfs, jpath = _fs_for(s, f)
-                t = hfs.getFileStatus(jpath).getModificationTime() / 1000.0
+                out.append(hfs.getFileStatus(jpath).getModificationTime() / 1000.0)
             else:
                 p = _uri_path(f) if has_scheme(f) else f
-                t = os.path.getmtime(p)
-            if best is None or t > best:
-                best = t
-    except Exception:
-        return None
-    return best
+                out.append(os.path.getmtime(p))
+        except Exception:
+            out.append(None)
+    return out

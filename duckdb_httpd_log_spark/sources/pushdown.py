@@ -925,6 +925,39 @@ def file_prune_sql(cond, prune_cols: Optional[set] = None) -> Optional[str]:
     return " AND ".join(keep) if keep else None
 
 
+def cond_ts_lower_us(cond, ctx: PushdownContext) -> Optional[int]:
+    """Largest lower time bound (epoch µs) any top-level CONJUNCT of
+    ``cond`` places on a recognized %t column, or None.
+
+    Used for FILE-LEVEL mtime pruning: under the documented mtime
+    contract (a log line's %t instant is never later than its file's
+    last modification + skew margin), a file whose mtime + margin is
+    below this bound cannot contain a qualifying row, so the whole
+    file is skipped — rotated-log corpora answer "since yesterday"
+    without opening years of old files. Only conjuncts count (a
+    disjunct's other branch could still match); equality and bounded
+    ranges bound below too; year(ts) >= y maps to Jan 1 of y (the
+    session-zone offset is inside the 2-day margin)."""
+    best: Optional[int] = None
+    for c in _flatten_and(cond):
+        iv = _ts_leaf_interval(c, ctx)
+        if iv is not None:
+            lo = iv[1]
+            if lo is not None:
+                best = lo if best is None else max(best, lo)
+            continue
+        yv = _year_leaf(c, ctx)
+        if yv is not None and yv[1] is not None:
+            y = yv[1]
+            try:
+                days = (_dt.date(y, 1, 1) - _dt.date(1970, 1, 1)).days
+            except (ValueError, OverflowError):
+                continue
+            lo = days * _US_PER_DAY
+            best = lo if best is None else max(best, lo)
+    return best
+
+
 class LineFilterableFrame(DataFrame):
     """read_httpd_log's fast-path result: a plain DataFrame whose
     ``filter``/``where`` additionally attempts two scan re-plans —
@@ -947,6 +980,7 @@ class LineFilterableFrame(DataFrame):
         file_pairs: Optional[list] = None,
         prune_prepare: Optional[Callable[[DataFrame], DataFrame]] = None,
         prune_cols: Optional[set] = None,
+        file_mtimes_fn: Optional[Callable[[], Optional[list]]] = None,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
@@ -961,6 +995,34 @@ class LineFilterableFrame(DataFrame):
         # identically; identity when hive_partitioning is off
         self._lf_prune_prepare = prune_prepare
         self._lf_prune_cols = prune_cols or {"log_file"}
+        # per-file epoch-second mtimes aligned with file_pairs (None
+        # entries = unknown, never pruned); None when the mtime bound
+        # is opted out or the scan is a stream — see reader.py
+        self._lf_mtimes_fn = file_mtimes_fn
+
+    # skew slack for FILE-LEVEL mtime pruning: same 2-day contract the
+    # mtime-closed open-above bound documents (README "+2-day margin")
+    _MTIME_PRUNE_SLACK_US = 2 * _US_PER_DAY
+
+    def _time_pruned_subset(self, cond) -> Optional[list]:
+        """Bind-time paths whose mtime (+2-day skew slack) can still
+        hold a row passing ``cond``'s lower time bound; None when
+        nothing prunes or the machinery is unavailable/opted out."""
+        if not self._lf_files or self._lf_mtimes_fn is None:
+            return None
+        lo = cond_ts_lower_us(cond, self._lf_ctx)
+        if lo is None:
+            return None
+        mts = self._lf_mtimes_fn()
+        if mts is None or len(mts) != len(self._lf_files):
+            return None
+        keep = [
+            b
+            for (b, _v), mt in zip(self._lf_files, mts)
+            if mt is None
+            or int(mt * 1_000_000) + self._MTIME_PRUNE_SLACK_US >= lo
+        ]
+        return keep if len(keep) < len(self._lf_files) else None
 
     def _pruned_subset(self, cond) -> Optional[list]:
         """Bind-time paths surviving the file-constant conjuncts of
@@ -994,6 +1056,13 @@ class LineFilterableFrame(DataFrame):
             tz = self.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
             ctx.margin_days = 1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z") else 2
             subset = self._pruned_subset(cond)
+            tsub = self._time_pruned_subset(cond)
+            if tsub is not None:
+                # intersect with the predicate-pruned set (both are
+                # sound independently, so the intersection is too)
+                subset = tsub if subset is None else [
+                    b for b in subset if b in set(tsub)
+                ]
             if subset is not None and not subset:
                 # no file can produce a passing row: empty result,
                 # Catalyst folds the always-false filter to an empty

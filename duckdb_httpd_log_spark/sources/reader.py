@@ -494,6 +494,23 @@ def read_httpd_log(
         spark.conf.get("spark.graft.pushdown.epochMinFields", "6")
     )
 
+    _per_file_mt_cache: list = []
+
+    def _file_mtimes():
+        # per-file mtimes for FILE-LEVEL time pruning (a "since X"
+        # conjunct skips files whose mtime + 2-day slack precedes the
+        # bound) — same contract and opt-out conf as the mtime-closed
+        # open-above bound; the stat list is cached, the conf re-read
+        if str(
+            spark.conf.get("spark.graft.pushdown.mtimeBound", "true")
+        ).lower() != "true":
+            return None
+        if not _per_file_mt_cache:
+            from .fs import file_mtimes
+
+            _per_file_mt_cache.append(file_mtimes(spark, files))
+        return _per_file_mt_cache[0]
+
     return LineFilterableFrame(
         df,
         _rebuild,
@@ -508,6 +525,7 @@ def read_httpd_log(
             (lambda tiny: _attach_hive_cols(tiny, hive_keys)) if hive_keys else None
         ),
         prune_cols={"log_file", *hive_keys},
+        file_mtimes_fn=_file_mtimes,
     )
 
 

@@ -949,3 +949,86 @@ def test_log_file_prune_pinned_to_bind_time_listing(spark, tmp_path):
     assert sorted(
         r.client_host for r in fresh.filter(pred).collect()
     ) == ["1.1.1.1", "2.2.2.2"]
+
+
+# --- file-level mtime pruning (r12) -------------------------------------------
+@pytest.fixture()
+def rotated_dir(tmp_path):
+    """Rotated logs: per-month files whose mtimes sit just past their
+    content (the mtime contract every real logger satisfies)."""
+    import time as _time
+
+    d = tmp_path / "rotated"
+    d.mkdir()
+    for month in (7, 8, 9, 10):
+        p = d / f"2024-{month:02d}.log"
+        p.write_text(
+            "".join(
+                f'10.0.{month}.{i} - u [{10 + i}/{["Jul","Aug","Sep","Oct"][month - 7]}/2024:12:00:00 +0000] '
+                f'"GET /m{month} HTTP/1.1" 200 {i} "-" "ua"\n'
+                for i in range(3)
+            )
+        )
+        mt = _time.mktime((2024, month, 28, 0, 0, 0, 0, 0, 0))
+        os.utime(p, (mt, mt))
+    return str(d)
+
+
+def test_since_filter_prunes_old_files_by_mtime(spark, rotated_dir):
+    df = read_httpd_log(spark, rotated_dir + "/*.log", format_type="combined")
+    assert len(df.inputFiles()) == 4
+    pred = F.col("timestamp") >= "2024-10-01 00:00:00"
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    # Jul/Aug/Sep files: mtime + 2-day slack < Oct 1 -> whole files skipped
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+    assert pruned.count() == 3
+
+
+def test_date_equality_also_prunes_files(spark, rotated_dir):
+    df = read_httpd_log(spark, rotated_dir + "/*.log", format_type="combined")
+    pred = F.to_date("timestamp") == "2024-09-11"
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    # equality bounds below too: Jul/Aug files are out (their mtime
+    # + slack < Sep 11); Sep AND Oct remain (an Oct file CAN contain
+    # Sep-dated lines under the contract — only the lower bound prunes)
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_mtime_file_pruning_conf_opt_out(spark, rotated_dir):
+    spark.conf.set("spark.graft.pushdown.mtimeBound", "false")
+    try:
+        df = read_httpd_log(spark, rotated_dir + "/*.log", format_type="combined")
+        pred = F.col("timestamp") >= "2024-10-01 00:00:00"
+        out = df.filter(pred)
+        assert len(out.inputFiles()) == 4  # no pruning, no needles
+        assert out.count() == 3
+    finally:
+        spark.conf.unset("spark.graft.pushdown.mtimeBound")
+
+
+def test_mtime_pruning_composes_with_listing_prune_and_needles(spark, rotated_dir):
+    df = read_httpd_log(spark, rotated_dir + "/*.log", format_type="combined")
+    pred = (
+        (F.col("timestamp") >= "2024-09-01 00:00:00")
+        & F.col("log_file").rlike("2024-(09|10)")
+        & (F.col("status") == 200)
+    )
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pruned.inputFiles()) == 2  # time prune ∩ log_file prune
+    assert re.search(r"Contains\(value#\d+, 200\)", _optimized(pruned))
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_disjunctive_time_bound_never_file_prunes(spark, rotated_dir):
+    # ts >= X OR status=200: an old file's rows can pass via the OR's
+    # other branch — the file-level prune must not fire
+    df = read_httpd_log(spark, rotated_dir + "/*.log", format_type="combined")
+    pred = (F.col("timestamp") >= "2024-10-01 00:00:00") | (F.col("status") == 200)
+    out = df.filter(pred)
+    assert len(out.inputFiles()) == 4
+    assert out.count() == 12
