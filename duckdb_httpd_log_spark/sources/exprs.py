@@ -306,26 +306,40 @@ def strftime_to_output_pattern(fmt: str) -> str:
             lit_buf.append(tok)
             continue
         if tok == "%Z":
-            # 'zzz' renders the session zone's SHORT NAME — for
-            # offset-style zones (GMT+05:30, Etc/GMT-5) that text
-            # contains digits/'+'/':' which the reader's %Z discard
-            # regex [A-Za-z/_]+ rejects, so the written line would
-            # silently fail the line regex on read-back. Raise up
-            # front instead of producing an unreadable corpus.
+            # 'zzz' renders the session zone's SHORT NAME — for zones
+            # without a real abbreviation (GMT+05:30, Etc/GMT-5, and
+            # named zones like Asia/Kathmandu) Java falls back to a
+            # GMT-offset form whose digits/'+'/':' the reader's %Z
+            # discard regex [A-Za-z/_]+ rejects, so written lines
+            # would silently fail the line regex on read-back. Probe
+            # the ACTUAL rendering (one winter + one summer instant,
+            # covering DST abbreviations) and raise up front instead
+            # of producing an unreadable corpus. Zone-ID chars are an
+            # unreliable proxy: 'Asia/Kathmandu' has none yet renders
+            # 'GMT+05:45', while 'EST5EDT' has a digit yet renders
+            # pure-letter 'EST'/'EDT'.
+            import re as _re2
+
             from pyspark.sql import SparkSession as _SS
 
             sess = _SS.getActiveSession()
-            zone = (
-                sess.conf.get("spark.sql.session.timeZone", "UTC")
-                if sess is not None
-                else "UTC"
-            )
-            if any(c.isdigit() or c in "+:" for c in zone):
-                raise ValueError(
-                    f"write_httpd_log cannot render %Z under offset-style "
-                    f"session zone {zone!r} (the reader's %Z regex accepts "
-                    "zone NAMES only); set a named zone or drop %Z"
-                )
+            if sess is not None:
+                zone = sess.conf.get("spark.sql.session.timeZone", "UTC")
+                rendered = sess.sql(
+                    "SELECT date_format(TIMESTAMP'2024-01-15 10:00:00', 'zzz'),"
+                    " date_format(TIMESTAMP'2024-07-15 10:00:00', 'zzz')"
+                ).first()
+                bad = [
+                    s for s in rendered
+                    if not _re2.fullmatch(r"[A-Za-z/_]+", s or "")
+                ]
+                if bad:
+                    raise ValueError(
+                        f"write_httpd_log cannot render %Z under session "
+                        f"zone {zone!r}: 'zzz' renders {bad[0]!r}, which the "
+                        "reader's %Z regex (zone NAMES only) rejects; set a "
+                        "zone with a real abbreviation or drop %Z"
+                    )
         sp = _STRFTIME_TO_OUTPUT.get(tok)
         if sp is None:
             raise ValueError(

@@ -378,20 +378,21 @@ def max_mtime(spark: Optional[SparkSession], files: list[str]) -> Optional[float
     timestamp in a FIXED file set (batch only — a stream's future
     files would arrive with later mtimes)."""
     mts = file_mtimes(spark, files)
-    if mts is None or any(t is None for t in mts):
+    if any(t is None for t in mts):
         return None
     return max(mts) if mts else None
 
 
 def file_mtimes(
     spark: Optional[SparkSession], files: list[str]
-) -> Optional[list[Optional[float]]]:
+) -> list[Optional[float]]:
     """Per-file modification times (epoch seconds, UTC) aligned with
-    ``files``; an unavailable entry is None (callers must treat None
-    as 'unknown — never prune'). Answers from the listing's own mtime
-    hints when present (see _MTIME_HINTS), falling back to one stat
-    per file. Used by max_mtime (the open-above bound) and by the
-    file-level mtime pruning in sources/pushdown.py."""
+    ``files``; always returns a list — an unavailable ENTRY is None
+    (callers must treat a None entry as 'unknown — never prune').
+    Answers from the listing's own mtime hints when present (see
+    _MTIME_HINTS), falling back to one stat per file. Used by
+    max_mtime (the open-above bound) and by the file-level mtime
+    pruning in sources/pushdown.py."""
     out: list[Optional[float]] = []
     for f in files:
         try:

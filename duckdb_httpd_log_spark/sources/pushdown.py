@@ -1060,9 +1060,11 @@ class LineFilterableFrame(DataFrame):
             if tsub is not None:
                 # intersect with the predicate-pruned set (both are
                 # sound independently, so the intersection is too)
-                subset = tsub if subset is None else [
-                    b for b in subset if b in set(tsub)
-                ]
+                if subset is None:
+                    subset = tsub
+                else:
+                    tset = set(tsub)
+                    subset = [b for b in subset if b in tset]
             if subset is not None and not subset:
                 # no file can produce a passing row: empty result,
                 # Catalyst folds the always-false filter to an empty

@@ -53,6 +53,21 @@ def _dash_null(c: Column) -> Column:
     return F.coalesce(c.cast("string"), F.lit("-"))
 
 
+def _epoch_text(col: Column, unit_us: int) -> Column:
+    """Epoch token at ``unit_us`` resolution, FLOOR-consistent with
+    _frac_text's pmod (a truncating cast rounds toward zero, which
+    would disagree with the floor-based frac remainder on pre-1970
+    instants and recombine to the wrong instant). Note the reader's
+    epoch regex is \\d+, so a NEGATIVE instant has no parseable
+    rendering at all — pre-1970 instants are outside every epoch
+    directive's writable range (they can only enter a combined column
+    through a non-epoch base field in the same group)."""
+    us = F.unix_micros(col)
+    if unit_us == 1:
+        return us.cast("string")
+    return ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us)).cast("long").cast("string")
+
+
 def _frac_text(col: Column, unit_us: int, width: int, carrier_mod: int) -> Column:
     """Sub-second token for a frac %t field in a multi-field group:
     the µs remainder the group's base rendering DROPS (mod
@@ -95,11 +110,11 @@ def _field_text(f: FormatField, col: Optional[Column] = None) -> Column:
 
             return F.date_format(col, strftime_to_output_pattern(f.strftime_format))
         if f.timestamp_type == TsFormat.EPOCH_SEC:
-            return (F.unix_micros(col) / F.lit(1_000_000)).cast("bigint").cast("string")
+            return _epoch_text(col, 1_000_000)
         if f.timestamp_type == TsFormat.EPOCH_MSEC:
-            return (F.unix_micros(col) / F.lit(1_000)).cast("bigint").cast("string")
+            return _epoch_text(col, 1_000)
         if f.timestamp_type == TsFormat.EPOCH_USEC:
-            return F.unix_micros(col).cast("string")
+            return _epoch_text(col, 1)
         raise ValueError(
             f"write_httpd_log cannot render timestamp flavor {f.timestamp_type}"
         )

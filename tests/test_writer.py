@@ -456,7 +456,7 @@ def test_strftime_Z_offset_session_zone_raises(spark, tmp_path):
     src = read_httpd_log(spark, str(p), format_str=fmt)
     spark.conf.set("spark.sql.session.timeZone", "GMT+05:30")
     try:
-        with pytest.raises(ValueError, match="offset-style"):
+        with pytest.raises(ValueError, match="zone NAMES only"):
             write_httpd_log(src, str(tmp_path / "zout"), format_str=fmt)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -464,3 +464,14 @@ def test_strftime_Z_offset_session_zone_raises(spark, tmp_path):
     write_httpd_log(src, str(tmp_path / "zok"), format_str=fmt)
     back = read_httpd_log(spark, str(tmp_path / "zok") + "/part-*.txt", format_str=fmt)
     assert _rows_no_file(back) == _rows_no_file(src)
+
+
+def test_epoch_base_floor_consistent_with_frac(spark, tmp_path):
+    # review fix: the epoch base render must FLOOR (like the frac
+    # pmod), not truncate toward zero — a positive-instant round trip
+    # exercises the (us - pmod) div unit form end-to-end
+    _rt_fmt(
+        spark, tmp_path, "%h %{msec}t %{usec_frac}t %>s",
+        ['9.9.9.9 1728568536999 000999 200'],
+        "floorbase",
+    )
