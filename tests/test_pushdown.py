@@ -1032,3 +1032,21 @@ def test_disjunctive_time_bound_never_file_prunes(spark, rotated_dir):
     out = df.filter(pred)
     assert len(out.inputFiles()) == 4
     assert out.count() == 12
+
+
+def test_log_file_prune_escapes_quotes_in_paths(spark, tmp_path):
+    # the VALUES-based prune eval doubles single quotes: a path with an
+    # apostrophe must neither break the SQL nor mis-prune
+    d = tmp_path / "quoted"
+    d.mkdir()
+    for name in ("bob's.log", "plain.log"):
+        (d / name).write_text(
+            '1.1.1.1 - u [10/Oct/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 1 "-" "ua"\n'
+        )
+    df = read_httpd_log(spark, str(d) + "/*.log", format_type="combined")
+    pred = F.col("log_file").like("%bob's%")
+    pruned = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
+    assert pruned.count() == 1
