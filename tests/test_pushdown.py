@@ -1050,3 +1050,40 @@ def test_log_file_prune_escapes_quotes_in_paths(spark, tmp_path):
     assert len(pruned.inputFiles()) == 1
     assert sorted(map(str, pruned.collect())) == sorted(map(str, naive.collect()))
     assert pruned.count() == 1
+
+
+def test_strftime_date_needles_non_utc_session_tz(spark, strftime_path):
+    # margin must widen to 2 under a non-UTC session zone (to_date
+    # follows the session zone); values stay identical to naive
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        out, n = _pushed_vs_naive_fmt(
+            spark, strftime_path, _SFMT, F.to_date("timestamp") == "2023-03-15"
+        )
+        plan = _optimized(out)
+        # ±2-day window: 13..17 all present
+        assert re.search(r"Contains\(value#\d+, 2023-03-13", plan)
+        assert re.search(r"Contains\(value#\d+, 2023-03-17", plan)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_epoch_gate_boundary_exact_field_count(spark, tmp_path):
+    # a format with EXACTLY epochMinFields capture groups passes the
+    # gate (>= comparison), one fewer does not
+    p = tmp_path / "gate.log"
+    base = 1727740800
+    p.write_text("".join(f"1.1.1.{d} - {base + d * 86400} 200\n" for d in range(5)))
+    fmt4 = "%h %l %{sec}t %>s"  # 4 capture groups
+    spark.conf.set("spark.graft.pushdown.epochMinFields", "4")
+    try:
+        df = read_httpd_log(spark, str(p), format_str=fmt4)
+        out = df.filter(F.to_date("timestamp") == "2024-10-03")
+        assert re.search(r"Contains\(value#\d+, \d+\)", _optimized(out))
+        spark.conf.set("spark.graft.pushdown.epochMinFields", "5")
+        df2 = read_httpd_log(spark, str(p), format_str=fmt4)
+        out2 = df2.filter(F.to_date("timestamp") == "2024-10-03")
+        assert "Contains(value" not in _optimized(out2)
+        assert out2.count() == out.count() == 1
+    finally:
+        spark.conf.unset("spark.graft.pushdown.epochMinFields")
