@@ -2118,6 +2118,12 @@ def q61_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("supp_late")
         )
+        # ls (the lineitem x orders join + agg — the two largest tables)
+        # feeds BOTH the supp_late filter branch and the om rollup; the
+        # consumers apply different filters before any exchange, so
+        # Catalyst never inserts a ReusedExchange and the join runs
+        # twice. Pin it once — at 100 TB this halves the dominant join.
+        .localCheckpoint(eager=False)
     )
     om = ls.groupBy("okey").agg(
         F.count(F.lit(1)).alias("n_supps"),

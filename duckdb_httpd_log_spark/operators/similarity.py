@@ -762,7 +762,19 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     import collections
 
-    emb = table(spark, sf_dir, "embeddings")
+    from pyspark import StorageLevel
+
+    # Every training iteration re-assigns the FULL corpus (semantically
+    # required: the oracle's a2 assigns under the updated centroids), so
+    # without a pin each pass re-scans parquet and re-pays the Arrow
+    # load of the DIM-dim vectors. Pin the projected scan once —
+    # MEMORY_AND_DISK, the standard k-means cache — so passes 2..N read
+    # cached blocks; only the broadcast model changes between passes.
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)
     cell_ids = np.arange(cen.shape[0], dtype=np.int32)
 

@@ -1992,6 +1992,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", "pos", h.alias("h"))
         .select("doc_id", F.min("h").over(w).alias("fp"))
         .distinct()
+        # fps (posexplode + window-min — the expensive derivation) fans
+        # out to nfp, shared, fa and fb; without a pin the plan shows 6
+        # parquet scans and zero ReusedExchange (each consumer filters/
+        # projects differently before its exchange). Same pattern as
+        # dedup_embedding's materialized signature frame (dedup.py).
+        .localCheckpoint(eager=False)
     )
     nfp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     shared = (
@@ -2000,8 +2006,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= WSD_DF_CAP))
         .select("fp")
     )
-    fa = fps.join(shared, "fp").select("fp", F.col("doc_id").alias("doc_a"))
-    fb = fps.join(shared, "fp").select("fp", F.col("doc_id").alias("doc_b"))
+    # fa and fb are the SAME fps-x-shared join (only the output column
+    # name differs) — derive both from one pinned frame so the df-cap
+    # aggregate and the join run once, not twice (plan-reuse audit)
+    fj = fps.join(shared, "fp").localCheckpoint(eager=False)
+    fa = fj.select("fp", F.col("doc_id").alias("doc_a"))
+    fb = fj.select("fp", F.col("doc_id").alias("doc_b"))
     pairs = (
         fa.join(fb, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))

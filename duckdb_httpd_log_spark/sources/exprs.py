@@ -289,10 +289,16 @@ _STRFTIME_TO_OUTPUT = {
 }
 
 
-def strftime_to_output_pattern(fmt: str) -> str:
+def strftime_to_output_pattern(fmt: str, session=None) -> str:
     """Java DateTimeFormatter OUTPUT pattern rendering a timestamp so the
     reader's ``translate_strftime(fmt)`` parse recovers the same instant.
-    Raises ValueError on tokens with no deterministic rendering."""
+    Raises ValueError on tokens with no deterministic rendering.
+
+    ``session``: the SparkSession whose session zone the %Z guard must
+    probe — the WRITER always has one (``df.sparkSession``) and threads
+    it here; ``getActiveSession()`` is only the fallback for direct
+    callers, and when both are absent the guard is skipped (no session
+    means no session zone to validate against)."""
     out: list[str] = []
     lit_buf: list[str] = []
 
@@ -318,11 +324,18 @@ def strftime_to_output_pattern(fmt: str) -> str:
             # unreliable proxy: 'Asia/Kathmandu' has none yet renders
             # 'GMT+05:45', while 'EST5EDT' has a digit yet renders
             # pure-letter 'EST'/'EDT'.
+            # NOTE: the probe checks two 2024 instants (one winter, one
+            # summer — covering the DST pair); a zone whose abbreviation
+            # form DIFFERED only historically could still slip through,
+            # accepted: written data carries current-era timestamps and
+            # the reader's %Z text is discarded anyway (zone names are
+            # not instants), so the only risk is a cosmetic mismatch on
+            # back-dated rows, never a wrong parse of a kept field.
             import re as _re2
 
             from pyspark.sql import SparkSession as _SS
 
-            sess = _SS.getActiveSession()
+            sess = session if session is not None else _SS.getActiveSession()
             if sess is not None:
                 zone = sess.conf.get("spark.sql.session.timeZone", "UTC")
                 rendered = sess.sql(

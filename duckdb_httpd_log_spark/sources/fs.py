@@ -384,7 +384,7 @@ def max_mtime(spark: Optional[SparkSession], files: list[str]) -> Optional[float
 
 
 def file_mtimes(
-    spark: Optional[SparkSession], files: list[str]
+    spark: Optional[SparkSession], files: list[str], fresh: bool = False
 ) -> list[Optional[float]]:
     """Per-file modification times (epoch seconds, UTC) aligned with
     ``files``; always returns a list — an unavailable ENTRY is None
@@ -392,11 +392,17 @@ def file_mtimes(
     Answers from the listing's own mtime hints when present (see
     _MTIME_HINTS), falling back to one stat per file. Used by
     max_mtime (the open-above bound) and by the file-level mtime
-    pruning in sources/pushdown.py."""
+    pruning in sources/pushdown.py.
+
+    ``fresh=True`` bypasses the hints and stats NOW — used by the
+    file-level prune to re-check only the files it is about to drop
+    (a file appended between the bind-time listing and the action can
+    hold rows newer than the recorded mtime; one fresh stat per
+    dropped file is far cheaper than wrongly skipping it)."""
     out: list[Optional[float]] = []
     for f in files:
         try:
-            hint = _MTIME_HINTS.get(f)
+            hint = None if fresh else _MTIME_HINTS.get(f)
             if hint is not None:
                 # from the SAME listing the scan bound to — consistent
                 # with what the executors will read, and free

@@ -1016,13 +1016,34 @@ class LineFilterableFrame(DataFrame):
         mts = self._lf_mtimes_fn()
         if mts is None or len(mts) != len(self._lf_files):
             return None
-        keep = [
+        keep: list = []
+        dropped: list = []
+        for (b, _v), mt in zip(self._lf_files, mts):
+            if mt is None or int(mt * 1_000_000) + self._MTIME_PRUNE_SLACK_US >= lo:
+                keep.append(b)
+            else:
+                dropped.append(b)
+        if not dropped:
+            return None
+        # The recorded mtimes come from the BIND-TIME listing; a file
+        # appended since then can hold rows newer than that stale stat.
+        # Re-stat ONLY the would-drop set fresh before committing to
+        # skipping it (one stat per dropped file — far cheaper than a
+        # wrong skip, and the kept set needs no re-check: a newer mtime
+        # only ever widens, never shrinks, the keep decision).
+        from .fs import file_mtimes
+
+        fresh = file_mtimes(self.sparkSession, dropped, fresh=True)
+        rescued = {
             b
-            for (b, _v), mt in zip(self._lf_files, mts)
+            for b, mt in zip(dropped, fresh)
             if mt is None
             or int(mt * 1_000_000) + self._MTIME_PRUNE_SLACK_US >= lo
-        ]
-        return keep if len(keep) < len(self._lf_files) else None
+        }
+        if len(rescued) == len(dropped):
+            return None
+        keep_set = set(keep) | rescued
+        return [b for b, _v in self._lf_files if b in keep_set]
 
     def _pruned_subset(self, cond) -> Optional[list]:
         """Bind-time paths surviving the file-constant conjuncts of
@@ -1034,7 +1055,15 @@ class LineFilterableFrame(DataFrame):
         if sql is None:
             return None
         spark = self.sparkSession
-        if len(self._lf_files) <= 20_000:
+        # the VALUES fast path goes through the SQL PARSER, whose string
+        # -literal escaping depends on spark.sql.parser.escapedStringLiterals
+        # (default false: \n etc. are unescaped, mangling the value so the
+        # membership test silently prunes the file). Quote-doubling is
+        # parser-mode-independent, backslashes are not — route any
+        # backslash-bearing listing through the parse-free tiny frame.
+        if len(self._lf_files) <= 20_000 and not any(
+            "\\" in v for _b, v in self._lf_files
+        ):
             # VALUES builds a LocalRelation: Catalyst's
             # ConvertToLocalRelation folds the Filter/Project over it in
             # the OPTIMIZER, so collect() runs task-free (~60 ms vs

@@ -21,7 +21,10 @@ single combined column — bases at their own resolution, frac tokens
 (``%{msec_frac}t``/``%{usec_frac}t``) carrying exactly the µs
 remainder the base drops — so the typed round trip holds for every
 instant the reader can produce. Only a frac-ONLY group raises
-``ValueError`` (its read column is always NULL).
+``ValueError`` (its read column is always NULL). Epoch directives
+raise at WRITE time (job failure via ``raise_error``) on pre-1970
+instants — the reader's ``\\d+`` epoch regex has no rendering for a
+negative value, so the alternative would be silently unreadable lines.
 """
 
 from __future__ import annotations
@@ -57,15 +60,35 @@ def _epoch_text(col: Column, unit_us: int) -> Column:
     """Epoch token at ``unit_us`` resolution, FLOOR-consistent with
     _frac_text's pmod (a truncating cast rounds toward zero, which
     would disagree with the floor-based frac remainder on pre-1970
-    instants and recombine to the wrong instant). Note the reader's
-    epoch regex is \\d+, so a NEGATIVE instant has no parseable
-    rendering at all — pre-1970 instants are outside every epoch
-    directive's writable range (they can only enter a combined column
-    through a non-epoch base field in the same group)."""
+    instants and recombine to the wrong instant). The reader's epoch
+    regex is \\d+, so a NEGATIVE instant has no parseable rendering at
+    all — pre-1970 instants are outside every epoch directive's
+    writable range (they can only enter a combined column through a
+    non-epoch base field in the same group). Rather than emit a '-123'
+    line that silently fails the line regex on read-back, the
+    expression RAISES at write time (raise_error — the job fails with
+    an actionable message, the loss is never invisible)."""
     us = F.unix_micros(col)
     if unit_us == 1:
-        return us.cast("string")
-    return ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us)).cast("long").cast("string")
+        digits = us.cast("string")
+    else:
+        digits = (
+            ((us - F.pmod(us, F.lit(unit_us))) / F.lit(unit_us))
+            .cast("long")
+            .cast("string")
+        )
+    return F.when(
+        us < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "write_httpd_log: pre-1970 instant has no parseable "
+                    "epoch rendering (reader's epoch regex is \\d+): "
+                ),
+                col.cast("string"),
+            )
+        ).cast("string"),
+    ).otherwise(digits)
 
 
 def _frac_text(col: Column, unit_us: int, width: int, carrier_mod: int) -> Column:
@@ -81,11 +104,16 @@ def _frac_text(col: Column, unit_us: int, width: int, carrier_mod: int) -> Colum
     return F.lpad(tok.cast("string"), width, "0")
 
 
-def _field_text(f: FormatField, col: Optional[Column] = None) -> Column:
+def _field_text(
+    f: FormatField, col: Optional[Column] = None, session=None
+) -> Column:
     """Raw-token expression for one directive from its typed column —
     the exact inverse of exprs.regular_field_expr. ``col`` overrides
     the source column (used by multi-field timestamp groups, where
-    every member renders from the group head's combined column)."""
+    every member renders from the group head's combined column).
+    ``session`` threads the writer's SparkSession into the %Z write
+    guard (getActiveSession() can be None on executor-adjacent call
+    paths; the writer always has df.sparkSession)."""
     name = f.column_name
     if col is None:
         col = F.col(name)
@@ -108,7 +136,9 @@ def _field_text(f: FormatField, col: Optional[Column] = None) -> Column:
         if f.timestamp_type == TsFormat.STRFTIME:
             from .exprs import strftime_to_output_pattern
 
-            return F.date_format(col, strftime_to_output_pattern(f.strftime_format))
+            return F.date_format(
+                col, strftime_to_output_pattern(f.strftime_format, session=session)
+            )
         if f.timestamp_type == TsFormat.EPOCH_SEC:
             return _epoch_text(col, 1_000_000)
         if f.timestamp_type == TsFormat.EPOCH_MSEC:
@@ -157,7 +187,7 @@ def _field_text(f: FormatField, col: Optional[Column] = None) -> Column:
     raise ValueError(f"write_httpd_log cannot render directive {f.directive}")
 
 
-def format_line_expr(parsed: ParsedFormat) -> Column:
+def format_line_expr(parsed: ParsedFormat, session=None) -> Column:
     """One Catalyst expression rendering a typed row as a raw log line
     under ``parsed``'s format string (literals, spacing, and quoting
     reproduced verbatim — the same walk generate_regex_pattern does)."""
@@ -212,7 +242,7 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
             elif f.timestamp_type == TsFormat.FRAC_USEC:
                 ts_override[id(f)] = _frac_text(col, 1, 6, carrier_mod)
             else:
-                ts_override[id(f)] = _field_text(f, col=col)
+                ts_override[id(f)] = _field_text(f, col=col, session=session)
 
     pieces: list[Column] = []
     lit_buf: list[str] = []
@@ -240,7 +270,7 @@ def format_line_expr(parsed: ParsedFormat) -> Column:
                 pos += len(f.directive)
             flush()
             ov = ts_override.get(id(f))
-            pieces.append(_field_text(f) if ov is None else ov)
+            pieces.append(_field_text(f, session=session) if ov is None else ov)
             field_idx += 1
             continue
         lit_buf.append(c)
@@ -270,7 +300,12 @@ def write_httpd_log(
         else:
             raise ValueError(f"Invalid format_type '{format_type}' for writing")
     parsed = parse_format_string(format_str)
-    line = format_line_expr(parsed)  # validates the format before any IO
+    # validates the format before any IO (reachable with df=None for a
+    # pure validation call); df.sparkSession threads into the %Z guard
+    # so it never silently skips on a real write (ADVICE r12)
+    line = format_line_expr(
+        parsed, session=df.sparkSession if df is not None else None
+    )
     df.select(line.alias("value")).write.mode(mode).options(**options).text(path)
 
 
@@ -294,7 +329,7 @@ def write_httpd_log_stream(
         else:
             raise ValueError(f"Invalid format_type '{format_type}' for writing")
     parsed = parse_format_string(format_str)
-    line = format_line_expr(parsed)
+    line = format_line_expr(parsed, session=df.sparkSession)
     return (
         df.select(line.alias("value"))
         .writeStream.format("text")
