@@ -825,6 +825,19 @@ def main() -> None:
     except Exception:
         pass
 
+    def _over2x_dispositions(names: list) -> dict:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "over2x_dispositions.json",
+        )
+        try:
+            with open(path) as fh:
+                known = json.load(fh)
+        except Exception:
+            known = {}
+        return {n: known.get(n, "UNDISPOSITIONED") for n in names}
+
     def _family_of(name: str) -> str:
         qd = REGISTRY.get(name)
         fam = getattr(qd, "family", None)
@@ -864,6 +877,12 @@ def main() -> None:
         "duckdb_over2x": sorted(
             flagged, key=lambda n: timings[n] / duckdb_sec[n], reverse=True
         ),
+        # r12 verdict item 3: every over-2x entry carries a one-line
+        # disposition (overhead / pair-join-constant / plan-defect /
+        # fixed-rN) so real defects can't hide among explained ratios;
+        # tools/over2x_gate.py fails the round-close gate on a missing
+        # or plan-defect disposition
+        "duckdb_over2x_dispositions": _over2x_dispositions(flagged),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver's BENCH_r{N}.json keeps only a tail of stdout, which has

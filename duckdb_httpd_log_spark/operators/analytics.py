@@ -4924,9 +4924,17 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d0"),
         F.date_add(F.col("l_shipdate").cast("date"), 1).alias("d1"),
     )
-    ev = iv.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
-        iv.select(F.col("d1").alias("d"), F.lit(-1).alias("delta"))
-    )
+    # +1/-1 boundary events via a 2-element explode of ONE join pass —
+    # the union-of-two-projections form re-ran the lineitem x orders
+    # join per branch (plan-reuse audit r13); explode keeps it single
+    ev = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.col("d1").alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.d", "e.delta")
     daily = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
     # cumulative over the DATE SPINE: bounded by the corpus time span,
     # not the row count (the audited post-aggregate window class);

@@ -1203,8 +1203,14 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         out_col="t_next",
     )
-    seg = seq.filter(F.col("t_next").isNotNull()).select(
-        "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
+    seg = (
+        seq.filter(F.col("t_next").isNotNull())
+        .select(
+            "event_type", "value", (F.col("t_next") - F.col("t_us")).alias("gap_us")
+        )
+        # seg (the lead-window derivation) feeds the span totals AND the
+        # weighted-term join; unpinned, the window ran twice
+        .localCheckpoint(eager=False)
     )
     spans = seg.groupBy("event_type").agg(F.sum("gap_us").cast("long").alias("span_us"))
     term = fround(

@@ -1632,7 +1632,9 @@ def q48_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("c_acctbal"), F.col("c_custkey")],
         rn_col="rk",
         n_col="n",
-    )
+        # rk feeds the rank-3 pick AND the output join; unpinned, the
+        # whole grouped rank (sort/shuffle) ran once per consumer
+    ).localCheckpoint(eager=False)
     third = rk.filter(F.col("rk") == 3).select(
         "c_nationkey", F.col("c_acctbal").alias("third_bal")
     )

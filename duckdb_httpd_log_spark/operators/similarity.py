@@ -1259,6 +1259,9 @@ def emb_split_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.expr("(cast(s as double) / c) / gmax").alias("mn"),
         )
+        # mt is as bounded as d (|labels| x 2 x 64 rows) but feeds both
+        # half-splits — pin so the d x g join runs once, not per half
+        .localCheckpoint(eager=False)
     )
     a = mt.filter(F.col("h") == 0).select(
         "label", "dim", F.col("mn").alias("ma"), F.col("c").alias("ca")

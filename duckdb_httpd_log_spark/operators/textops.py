@@ -2303,8 +2303,13 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    chunks = chunked.groupBy("doc_id", "chunk").agg(
-        F.md5(content.cast("binary")).alias("ch")
+    chunks = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(F.md5(content.cast("binary")).alias("ch"))
+        # the chunk-hash derivation (posexplode + running-sum window +
+        # collect_list md5) feeds n_chunks, shared AND dup — unpinned it
+        # ran three times (plan-reuse audit r13)
+        .localCheckpoint(eager=False)
     )
     n_chunks = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     shared = (

@@ -73,43 +73,64 @@ if os.path.exists(_ALLOWLIST_PATH):
         ALLOWLIST = json.load(_f)
 
 
-def _walk_logical(node, acc):
-    """Collect (semanticHash, has_expensive, n_nodes, nodeName) for every
-    subtree of the analyzed plan; returns (has_expensive, n_nodes)."""
+def _walk_logical(node, acc, counter):
+    """Collect (semanticHash, has_expensive, n_nodes, nodeName, enter,
+    exit) for every subtree (pre-order enter / post-order exit indices
+    give an ancestor test by interval containment); returns
+    (has_expensive, n_nodes)."""
     name = node.nodeName()
+    enter = counter[0]
+    counter[0] += 1
     n = node.children().size()
     exp = name in _EXPENSIVE
     size = 1
     for i in range(n):
-        ce, cs = _walk_logical(node.children().apply(i), acc)
+        ce, cs = _walk_logical(node.children().apply(i), acc, counter)
         exp = exp or ce
         size += cs
     try:  # subquery expressions hide whole plans inside expressions
         it = node.subqueries().iterator()
         while it.hasNext():
-            ce, cs = _walk_logical(it.next(), acc)
+            ce, cs = _walk_logical(it.next(), acc, counter)
             exp = exp or ce
             size += cs
     except Exception:
         pass
-    acc.append((node.semanticHash(), exp, size, name))
+    acc.append((node.semanticHash(), exp, size, name, enter, counter[0]))
+    counter[0] += 1
     return exp, size
 
 
 def candidates(df) -> list[dict]:
     """Largest duplicated expensive analyzed subtrees (nested duplicates
-    suppressed — pinning the outermost pins them all)."""
+    suppressed — pinning the outermost pins them all). Same-hash nodes
+    on one ancestor chain count ONCE: the analyzer routinely stacks a
+    semantically-identical Project on its own child (e.g.
+    ExtractWindowExpressions), and a linear chain executes once — only
+    FAN-OUT copies (neither an ancestor of the other) re-execute."""
     plan = df._jdf.queryExecution().analyzed()
     acc: list = []
-    _walk_logical(plan, acc)
+    _walk_logical(plan, acc, [0])
     by_hash: dict = {}
-    for h, exp, size, name in acc:
-        rec = by_hash.setdefault(h, {"n": 0, "exp": exp, "size": size, "name": name})
-        rec["n"] += 1
+    for h, exp, size, name, enter, exit_ in acc:
+        rec = by_hash.setdefault(
+            h, {"spans": [], "exp": exp, "size": size, "name": name}
+        )
+        rec["spans"].append((enter, exit_))
         rec["size"] = max(rec["size"], size)
-    dups = {
-        h: r for h, r in by_hash.items() if r["n"] >= 2 and r["exp"] and r["size"] >= 3
-    }
+    dups = {}
+    for h, r in by_hash.items():
+        if len(r["spans"]) < 2 or not r["exp"] or r["size"] < 3:
+            continue
+        # maximal occurrences: drop spans contained in another same-hash
+        # span (ancestor chain — one execution)
+        spans = sorted(r["spans"])  # by enter asc; ancestor sorts first
+        maximal = []
+        for s in spans:
+            if not any(p[0] <= s[0] and s[1] <= p[1] for p in maximal):
+                maximal.append(s)
+        if len(maximal) >= 2:
+            dups[h] = {**r, "n": len(maximal)}
     if not dups:
         return []
     best = max(dups.values(), key=lambda r: r["size"])

@@ -6,17 +6,21 @@ of the builder's gate instead of waiting for a judge read):
   1. `scale_rehearsal --assert`    — 10x wall-clock ratio ceilings on
                                      the 5-query core slate (exit 1 on
                                      a super-linear regression);
-  2. thread-invariance audit       — every oracle bit-identical at
+  2. plan-reuse audit              — no registry query executes a
+                                     duplicated Join/Window/Arrow
+                                     subtree without a pin or runtime
+                                     exchange reuse (exit 1 otherwise);
+  3. thread-invariance audit       — every oracle bit-identical at
                                      DuckDB threads=1 vs 8;
-  3. executing dtype audit         — pandas-kind parity on every
+  4. executing dtype audit         — pandas-kind parity on every
                                      oracle at sf0.01 (int-vs-float
                                      gates, width/unit reported);
-  4. local oracle sweep            — the full registry vs DuckDB at
+  5. local oracle sweep            — the full registry vs DuckDB at
                                      sf0.01, summary written for the
                                      close-time stamp;
-  5. operator-index regeneration   — docs/OPERATORS.md counts match
+  6. operator-index regeneration   — docs/OPERATORS.md counts match
                                      the registry at HEAD, plus the
-                                     close-time sweep line from step 4.
+                                     close-time sweep line from step 5.
 
 Record the output in the round-close commit message. Bench and the
 full pytest suite stay separate (they have their own artifacts).
@@ -34,6 +38,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = [
     ("scale-rehearsal --assert", [sys.executable, "tools/scale_rehearsal.py", "--assert"]),
+    # plan-reuse sweep (r12 verdict item 1): every registry query's
+    # analyzed plan checked for fan-out duplicated Join/Window/Arrow
+    # subtrees, runtime-confirmed against the final adaptive plan's
+    # reuse markers; exits 1 on any non-allowlisted double-compute
+    ("plan-reuse audit", [sys.executable, "tools/plan_reuse_audit.py"]),
+    # over-2x adjudication (r12 verdict item 3): every duckdb_over2x
+    # bench entry needs a recorded non-defect disposition
+    ("over2x adjudication gate", [sys.executable, "tools/over2x_gate.py"]),
     ("thread-invariance audit", [sys.executable, "tools/thread_invariance_audit.py"]),
     ("executing dtype audit", [sys.executable, "tools/dtype_audit.py"]),
     # full-registry local oracle sweep; writes the close-time summary
