@@ -573,6 +573,45 @@ def main() -> None:
             df = read_httpd_log(spark, _fglob, format_type="combined")
             return super(LineFilterableFrame, df).filter(_fpred).count()
 
+        # per-file column-stats pruning (r13 / r12 verdict item 4): a
+        # status >= 500 filter over a 16-file fleet where only ONE file
+        # carries 5xx rows — after the one-time stats pass (eager here;
+        # warm-up pays it) the listing drops 15/16 files outright
+        cs_dir = os.path.join(td, "colstats_fleet")
+        os.makedirs(cs_dir)
+        _cr = _rnd.Random(0x0C57)
+        for i in range(16):
+            cp = os.path.join(cs_dir, f"server{i:02d}.log")
+            with open(cp, "w") as _fh:
+                for j in range(250_000):
+                    st = (
+                        _cr.choice([500, 502, 503])
+                        if i == 7
+                        else _cr.choice([200, 204, 301, 404])
+                    )
+                    _fh.write(
+                        f"10.{_cr.randrange(256)}.{i}.{_cr.randrange(9)} - "
+                        f"u{_cr.randrange(40)} "
+                        f"[{1 + j % 28:02d}/Oct/2024:12:00:{j % 60:02d} +0000] "
+                        f'"GET {_cr.choice(_epaths)} HTTP/1.1" {st} {j % 977} "-" "ua"\n'
+                    )
+        _cs_pred = _F.col("status") >= 500
+
+        def _cs_pushed():
+            spark.conf.set("spark.graft.pushdown.colStats", "eager")
+            try:
+                return (
+                    read_httpd_log(spark, cs_dir + "/*.log", format_type="combined")
+                    .filter(_cs_pred)
+                    .count()
+                )
+            finally:
+                spark.conf.unset("spark.graft.pushdown.colStats")
+
+        def _cs_naive():
+            df = read_httpd_log(spark, cs_dir + "/*.log", format_type="combined")
+            return super(LineFilterableFrame, df).filter(_cs_pred).count()
+
         # full-date strftime needles (r12 / r11 verdict item 2): an ISO
         # %Y-%m-%d layout over 28 days, one-day filter -> 3 full-date
         # needles (2024-10-14/15/16) skip the 9-field regex on ~25/28
@@ -657,6 +696,8 @@ def main() -> None:
             ("log_scan_2m_epoch_naive", _epoch_naive),
             ("log_scan_16files_prune_pushdown", _prune_pushed),
             ("log_scan_16files_prune_naive", _prune_naive),
+            ("log_scan_colstats_pushdown", _cs_pushed),
+            ("log_scan_colstats_naive", _cs_naive),
             ("log_scan_2m_isodate_pushdown", _iso_pushed),
             ("log_scan_2m_isodate_naive", _iso_naive),
         ):

@@ -1045,6 +1045,36 @@ class LineFilterableFrame(DataFrame):
         keep_set = set(keep) | rescued
         return [b for b, _v in self._lf_files if b in keep_set]
 
+    def _colstats_pruned_subset(self, cond) -> Optional[list]:
+        """Bind-time paths whose per-file column stats can still satisfy
+        every recognized int-column conjunct of ``cond``; None when
+        nothing prunes (off, no stats-able conjunct, no fresh stats).
+        See sources/colstats.py for the contract and gathering policy."""
+        if not self._lf_files or len(self._lf_files) < 2:
+            return None
+        policy = str(
+            self.sparkSession.conf.get("spark.graft.pushdown.colStats", "auto")
+        ).lower()
+        if policy not in ("auto", "eager"):
+            return None
+        int_cols = self._lf_ctx.verbatim_int
+        if not int_cols:
+            return None
+        from .colstats import _disjoint, cond_int_intervals, stats_for
+
+        req = cond_int_intervals(cond, int_cols)
+        if not req:
+            return None
+        stats = stats_for(self._lf_rebuild, self._lf_files, int_cols, policy)
+        if not stats:
+            return None
+        keep = [
+            b
+            for b, _v in self._lf_files
+            if b not in stats or not _disjoint(stats[b], req)
+        ]
+        return keep if len(keep) < len(self._lf_files) else None
+
     def _pruned_subset(self, cond) -> Optional[list]:
         """Bind-time paths surviving the file-constant conjuncts of
         ``cond`` (log_file / hive partition keys); None when nothing
@@ -1102,15 +1132,18 @@ class LineFilterableFrame(DataFrame):
             tz = self.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
             ctx.margin_days = 1 if tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z") else 2
             subset = self._pruned_subset(cond)
-            tsub = self._time_pruned_subset(cond)
-            if tsub is not None:
-                # intersect with the predicate-pruned set (both are
-                # sound independently, so the intersection is too)
-                if subset is None:
-                    subset = tsub
-                else:
-                    tset = set(tsub)
-                    subset = [b for b in subset if b in tset]
+            for extra in (
+                self._time_pruned_subset(cond),
+                self._colstats_pruned_subset(cond),
+            ):
+                if extra is not None:
+                    # intersect with the predicate-pruned set (each is
+                    # sound independently, so the intersection is too)
+                    if subset is None:
+                        subset = extra
+                    else:
+                        eset = set(extra)
+                        subset = [b for b in subset if b in eset]
             if subset is not None and not subset:
                 # no file can produce a passing row: empty result,
                 # Catalyst folds the always-false filter to an empty

@@ -1087,3 +1087,164 @@ def test_epoch_gate_boundary_exact_field_count(spark, tmp_path):
         assert out2.count() == out.count() == 1
     finally:
         spark.conf.unset("spark.graft.pushdown.epochMinFields")
+
+
+# --- per-file column-stats pruning (r13) --------------------------------------
+#
+# status/bytes range predicates prune the LISTING once per-file min/max
+# stats exist (sources/colstats.py): second touch under the default
+# auto policy, first touch under eager. Soundness probes: pushed values
+# always equal the naive plan's; stale (mtime, size) keys are never
+# consulted (append test).
+
+
+def _write_colstats_fleet(d):
+    # disjoint value ranges per file: statuses/bytes chosen so each
+    # predicate has a known surviving file set
+    specs = [
+        ("s0.log", [(200 + j, 100 + j) for j in range(5)]),       # 200-204
+        ("s1.log", [(301 + j, 1000 + j) for j in range(4)]),      # 301-304
+        ("s2.log", [(500 + j, 5000 + j) for j in range(5)]),      # 500-504
+        ("s3.log", [(200, 50), (503, 10000)]),                    # mixed
+    ]
+    for name, rows in specs:
+        (d / name).write_text(
+            "".join(
+                f'10.0.0.1 - u [10/Oct/2024:01:00:0{i % 10} +0000] '
+                f'"GET /r HTTP/1.1" {st} {by}\n'
+                for i, (st, by) in enumerate(rows)
+            )
+        )
+    return str(d)
+
+
+def _colstats_fleet(spark, path):
+    return read_httpd_log(spark, path + "/*.log", format_type="common")
+
+
+def test_colstats_second_touch_prunes(spark, tmp_path):
+    path = _write_colstats_fleet(tmp_path)
+    df = _colstats_fleet(spark, path)
+    pred = F.col("status") >= 500
+    naive_rows = sorted(map(str, super(LineFilterableFrame, df).filter(pred).collect()))
+    # first touch: no stats yet — full listing, correct values
+    first = df.filter(pred)
+    assert len(first.inputFiles()) == 4
+    assert sorted(map(str, first.collect())) == naive_rows
+    # second touch: stats gathered, s0/s1 pruned
+    second = df.filter(pred)
+    assert len(second.inputFiles()) == 2  # s2 + s3
+    assert sorted(map(str, second.collect())) == naive_rows
+
+
+def test_colstats_eager_policy_first_touch(spark, tmp_path):
+    path = _write_colstats_fleet(tmp_path)
+    spark.conf.set("spark.graft.pushdown.colStats", "eager")
+    try:
+        df = _colstats_fleet(spark, path)
+        out = df.filter(F.col("bytes") > 6000)
+        assert len(out.inputFiles()) == 1  # s3 only
+        assert out.count() == 1
+        # bounded range intersects two conjuncts
+        both = df.filter((F.col("status") >= 500) & (F.col("status") <= 501))
+        assert len(both.inputFiles()) == 2  # s2 + s3 (hull keeps s3)
+        naive = super(LineFilterableFrame, df).filter(
+            (F.col("status") >= 500) & (F.col("status") <= 501)
+        )
+        assert sorted(map(str, both.collect())) == sorted(map(str, naive.collect()))
+        # IN prunes via its hull
+        isin = df.filter(F.col("status").isin(301, 302))
+        assert len(isin.inputFiles()) == 2  # s1 + s3 (hull 301..302 vs 200..503)
+        assert isin.count() == 2
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")
+
+
+def test_colstats_off_policy_never_prunes(spark, tmp_path):
+    path = _write_colstats_fleet(tmp_path)
+    spark.conf.set("spark.graft.pushdown.colStats", "false")
+    try:
+        df = _colstats_fleet(spark, path)
+        for _ in range(3):
+            out = df.filter(F.col("status") >= 500)
+            assert len(out.inputFiles()) == 4
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")
+
+
+def test_colstats_stale_after_append_rescues_file(spark, tmp_path):
+    import time
+
+    path = _write_colstats_fleet(tmp_path)
+    spark.conf.set("spark.graft.pushdown.colStats", "eager")
+    try:
+        df = _colstats_fleet(spark, path)
+        pred = F.col("status") >= 500
+        assert len(df.filter(pred).inputFiles()) == 2  # stats gathered
+        # append a 5xx row to the 2xx-only file: (mtime, size) changes,
+        # the cached entry goes stale, the file must come back
+        time.sleep(0.02)
+        with open(os.path.join(path, "s0.log"), "a") as fh:
+            fh.write(
+                '10.0.0.1 - u [10/Oct/2024:02:00:00 +0000] '
+                '"GET /late HTTP/1.1" 599 77\n'
+            )
+        out = df.filter(pred)
+        # eager: re-gathered under the new sig; new stats include 599
+        assert len(out.inputFiles()) == 3
+        assert any(r.status == 599 for r in out.collect())
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")
+
+
+def test_colstats_all_null_column_prunes(spark, tmp_path):
+    # a file whose status is always "-" (NULL) can never satisfy an
+    # int conjunct on status — prunable outright
+    (tmp_path / "nul.log").write_text(
+        '1.1.1.1 - u [10/Oct/2024:01:00:00 +0000] "GET / HTTP/1.1" - 123\n'
+    )
+    (tmp_path / "ok.log").write_text(
+        '1.1.1.1 - u [10/Oct/2024:01:00:00 +0000] "GET / HTTP/1.1" 500 456\n'
+    )
+    spark.conf.set("spark.graft.pushdown.colStats", "eager")
+    try:
+        df = _colstats_fleet(spark, str(tmp_path))
+        out = df.filter(F.col("status") >= 200)
+        assert len(out.inputFiles()) == 1
+        assert out.count() == 1
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")
+
+
+def test_colstats_randomized_pushed_equals_naive(spark, tmp_path):
+    import random
+
+    rng = random.Random(1307)
+    for i in range(6):
+        (tmp_path / f"r{i}.log").write_text(
+            "".join(
+                f'10.0.{i}.1 - u [10/Oct/2024:01:00:00 +0000] '
+                f'"GET /x HTTP/1.1" {rng.choice([200, 204, 301, 404, 500, 503])} '
+                f"{rng.randrange(0, 100000)}\n"
+                for _ in range(20)
+            )
+        )
+    spark.conf.set("spark.graft.pushdown.colStats", "eager")
+    try:
+        df = _colstats_fleet(spark, str(tmp_path))
+        preds = [
+            F.col("status") >= rng.choice([200, 300, 500, 600]),
+            F.col("status") < rng.choice([204, 500]),
+            F.col("bytes") > rng.randrange(0, 120000),
+            F.col("status").isin(204, 503),
+            (F.col("bytes") >= 50000) & (F.col("status") == 500),
+            F.col("status") == 404,
+        ]
+        for pred in preds:
+            pushed = sorted(map(str, df.filter(pred).collect()))
+            naive = sorted(
+                map(str, super(LineFilterableFrame, df).filter(pred).collect())
+            )
+            assert pushed == naive, str(pred)
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")
