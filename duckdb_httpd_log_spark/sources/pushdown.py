@@ -925,6 +925,135 @@ def file_prune_sql(cond, prune_cols: Optional[set] = None) -> Optional[str]:
     return " AND ".join(keep) if keep else None
 
 
+_GLOB_META = set("*?[]{}\\,")
+
+
+def stream_glob_for(cond, watch_path: str) -> Optional[str]:
+    """Hadoop filename glob (for the file source's ``pathGlobFilter``
+    option) implied by a ``log_file`` conjunct of ``cond``, or None.
+
+    This is the STREAMING twin of the batch listing prune: a batch scan
+    re-plans over a pruned bind-time file list, but a stream's file set
+    grows per trigger, so the prune must be a property the source
+    re-evaluates at every listing — exactly what ``pathGlobFilter``
+    is. Time bounds stay excluded (new files arrive with later mtimes);
+    path predicates are sound per-trigger because a file's path never
+    changes.
+
+    Soundness bar (the ORIGINAL predicate is always re-applied above
+    the rebuilt scan, so only wrongly EXCLUDING a file could ever be
+    wrong — every guard below protects that direction):
+
+    - local paths only (remote schemes percent-encode, same reason the
+      batch prune disables itself there);
+    - the watched path's DIRECTORY portion must be static (no glob
+      metacharacters before the leaf) and not itself contain the
+      needle — ``pathGlobFilter`` matches the leaf FILENAME, and a
+      needle with no '/' cannot span the dir/leaf boundary, so
+      "path contains X" is then exactly "filename contains X";
+    - needle text must be '/'-free and glob-metacharacter-free;
+    - only the forms whose filename-glob equivalence is exact:
+      contains/endswith (LIKE '%X%' / '%X'), full-path equality and
+      IN under the static dir, and a full-path LIKE whose leaf
+      segment maps % -> * and _ -> ?.
+
+    Returns the FIRST translatable conjunct's glob (one glob suffices
+    to prune; the rest of the predicate still filters rows)."""
+    import os.path as _osp
+
+    from .fs import _uri_path, has_scheme, scheme_of
+
+    if has_scheme(watch_path) and scheme_of(watch_path) != "file":
+        return None
+    p = _uri_path(watch_path) if has_scheme(watch_path) else watch_path
+    # only a GLOB-FREE directory watch qualifies: a glob component can
+    # match a DIRECTORY (e.g. /l*gs -> /logs/...), putting path text
+    # between the static prefix and the filename and breaking the
+    # "path contains X iff filename contains X" equivalence the
+    # translations below rely on. (The caller additionally disables the
+    # prune under recursiveFileLookup for the same reason.)
+    if set(p) & _GLOB_META:
+        return None
+    absdir = _osp.abspath(p)
+    prefix = absdir + "/"
+
+    def _plain(s: str) -> bool:
+        return bool(s) and "/" not in s and not (set(s) & _GLOB_META) and "%" not in s and "_" not in s
+
+    def _leaf_glob_of_like(pat: str) -> Optional[str]:
+        # full-path LIKE anchored under the static dir: translate the
+        # leaf segment's % and _ to glob; any '/' inside wildcard reach
+        # is inexpressible -> give up
+        if not pat.startswith(prefix):
+            return None
+        rest = pat[len(prefix):]
+        if "/" in rest or set(rest) & _GLOB_META:
+            return None
+        return rest.replace("%", "*").replace("_", "?")
+
+    for c in _flatten_and(cond):
+        try:
+            s = _simple(c)
+            if s == "Contains":
+                l, r = _children(c)
+                if _attr_name(l) == "log_file":
+                    v, dt = _literal(r)
+                    if dt == "string" and _plain(str(v)) and str(v) not in prefix:
+                        return f"*{v}*"
+            elif s == "EndsWith":
+                l, r = _children(c)
+                if _attr_name(l) == "log_file":
+                    v, dt = _literal(r)
+                    if dt == "string" and _plain(str(v)):
+                        return f"*{v}"
+            elif s in ("EqualTo", "EqualNullSafe"):
+                l, r = _children(c)
+                for a, b in ((l, r), (r, l)):
+                    if _attr_name(a) == "log_file":
+                        v, dt = _literal(b)
+                        if dt == "string" and str(v).startswith(prefix):
+                            rest = str(v)[len(prefix):]
+                            if _plain(rest):
+                                return rest
+            elif s == "In":
+                kids = _children(c)
+                if _attr_name(kids[0]) == "log_file":
+                    names = []
+                    ok = True
+                    for k in kids[1:]:
+                        v, dt = _literal(k)
+                        if dt != "string" or not str(v).startswith(prefix):
+                            ok = False
+                            break
+                        rest = str(v)[len(prefix):]
+                        if not _plain(rest):
+                            ok = False
+                            break
+                        names.append(rest)
+                    if ok and names:
+                        return "{" + ",".join(names) + "}"
+            elif s == "Like":
+                l, r = _children(c)
+                if _attr_name(l) == "log_file":
+                    v, dt = _literal(r)
+                    if dt != "string":
+                        continue
+                    pat = str(v)
+                    body = pat.strip("%")
+                    if pat.startswith("%") and pat.endswith("%") and _plain(body):
+                        if body not in prefix:
+                            return f"*{body}*"
+                    elif pat.startswith("%") and _plain(body):
+                        return f"*{body}"
+                    else:
+                        g = _leaf_glob_of_like(pat)
+                        if g is not None:
+                            return g
+        except Exception:
+            continue
+    return None
+
+
 def cond_ts_lower_us(cond, ctx: PushdownContext) -> Optional[int]:
     """Largest lower time bound (epoch µs) any top-level CONJUNCT of
     ``cond`` places on a recognized %t column, or None.
@@ -981,9 +1110,14 @@ class LineFilterableFrame(DataFrame):
         prune_prepare: Optional[Callable[[DataFrame], DataFrame]] = None,
         prune_cols: Optional[set] = None,
         file_mtimes_fn: Optional[Callable[[], Optional[list]]] = None,
+        stream_glob_fn: Optional[Callable] = None,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
+        # streaming twin of the listing prune: cond -> pathGlobFilter
+        # glob (or None); set only by the stream source, whose rebuild
+        # takes the glob where the batch rebuild takes a file subset
+        self._lf_stream_glob_fn = stream_glob_fn
         self._lf_ctx = ctx
         # (bind-time path, row-visible log_file value) pairs; None when
         # the reader can't vouch the mapping (remote schemes) or the
@@ -1150,10 +1284,18 @@ class LineFilterableFrame(DataFrame):
                 # LocalRelation — nothing is listed, opened, or parsed
                 return plain.filter(F.lit(False))
             cnf = derive_needles(cond, ctx)
-            if not cnf and subset is None:
+            glob = None
+            if subset is None and self._lf_stream_glob_fn is not None:
+                # per-trigger listing prune for streams: a log_file
+                # conjunct becomes the source's pathGlobFilter, applied
+                # by the file stream source at EVERY trigger's listing
+                glob = self._lf_stream_glob_fn(cond)
+            if not cnf and subset is None and glob is None:
                 return plain
             if subset is not None:
                 rebuilt = self._lf_rebuild(cnf or [], subset)
+            elif glob is not None:
+                rebuilt = self._lf_rebuild(cnf or [], glob)
             else:
                 rebuilt = self._lf_rebuild(cnf)
             return rebuilt.filter(F.expr(cond.sql()))

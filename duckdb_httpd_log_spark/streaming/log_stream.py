@@ -87,7 +87,16 @@ def read_httpd_log_stream(
     from ..sources.pushdown import LineFilterableFrame
     from ..sources.reader import pushdown_context
 
-    def _rebuild(cnf):
+    def _rebuild(cnf, glob=None):
+        opts = dict(options)
+        if glob is not None:
+            # per-trigger listing prune (r12 verdict item 5): the file
+            # stream source applies pathGlobFilter at EVERY trigger's
+            # listing, so files a log_file conjunct rules out are never
+            # opened — new matching files still flow. Sound because a
+            # path is a per-file constant (unlike time bounds, which
+            # stay batch-only: future files arrive with later mtimes).
+            opts["pathGlobFilter"] = glob
         return read_httpd_log_stream(
             spark,
             path,
@@ -95,15 +104,27 @@ def read_httpd_log_stream(
             format_str=format_str,
             line_filter=line_filter,
             _pre_cnf=cnf,
-            **options,
+            **opts,
         )
 
     # same epoch cost gate as the batch reader; no hi_us_fn (a stream's
     # future files arrive with later mtimes — no sound bind-time bound)
-    # and no file_pairs (the file set grows; listing pruning is a
-    # batch-only re-plan)
+    # and no file_pairs (the file set grows; listing pruning re-plans as
+    # a per-trigger pathGlobFilter instead — see stream_glob_fn)
     epoch_min_fields = int(
         spark.conf.get("spark.graft.pushdown.epochMinFields", "6")
+    )
+    from ..sources.pushdown import stream_glob_for
+
+    # a user-supplied pathGlobFilter must not be overwritten (glob
+    # intersection isn't expressible as one glob), and recursive lookup
+    # puts subdirectory text between the watch dir and the filename
+    # (breaking the filename-glob equivalence) — both disable the prune
+    _recursive = str(options.get("recursiveFileLookup", "false")).lower() == "true"
+    glob_fn = (
+        None
+        if ("pathGlobFilter" in options or _recursive)
+        else (lambda cond: stream_glob_for(cond, path))
     )
     return LineFilterableFrame(
         out,
@@ -111,6 +132,7 @@ def read_httpd_log_stream(
         pushdown_context(
             parsed, generate_schema(parsed, False), epoch_min_fields=epoch_min_fields
         ),
+        stream_glob_fn=glob_fn,
     )
 
 

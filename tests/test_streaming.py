@@ -832,3 +832,120 @@ def test_stream_year_and_epoch_needles_no_mtime(spark, tmp_path):
     _run_stream(eb, "stream_epoch_pushed")
     erows = spark.sql("SELECT client_host FROM stream_epoch_pushed").collect()
     assert [r.client_host for r in erows] == ["2.2.2.2"]
+
+
+# --- per-trigger listing prune (r13): log_file conjunct -> pathGlobFilter ----
+
+
+def _mklog(p, host, n=3):
+    p.write_text(
+        "".join(
+            f'{host} - u [10/Oct/2024:0{j}:00:00 +0000] "GET /r{j} HTTP/1.1" 200 {j}\n'
+            for j in range(1, n + 1)
+        )
+    )
+
+
+def test_stream_glob_for_translations(spark):
+    from duckdb_httpd_log_spark.sources.pushdown import stream_glob_for
+
+    base = spark.range(1).select(F.lit("x").alias("log_file"), F.lit(1).alias("v"))
+
+    def cond_of(pred):
+        return base.filter(pred)._jdf.queryExecution().analyzed().condition()
+
+    watch = "/logs"
+    cases = [
+        (F.col("log_file").like("%serverA%"), "*serverA*"),
+        (F.col("log_file").like("%.log"), "*.log"),
+        (F.col("log_file") == "/logs/a.log", "a.log"),
+        (F.col("log_file").isin("/logs/a.log", "/logs/b.log"), "{a.log,b.log}"),
+        (F.col("log_file").like("/logs/server%.log"), "server*.log"),
+        (F.col("log_file").contains("serverA"), "*serverA*"),
+        (F.col("log_file").endswith("A.log"), "*A.log"),
+        # composes: only the log_file conjunct translates
+        (F.col("log_file").like("%serverA%") & (F.col("v") > 0), "*serverA*"),
+        # untranslatable shapes stay None (rlike, needle with '/',
+        # equality outside the watched dir, dir containing the needle)
+        (F.col("log_file").rlike("server[AB]"), None),
+        (F.col("log_file").contains("gs/ser"), None),
+        (F.col("log_file") == "/other/a.log", None),
+        (F.col("log_file").contains("logs"), None),  # needle in dir prefix
+        (F.col("v") > 0, None),
+    ]
+    for pred, want in cases:
+        assert stream_glob_for(cond_of(pred), watch) == want, str(pred)
+    # glob metacharacters in the watched dir disable translation
+    assert (
+        stream_glob_for(cond_of(F.col("log_file").contains("serverA")), "/l*gs")
+        is None
+    )
+
+
+def test_stream_listing_prune_skips_unopenable_file(spark, tmp_path):
+    # serverB.log.gz is CORRUPT: any trigger that opens it fails, so a
+    # completed query proves the pruned file was never opened
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    _mklog(logdir / "serverA.log", "1.1.1.1")
+    (logdir / "serverB.log.gz").write_bytes(b"definitely not gzip data")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    pruned = stream.filter(F.col("log_file").like("%serverA%"))
+    _run_stream(pruned, "prune_glob")
+    out = spark.sql("SELECT * FROM prune_glob")
+    assert out.count() == 3
+    assert set(r.client_host for r in out.collect()) == {"1.1.1.1"}
+
+
+def test_stream_prune_new_matching_files_still_flow(spark, tmp_path):
+    # the prune is a per-trigger property: files arriving later that
+    # match the glob are picked up; non-matching ones stay pruned
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    _mklog(logdir / "serverA.log", "1.1.1.1")
+    _mklog(logdir / "serverC.log", "3.3.3.3")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    pruned = stream.filter(F.col("log_file").like("%serverA%"))
+    _run_stream(pruned, "prune_arrive")
+    assert spark.sql("SELECT count(*) c FROM prune_arrive").first().c == 3
+
+    _mklog(logdir / "serverA2.log", "2.2.2.2")  # matches %serverA%
+    _mklog(logdir / "serverD.log", "4.4.4.4")  # does not
+    _run_stream(pruned, "prune_arrive2")
+    out = spark.sql("SELECT * FROM prune_arrive2")
+    assert set(r.client_host for r in out.collect()) == {"1.1.1.1", "2.2.2.2"}
+
+
+def test_stream_prune_value_parity_with_batch(spark, tmp_path):
+    # pruned stream result == batch result of the same predicate
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    for i, host in enumerate(["1.1.1.1", "2.2.2.2", "3.3.3.3"]):
+        _mklog(logdir / f"server{i}.log", host)
+    pred = F.col("log_file").endswith("1.log")
+
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    _run_stream(stream.filter(pred), "prune_parity")
+    got = sorted(
+        (r.client_host, r.path) for r in spark.sql("SELECT * FROM prune_parity").collect()
+    )
+    batch = read_httpd_log(spark, str(logdir) + "/*.log", format_type="common")
+    want = sorted((r.client_host, r.path) for r in batch.filter(pred).collect())
+    assert got == want and len(got) == 3
+
+
+def test_stream_user_glob_option_disables_prune(spark, tmp_path):
+    # a user-supplied pathGlobFilter is respected verbatim (no overwrite)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    _mklog(logdir / "serverA.log", "1.1.1.1")
+    _mklog(logdir / "serverB.log", "2.2.2.2")
+    stream = read_httpd_log_stream(
+        spark, str(logdir), format_type="common", pathGlobFilter="*.log"
+    )
+    out = stream.filter(F.col("log_file").like("%serverB%"))
+    _run_stream(out, "user_glob")
+    got = spark.sql("SELECT * FROM user_glob").collect()
+    assert set(r.client_host for r in got) == {"2.2.2.2"}
