@@ -262,9 +262,21 @@ def _error_fill(typ: str):
     return F.lit(None).cast(_SPARK_TYPES[typ])
 
 
-def _projection(parsed: ParsedFormat, ok, parts) -> list:
-    """Build the typed output columns (excluding metadata columns)."""
+def _projection(parsed: ParsedFormat, ok, parts) -> tuple[list, list]:
+    """Build the typed output columns (excluding metadata columns).
+
+    Returns ``(pre, cols)``: ``pre`` is a list of barrier-wrapped
+    INTERMEDIATE columns (currently the %r token arrays, one per request
+    field) that must be projected in a select BELOW the one carrying
+    ``cols``. Codegen's subexpression elimination does not hoist
+    expressions out of CASE WHEN branches, so inlining the whitespace
+    split into each of the four request sub-columns re-ran it per
+    column; projecting it once as its own attribute (the barrier blocks
+    CollapseProject from inlining it back) makes the decomposition cost
+    one split per row. ``pre`` is empty for request-free formats — the
+    caller skips the extra select entirely."""
     cols: list = []
+    pre: list = []
     seen_groups: set[int] = set()
     for f in parsed.fields:
         if f.should_skip:
@@ -280,7 +292,17 @@ def _projection(parsed: ParsedFormat, ok, parts) -> list:
                 e = X.single_timestamp_expr(f, parts)
             cols.append(F.when(ok, e).otherwise(F.lit(None).cast("timestamp")).alias(f.column_name))
         elif f.directive in _REQUEST_DIRECTIVES:
-            sub = X.request_subcolumn_exprs(f, parts)
+            # no materialization_barrier here (input_file_name() is
+            # invalid on the raw path's unioned lineage): CollapseProject
+            # already refuses to inline a NON-CHEAP producer expression
+            # referenced more than once, which is exactly the protection
+            # the token array needs — and when only one sub-column is
+            # selected, collapsing back to a single Project is the
+            # better plan anyway. Pinned by
+            # tests/test_plans.py::test_request_tokens_split_once.
+            tok_name = f"__rq{len(pre)}"
+            pre.append(X.request_tokens_expr(f, parts).alias(tok_name))
+            sub = X.request_subcolumn_exprs(f, parts, toks=F.col(tok_name))
             for name, flag in (
                 ("method", f.skip_method),
                 ("path", f.skip_path),
@@ -294,7 +316,7 @@ def _projection(parsed: ParsedFormat, ok, parts) -> list:
         else:
             e = X.regular_field_expr(f, parts)
             cols.append(F.when(ok, e).otherwise(_error_fill(f.type)).alias(f.column_name))
-    return cols
+    return pre, cols
 
 
 def _attach_hive_cols(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -741,9 +763,12 @@ def _read_fast(
     )
     df = df.select(marked.alias("__m"), "__f")
     ok, parts = X.ok_and_parts(F.col("__m"), parsed.num_capture_groups)
-    cols = _projection(parsed, ok, parts)
+    pre, cols = _projection(parsed, ok, parts)
     cols.append(F.col("__f").alias("log_file"))
-    return df.filter(ok).select(*cols)
+    out = df.filter(ok)
+    if pre:
+        out = out.select("__m", "__f", *pre)
+    return out.select(*cols)
 
 
 _RAW_BATCH_ROWS = 8192
@@ -894,7 +919,7 @@ def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> Da
         df = df.unionByName(p)
 
     ok, parts = _parse_columns(parsed, F.col("line"))
-    cols = _projection(parsed, ok, parts)
+    pre, cols = _projection(parsed, ok, parts)
     cols.extend(
         [
             F.col("log_file"),
@@ -903,4 +928,6 @@ def _read_raw(spark: SparkSession, files: list[str], parsed: ParsedFormat) -> Da
             F.col("line").alias("raw_line"),
         ]
     )
+    if pre:
+        df = df.select("*", *pre)
     return df.select(*cols)

@@ -77,9 +77,12 @@ def read_httpd_log_stream(
     )
     df = df.select(marked.alias("__m"), _normalize_file_uri(F.input_file_name()).alias("__f"))
     ok, parts = X.ok_and_parts(F.col("__m"), parsed.num_capture_groups)
-    cols = _projection(parsed, ok, parts)
+    pre, cols = _projection(parsed, ok, parts)
     cols.append(F.col("__f").alias("log_file"))
-    out = df.filter(ok).select(*cols)
+    out = df.filter(ok)
+    if pre:
+        out = out.select("__m", "__f", *pre)
+    out = out.select(*cols)
     if _pre_cnf is not None:
         return out
 

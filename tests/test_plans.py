@@ -298,3 +298,24 @@ def test_r12_ops_plan_shapes(spark):
 
     plan = _plan(REGISTRY["events_lag_autocorr"].spark_fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan  # day spine stays broadcast
+
+
+def test_request_tokens_split_once(spark):
+    # the %r whitespace split is projected as its own intermediate
+    # column (reader._projection), so a multi-subcolumn select runs it
+    # ONCE per row — codegen CSE does not hoist it out of the CASE WHEN
+    # branches, and CollapseProject must not inline the non-cheap
+    # producer back into its 3 consumers (r13 writer-pipeline profile:
+    # inlining cost +1.1 s / 2M lines)
+    df = read_httpd_log(spark, data("common", "sample.log"), format_type="common")
+    multi = (
+        df.select("method", "path", "protocol")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert multi.count("split(ltrim(") == 1
+    # single-subcolumn selects collapse back to one Project (referenced
+    # once -> inlining is the better plan); either way exactly one split
+    single = df.select("path")._jdf.queryExecution().optimizedPlan().toString()
+    assert single.count("split(ltrim(") == 1
