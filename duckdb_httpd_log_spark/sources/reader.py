@@ -467,7 +467,8 @@ def read_httpd_log(
             _pre_cnf=cnf if cnf else [],
         )
 
-    _mt_cache: list = []
+    _mt_cache: list = []  # [(max_mtime_or_None, wall_time_of_stat)]
+    _mt_stale: list = []  # non-empty once a refresh fired: stat fresh from then on
 
     def _mtime_hi_us():
         # upper-bound epoch-µs for any %t instant in this FIXED file
@@ -483,11 +484,36 @@ def read_httpd_log(
             spark.conf.get("spark.graft.pushdown.mtimeBound", "true")
         ).lower() != "true":
             return None
-        if not _mt_cache:
-            from .fs import max_mtime
+        # Staleness refresh (r12 ADVICE residual / verdict stretch 9):
+        # the bound must cover rows APPENDED since the stat was taken —
+        # the 2-day needle margin absorbs short derivation->action gaps,
+        # but a session re-filtering the same frame much later needs a
+        # fresh stat. Refresh after mtimeRefreshSec (default 6 h, well
+        # inside the margin); the refresh stats FRESH (bind-time listing
+        # hints are what went stale), and any un-stattable file yields
+        # None = no bound (weaker pushdown, never a dropped row).
+        import time as _time
 
-            _mt_cache.append(max_mtime(spark, files))
-        mt = _mt_cache[0]
+        refresh_sec = float(
+            spark.conf.get("spark.graft.pushdown.mtimeRefreshSec", "21600")
+        )
+        if _mt_cache and _time.time() - _mt_cache[0][1] > refresh_sec:
+            _mt_cache.clear()
+            _mt_stale.append(True)
+        if not _mt_cache:
+            from .fs import file_mtimes, max_mtime
+
+            if _mt_stale:
+                mts = file_mtimes(spark, files, fresh=True)
+                mt = (
+                    None
+                    if (not mts or any(m is None for m in mts))
+                    else max(mts)
+                )
+            else:
+                mt = max_mtime(spark, files)
+            _mt_cache.append((mt, _time.time()))
+        mt = _mt_cache[0][0]
         return None if mt is None else int(mt * 1_000_000)
 
     # (bind path, row-visible log_file value) pairs for listing pruning

@@ -1248,3 +1248,35 @@ def test_colstats_randomized_pushed_equals_naive(spark, tmp_path):
             assert pushed == naive, str(pred)
     finally:
         spark.conf.unset("spark.graft.pushdown.colStats")
+
+
+def test_mtime_bound_refreshes_after_staleness_window(spark, tmp_path):
+    import time
+
+    # bind, then append a line dated BEYOND the bind-time mtime bound;
+    # with mtimeRefreshSec=0 every derivation re-stats fresh, so the
+    # refreshed bound covers the appended row and the pushed plan keeps
+    # it (the bind-time-pinned bound would have dropped it)
+    p = tmp_path / "grow.log"
+    p.write_text(
+        '1.1.1.1 - u [10/Oct/2024:01:00:00 +0000] "GET /a HTTP/1.1" 200 1\n'
+    )
+    mt = time.mktime((2024, 10, 11, 0, 0, 0, 0, 0, 0))
+    os.utime(p, (mt, mt))
+    spark.conf.set("spark.graft.pushdown.mtimeRefreshSec", "0")
+    try:
+        df = read_httpd_log(spark, str(p), format_type="common")
+        pred = F.col("timestamp") >= "2024-10-01 00:00:00"
+        assert df.filter(pred).count() == 1  # bound derived + cached
+        with open(p, "a") as fh:  # appended row, one month later
+            fh.write(
+                '2.2.2.2 - u [20/Nov/2024:01:00:00 +0000] "GET /b HTTP/1.1" 200 2\n'
+            )
+        got = sorted(r.client_host for r in df.filter(pred).collect())
+        naive = super(LineFilterableFrame, df).filter(pred)
+        assert got == sorted(r.client_host for r in naive.collect()) == [
+            "1.1.1.1",
+            "2.2.2.2",
+        ]
+    finally:
+        spark.conf.unset("spark.graft.pushdown.mtimeRefreshSec")
