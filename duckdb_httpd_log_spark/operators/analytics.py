@@ -5155,3 +5155,59 @@ def events_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "else null end"
         ).alias("autocorr"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Burst detection — the rate-anomaly primitive an abuse/bot filter runs
+# over an event stream: per user, the busiest 1-minute tumbling bucket
+# vs their overall activity, flagged at a fixed events/minute ceiling.
+# Two exact integer aggregations (minute bucket = truncating div of
+# epoch-µs — nonneg, so Spark div == DuckDB //), partial-agg friendly:
+# the shuffle carries (user, minute) partial counts then per-user rows,
+# never events. The 100 TB shape: both groupBys key on user_id-led
+# keys, so AQE coalesces and no single task sees a full user history
+# unless one user IS the corpus (then salting the minute agg — which
+# already includes the minute — bounds it).
+# ---------------------------------------------------------------------------
+BURST_PER_MIN = 8
+
+
+@register(
+    "events_burst_detection",
+    f"""
+    WITH pm AS (
+        SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+               count(*) AS n
+        FROM events GROUP BY user_id, minute
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_minutes,
+           CAST(max(n) AS BIGINT) AS max_per_min,
+           CAST(CASE WHEN max(n) >= {BURST_PER_MIN} THEN 1 ELSE 0 END AS INTEGER) AS is_burst
+    FROM pm
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "per-user burst detection: busiest 1-minute tumbling bucket vs "
+    "overall activity, fixed events/minute ceiling — two partial-agg "
+    "integer rollups",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pm = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).groupBy("user_id", "minute").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pm.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.max("n").cast("long").alias("max_per_min"),
+            F.when(F.max("n") >= BURST_PER_MIN, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_burst"),
+        )
+        .orderBy("user_id")
+    )

@@ -3841,3 +3841,80 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         ((F.col("pos") - 1) % 16).cast("int").alias("shard"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Systematic importance RESAMPLING — the step after importance weights
+# (text_dsir_weights): draw m slots by marching a fixed stride through
+# the cumulative weight axis (Kitagawa's systematic resampler), so a
+# doc's pick count is deterministic and proportional to its weight with
+# variance strictly lower than multinomial draws. Everything is EXACT
+# integer arithmetic: weights are n_chars (bigint), the k-th slot sits
+# at (2k+1)*W/(2m), and the number of slots landing inside a doc's
+# cumulative interval [cum-w, cum) has the closed form below — no
+# floats anywhere, so the oracle cannot diverge. The cumulative sum
+# runs through the two-phase distributed rank (never a single-task
+# window at scale); W is a separate 1-row aggregate over the BASE
+# table, so the rank frame never fans out (plan-reuse audit clean).
+# ---------------------------------------------------------------------------
+RESAMPLE_M = 500
+
+
+def _rs_f(m: int, c: str, div: str, tot: str = "W") -> str:
+    """Slot count strictly below cumulative weight ``c``:
+    #{k in [0,m): (2k+1)*W < 2*m*c}, with the engine's integer-div
+    spelling (Spark ``div``, DuckDB ``//`` — identical on the nonneg
+    operands the CASE guard guarantees). ``tot`` names the total-weight
+    column: the Spark side calls it ``tw`` because ``W`` would collide
+    with the per-doc ``w`` under case-insensitive resolution."""
+    return (
+        f"least({m}, case when 2*{m}*({c}) <= {tot} then 0 "
+        f"else (2*{m}*({c}) - {tot} - 1) {div} (2*{tot}) + 1 end)"
+    )
+
+
+@register(
+    "corpus_importance_resample",
+    f"""
+    WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+    c AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+               CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang, w,
+               CAST({_rs_f(RESAMPLE_M, 'cum', '//', tot='tw')}
+                    - {_rs_f(RESAMPLE_M, 'cum - w', '//', tot='tw')} AS BIGINT) AS n_picks
+        FROM c, t
+    )
+    SELECT doc_id, lang, w, n_picks
+    FROM p WHERE n_picks > 0
+    ORDER BY doc_id
+    """,
+    "systematic importance resampling: m=500 deterministic stride slots "
+    "over the exact integer cumulative-weight axis (weight = n_chars); "
+    "cumsum via the two-phase distributed rank, pick counts in closed "
+    "form — zero floats end to end",
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .distrank import with_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    tot = docs.agg(F.sum("w").cast("long").alias("tw"))
+    c = with_global_rank(
+        spark, docs, [F.col("doc_id")], rn_col="__rn", cum_col="cum", cum_src="w"
+    )
+    m = RESAMPLE_M
+    picks = (
+        F.expr(_rs_f(m, "cum", "div", tot="tw"))
+        - F.expr(_rs_f(m, "cum - w", "div", tot="tw"))
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", "w", picks.alias("n_picks"))
+        .filter(F.col("n_picks") > 0)
+        .orderBy("doc_id")
+    )

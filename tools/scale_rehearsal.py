@@ -110,6 +110,16 @@ SLATE = [
     "corpus_global_shuffle",
     "text_dsir_weights",
     "text_msttr",
+    # round-13 additions: systematic resampling (two-phase cumsum +
+    # closed-form pick counts), covariance sufficient stats (bounded
+    # pair explode + partial agg), triplet mining (broadcast anchors x
+    # corpus), vocab Gini (grouped two-phase rank over the vocabulary),
+    # burst detection (two integer rollups)
+    "corpus_importance_resample",
+    "emb_covariance_stats",
+    "emb_triplet_mining",
+    "text_vocab_gini",
+    "events_burst_detection",
 ]
 
 # id headrooms: far above any sf0.1 max key
