@@ -192,7 +192,30 @@ class HttpdLogReader(DataSourceReader):
             yield f
 
     def partitions(self) -> list[InputPartition]:
-        # one partition per file: the reference's parallelism unit
+        # one partition per file: the reference's parallelism unit.
+        # log_file is file-constant, so a pushed equality/IN/contains
+        # filter on it prunes WHOLE FILES here — the datasource twin of
+        # the main reader's listing prune. Only filter classes whose
+        # Python evaluation is exactly Spark's string semantics qualify
+        # (EqualTo / In / StringContains — ordered comparisons are
+        # excluded: Python code-point order vs UTF8String byte order
+        # can disagree outside ASCII). Spark re-verifies every filter
+        # above the scan, so this is row-identical by construction.
+        schema = generate_schema(self.parsed, self.raw_mode)
+        names = [n for n, _t in schema]
+        if "log_file" in names:
+            lf_idx = names.index("log_file")
+            flt = [
+                f
+                for f, i in self.pushed
+                if i == lf_idx and isinstance(f, (EqualTo, In, StringContains))
+            ]
+            if flt:
+                return [
+                    InputPartition(fn)
+                    for fn in self.files
+                    if all(_eval_filter(f, fn) for f in flt)
+                ]
         return [InputPartition(f) for f in self.files]
 
     def read(self, partition: InputPartition):

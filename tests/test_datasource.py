@@ -316,3 +316,38 @@ def test_raw_mode_ignores_line_filter_in_datasource(spark, tmp_path):
         read_httpd_log(spark, str(logdir), format_type="common", raw=True)
     )
     assert got == want and len(got) > 0
+
+
+def test_log_file_filter_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # log_file is file-constant: a pushed equality/contains/IN filter
+    # prunes WHOLE FILES from partitions() (one partition per file), the
+    # datasource twin of the main reader's listing prune
+    for i, host in enumerate(["1.1.1.1", "2.2.2.2", "3.3.3.3"]):
+        (tmp_path / f"server{i}.log").write_text(
+            f'{host} - u [10/Oct/2024:01:00:00 +0000] "GET /r HTTP/1.1" 200 {i}\n'
+        )
+    glob = str(tmp_path) + "/*.log"
+    df = spark.read.format("httpd_log").option("path", glob).load()
+    assert df.rdd.getNumPartitions() == 3
+
+    one = df.filter(F.col("log_file").contains("server1"))
+    assert one.rdd.getNumPartitions() == 1
+    assert [r.client_host for r in one.collect()] == ["2.2.2.2"]
+
+    import os as _os
+
+    two = df.filter(
+        F.col("log_file").isin(
+            _os.path.join(str(tmp_path), "server0.log"),
+            _os.path.join(str(tmp_path), "server2.log"),
+        )
+    )
+    assert two.rdd.getNumPartitions() == 2
+    assert sorted(r.client_host for r in two.collect()) == ["1.1.1.1", "3.3.3.3"]
+
+    # non-file-constant filters must NOT prune partitions
+    rows = df.filter(F.col("status") == 200)
+    assert rows.rdd.getNumPartitions() == 3
+    assert rows.count() == 3
