@@ -2731,3 +2731,182 @@ def text_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_e6"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-fingerprint dedup — order/length-invariant near-template
+# detection: two docs with the SAME SET of distinct tokens are rewrites
+# of one another (shuffled spans, repeated-phrase padding) that exact
+# text hashing misses and shingle dedup only scores fractionally. The
+# fingerprint is one md5 over the sorted distinct-token list — a single
+# hash-shuffle groupBy, the cheapest dedup signal after raw md5(text),
+# and the one template spam actually trips. ASCII-token corpora sort
+# identically on both engines (binary vs codepoint order agree there).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_vocab_fingerprint",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vf
+        FROM documents
+    )
+    SELECT vf,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM b
+    GROUP BY vf
+    HAVING count(*) >= 2
+    ORDER BY vf
+    """,
+    "order/length-invariant near-template groups: md5 over the sorted "
+    "distinct-token set, one hash groupBy",
+)
+def dedup_vocab_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vf = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        ).cast("binary")
+    )
+    return (
+        docs.select("doc_id", "lang", vf.alias("vf"))
+        .groupBy("vf")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("vf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-balance audit — the observability counterpart of shard_assign:
+# per shard the doc count, char mass, and relative load (e4 units,
+# 10000 = perfectly balanced), so a skewed salt or a pathological key
+# distribution is a report row, not a straggler found mid-training.
+# Two partial-agg scans (shard rollup + 1-row total), no windows.
+# ---------------------------------------------------------------------------
+@register(
+    "shard_balance_audit",
+    f"""
+    WITH keyed AS (
+        SELECT CAST(('0x' || substr(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {N_SHARDS} AS INTEGER) AS shard,
+               n_chars
+        FROM documents
+    ),
+    s AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM keyed GROUP BY shard
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents)
+    SELECT shard, n_docs, n_chars,
+           {share_sql(f'n_docs * {N_SHARDS}', 'total_docs', 4)} AS load_e4
+    FROM s, t
+    ORDER BY shard
+    """,
+    f"per-shard doc/char mass + relative load (e4; 10000 = balanced) "
+    f"for the {N_SHARDS}-way salted shard assignment",
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    k = F.md5(
+        F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")).cast("binary")
+    )
+    shard = (F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % N_SHARDS).cast("int")
+    s = (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    t = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            share_expr(f"n_docs * {N_SHARDS}", "total_docs", 4).alias("load_e4"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile — the index-health diagnostic
+# behind every df-capped dedup operator in this repo: how are 3-gram
+# document frequencies distributed (log2 bins, pure-integer bin index
+# via the binary-digit count so no float log edge can disagree), and
+# what fraction of shingles the df > 50 hot-cap actually drops. Reading
+# this per corpus is how the cap is TUNED instead of trusted.
+# ---------------------------------------------------------------------------
+SHINGLE_DF_CAP = 50  # the dedup family's hot-shingle cutoff
+
+
+@register(
+    "dedup_shingle_df_profile",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, greatest(len(t) - 1, 1))]) AS g
+        FROM toks
+    ),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g),
+    binned AS (SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS bin, df FROM df)
+    SELECT bin,
+           CAST(1 AS BIGINT) << bin AS df_lo,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(CASE WHEN df > {SHINGLE_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    "log2 histogram of 3-gram shingle document frequencies (integer "
+    "binary-digit bin index) + the df-cap drop count — tunes the dedup "
+    "family's hot-shingle cutoff",
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 1)),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    binned = df.select(
+        (F.length(F.expr("bin(df)")) - 1).cast("int").alias("bin"), "df"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.when(F.col("df") > SHINGLE_DF_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+        .select(
+            "bin",
+            F.expr("shiftleft(cast(1 as bigint), bin)").alias("df_lo"),
+            "n_shingles",
+            "n_postings",
+            "n_over_cap",
+        )
+        .orderBy("bin")
+    )

@@ -120,6 +120,9 @@ SLATE = [
     "emb_triplet_mining",
     "text_vocab_gini",
     "events_burst_detection",
+    "dedup_vocab_fingerprint",
+    "shard_balance_audit",
+    "dedup_shingle_df_profile",
 ]
 
 # id headrooms: far above any sf0.1 max key
