@@ -1450,10 +1450,16 @@ COV_DIMS = 16
 @register(
     "emb_covariance_stats",
     f"""
-    WITH q AS (
-        SELECT [CAST(floor(embedding[k]::DOUBLE * 10000.0 + 0.5) AS BIGINT)
+    WITH g AS (
+        SELECT max(abs(embedding[k]::DOUBLE)) AS gmax
+        FROM embeddings, range(1, {COV_DIMS + 1}) t(k)
+    ),
+    q AS (
+        SELECT [CASE WHEN gmax > 0
+                     THEN CAST(floor(embedding[k]::DOUBLE / gmax * 10000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END
                 for k in range(1, {COV_DIMS + 1})] AS q
-        FROM embeddings
+        FROM embeddings, g
     )
     SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
            count(*) AS n,
@@ -1466,16 +1472,29 @@ COV_DIMS = 16
     ORDER BY i, j
     """,
     "exact integer covariance sufficient stats (n, sx, sy, sxy) per dim "
-    "pair over e4-quantized components — order-independent sums, one "
-    "partial-agg scan",
+    "pair over gmax-normalized e4-quantized components — "
+    "order-independent sums, one partial-agg scan",
 )
 def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # components normalize by the global max |component| BEFORE the e4
+    # quantization (emb_split_centroid_shift's trick): every quantized
+    # value is <= 1e4, so products and sums stay exact BIGINTs for ANY
+    # input magnitude — the adversarial edge corpus carries 1e11-range
+    # vectors that overflowed the unnormalized form. max() over doubles
+    # is order-safe, and x/gmax is one IEEE division — identical on
+    # both engines; covariance is recovered in the normalized units
+    # (multiply by gmax^2 driver-side if absolute units are needed).
     emb = table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        F.explode(F.expr(f"slice(embedding, 1, {COV_DIMS})")).alias("v")
+    ).agg(F.max(F.abs(F.col("v").cast("double"))).alias("gmax"))
     q = F.expr(
         f"transform(slice(embedding, 1, {COV_DIMS}),"
-        " v -> cast(floor(cast(v as double) * 10000.0 + 0.5) as bigint))"
+        " v -> case when gmax > 0"
+        " then cast(floor(cast(v as double) / gmax * 10000.0 + 0.5) as bigint)"
+        " else cast(0 as bigint) end)"
     )
-    pairs = emb.select(q.alias("q")).select(
+    pairs = emb.crossJoin(F.broadcast(g)).select(q.alias("q")).select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, {COV_DIMS}), i ->"
