@@ -32,12 +32,13 @@ def main() -> int:
     with open(bench_path) as fh:
         bench = json.load(fh)
     flagged = bench.get("duckdb_over2x", [])
-    recorded = bench.get("duckdb_over2x_dispositions")
-    if recorded is None:
-        # pre-r13 bench_full.json: resolve from the dispositions file
-        with open(os.path.join(ROOT, "tools", "over2x_dispositions.json")) as fh:
-            known = json.load(fh)
-        recorded = {n: known.get(n, "UNDISPOSITIONED") for n in flagged}
+    # resolve against the CURRENT dispositions file, not the snapshot
+    # bench recorded at run time: adjudication happens after the run
+    # (the snapshot documents what was known then; the gate asks
+    # whether everything is adjudicated NOW)
+    with open(os.path.join(ROOT, "tools", "over2x_dispositions.json")) as fh:
+        known = json.load(fh)
+    recorded = {n: known.get(n, "UNDISPOSITIONED") for n in flagged}
     bad = {
         n: d
         for n, d in recorded.items()
