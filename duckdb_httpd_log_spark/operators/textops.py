@@ -2882,9 +2882,13 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.explode(
+            # the <3-token guard matters: concat_ws SKIPS the NULL
+            # out-of-range elements and would emit a short gram where
+            # the oracle's range() emits none (textops.py:799's form)
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 1)),"
+                "case when size(t) >= 3 then transform(sequence(1, size(t) - 2),"
                 " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                " else array() end"
             )
         ).alias("g"),
     ).distinct()
