@@ -19,14 +19,31 @@ Soundness bar (identical to the mtime bound's):
   stat's 1 s mtime resolution are outside the contract, same as the
   documented mtime bound.
 - At prune time every file's CURRENT ``(mtime, size)`` is re-statted
-  (one os.stat — the colstats path only engages for local listings,
-  exactly like the log_file listing prune); a stale key means the
-  stats are never consulted for that file.
+  — one os.stat for local listings, one Hadoop listStatus per parent
+  directory for scheme-qualified listings (s3a/hdfs/viewfs/...; see
+  fs.file_sigs — batched so a 1000-file rotated dir costs one LIST
+  RPC, not 1000 HEADs); a stale key means the stats are never
+  consulted for that file.
+- The prune decision is taken at ``.filter()`` time against that
+  fresh stat; like every listing-prune tier, the decision is BAKED
+  into the returned plan. A pruned DataFrame re-EXECUTED much later,
+  after a file was appended with newly-qualifying rows, still
+  excludes that file — the mtime tier absorbs its analogous gap with
+  a 2-day slack, but a value range has no slack dimension. Contract:
+  derivation-to-action gaps are covered (the stat is fresh at filter
+  time); filter-to-re-execution gaps are not — re-apply the filter
+  (any dashboard refresh does) to re-validate against current keys.
 - Only top-level CONJUNCTS of shape ``col <cmp> int-literal`` / ``col
   IN (...)`` prune, and NULL rows can never satisfy such a conjunct,
   so min/max over non-null values decides. A file with no qualifying
   rows at all (empty, or every value NULL) is prunable for any such
   conjunct.
+- Stats describe the rows ONE READER CONFIGURATION produces: the same
+  file parsed under a different format, conf, or line_filter yields
+  different row sets, so the cache key carries the reader's config
+  FINGERPRINT (regex + line_filter — see reader.py) alongside the
+  path. Two readers over the same files share stats only when their
+  row views provably agree.
 
 Gathering policy (``spark.graft.pushdown.colStats``):
 
@@ -48,17 +65,19 @@ listing-time skip of that file.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import functions as F
 
-# path -> ((mtime, size), {col: (lo, hi)});  (None, None) = the file has
-# no non-NULL value for the column (prunable under any interval)
-_COLSTATS: dict[str, tuple] = {}
+# (reader-config fingerprint, path) -> ((mtime, size), {col: (lo, hi)});
+# (None, None) = the file has no non-NULL value for the column (prunable
+# under any interval). The fingerprint keeps a second reader with a
+# different format/line_filter from reusing stats computed over a
+# narrower row view (r13 ADVICE high).
+_COLSTATS: dict[tuple, tuple] = {}
 # second-touch counters for the auto policy; insert-capped like
 # fs._MTIME_HINTS (entries for rotated files persist, bounded memory)
-_TOUCH: dict[str, int] = {}
+_TOUCH: dict[tuple, int] = {}
 _CAP = 1_000_000
 
 _INT_CMP = {
@@ -79,12 +98,53 @@ _FLIP = {
 }
 
 
-def _stat_sig(path: str) -> Optional[tuple]:
+# --- persistent sidecar (streaming colstats, r14) ---------------------------
+# A stream only ever reads NEW files, so an in-process cache can never
+# serve its own prune: the payoff is COLD-START over a directory with
+# history (a fresh alerting query over 10k rotated files skips every
+# file whose range can't satisfy the value filter) — which crosses
+# process boundaries. Opt-in via the datasource's colstats_dir option:
+# one tiny JSON per (reader-fingerprint, file), written atomically
+# (tmp + rename), validated against a fresh (mtime, size) stat before
+# every use exactly like the in-memory entries.
+
+
+def _persist_name(fp: str, path: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{fp}\x00{path}".encode()).hexdigest() + ".json"
+
+
+def load_persisted(dirpath: str, fp: str, path: str) -> Optional[tuple]:
+    """((mtime, size), {col: (lo, hi)}) or None — NOT freshness-checked
+    (callers compare the sig against a fresh stat, same as memory)."""
+    import json
+    import os
+
     try:
-        st = os.stat(path)
-        return (st.st_mtime, st.st_size)
-    except OSError:
+        with open(os.path.join(dirpath, _persist_name(fp, path))) as fh:
+            doc = json.load(fh)
+        sig = tuple(doc["sig"])
+        stats = {c: (v[0], v[1]) for c, v in doc["stats"].items()}
+        return (sig, stats)
+    except (OSError, ValueError, KeyError, TypeError):
         return None
+
+
+def persist(dirpath: str, fp: str, path: str, sig: tuple, stats: dict) -> None:
+    import json
+    import os
+    import tempfile
+
+    try:
+        os.makedirs(dirpath, exist_ok=True)
+        doc = {"path": path, "fp": fp, "sig": list(sig), "stats": stats}
+        fd, tmp = tempfile.mkstemp(dir=dirpath, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, os.path.join(dirpath, _persist_name(fp, path)))
+    except OSError:
+        pass  # persistence is an optimization — never fail the read
 
 
 def cond_int_intervals(cond, int_cols: set) -> dict[str, tuple]:
@@ -161,7 +221,7 @@ def _disjoint(stats: dict, req: dict) -> bool:
     return False
 
 
-def _gather(rebuild, missing: list, cols: set) -> dict:
+def _gather(rebuild, fp: str, missing: list, cols: set) -> dict:
     """One narrow scan over the files missing stats; per-file min/max of
     every verbatim int column. ``missing`` = [(bind_path, visible, sig)]."""
     frame = rebuild([], [b for b, _v, _s in missing])
@@ -178,23 +238,29 @@ def _gather(rebuild, missing: list, cols: set) -> dict:
             stats = {c: (None, None) for c in cols}
         else:
             stats = {c: (r[f"lo_{c}"], r[f"hi_{c}"]) for c in cols}
-        _COLSTATS[b] = (sig, stats)
+        _COLSTATS[(fp, b)] = (sig, stats)
         out[b] = stats
     return out
 
 
-def stats_for(rebuild, pairs: list, cols: set, policy: str) -> dict:
+def stats_for(
+    spark, rebuild, fp: str, pairs: list, cols: set, policy: str
+) -> dict:
     """Fresh-keyed stats for the listing: {bind_path: {col: (lo, hi)}}.
-    Every returned entry was validated against a stat taken NOW; files
-    without fresh stats are simply absent (never pruned). May run the
-    gathering scan per the policy."""
+    Every returned entry was validated against a (mtime, size) signature
+    taken NOW (fs.file_sigs — os.stat locally, batched Hadoop listStatus
+    for scheme paths); files without fresh stats are simply absent
+    (never pruned). ``fp`` is the reader-config fingerprint the cache is
+    scoped by. May run the gathering scan per the policy."""
+    from .fs import file_sigs
+
+    sigs = file_sigs(spark, [b for b, _v in pairs])
     fresh: dict = {}
     missing: list = []
-    for b, v in pairs:
-        sig = _stat_sig(b)
+    for (b, v), sig in zip(pairs, sigs):
         if sig is None:
             continue
-        ent = _COLSTATS.get(b)
+        ent = _COLSTATS.get((fp, b))
         if ent is not None and ent[0] == sig:
             fresh[b] = ent[1]
         else:
@@ -203,12 +269,12 @@ def stats_for(rebuild, pairs: list, cols: set, policy: str) -> dict:
         if policy == "auto":
             due = []
             for b, v, sig in missing:
-                t = _TOUCH.get(b, 0) + 1
-                if len(_TOUCH) < _CAP or b in _TOUCH:
-                    _TOUCH[b] = t
+                t = _TOUCH.get((fp, b), 0) + 1
+                if len(_TOUCH) < _CAP or (fp, b) in _TOUCH:
+                    _TOUCH[(fp, b)] = t
                 if t >= 2:
                     due.append((b, v, sig))
             missing = due
         if missing:
-            fresh.update(_gather(rebuild, missing, cols))
+            fresh.update(_gather(rebuild, fp, missing, cols))
     return fresh

@@ -399,24 +399,85 @@ def file_mtimes(
     (a file appended between the bind-time listing and the action can
     hold rows newer than the recorded mtime; one fresh stat per
     dropped file is far cheaper than wrongly skipping it)."""
-    out: list[Optional[float]] = []
+    return _stat_files(spark, files, fresh=fresh, sizes=False)
+
+
+def file_sigs(
+    spark: Optional[SparkSession], files: list[str]
+) -> list[Optional[tuple]]:
+    """Per-file ``(mtime, size)`` freshness signatures aligned with
+    ``files``, statted NOW (hints are never consulted — a signature's
+    whole job is to detect that a cached derivation went stale). An
+    unavailable entry is None (callers must treat it as 'unknown —
+    never prune'). Local paths are one os.stat each; scheme-qualified
+    paths (s3a/hdfs/viewfs/...) are batched ONE Hadoop listStatus per
+    parent directory — a rotated-log dir of 1000 files costs one LIST
+    RPC instead of 1000 per-file HEADs — with a per-file getFileStatus
+    fallback for anything the parent listing missed. Units differ by
+    backend (float epoch-seconds locally, int epoch-millis via Hadoop)
+    but each path is always statted the same way, so signatures stay
+    comparable across calls, which is all a freshness key needs.
+    Used by the column-stats listing prune (sources/colstats.py)."""
+    return _stat_files(spark, files, fresh=True, sizes=True)
+
+
+def _stat_files(
+    spark: Optional[SparkSession],
+    files: list[str],
+    fresh: bool,
+    sizes: bool,
+) -> list:
+    """Shared engine of file_mtimes/file_sigs; ``sizes`` selects
+    (mtime, size) tuples over bare mtimes, and batches remote stats by
+    parent directory (sizes callers always stat fresh)."""
+    remote_sigs: dict[str, tuple] = {}
+    if sizes:
+        by_parent: dict[str, list[str]] = {}
+        for f in files:
+            if has_scheme(f) and scheme_of(f) != "file":
+                by_parent.setdefault(f.rsplit("/", 1)[0], []).append(f)
+        s = _session_or_none(spark)
+        if s is not None:
+            for parent in by_parent:
+                try:
+                    _jvm, hfs, jpath = _fs_for(s, parent)
+                    for st in hfs.listStatus(jpath):
+                        remote_sigs[st.getPath().toString()] = (
+                            st.getModificationTime(),
+                            st.getLen(),
+                        )
+                except Exception:
+                    continue  # per-file fallback below
+    out: list = []
     for f in files:
         try:
             hint = None if fresh else _MTIME_HINTS.get(f)
-            if hint is not None:
+            if not sizes and hint is not None:
                 # from the SAME listing the scan bound to — consistent
                 # with what the executors will read, and free
                 out.append(hint)
             elif has_scheme(f) and scheme_of(f) != "file":
+                if sizes and f in remote_sigs:
+                    out.append(remote_sigs[f])
+                    continue
                 s = _session_or_none(spark)
                 if s is None:
                     out.append(None)
                     continue
                 _jvm, hfs, jpath = _fs_for(s, f)
-                out.append(hfs.getFileStatus(jpath).getModificationTime() / 1000.0)
+                st = hfs.getFileStatus(jpath)
+                out.append(
+                    (st.getModificationTime(), st.getLen())
+                    if sizes
+                    else st.getModificationTime() / 1000.0
+                )
             else:
                 p = _uri_path(f) if has_scheme(f) else f
-                out.append(os.path.getmtime(p))
+                if sizes:
+                    st = os.stat(p)
+                    out.append((st.st_mtime, st.st_size))
+                else:
+                    out.append(os.path.getmtime(p))
         except Exception:
             out.append(None)
     return out

@@ -944,18 +944,30 @@ def stream_glob_for(cond, watch_path: str) -> Optional[str]:
     the rebuilt scan, so only wrongly EXCLUDING a file could ever be
     wrong — every guard below protects that direction):
 
-    - local paths only (remote schemes percent-encode, same reason the
-      batch prune disables itself there);
     - the watched path's DIRECTORY portion must be static (no glob
-      metacharacters before the leaf) and not itself contain the
-      needle — ``pathGlobFilter`` matches the leaf FILENAME, and a
-      needle with no '/' cannot span the dir/leaf boundary, so
-      "path contains X" is then exactly "filename contains X";
-    - needle text must be '/'-free and glob-metacharacter-free;
-    - only the forms whose filename-glob equivalence is exact:
-      contains/endswith (LIKE '%X%' / '%X'), full-path equality and
-      IN under the static dir, and a full-path LIKE whose leaf
-      segment maps % -> * and _ -> ?.
+      metacharacters before the leaf);
+    - needle text must be '/'-free, glob-metacharacter-free, and
+      %/_-free;
+    - NESTING-SAFE forms only (r13 ADVICE): the file stream source can
+      list files inside key=value SUBDIRECTORIES of the watch dir even
+      without recursiveFileLookup, and ``pathGlobFilter`` matches only
+      the LEAF filename — so a translated form must stay sound when
+      arbitrary subdirectory text sits between the watch dir and the
+      leaf. That admits: EndsWith / LIKE '%X' (a '/'-free suffix of
+      the full path is always a suffix of the leaf), and full-path
+      equality / IN / wildcard-free LIKE anchored at the watch dir (a
+      true predicate forces the leaf to equal the anchored name; a
+      subdir file can only be OVER-kept, never wrongly excluded).
+      Contains / LIKE '%X%' and wildcard-bearing anchored LIKEs are
+      NOT translated — their needle can match subdirectory text (or a
+      '%' can span '/'), which the leaf-only glob cannot see.
+    - remote watch dirs (s3a/hdfs/viewfs/...) qualify exactly like
+      local ones: the anchored forms compare the predicate's literal
+      against the watch URI itself, and the suffix form never looks at
+      the directory — percent-encoding in input_file_name is undone by
+      the reader's url_decode, and needles are '%'-free by the guard
+      above, so the decoded-leaf == on-disk-leaf equivalence the glob
+      needs is the same one the batch pairs already rely on.
 
     Returns the FIRST translatable conjunct's glob (one glob suffices
     to prune; the rest of the predicate still filters rows)."""
@@ -964,43 +976,30 @@ def stream_glob_for(cond, watch_path: str) -> Optional[str]:
     from .fs import _uri_path, has_scheme, scheme_of
 
     if has_scheme(watch_path) and scheme_of(watch_path) != "file":
-        return None
-    p = _uri_path(watch_path) if has_scheme(watch_path) else watch_path
+        # the stream binds log_file to the url-decoded input_file_name
+        # URI, so anchored literals are compared against the watch URI
+        # verbatim; a '%'-bearing watch URI is ambiguous between
+        # encoded and literal (same guard as the batch pairs) — skip
+        if "%" in watch_path:
+            return None
+        prefix = watch_path.rstrip("/") + "/"
+    else:
+        p = _uri_path(watch_path) if has_scheme(watch_path) else watch_path
+        prefix = _osp.abspath(p) + "/"
     # only a GLOB-FREE directory watch qualifies: a glob component can
-    # match a DIRECTORY (e.g. /l*gs -> /logs/...), putting path text
-    # between the static prefix and the filename and breaking the
-    # "path contains X iff filename contains X" equivalence the
-    # translations below rely on. (The caller additionally disables the
-    # prune under recursiveFileLookup for the same reason.)
-    if set(p) & _GLOB_META:
+    # match a DIRECTORY (e.g. /l*gs -> /logs/...), making the anchored
+    # prefix comparison meaningless. (The caller additionally disables
+    # the prune under recursiveFileLookup and user pathGlobFilter.)
+    if set(prefix) & _GLOB_META:
         return None
-    absdir = _osp.abspath(p)
-    prefix = absdir + "/"
 
     def _plain(s: str) -> bool:
         return bool(s) and "/" not in s and not (set(s) & _GLOB_META) and "%" not in s and "_" not in s
 
-    def _leaf_glob_of_like(pat: str) -> Optional[str]:
-        # full-path LIKE anchored under the static dir: translate the
-        # leaf segment's % and _ to glob; any '/' inside wildcard reach
-        # is inexpressible -> give up
-        if not pat.startswith(prefix):
-            return None
-        rest = pat[len(prefix):]
-        if "/" in rest or set(rest) & _GLOB_META:
-            return None
-        return rest.replace("%", "*").replace("_", "?")
-
     for c in _flatten_and(cond):
         try:
             s = _simple(c)
-            if s == "Contains":
-                l, r = _children(c)
-                if _attr_name(l) == "log_file":
-                    v, dt = _literal(r)
-                    if dt == "string" and _plain(str(v)) and str(v) not in prefix:
-                        return f"*{v}*"
-            elif s == "EndsWith":
+            if s == "EndsWith":
                 l, r = _children(c)
                 if _attr_name(l) == "log_file":
                     v, dt = _literal(r)
@@ -1039,16 +1038,17 @@ def stream_glob_for(cond, watch_path: str) -> Optional[str]:
                     if dt != "string":
                         continue
                     pat = str(v)
-                    body = pat.strip("%")
-                    if pat.startswith("%") and pat.endswith("%") and _plain(body):
-                        if body not in prefix:
-                            return f"*{body}*"
-                    elif pat.startswith("%") and _plain(body):
-                        return f"*{body}"
-                    else:
-                        g = _leaf_glob_of_like(pat)
-                        if g is not None:
-                            return g
+                    if pat.startswith("%") and not pat.endswith("%"):
+                        body = pat.lstrip("%")
+                        # LIKE '%X' == EndsWith(X): suffix form,
+                        # nesting-safe when X is plain
+                        if _plain(body):
+                            return f"*{body}"
+                    elif pat.startswith(prefix):
+                        rest = pat[len(prefix):]
+                        # wildcard-free anchored LIKE == equality
+                        if _plain(rest):
+                            return rest
         except Exception:
             continue
     return None
@@ -1111,6 +1111,7 @@ class LineFilterableFrame(DataFrame):
         prune_cols: Optional[set] = None,
         file_mtimes_fn: Optional[Callable[[], Optional[list]]] = None,
         stream_glob_fn: Optional[Callable] = None,
+        colstats_fp: Optional[str] = None,
     ):
         super().__init__(df._jdf, df.sparkSession)
         self._lf_rebuild = rebuild
@@ -1133,6 +1134,10 @@ class LineFilterableFrame(DataFrame):
         # entries = unknown, never pruned); None when the mtime bound
         # is opted out or the scan is a stream — see reader.py
         self._lf_mtimes_fn = file_mtimes_fn
+        # reader-config fingerprint scoping the column-stats cache
+        # (format regex + line_filter — see colstats.py); None disables
+        # the colstats tier (e.g. streams)
+        self._lf_colstats_fp = colstats_fp
 
     # skew slack for FILE-LEVEL mtime pruning: same 2-day contract the
     # mtime-closed open-above bound documents (README "+2-day margin")
@@ -1184,7 +1189,11 @@ class LineFilterableFrame(DataFrame):
         every recognized int-column conjunct of ``cond``; None when
         nothing prunes (off, no stats-able conjunct, no fresh stats).
         See sources/colstats.py for the contract and gathering policy."""
-        if not self._lf_files or len(self._lf_files) < 2:
+        if (
+            not self._lf_files
+            or len(self._lf_files) < 2
+            or self._lf_colstats_fp is None
+        ):
             return None
         policy = str(
             self.sparkSession.conf.get("spark.graft.pushdown.colStats", "auto")
@@ -1199,7 +1208,14 @@ class LineFilterableFrame(DataFrame):
         req = cond_int_intervals(cond, int_cols)
         if not req:
             return None
-        stats = stats_for(self._lf_rebuild, self._lf_files, int_cols, policy)
+        stats = stats_for(
+            self.sparkSession,
+            self._lf_rebuild,
+            self._lf_colstats_fp,
+            self._lf_files,
+            int_cols,
+            policy,
+        )
         if not stats:
             return None
         keep = [

@@ -26,6 +26,7 @@ The fast splittable path is used whenever `raw=False`.
 from __future__ import annotations
 
 import gzip as _gzip
+import hashlib as _hashlib
 import io
 import os
 from typing import Optional, Sequence, Union
@@ -265,16 +266,19 @@ def _error_fill(typ: str):
 def _projection(parsed: ParsedFormat, ok, parts) -> tuple[list, list]:
     """Build the typed output columns (excluding metadata columns).
 
-    Returns ``(pre, cols)``: ``pre`` is a list of barrier-wrapped
-    INTERMEDIATE columns (currently the %r token arrays, one per request
-    field) that must be projected in a select BELOW the one carrying
-    ``cols``. Codegen's subexpression elimination does not hoist
-    expressions out of CASE WHEN branches, so inlining the whitespace
-    split into each of the four request sub-columns re-ran it per
-    column; projecting it once as its own attribute (the barrier blocks
-    CollapseProject from inlining it back) makes the decomposition cost
-    one split per row. ``pre`` is empty for request-free formats — the
-    caller skips the extra select entirely."""
+    Returns ``(pre, cols)``: ``pre`` is a list of INTERMEDIATE columns
+    (currently the %r token arrays, one per request field) that must be
+    projected in a select BELOW the one carrying ``cols``. Codegen's
+    subexpression elimination does not hoist expressions out of CASE
+    WHEN branches, so inlining the whitespace split into each of the
+    four request sub-columns re-ran it per column; projecting it once
+    as its own attribute makes the decomposition cost one split per
+    row. The two-select shape survives optimization WITHOUT a
+    materialization barrier because CollapseProject refuses to inline
+    a non-cheap producer referenced more than once (and the raw path's
+    unioned lineage rejects input_file_name-bearing barriers anyway).
+    ``pre`` is empty for request-free formats — the caller skips the
+    extra select entirely."""
     cols: list = []
     pre: list = []
     seen_groups: set[int] = set()
@@ -519,20 +523,28 @@ def read_httpd_log(
     # (bind path, row-visible log_file value) pairs for listing pruning
     # — only when the mapping is provable: local paths normalize to
     # os.path.abspath (what input_file_name round-trips to through
-    # _normalize_file_uri); remote schemes may percent-encode, so
-    # pruning is conservatively disabled there (the needle pushdown and
-    # Catalyst's row filter still apply).
+    # _normalize_file_uri). Remote schemes (s3a/hdfs/viewfs/...) bind
+    # to the listing's own Path.toString URIs, which input_file_name
+    # percent-encodes and _normalize_file_uri decodes back — an exact
+    # round-trip whenever the listed URI carries no literal '%' of its
+    # own (a '%'-bearing remote name is ambiguous between encoded and
+    # literal, so pruning conservatively disables there; the needle
+    # pushdown and Catalyst's row filter still apply).
     import os.path as _osp
 
-    if all(not FS.has_scheme(f) or FS.scheme_of(f) == "file" for f in files):
-        from .fs import _uri_path as _fs_uri_path
+    from .fs import _uri_path as _fs_uri_path
 
-        file_pairs = [
-            (f, _fs_uri_path(f) if FS.has_scheme(f) else _osp.abspath(f))
-            for f in files
-        ]
-    else:
-        file_pairs = None
+    def _visible_value(f):
+        if not FS.has_scheme(f):
+            return _osp.abspath(f)
+        if FS.scheme_of(f) == "file":
+            return _fs_uri_path(f)
+        return f if "%" not in f else None
+
+    _vis = [_visible_value(f) for f in files]
+    file_pairs = (
+        list(zip(files, _vis)) if all(v is not None for v in _vis) else None
+    )
 
     # epoch digit-prefix derivation only pays when the parse it skips
     # is expensive (r11 A/B: 9-field combined 0.84->0.67 s, 3-field no
@@ -574,6 +586,14 @@ def read_httpd_log(
         ),
         prune_cols={"log_file", *hive_keys},
         file_mtimes_fn=_file_mtimes,
+        # column-stats cache scope: stats describe the rows THIS reader
+        # config parses out of a file, so the cache key carries the
+        # compiled regex + line_filter (r13 ADVICE: a second reader
+        # with a different format/line_filter must not reuse stats
+        # computed over a narrower row view)
+        colstats_fp=_hashlib.md5(
+            f"{parsed.regex_pattern}\x00{line_filter or ''}".encode()
+        ).hexdigest(),
     )
 
 

@@ -13,6 +13,8 @@ import gzip
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from duckdb_httpd_log_spark import read_httpd_conf, read_httpd_log
@@ -484,3 +486,129 @@ def test_mtime_hints_populated_by_listing(spark, tmp_path):
     assert any(f.endswith("f2.log") and f in _MTIME_HINTS for f in files)
     got = max_mtime(spark, files)
     assert got is not None and abs(got - mt) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Remote listing prunes (r14, r13 verdict item 1): the three file-skip
+# tiers (predicate, mtime, column-stats) fire on scheme-qualified
+# listings too. viewfs:// is a real non-file Hadoop scheme backed by a
+# mount table over local disk — the same FileSystem/Path/getFileStatus
+# code path an s3a:// or hdfs:// URI takes, minus the network — and
+# input_file_name round-trips viewfs URIs verbatim, so these tests
+# exercise the exact machinery a remote fleet uses.
+# ---------------------------------------------------------------------------
+import itertools as _it
+
+_mount_seq = _it.count()
+
+
+def _viewfs_mount(spark, local_dir: str) -> str:
+    """Mount ``local_dir`` at a fresh viewfs authority (FileSystem
+    instances are cached per (scheme, authority), so each mount gets
+    its own table name) and return the viewfs:// base URI."""
+    name = f"graft{next(_mount_seq)}"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(f"fs.viewfs.mounttable.{name}.link./logs", "file://" + local_dir)
+    return f"viewfs://{name}/logs"
+
+
+def _write_status_fleet(d):
+    # disjoint status ranges per file (colstats shape) with 2024 dates
+    specs = [
+        ("s0.log", 200, "10/Oct/2024"),
+        ("s1.log", 301, "11/Oct/2024"),
+        ("s2.log", 500, "12/Oct/2024"),
+    ]
+    for name, st, day in specs:
+        (d / name).write_text(
+            "".join(
+                f'10.0.0.1 - u [{day}:01:00:0{j} +0000] '
+                f'"GET /r{j} HTTP/1.1" {st + j} {100 + j}\n'
+                for j in range(4)
+            )
+        )
+
+
+def test_file_sigs_viewfs_matches_local(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.fs import file_sigs
+
+    d = tmp_path / "sigs"
+    d.mkdir()
+    _write_status_fleet(d)
+    base = _viewfs_mount(spark, str(d))
+    remote = [f"{base}/s{i}.log" for i in range(3)]
+    sigs = file_sigs(spark, remote)
+    assert all(s is not None for s in sigs)
+    for f, (mt_ms, ln) in zip(remote, sigs):
+        st = os.stat(str(d / f.rsplit("/", 1)[1]))
+        assert ln == st.st_size
+        assert abs(mt_ms / 1000.0 - st.st_mtime) < 2.0
+    # missing file -> None entry, others still answered
+    sigs2 = file_sigs(spark, remote + [f"{base}/nope.log"])
+    assert sigs2[:3] == sigs and sigs2[3] is None
+
+
+def test_viewfs_predicate_listing_prune_value_identity(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+    d = tmp_path / "pred"
+    d.mkdir()
+    _write_status_fleet(d)
+    base = _viewfs_mount(spark, str(d))
+    df = read_httpd_log(spark, f"{base}/*.log", format_type="common")
+    pred = F.col("log_file").endswith("s1.log")
+    pushed = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pushed.inputFiles()) == 1  # listing pruned to s1
+    assert sorted(map(str, pushed.collect())) == sorted(map(str, naive.collect()))
+    assert pushed.count() == 4
+
+
+def test_viewfs_mtime_file_prune_value_identity(spark, tmp_path):
+    import time as _time
+
+    from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+    d = tmp_path / "mt"
+    d.mkdir()
+    # old file: 2019 lines, 2019 mtime (inside the mtime contract);
+    # fresh file: 2024 lines, current mtime
+    (d / "old.log").write_text(
+        '1.1.1.1 - u [10/Oct/2019:01:00:00 +0000] "GET /o HTTP/1.1" 200 1\n'
+    )
+    m = _time.mktime((2019, 10, 11, 0, 0, 0, 0, 0, 0))
+    os.utime(d / "old.log", (m, m))
+    (d / "new.log").write_text(
+        '2.2.2.2 - u [10/Oct/2024:01:00:00 +0000] "GET /n HTTP/1.1" 200 2\n'
+    )
+    base = _viewfs_mount(spark, str(d))
+    df = read_httpd_log(spark, f"{base}/*.log", format_type="common")
+    pred = F.col("timestamp") >= "2024-01-01"
+    pushed = df.filter(pred)
+    naive = super(LineFilterableFrame, df).filter(pred)
+    assert len(pushed.inputFiles()) == 1  # old.log mtime-pruned
+    assert sorted(map(str, pushed.collect())) == sorted(map(str, naive.collect()))
+    assert [r.client_host for r in pushed.collect()] == ["2.2.2.2"]
+
+
+def test_viewfs_colstats_prune_value_identity(spark, tmp_path):
+    from duckdb_httpd_log_spark.sources.pushdown import LineFilterableFrame
+
+    d = tmp_path / "cs"
+    d.mkdir()
+    _write_status_fleet(d)
+    base = _viewfs_mount(spark, str(d))
+    spark.conf.set("spark.graft.pushdown.colStats", "eager")
+    try:
+        df = read_httpd_log(spark, f"{base}/*.log", format_type="common")
+        pred = F.col("status") >= 500
+        pushed = df.filter(pred)
+        naive = super(LineFilterableFrame, df).filter(pred)
+        # stats gathered through Hadoop listStatus sigs; s0/s1 pruned
+        assert len(pushed.inputFiles()) == 1
+        assert sorted(map(str, pushed.collect())) == sorted(
+            map(str, naive.collect())
+        )
+        assert pushed.count() == 4
+    finally:
+        spark.conf.unset("spark.graft.pushdown.colStats")

@@ -856,28 +856,55 @@ def test_stream_glob_for_translations(spark):
 
     watch = "/logs"
     cases = [
-        (F.col("log_file").like("%serverA%"), "*serverA*"),
+        # nesting-safe forms translate: suffix (endswith / LIKE '%X'),
+        # and equality / IN / wildcard-free LIKE anchored at the watch
         (F.col("log_file").like("%.log"), "*.log"),
         (F.col("log_file") == "/logs/a.log", "a.log"),
         (F.col("log_file").isin("/logs/a.log", "/logs/b.log"), "{a.log,b.log}"),
-        (F.col("log_file").like("/logs/server%.log"), "server*.log"),
-        (F.col("log_file").contains("serverA"), "*serverA*"),
+        (F.col("log_file").like("/logs/a.log"), "a.log"),
         (F.col("log_file").endswith("A.log"), "*A.log"),
         # composes: only the log_file conjunct translates
-        (F.col("log_file").like("%serverA%") & (F.col("v") > 0), "*serverA*"),
+        (F.col("log_file").like("%serverA.log") & (F.col("v") > 0), "*serverA.log"),
+        # NOT nesting-safe (r13 ADVICE): the file stream source lists
+        # key=value subdirectories, and pathGlobFilter sees only the
+        # leaf filename — contains/'%X%' needles could match subdir
+        # text, and a '%'/'_' inside an anchored LIKE can span '/'
+        (F.col("log_file").contains("serverA"), None),
+        (F.col("log_file").like("%serverA%"), None),
+        (F.col("log_file").like("/logs/server%.log"), None),
+        (F.col("log_file").like("/logs/server_.log"), None),
         # untranslatable shapes stay None (rlike, needle with '/',
-        # equality outside the watched dir, dir containing the needle)
+        # equality outside the watched dir)
         (F.col("log_file").rlike("server[AB]"), None),
-        (F.col("log_file").contains("gs/ser"), None),
+        (F.col("log_file").endswith("gs/a.log"), None),
         (F.col("log_file") == "/other/a.log", None),
-        (F.col("log_file").contains("logs"), None),  # needle in dir prefix
         (F.col("v") > 0, None),
     ]
     for pred, want in cases:
         assert stream_glob_for(cond_of(pred), watch) == want, str(pred)
     # glob metacharacters in the watched dir disable translation
     assert (
-        stream_glob_for(cond_of(F.col("log_file").contains("serverA")), "/l*gs")
+        stream_glob_for(cond_of(F.col("log_file") == "/l*gs/a.log"), "/l*gs")
+        is None
+    )
+    # remote watch dirs qualify (r13 verdict item 1): anchored forms
+    # compare against the watch URI verbatim, suffix forms never look
+    # at the directory; a '%'-bearing watch URI disables (ambiguous
+    # between encoded and literal)
+    rbase = "s3a://bucket/logs"
+    assert (
+        stream_glob_for(cond_of(F.col("log_file") == f"{rbase}/a.log"), rbase)
+        == "a.log"
+    )
+    assert (
+        stream_glob_for(cond_of(F.col("log_file").endswith("A.log")), rbase)
+        == "*A.log"
+    )
+    assert (
+        stream_glob_for(
+            cond_of(F.col("log_file") == "s3a://bucket/l%20gs/a.log"),
+            "s3a://bucket/l%20gs",
+        )
         is None
     )
 
@@ -891,7 +918,7 @@ def test_stream_listing_prune_skips_unopenable_file(spark, tmp_path):
     (logdir / "serverB.log.gz").write_bytes(b"definitely not gzip data")
 
     stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
-    pruned = stream.filter(F.col("log_file").like("%serverA%"))
+    pruned = stream.filter(F.col("log_file").like("%serverA.log"))
     _run_stream(pruned, "prune_glob")
     out = spark.sql("SELECT * FROM prune_glob")
     assert out.count() == 3
@@ -907,12 +934,16 @@ def test_stream_prune_new_matching_files_still_flow(spark, tmp_path):
     _mklog(logdir / "serverC.log", "3.3.3.3")
 
     stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
-    pruned = stream.filter(F.col("log_file").like("%serverA%"))
+    pruned = stream.filter(
+        F.col("log_file").isin(
+            str(logdir / "serverA.log"), str(logdir / "serverA2.log")
+        )
+    )
     _run_stream(pruned, "prune_arrive")
     assert spark.sql("SELECT count(*) c FROM prune_arrive").first().c == 3
 
-    _mklog(logdir / "serverA2.log", "2.2.2.2")  # matches %serverA%
-    _mklog(logdir / "serverD.log", "4.4.4.4")  # does not
+    _mklog(logdir / "serverA2.log", "2.2.2.2")  # in the IN-list
+    _mklog(logdir / "serverD.log", "4.4.4.4")  # not
     _run_stream(pruned, "prune_arrive2")
     out = spark.sql("SELECT * FROM prune_arrive2")
     assert set(r.client_host for r in out.collect()) == {"1.1.1.1", "2.2.2.2"}
@@ -934,6 +965,34 @@ def test_stream_prune_value_parity_with_batch(spark, tmp_path):
     batch = read_httpd_log(spark, str(logdir) + "/*.log", format_type="common")
     want = sorted((r.client_host, r.path) for r in batch.filter(pred).collect())
     assert got == want and len(got) == 3
+
+
+def test_stream_glob_nesting_safe_with_subdirs(spark, tmp_path):
+    # r13 ADVICE (medium): the file stream source lists files inside
+    # key=value subdirectories of the watch dir even without
+    # recursiveFileLookup, and pathGlobFilter matches only the LEAF
+    # filename. Suffix globs stay sound there; contains-needles that
+    # match SUBDIR text are no longer glob-translated (the old
+    # '*needle*' leaf glob wrongly excluded such files every trigger).
+    logdir = tmp_path / "logs"
+    (logdir / "host=serverA").mkdir(parents=True)
+    _mklog(logdir / "host=serverA" / "x.log", "1.1.1.1")
+    _mklog(logdir / "y.log", "2.2.2.2")
+    stream = read_httpd_log_stream(spark, str(logdir), format_type="common")
+    _run_stream(stream, "nest_all")
+    all_rows = spark.sql("SELECT * FROM nest_all").collect()
+
+    pruned = stream.filter(F.col("log_file").endswith("x.log"))
+    _run_stream(pruned, "nest_pruned")
+    got = {r.client_host for r in spark.sql("SELECT * FROM nest_pruned").collect()}
+    assert got == {r.client_host for r in all_rows if r.log_file.endswith("x.log")}
+
+    contains = stream.filter(F.col("log_file").contains("serverA"))
+    _run_stream(contains, "nest_contains")
+    gotc = {
+        r.client_host for r in spark.sql("SELECT * FROM nest_contains").collect()
+    }
+    assert gotc == {r.client_host for r in all_rows if "serverA" in r.log_file}
 
 
 def test_stream_user_glob_option_disables_prune(spark, tmp_path):
