@@ -145,6 +145,52 @@ def _assign_cells(
     return out
 
 
+def _assign_cell_expr(col, cell_ids, cen):
+    """JVM-expression dense nearest-cell assignment (cell count <=
+    _HIER_MAX_DENSE_CELLS): per-cell squared distance as a sequential
+    zip_with/aggregate fold — the SAME ascending-order summation as the
+    oracle's list_sum — quantized via fround(., 6), argmin by array_min
+    over (d2, cell) structs (lexicographic struct order = round-6
+    distance then LOWEST cell id, the exact oracle tie contract).
+
+    MEASURED DISPOSITION (r14 A/B, r13 verdict item 2) — the
+    expression form LOSES to the Arrow kernel and is therefore the
+    OPT-IN path (``spark.graft.kmeans.assign=expr``), not the default:
+    at sf0.1 / local[32], kmeans_update_step arrow 2.19 s vs this form
+    2.69 s vs a flat unrolled-arithmetic variant 12.0 s; kmeans_train
+    3.17 / 5.35 / 24.0 s (value parity held in every variant).
+    Catalyst evaluates higher-order-function lambdas interpreted per
+    array element (16 cells x 64 dims = 1024 lambda frames per row),
+    and the unrolled form's ~33k-node expression tree falls out of
+    codegen entirely — both pay more than the ONE Arrow round-trip of
+    the vector column per pass, which Spark pipelines through the
+    Python worker in parallel batches. The A/B numbers live in
+    BASELINE.md §kmeans-assign; re-run via tools/scale_rehearsal.py
+    or the conf toggle if Spark's HOF evaluation ever compiles."""
+    structs = []
+    for cid, c in zip(cell_ids, cen):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                col,
+                carr,
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(
+            F.struct(fround(d2, 6).alias("d2"), F.lit(int(cid)).alias("cell"))
+        )
+    return F.array_min(F.array(*structs)).getField("cell").cast("int")
+
+
+def _assign_mode(spark: SparkSession) -> str:
+    # default 'arrow' per the measured disposition above; 'expr' opts
+    # into the Catalyst form for dense cell counts
+    return str(spark.conf.get("spark.graft.kmeans.assign", "arrow")).lower()
+
+
 def _d2_matrix(mat: "np.ndarray", cen: "np.ndarray") -> "np.ndarray":
     """Squared distances rows x cells via the DIRECT (a-b)^2 kernel —
     the same float path as the oracle's list_sum, never the
@@ -689,7 +735,18 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)  # nlist x dim
     cell_ids = np.arange(cen.shape[0], dtype=np.int32)
-    b_cen = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
+    coarse_model = _coarse_model(cen)
+
+    if coarse_model is None and _assign_mode(spark) == "expr":
+        # opt-in Catalyst-expression assignment (<= 64 cells) — loses
+        # the r14 A/B to the Arrow kernel; see _assign_cell_expr
+        assigned = emb.select(
+            _assign_cell_expr(F.col("embedding"), cell_ids, cen).alias("cell"),
+            "embedding",
+        )
+        return _cell_means(assigned)
+
+    b_cen = spark.sparkContext.broadcast((cell_ids, cen, coarse_model))
 
     @F.pandas_udf("int")
     def assigned_cell(embedding: pd.Series) -> pd.Series:
@@ -778,17 +835,29 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = np.array(_centroids(spark, sf_dir), dtype=np.float64)
     cell_ids = np.arange(cen.shape[0], dtype=np.int32)
 
-    for _ in range(KMEANS_ITERS - 1):
-        b = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
+    def _assigned(ids, c):
+        # one full-corpus assignment pass under the current model:
+        # Arrow kernel by default (the r14 A/B winner — see
+        # _assign_cell_expr's measured disposition), Catalyst
+        # expression form on the dense path under the opt-in conf
+        coarse = _coarse_model(c)
+        if coarse is None and _assign_mode(spark) == "expr":
+            return emb.select(
+                _assign_cell_expr(F.col("embedding"), ids, c).alias("cell"),
+                "embedding",
+            )
+        b = spark.sparkContext.broadcast((ids, c, coarse))
 
         @F.pandas_udf("int")
         def assigned_cell(embedding: pd.Series) -> pd.Series:
-            ids, c, coarse = b.value
+            bids, bc, bco = b.value
             mat = np.stack(embedding.values).astype(np.float64)
-            return pd.Series(_assign_cells(mat, ids, c, coarse).astype("int32"))
+            return pd.Series(_assign_cells(mat, bids, bc, bco).astype("int32"))
 
-        assigned = emb.select(assigned_cell("embedding").alias("cell"), "embedding")
-        model = _cell_means(assigned).collect()  # nlist x DIM model rows
+        return emb.select(assigned_cell("embedding").alias("cell"), "embedding")
+
+    for _ in range(KMEANS_ITERS - 1):
+        model = _cell_means(_assigned(cell_ids, cen)).collect()  # nlist x DIM rows
         by_cell: dict = collections.defaultdict(dict)
         for r in model:
             by_cell[r["cell"]][r["j"]] = r["c_new"]
@@ -796,16 +865,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cen = np.array([[by_cell[c][j] for j in range(DIM)] for c in cells], dtype=np.float64)
         cell_ids = np.array(cells, dtype=np.int32)
 
-    b_fin = spark.sparkContext.broadcast((cell_ids, cen, _coarse_model(cen)))
-
-    @F.pandas_udf("int")
-    def final_cell(embedding: pd.Series) -> pd.Series:
-        ids, c, coarse = b_fin.value
-        mat = np.stack(embedding.values).astype(np.float64)
-        return pd.Series(_assign_cells(mat, ids, c, coarse).astype("int32"))
-
-    assigned = emb.select(final_cell("embedding").alias("cell"), "embedding")
-    return _cell_means(assigned)
+    return _cell_means(_assigned(cell_ids, cen))
 
 
 # ---------------------------------------------------------------------------
