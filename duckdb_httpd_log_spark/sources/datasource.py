@@ -77,10 +77,88 @@ def _parse_bool(v) -> bool:
     return str(v).lower() in ("1", "true", "yes")
 
 
+_VF_TOKEN = r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|=|>|<)\s*(-?\d+)\s*"
+_VF_IN = r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^)]*)\)\s*"
+
+
+def parse_value_filter(expr: str, int_cols: set) -> list[tuple]:
+    """Parse the streaming ``value_filter`` option: AND-joined integer
+    conjuncts of shape ``col <cmp> n`` or ``col IN (a, b, ...)`` over
+    the format's int/bigint columns. Returns [(col, kind, payload)]
+    with kind 'iv' -> (lo, hi) closed interval (None = open side) or
+    'in' -> frozenset. Raises on anything else — the option is a
+    visible-semantics contract (like line_filter), so a silently
+    ignored conjunct would change results."""
+    import re
+
+    out: list[tuple] = []
+    for part in re.split(r"(?i)\s+AND\s+", expr.strip()):
+        m = re.fullmatch(_VF_IN, part, re.IGNORECASE)
+        if m:
+            col = m.group(1)
+            vals = frozenset(int(v) for v in m.group(2).split(","))
+            if col not in int_cols or not vals:
+                raise ValueError(f"value_filter: '{col}' is not an int column")
+            out.append((col, "in", vals))
+            continue
+        m = re.fullmatch(_VF_TOKEN, part)
+        if not m:
+            raise ValueError(
+                f"value_filter: cannot parse conjunct {part!r} "
+                "(supported: col >=|>|<=|<|= n, col IN (a, b))"
+            )
+        col, op, n = m.group(1), m.group(2), int(m.group(3))
+        if col not in int_cols:
+            raise ValueError(f"value_filter: '{col}' is not an int column")
+        iv = {
+            ">=": (n, None),
+            ">": (n + 1, None),
+            "<=": (None, n),
+            "<": (None, n - 1),
+            "=": (n, n),
+        }[op]
+        out.append((col, "iv", iv))
+    return out
+
+
+def _vf_required_intervals(conjuncts: list[tuple]) -> dict:
+    """{col: (lo, hi)} hull the colstats prune consults (IN becomes its
+    hull — over-approximation is sound for pruning)."""
+    req: dict = {}
+    for col, kind, payload in conjuncts:
+        lo, hi = payload if kind == "iv" else (min(payload), max(payload))
+        lo0, hi0 = req.get(col, (None, None))
+        if lo is not None:
+            lo0 = lo if lo0 is None else max(lo0, lo)
+        if hi is not None:
+            hi0 = hi if hi0 is None else min(hi0, hi)
+        req[col] = (lo0, hi0)
+    return req
+
+
+def _vf_row_ok(conjuncts: list[tuple], row, idx: dict) -> bool:
+    """Row-level evaluation — NULL fails every conjunct (int comparison
+    semantics, identical in Python and Spark for int values)."""
+    for col, kind, payload in conjuncts:
+        v = row[idx[col]]
+        if v is None:
+            return False
+        if kind == "in":
+            if v not in payload:
+                return False
+        else:
+            lo, hi = payload
+            if (lo is not None and v < lo) or (hi is not None and v > hi):
+                return False
+    return True
+
+
 class HttpdLogDataSource(DataSource):
     """``format("httpd_log")`` — options: path, format_type, format_str,
     conf, raw, line_filter (pre-regex substring skip, batch + stream;
-    ignored in raw mode)."""
+    ignored in raw mode), value_filter (stream only: AND-joined int
+    conjuncts with line_filter-style visible semantics, consulting the
+    per-file column-stats sidecar to skip whole files per trigger)."""
 
     @classmethod
     def name(cls) -> str:
@@ -129,7 +207,12 @@ class HttpdLogDataSource(DataSource):
         explicit = self.options.get("format_str") or self.options.get("format_type")
         _files, parsed, raw_mode = self._bind(allow_empty=bool(explicit))
         return HttpdLogStreamReader(
-            self._path(), parsed, raw_mode, self.options.get("line_filter")
+            self._path(),
+            parsed,
+            raw_mode,
+            self.options.get("line_filter"),
+            self.options.get("value_filter"),
+            self.options.get("colstats_dir"),
         )
 
 
@@ -286,7 +369,15 @@ class HttpdLogStreamReader(SimpleDataSourceStreamReader):
     `read_httpd_log_stream` (readStream.text + the codegen'd projection).
     """
 
-    def __init__(self, path: str, parsed, raw_mode: bool, line_filter=None):
+    def __init__(
+        self,
+        path: str,
+        parsed,
+        raw_mode: bool,
+        line_filter=None,
+        value_filter=None,
+        colstats_dir=None,
+    ):
         self.path = path
         self.parsed = parsed
         self.raw_mode = raw_mode
@@ -296,6 +387,89 @@ class HttpdLogStreamReader(SimpleDataSourceStreamReader):
         self.line_filter = None if raw_mode else (line_filter or None)
         self.convert = build_row_converter(parsed)
         self.schema_cols = generate_schema(parsed, raw_mode)
+        # STREAMING COLSTATS (r13 verdict item 6): value_filter is an
+        # AND of int conjuncts with line_filter-style VISIBLE semantics
+        # (rows failing it never appear). Its payoff: per trigger, a
+        # CLOSED file whose cached per-file min/max (the colstats
+        # sidecar, keyed on a fresh (mtime, size) + this reader's
+        # format/line_filter fingerprint) cannot satisfy the conjuncts
+        # is never opened. Growing files fail the stale-check and are
+        # always read; replay consistency needs no prune bookkeeping
+        # because a prunable file contributes zero post-filter rows
+        # whether or not it is opened. Stats are GATHERED here too, as
+        # a side effect of each full-file read (stat taken BEFORE the
+        # read: a grow race yields superset stats — sound), so a
+        # restarted or second query over a rotated directory skips the
+        # cold files outright.
+        self.int_cols = {n for n, t in self.schema_cols if t in ("int", "bigint")}
+        if value_filter and raw_mode:
+            raise ValueError("value_filter is not supported in raw mode")
+        self.vf = (
+            parse_value_filter(value_filter, self.int_cols) if value_filter else None
+        )
+        self.vf_req = _vf_required_intervals(self.vf) if self.vf else {}
+        self.col_idx = {n: i for i, (n, _t) in enumerate(self.schema_cols)}
+        # disk-backed sidecar (see colstats.py): the stream runner is a
+        # fresh process per query and only ever reads NEW files, so the
+        # prune's real payoff — cold-starting an alerting query over a
+        # rotated directory's history — needs stats that outlive the
+        # process. Opt-in; None keeps the in-memory cache only.
+        self.colstats_dir = colstats_dir
+        import hashlib
+
+        self.colstats_fp = hashlib.md5(
+            f"{parsed.regex_pattern}\x00{self.line_filter or ''}".encode()
+        ).hexdigest()
+
+    def _stat_sig(self, fname: str):
+        import os
+
+        try:
+            st = os.stat(fname)
+            return (st.st_mtime, st.st_size)
+        except OSError:
+            return None  # remote/pyarrow paths: never pruned, never gathered
+
+    def _prunable(self, fname: str) -> bool:
+        """True when fresh cached stats prove no row of ``fname`` can
+        pass the value_filter — the file is skipped without opening."""
+        if not self.vf:
+            return False
+        from . import colstats as CS
+
+        import os
+
+        sig = self._stat_sig(fname)
+        if sig is None:
+            return False
+        key = os.path.abspath(fname)
+        ent = CS._COLSTATS.get((self.colstats_fp, key))
+        if ent is None and self.colstats_dir:
+            ent = CS.load_persisted(self.colstats_dir, self.colstats_fp, key)
+        if ent is None or tuple(ent[0]) != sig:
+            return False
+        return CS._disjoint(ent[1], self.vf_req)
+
+    def _gather_begin(self, fname: str):
+        """(sig, accumulator) to thread through a full-file read, or
+        None when stats cannot be keyed (unstattable path)."""
+        if not self.int_cols or self.raw_mode:
+            return None
+        sig = self._stat_sig(fname)
+        if sig is None:
+            return None
+        return (sig, {c: (None, None) for c in self.int_cols})
+
+    def _gather_commit(self, fname: str, acc) -> None:
+        import os
+
+        from . import colstats as CS
+
+        sig, stats = acc
+        key = os.path.abspath(fname)
+        CS._COLSTATS[(self.colstats_fp, key)] = (sig, stats)
+        if self.colstats_dir:
+            CS.persist(self.colstats_dir, self.colstats_fp, key, sig, stats)
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -304,6 +478,12 @@ class HttpdLogStreamReader(SimpleDataSourceStreamReader):
         parsed, raw, convert = self.parsed, self.raw_mode, self.convert
         compiled = parsed.compiled
         lf = self.line_filter
+        vf, idx = self.vf, self.col_idx
+        # stats accumulate over EVERY parsed row (pre-value_filter):
+        # the sidecar describes the file under this format/line_filter
+        # fingerprint, not under any particular query's conjuncts
+        acc = self._gather_begin(fname)
+        stats = acc[1] if acc else None
         for line_number, line in iter_log_lines(fname):
             if not line:
                 continue
@@ -312,12 +492,27 @@ class HttpdLogStreamReader(SimpleDataSourceStreamReader):
             m = compiled.match(line) if compiled else None
             if m is not None and m.end() == len(line):
                 row = convert(m.groups())
+                if stats is not None:
+                    for c in stats:
+                        v = row[idx[c]]
+                        if v is not None:
+                            lo, hi = stats[c]
+                            stats[c] = (
+                                v if lo is None or v < lo else lo,
+                                v if hi is None or v > hi else hi,
+                            )
+                if vf is not None and not _vf_row_ok(vf, row, idx):
+                    continue
                 if raw:
                     yield (*row, fname, line_number, False, line)
                 else:
                     yield (*row, fname)
             elif raw:
                 yield (*error_row(parsed), fname, line_number, True, line)
+        if acc is not None:
+            # full file consumed — commit under the sig statted BEFORE
+            # the read (grow race -> superset stats -> sound to prune)
+            self._gather_commit(fname, acc)
 
     def _rows_for_files(self, files: list[str]) -> list:
         # materialized list, not a generator: Spark's simple-reader
@@ -332,8 +527,14 @@ class HttpdLogStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("files", []))
         current = expand_paths(self.path)
         new = [f for f in current if f not in seen]
+        # streaming colstats prune: closed files whose fresh-keyed
+        # stats cannot satisfy the value_filter are never opened; they
+        # still advance the offset (immutable-once-seen contract, and
+        # replay stays row-identical — a prunable file has zero
+        # post-filter rows either way)
+        opened = [f for f in new if not self._prunable(f)]
         end = {"files": sorted(seen | set(new))}
-        return iter(self._rows_for_files(new)), end
+        return iter(self._rows_for_files(opened)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("files", []))

@@ -4,6 +4,8 @@ schema, values, raw-mode metadata, gzip, and custom formats."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from duckdb_httpd_log_spark import read_httpd_log, register_datasource
 
 from .conftest import data
@@ -351,3 +353,160 @@ def test_log_file_filter_prunes_partitions(spark, tmp_path):
     rows = df.filter(F.col("status") == 200)
     assert rows.rdd.getNumPartitions() == 3
     assert rows.count() == 3
+
+
+# --- streaming colstats (r14, r13 verdict item 6) ----------------------------
+#
+# value_filter = AND of int conjuncts with line_filter-style VISIBLE
+# semantics on the stream; its conjuncts consult the per-file
+# column-stats sidecar per trigger, so a COLD-STARTING query over a
+# directory's history never opens closed files whose value range can't
+# qualify. The sidecar is disk-backed (colstats_dir option) because
+# each streaming query runs its own Python process.
+
+
+def _vf_fleet(d):
+    rows = {
+        "s0.log": [(200 + j, 100 + j) for j in range(4)],   # 200-203
+        "s2.log": [(500 + j, 900 + j) for j in range(4)],   # 500-503
+    }
+    for name, spec in rows.items():
+        (d / name).write_text(
+            "".join(
+                f'10.0.0.1 - u [10/Oct/2024:01:00:0{j} +0000] '
+                f'"GET /r{j} HTTP/1.1" {st} {by}\n'
+                for j, (st, by) in enumerate(spec)
+            )
+        )
+
+
+def _run_ds_stream(spark, logdir, name, **opts):
+    reader = (
+        spark.readStream.format("httpd_log")
+        .option("path", str(logdir))
+        .option("format_type", "common")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return _rows(spark.sql(f"SELECT * FROM {name}"))
+
+
+def test_stream_value_filter_rows_match_batch(spark, tmp_path):
+    logdir = tmp_path / "vf"
+    logdir.mkdir()
+    _vf_fleet(logdir)
+    got = _run_ds_stream(
+        spark, logdir, "vf_rows", value_filter="status >= 500 AND bytes < 903"
+    )
+    want = _rows(
+        read_httpd_log(spark, str(logdir), format_type="common").filter(
+            (F.col("status") >= 500) & (F.col("bytes") < 903)
+        )
+    )
+    assert got == want and len(got) == 3
+
+
+def test_stream_value_filter_in_and_validation(spark, tmp_path):
+    logdir = tmp_path / "vfin"
+    logdir.mkdir()
+    _vf_fleet(logdir)
+    got = _run_ds_stream(
+        spark, logdir, "vf_in", value_filter="status IN (200, 502)"
+    )
+    want = _rows(
+        read_httpd_log(spark, str(logdir), format_type="common").filter(
+            F.col("status").isin(200, 502)
+        )
+    )
+    assert got == want and len(got) == 2
+    # unknown / non-int column rejected at bind, not silently ignored
+    from duckdb_httpd_log_spark.sources.datasource import parse_value_filter
+
+    with pytest.raises(ValueError):
+        parse_value_filter("nope >= 1", {"status", "bytes"})
+    with pytest.raises(ValueError):
+        parse_value_filter("path >= 1", {"status", "bytes"})
+    with pytest.raises(ValueError):
+        parse_value_filter("status LIKE 'x'", {"status", "bytes"})
+
+
+def test_stream_colstats_cold_start_prunes_closed_file(spark, tmp_path):
+    import gzip as _gz
+    import os as _os
+
+    logdir = tmp_path / "vfp"
+    logdir.mkdir()
+    statsdir = str(tmp_path / "sidecar")
+    # s0: gzip, statuses 200-203 — the file the prune must skip
+    body = "".join(
+        f'10.0.0.1 - u [10/Oct/2024:01:00:0{j} +0000] '
+        f'"GET /r{j} HTTP/1.1" {200 + j} {100 + j}\n'
+        for j in range(4)
+    )
+    gz_bytes = _gz.compress(body.encode())
+    (logdir / "s0.log.gz").write_bytes(gz_bytes)
+    (logdir / "s2.log").write_text(
+        '10.0.0.1 - u [10/Oct/2024:02:00:00 +0000] "GET /e HTTP/1.1" 503 999\n'
+    )
+
+    # query 1: gathers + persists per-file stats as a read side effect
+    got1 = _run_ds_stream(
+        spark, logdir, "vfp_q1", value_filter="status >= 500",
+        colstats_dir=statsdir,
+    )
+    assert len(got1) == 1 and _os.listdir(statsdir)
+
+    # corrupt s0 IN PLACE, preserving (mtime, size): a fresh query that
+    # opened it would crash on the bad gzip — completing with the right
+    # rows proves the sidecar prune skipped the open entirely
+    st = _os.stat(logdir / "s0.log.gz")
+    (logdir / "s0.log.gz").write_bytes(b"\x00" * len(gz_bytes))
+    _os.utime(logdir / "s0.log.gz", ns=(st.st_atime_ns, st.st_mtime_ns))
+
+    got2 = _run_ds_stream(
+        spark, logdir, "vfp_q2", value_filter="status >= 500",
+        colstats_dir=statsdir,
+    )
+    assert got2 == got1
+
+
+def test_stream_colstats_grown_file_never_pruned(spark, tmp_path):
+    import time as _time
+
+    logdir = tmp_path / "vfg"
+    logdir.mkdir()
+    _vf_fleet(logdir)
+    statsdir = str(tmp_path / "sidecar_g")
+    got1 = _run_ds_stream(
+        spark, logdir, "vfg_q1", value_filter="status >= 500",
+        colstats_dir=statsdir,
+    )
+    assert len(got1) == 4  # s2's rows
+    # append a qualifying row to the 2xx-only file: (mtime, size)
+    # changes, the stale sidecar entry must NOT prune it
+    _time.sleep(0.02)
+    with open(logdir / "s0.log", "a") as fh:
+        fh.write(
+            '10.0.0.1 - u [10/Oct/2024:03:00:00 +0000] "GET /l HTTP/1.1" 599 1\n'
+        )
+    got2 = _run_ds_stream(
+        spark, logdir, "vfg_q2", value_filter="status >= 500",
+        colstats_dir=statsdir,
+    )
+    assert len(got2) == 5
+    # exact parity with batch
+    want = _rows(
+        read_httpd_log(spark, str(logdir), format_type="common").filter(
+            F.col("status") >= 500
+        )
+    )
+    assert got2 == want
