@@ -926,15 +926,39 @@ def main() -> None:
         "duckdb_over2x_dispositions": _over2x_dispositions(flagged),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver's BENCH_r{N}.json keeps only a tail of stdout, which has
-    # truncated the front of the per-query dict before (round 3 lost
-    # q01-q09) — persist the complete record next to the repo so every
-    # round's numbers stay diffable. git history carries the per-round
-    # versions.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+    # The driver's BENCH_r{N}.json keeps only a ~2000-char TAIL of
+    # stdout and json-parses the remnant: printing the full payload
+    # (294 queries + anchors + dispositions, ~10 KB) left the driver's
+    # `parsed` field null from r8 through r13. Persist the complete
+    # record in bench_full.json (diffable, git history carries
+    # per-round versions) and print a final line that FITS the tail:
+    # the aggregate plus the 50 slowest queries — the entries any
+    # plan-regression question is about.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _full = os.path.join(_here, "bench_full.json")
+    # keep the prior board for the big-mover gate (r13 verdict item 3:
+    # any >= 1 s entry moving > 30% round-over-round needs a recorded
+    # disposition — tools/over2x_gate.py compares against this copy)
+    if os.path.exists(_full):
+        import shutil as _shutil
+
+        _shutil.copyfile(_full, os.path.join(_here, "bench_prev.json"))
+    with open(_full, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(payload))
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:50]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in top.items()},
+        "n_queries": len(timings),
+        "sf": payload["sf"],
+        "full": "bench_full.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
