@@ -1008,3 +1008,23 @@ def test_stream_user_glob_option_disables_prune(spark, tmp_path):
     _run_stream(out, "user_glob")
     got = spark.sql("SELECT * FROM user_glob").collect()
     assert set(r.client_host for r in got) == {"2.2.2.2"}
+
+
+def test_stream_glob_prune_remote_watch_dir(spark, tmp_path):
+    # r14: stream_glob_for accepts scheme-qualified watch dirs — the
+    # corrupt gz proves the suffix glob pruned the open on a viewfs://
+    # watch (the same Hadoop FS code path an s3a:// watch takes)
+    logdir = tmp_path / "vlogs"
+    logdir.mkdir()
+    _mklog(logdir / "serverA.log", "1.1.1.1")
+    (logdir / "serverB.log.gz").write_bytes(b"definitely not gzip data")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.viewfs.mounttable.vstream.link./logs", "file://" + str(logdir))
+    stream = read_httpd_log_stream(
+        spark, "viewfs://vstream/logs", format_type="common"
+    )
+    pruned = stream.filter(F.col("log_file").like("%serverA.log"))
+    _run_stream(pruned, "vfs_prune")
+    out = spark.sql("SELECT * FROM vfs_prune")
+    assert out.count() == 3
+    assert {r.client_host for r in out.collect()} == {"1.1.1.1"}

@@ -123,6 +123,11 @@ SLATE = [
     "dedup_vocab_fingerprint",
     "shard_balance_audit",
     "dedup_shingle_df_profile",
+    # round-14 addition: the full BPE training loop — the corpus-sized
+    # word-count collapse runs once, then K merge iterations on the
+    # frequency-capped vocab (per-iteration cost must stay ~flat as
+    # the corpus grows; only the collapse scales)
+    "bpe_train",
 ]
 
 # id headrooms: far above any sf0.1 max key
