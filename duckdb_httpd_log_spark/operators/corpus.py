@@ -214,7 +214,11 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
     sym = "slice(split(st, '\\\\|'), 2, size(split(st, '\\\\|')) - 2)"
     rules = []
     for step in range(1, BPE_TRAIN_MERGES + 1):
-        pairs = states.select(
+        # size >= 2 mirrors the oracle's empty range(1, len(sym)) on
+        # fully-merged one-symbol states: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], whose i=0 element reads sym[-1]/sym[0] and
+        # fabricates NULL-sided pairs (seed-5 random-docs corpus red)
+        pairs = states.filter(F.expr(f"size({sym}) >= 2")).select(
             "n_w",
             F.explode(
                 F.expr(
