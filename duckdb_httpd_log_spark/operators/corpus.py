@@ -180,8 +180,13 @@ def _bpe_train_oracle() -> str:
     f"full BPE training loop: {BPE_TRAIN_MERGES} merge iterations over the capped vocab, model rows round-tripping the driver",
 )
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # memo=False: the TRAINING query recomputes its loop on every call
+    # (same contract as kmeans_train) — the rules memo exists for the
+    # APPLY side (bpe_vocab_stats, like ann_ivf_topk's _trained_model),
+    # never so the training query itself can return a cached result
     return spark.createDataFrame(
-        _bpe_rules(spark, sf_dir), "step int, l string, r string, pair_count bigint"
+        _bpe_rules(spark, sf_dir, memo=False),
+        "step int, l string, r string, pair_count bigint",
     ).orderBy("step")
 
 
@@ -191,10 +196,11 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_RULES_CACHE: dict = {}
 
 
-def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+def _bpe_rules(spark: SparkSession, sf_dir: str, memo: bool = True) -> list:
     """[(step, l, r, pair_count)] — the K-merge training loop shared by
-    bpe_train (returns them) and bpe_vocab_stats (applies them)."""
-    if sf_dir in _BPE_RULES_CACHE:
+    bpe_train (recomputes: memo=False) and bpe_vocab_stats (applies the
+    memoized model)."""
+    if memo and sf_dir in _BPE_RULES_CACHE:
         return _BPE_RULES_CACHE[sf_dir]
     docs = table(spark, sf_dir, "documents")
     wc = (
