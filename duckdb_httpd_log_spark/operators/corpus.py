@@ -199,7 +199,22 @@ _BPE_RULES_CACHE: dict = {}
 def _bpe_rules(spark: SparkSession, sf_dir: str, memo: bool = True) -> list:
     """[(step, l, r, pair_count)] — the K-merge training loop shared by
     bpe_train (recomputes: memo=False) and bpe_vocab_stats (applies the
-    memoized model)."""
+    memoized model).
+
+    r14 shape (guide §1.2/§5): ONE distributed pass — the corpus-scale
+    word-count aggregate + frequency cap — then the K merge rounds fold
+    DRIVER-SIDE over the collected <= BPE_TRAIN_VOCAB-row model state
+    (how production BPE trainers iterate: corpus collapse distributed,
+    merges in memory). The r13 form ran each round as 2 Spark jobs over
+    the same <= 2000 tiny rows (groupBy + orderBy-first, then a
+    localCheckpoint), ~13 jobs of pure scheduling overhead per call
+    (A/B numbers in OPTIMIZATION_r14.md). The fold is semantics-identical: pair
+    counts are n_w-weighted adjacent interior symbols, best pair is
+    min((-count, l, r)) — the oracle's ORDER BY pair_count DESC, l, r
+    LIMIT 1 — and Python str.replace applied twice matches the engines'
+    leftmost non-overlapping replace contract. Single-symbol states
+    contribute no pairs (zip over a 1-list is empty), mirroring the
+    oracle's empty range(1, len(sym))."""
     if memo and sf_dir in _BPE_RULES_CACHE:
         return _BPE_RULES_CACHE[sf_dir]
     docs = table(spark, sf_dir, "documents")
@@ -211,43 +226,36 @@ def _bpe_rules(spark: SparkSession, sf_dir: str, memo: bool = True) -> list:
         .orderBy(F.col("n_w").desc(), "w")
         .limit(BPE_TRAIN_VOCAB)
     )
-    # capped-vocab model state: <= BPE_TRAIN_VOCAB tiny rows; eager
-    # localCheckpoint pins it so no iteration re-pays the corpus agg
-    states = wc.select(
-        "n_w",
-        F.concat(F.lit("|"), F.regexp_replace("w", "(.)", "$1|")).alias("st"),
-    ).localCheckpoint()
-    sym = "slice(split(st, '\\\\|'), 2, size(split(st, '\\\\|')) - 2)"
+    # model-sized driver fetch (<= BPE_TRAIN_VOCAB rows), the same
+    # bounded-artifact contract as kmeans_train's per-iteration model
+    vocab = [("|" + "|".join(r["w"]) + "|", int(r["n_w"])) for r in wc.collect()]
+    rules = _bpe_fold(vocab)
+    _BPE_RULES_CACHE[sf_dir] = rules
+    return rules
+
+
+def _bpe_fold(vocab: list) -> list:
+    """Pure-Python K-merge BPE fold over [(state, n_w)] word states
+    ('|s1|s2|...|sn|'). Split out for direct unit testing against the
+    oracle's merge contract."""
+    states = list(vocab)
     rules = []
     for step in range(1, BPE_TRAIN_MERGES + 1):
-        # size >= 2 mirrors the oracle's empty range(1, len(sym)) on
-        # fully-merged one-symbol states: Spark's sequence(1, 0) is the
-        # DESCENDING [1, 0], whose i=0 element reads sym[-1]/sym[0] and
-        # fabricates NULL-sided pairs (seed-5 random-docs corpus red)
-        pairs = states.filter(F.expr(f"size({sym}) >= 2")).select(
-            "n_w",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size({sym}) - 1),"
-                    f" i -> struct(({sym})[i - 1] AS l, ({sym})[i] AS r))"
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("n_w").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "l", "r")
-            .first()
-        )
-        if best is None:  # vocab fully merged (never at tested scales)
+        counts: dict = {}
+        for st, n_w in states:
+            sym = st.split("|")[1:-1]
+            for pair in zip(sym, sym[1:]):
+                counts[pair] = counts.get(pair, 0) + n_w
+        if not counts:  # vocab fully merged (never at tested scales)
             break
-        rules.append((step, best["l"], best["r"], int(best["pair_count"])))
-        pat = F.lit(f"|{best['l']}|{best['r']}|")
-        rep = F.lit(f"|{best['l']}{best['r']}|")
-        states = states.select(
-            "n_w", F.replace(F.replace("st", pat, rep), pat, rep).alias("st")
-        ).localCheckpoint()
-    _BPE_RULES_CACHE[sf_dir] = rules
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((step, l, r, int(c)))
+        pat, rep = f"|{l}|{r}|", f"|{l}{r}|"
+        states = [
+            (st.replace(pat, rep).replace(pat, rep), n_w) for st, n_w in states
+        ]
     return rules
 
 
@@ -891,7 +899,11 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id", "pos", F.col("xf").cast("double").alias("x0")
     )
-    m = raw.agg(F.max(F.abs("x0")).alias("m0"))
+    # r14: m (1 row) is read by vals, w and the final select; u (DIM
+    # rows) by the matvec result, mu and the final select — unpinned,
+    # Catalyst re-derives each subtree per reference (the
+    # emb_pca_power_train fan-out in miniature). Pin both tiny frames.
+    m = raw.agg(F.max(F.abs("x0")).alias("m0")).localCheckpoint(eager=False)
     vals = (
         raw.crossJoin(F.broadcast(m))
         .filter(F.col("m0") > 0)
@@ -913,6 +925,7 @@ def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", fround(F.col("x") * F.col("wv") * F.lit(1000000.0)).cast("long").alias("t6"))
         .groupBy("pos")
         .agg((F.sum("t6").cast("double") / F.lit(1000000.0)).alias("uv"))
+        .localCheckpoint(eager=False)  # DIM rows, read 3x
     )
     mu = u.agg(F.max(F.abs("uv")).alias("m1"))
     r2 = (F.col("uv") / F.col("m1")) * (F.col("uv") / F.col("m1"))
@@ -1198,12 +1211,19 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ga = gc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     gb = gc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    # r14 (guide §2.4): exact feeds BOTH ne and nh, cands feeds BOTH nc
+    # and nh — unpinned, each reference re-ran the full gram self-join /
+    # band self-join from the checkpointed docs (34 Exchanges in the
+    # r13 executedPlan, plans/r14/dedup_minhash_eval_before.txt). Pin
+    # the two small pair frames so each pipeline runs once.
     exact = (
         inter.join(ga, "doc_a")
         .join(gb, "doc_b")
         .filter(jac >= _dedup.JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
+    cands = cands.localCheckpoint(eager=False)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     nh = exact.join(cands, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -1804,6 +1824,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("vb").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # r14: feeds wedges AND n_vertices
     )
     wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2)).cast("long").alias("n_wedges")
@@ -2162,7 +2183,16 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id", "pos", F.col("xf").cast("double").alias("x0")
     )
-    m = raw.agg(F.max(F.abs("x0")).alias("m0"))
+    # r14 (guide §1.2/§2.4): m is a 1-row global and u1/u2 are DIM-row
+    # vectors, but each is REFERENCED 2-3x downstream (normed(u) alone
+    # reads u twice; the final select reads u2 + normed(u2) + m) and
+    # Catalyst does not de-duplicate the repeated subtrees — the r13
+    # plan re-derived u1 ~9x through the nesting: 38 parquet scans /
+    # 134 Exchanges in one executedPlan (plans/r14/
+    # emb_pca_power_train_before.txt). Pinning the three tiny frames
+    # (lazy localCheckpoint, same pattern as vals) collapses the plan
+    # to the linear chain the algorithm actually is.
+    m = raw.agg(F.max(F.abs("x0")).alias("m0")).localCheckpoint(eager=False)
     vals = (
         raw.crossJoin(F.broadcast(m))
         .filter(F.col("m0") > 0)
@@ -2204,7 +2234,7 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("nn")
         )
 
-    u1 = matvec(w1, 1000000.0)
+    u1 = matvec(w1, 1000000.0).localCheckpoint(eager=False)  # DIM rows, read 3x
     v1 = u1.crossJoin(F.broadcast(normed(u1))).select(
         "pos", (F.col("uv") / F.col("nn")).alias("v")
     )
@@ -2217,7 +2247,7 @@ def emb_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg((F.sum("t9").cast("double") / F.lit(1000000000.0)).alias("wv"))
     )
-    u2 = matvec(w2, 1000000.0)
+    u2 = matvec(w2, 1000000.0).localCheckpoint(eager=False)  # DIM rows, read 3x
     nrm2 = normed(u2)
     return (
         u2.crossJoin(F.broadcast(nrm2))

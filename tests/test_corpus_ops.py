@@ -737,3 +737,39 @@ def test_lag_autocorr_shape_and_range(spark):
         assert r["n_pairs"] > 0
         if r["autocorr"] is not None:
             assert -1.0 <= r["autocorr"] <= 1.0
+
+
+def test_bpe_fold_matches_oracle_merge_contract():
+    # r14: the K merge rounds fold driver-side over the collected vocab
+    # (corpus._bpe_fold). Pin the fold's contract against a hand-checked
+    # corpus: n_w-weighted pair counts, (count DESC, l, r) tie-break,
+    # leftmost non-overlapping double-replace, and single-symbol states
+    # contributing no pairs (the r13 sequence(1,0) red).
+    def st(w):
+        return "|" + "|".join(w) + "|"
+
+    # 'aaaa' x2: pairs (a,a) weight 3*2=6; 'ab' x5: (a,b)=5 -> (a,a) wins
+    rules = corpus._bpe_fold([(st("aaaa"), 2), (st("ab"), 5)])
+    s1, l1, r1, c1 = rules[0]
+    assert (s1, l1, r1, c1) == (1, "a", "a", 6)
+    # after merge 1, 'aaaa' -> |aa|aa| (leftmost non-overlapping), so
+    # round 2 counts (aa,aa)=2 vs (a,b)=5 -> (a,b) wins
+    assert rules[1] == (2, "a", "b", 5)
+    # tie-break: equal counts pick lexicographically smallest (l, r)
+    rules = corpus._bpe_fold([(st("xy"), 3), (st("xz"), 3)])
+    assert rules[0] == (1, "x", "y", 3)
+    # single-symbol (fully merged) states contribute nothing and the
+    # fold stops when no pairs remain
+    rules = corpus._bpe_fold([(st("ab"), 1)])
+    assert rules[0][1:3] == ("a", "b")
+    assert len(rules) == 1  # |ab| is single-symbol after merge 1
+
+
+def test_bpe_train_recomputes_and_matches_vocab_apply(spark):
+    # training recomputes per call (no cross-run result memo) while the
+    # apply side reuses the trained rules: both must agree on the model
+    corpus._BPE_RULES_CACHE.clear()
+    t1 = corpus.bpe_train(spark, SF_DIR).collect()
+    t2 = corpus.bpe_train(spark, SF_DIR).collect()
+    assert t1 == t2
+    assert len(t1) == corpus.BPE_TRAIN_MERGES

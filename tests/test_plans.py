@@ -319,3 +319,26 @@ def test_request_tokens_split_once(spark):
     # once -> inlining is the better plan); either way exactly one split
     single = df.select("path")._jdf.queryExecution().optimizedPlan().toString()
     assert single.count("split(ltrim(") == 1
+
+
+def test_r14_pca_and_eval_pins_collapse_fanout(spark):
+    # r14 fan-out pins: tiny frames referenced 2-3x (the 1-row max-abs
+    # global, the DIM-row power vectors, minhash_eval's exact/cands
+    # pair frames, triangle count's degree table) are localCheckpointed
+    # so Catalyst stops re-deriving the full upstream subtree per
+    # reference. Before the pins emb_pca_power_train's executedPlan
+    # held 38 parquet scans / 134 Exchanges (plans/r14/
+    # emb_pca_power_train_before.txt); pinned, every corpus scan sits
+    # behind an ExistingRDD and the plan is the linear chain the
+    # algorithm is.
+    plan = _plan(REGISTRY["emb_pca_power_train"].spark_fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Exchange") <= 14, plan.count("Exchange")
+
+    plan = _plan(REGISTRY["emb_pca_power_step"].spark_fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Exchange") <= 14, plan.count("Exchange")
+
+    plan = _plan(REGISTRY["dedup_minhash_eval"].spark_fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Exchange") <= 16, plan.count("Exchange")
