@@ -3538,6 +3538,10 @@ def ann_lsh_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
+    # see similarity.ann_lsh_topk: pins ONE corpus-side bucket evaluation
+    # under the bucket join's pushed isnotnull filter (kernel is pure)
+    bucket_of = bucket_of.asNondeterministic()
+
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
         a = np.stack(qe.values).astype(np.float64)

@@ -491,6 +491,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
         return pd.Series(_quantize_floor_form(dot / (na * nb), 4))
 
+    # the threshold filter below references the UDF column; without this
+    # marker Catalyst pushes the filter below the projection and every
+    # candidate pair pays the cosine kernel TWICE (two ArrowEvalPython
+    # nodes). The kernel is pure; the marker only pins one evaluation.
+    cosine_of = cosine_of.asNondeterministic()
+
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -394,6 +394,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
+    # the bucket join's implicit isnotnull(bucket) filter otherwise gets
+    # pushed below the projection and the corpus-side bucket kernel runs
+    # twice per row (duplicated ArrowEvalPython); the kernel is pure, the
+    # marker only pins one evaluation.
+    bucket_of = bucket_of.asNondeterministic()
+
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
         a = np.stack(qe.values).astype(np.float64)
@@ -641,6 +647,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cell(embedding: pd.Series) -> pd.Series:
         mat = np.stack(embedding.values).astype(np.float64)
         return pd.Series(_assign_cells(mat, ids, cen, coarse).astype("int32"))
+
+    # the cell join's implicit isnotnull(cell) filter otherwise duplicates
+    # the corpus-side assignment kernel (two ArrowEvalPython nodes); the
+    # kernel is pure, the marker only pins one evaluation.
+    nearest_cell = nearest_cell.asNondeterministic()
 
     @F.pandas_udf("array<int>")
     def probe_cells(embedding: pd.Series) -> pd.Series:
@@ -925,6 +936,10 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
+    # see ann_lsh_topk: pins ONE corpus-side bucket evaluation under the
+    # bucket join's pushed isnotnull filter (kernel is pure)
+    bucket_of = bucket_of.asNondeterministic()
+
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:
         a = np.stack(qe.values).astype(np.float64)
@@ -1077,6 +1092,10 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = _round_half_away(mat @ planes_t, 6) >= 0
         weights = 1 << np.arange(N_PLANES, dtype=np.int32)
         return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+
+    # see ann_lsh_topk: pins ONE corpus-side bucket evaluation under the
+    # bucket join's pushed isnotnull filter (kernel is pure)
+    bucket_of = bucket_of.asNondeterministic()
 
     @F.pandas_udf("double")
     def cosine(qe: pd.Series, ce: pd.Series) -> pd.Series:

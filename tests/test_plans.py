@@ -342,3 +342,26 @@ def test_r14_pca_and_eval_pins_collapse_fanout(spark):
     plan = _plan(REGISTRY["dedup_minhash_eval"].spark_fn(spark, SF_DIR))
     assert plan.count("Scan parquet") == 0
     assert plan.count("Exchange") <= 16, plan.count("Exchange")
+
+
+def test_r14_arrow_kernels_evaluate_once(spark):
+    # r14 guide-4.4 pins: a Filter referencing a Python-UDF column (the
+    # cosine threshold; the bucket join's implicit isnotnull) otherwise
+    # gets pushed below the projection and Catalyst re-evaluates the
+    # kernel on BOTH sides — every row paid the Arrow round-trip twice.
+    # The kernels are marked nondeterministic (they are pure; the marker
+    # only pins one evaluation), so each plan carries exactly the
+    # semantically-required ArrowEvalPython nodes:
+    #   dedup_embedding: 1 signature pass + 1 cosine verify = 2
+    #   ann_*_topk / radius / knn_graph: corpus-side + query-side
+    #     bucket/cell assignment + 1 cosine = 3
+    for name, want in [
+        ("dedup_embedding", 2),
+        ("ann_lsh_topk", 3),
+        ("ann_radius_search", 3),
+        ("ann_knn_graph", 3),
+        ("ann_lsh_trained_topk", 3),
+    ]:
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+        n = plan.count("ArrowEvalPython")
+        assert n <= want, f"{name}: {n} ArrowEvalPython nodes (want <= {want})"
