@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import fround, register, table
@@ -652,10 +652,17 @@ CC_MAX_ITERS = 25
 
 def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> DataFrame:
     """Connected components over an undirected pair graph via iterative
-    min-label propagation: only node labels round-trip per iteration
-    (eager localCheckpoint cuts lineage and runs the round), O(diameter)
-    rounds, loud failure on non-convergence. Returns (id_out, cluster_id,
-    cluster_size) for every node with >= 1 edge."""
+    min-label propagation: only node labels round-trip per iteration,
+    O(diameter) rounds, loud failure on non-convergence. Returns
+    (id_out, cluster_id, cluster_size) for every node with >= 1 edge.
+
+    Round shape (r14): new label = min over (own label ∪ in-neighbor
+    labels) as ONE union + partial-aggregating groupBy — one shuffle
+    fewer per round than the older join-back/least form, and no
+    per-round SortMergeJoin of the label table. The round's
+    localCheckpoint is lazy: the convergence-sum action immediately
+    after materializes (and persists) it, so each round is exactly one
+    Spark job instead of checkpoint-job + sum-job."""
     pairs = pairs.select(a_col, b_col).localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
@@ -668,21 +675,21 @@ def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> 
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.b == labels[id_out])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        # min over self ∪ in-neighbors (edges are symmetric, so this is
+        # the undirected neighborhood); the groupBy partially aggregates
+        # map-side, so the shuffle carries ≤ one row per (partition, id)
+        nbr = edges.join(labels, edges.b == labels[id_out]).select(
+            F.col("a").alias(id_out), "label"
         )
         labels = (
-            labels.join(nbr, labels[id_out] == nbr.a, "left")
-            .select(
-                id_out,
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()  # eager: cuts lineage AND runs this round
+            labels.unionByName(nbr)
+            .groupBy(id_out)
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         # monotone convergence metric: sum of labels strictly decreases
-        # until fixpoint (one tiny aggregate action per round)
+        # until fixpoint; this action also materializes the round's lazy
+        # checkpoint (one job per round)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -697,10 +704,14 @@ def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> 
             f"label_propagation: did not converge in "
             f"{CC_MAX_ITERS} iterations (component diameter > {CC_MAX_ITERS})"
         )
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(id_out, F.col("label").alias("cluster_id"), "cluster_size")
+    # cluster size as a count window over the label partition: same one
+    # shuffle the old groupBy needed, but no join back (the old form paid
+    # a SortMergeJoin of two unknown-stats ExistingRDD frames per call)
+    w = Window.partitionBy("label")
+    return labels.select(
+        id_out,
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

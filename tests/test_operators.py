@@ -840,3 +840,28 @@ def test_ivf_probe_curve_monotone_and_consistent(spark):
         assert 0 <= r.n_hit <= r.n_pairs
         assert r.n_hit >= prev
         prev = r.n_hit
+
+
+def test_label_propagation_components_exact(spark):
+    """Unit pin for the r14 LP round shape (union + min-aggregate, lazy
+    checkpoint materialized by the convergence sum): a path graph needs
+    several propagation rounds, a triangle and an isolated edge converge
+    immediately; every node must carry its component's min id and the
+    exact component size. Isolated nodes (no edges) never appear."""
+    from duckdb_httpd_log_spark.operators.dedup import label_propagation
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5, triangle 10-11-12 (one redundant edge), edge 20-21
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "a long, b long",
+    )
+    rows = {
+        (r.node, r.cluster_id, r.cluster_size)
+        for r in label_propagation(pairs, "a", "b", "node").collect()
+    }
+    want = (
+        {(n, 1, 5) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10, 3) for n in (10, 11, 12)}
+        | {(n, 20, 2) for n in (20, 21)}
+    )
+    assert rows == want

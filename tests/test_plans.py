@@ -365,3 +365,13 @@ def test_r14_arrow_kernels_evaluate_once(spark):
         plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
         n = plan.count("ArrowEvalPython")
         assert n <= want, f"{name}: {n} ArrowEvalPython nodes (want <= {want})"
+
+
+def test_r14_label_propagation_final_plan_is_window_only(spark):
+    # r14 LP shape: cluster sizes come from a count window over the
+    # label partition, not a groupBy + join back — the old form paid a
+    # SortMergeJoin of two unknown-stats ExistingRDD frames per call.
+    for name in ("dedup_clusters", "dedup_semantic_clusters"):
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, name
+        assert "Window" in plan, name
