@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import fround, register, table
+from ..sources import exprs as X
 from .similarity import _quantize_floor_form, hyperplanes
 
 # --- shared shingling parameters (MUST match the SQL oracles below) --------
@@ -291,10 +292,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-join on grams; candidates stay tiny either way.)
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"), F.col("n").alias("na"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"), F.col("n").alias("nb"))
+    # barrier: without it the threshold filter is pushed into the join
+    # condition and size(array_intersect(..)) — the O(set size) verify
+    # kernel — is evaluated 2x inside the condition plus once more in
+    # the projection, per candidate pair (r14; the barrier is the
+    # identity, it only pins one evaluation)
     inter = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "n_shared", X.materialization_barrier(F.size(F.array_intersect("ga", "gb")))
+        )
     )
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
@@ -838,10 +846,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"), F.col("n").alias("na"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb"), F.col("n").alias("nb"))
+    # same barrier as dedup_minhash_lsh's verify: keeps the threshold
+    # filter out of the join condition so the set intersection runs once
     inter = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_shared", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "n_shared", X.materialization_barrier(F.size(F.array_intersect("ga", "gb")))
+        )
     )
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (

@@ -367,6 +367,16 @@ def test_r14_arrow_kernels_evaluate_once(spark):
         assert n <= want, f"{name}: {n} ArrowEvalPython nodes (want <= {want})"
 
 
+def test_r14_jaccard_verify_intersects_once(spark):
+    # r14: the Jaccard threshold filter must not be pushed into the join
+    # condition — there size(array_intersect(..)) is evaluated twice in
+    # the condition plus once in the projection per candidate pair. The
+    # barrier around n_shared pins a single evaluation.
+    for name in ("dedup_minhash_lsh", "dedup_jaccard_prefix"):
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert plan.count("array_intersect") == 1, name
+
+
 def test_r14_label_propagation_final_plan_is_window_only(spark):
     # r14 LP shape: cluster sizes come from a count window over the
     # label partition, not a groupBy + join back — the old form paid a
