@@ -1,11 +1,17 @@
-"""One-off r14 audit: find queries whose physical plan evaluates the
-same Python UDF more than once (guide section 4.4 filter-on-UDF-column
-duplication: a Filter referencing a UDF-computed column makes Catalyst
-evaluate the UDF below the filter AND again in the projection).
+"""r14 gate: find queries whose physical plan evaluates the same
+Python UDF EXPRESSION more than once (guide section 4.4
+filter-on-UDF-column duplication: a Filter referencing a UDF-computed
+column makes Catalyst evaluate the UDF below the filter AND again in
+the projection).
 
 For every registry query, capture explain('formatted') and extract the
-UDF names inside ArrowEvalPython/BatchEvalPython nodes; report any
-query where one UDF name appears in more than one node.
+full UDF call expressions (function + argument attribute ids) inside
+ArrowEvalPython/BatchEvalPython nodes; flag any query where the SAME
+call expression appears in more than one node. Two applications of one
+kernel over DIFFERENT inputs (e.g. the ANN corpus-side and query-side
+bucket assignments) carry different argument ids and do not flag.
+
+Exits 1 on any finding (wired into tools/round_close.py).
 
     python tools/arrow_dup_audit.py [sf_dir] [name ...]
 """
@@ -21,7 +27,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:]
 
@@ -47,26 +53,28 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
             continue
-        # collect per-node UDF names from the details section
-        udf_nodes: list[tuple[str, str]] = []  # (node_id, udf_names_key)
+        # collect per-node UDF CALL EXPRESSIONS (function name + argument
+        # attributes incl. expr ids; the trailing result id is stripped)
+        by_call: dict[str, list[str]] = {}
         for m in re.finditer(
             r"\((\d+)\) (ArrowEvalPython|BatchEvalPython)\s*\n(.*?)(?=\n\(\d+\) |\Z)",
             plan,
             re.S,
         ):
             nid, _kind, body = m.groups()
-            arg = re.search(r"Arguments: \[(.*?)\]", body, re.S)
-            fn_names = sorted(set(re.findall(r"(\w+)\(", arg.group(1)))) if arg else []
-            udf_nodes.append((nid, ",".join(fn_names)))
-        by_fn: dict[str, list[str]] = {}
-        for nid, key in udf_nodes:
-            by_fn.setdefault(key, []).append(nid)
-        dups = {k: v for k, v in by_fn.items() if len(v) > 1 and k}
+            arg = re.search(r"Arguments: \[(.*?)\](?:,|\s*$)", body, re.S)
+            if not arg:
+                continue
+            for call in re.findall(r"\w+\([^()]*\)(?:#\d+)?", arg.group(1)):
+                key = re.sub(r"#\d+$", "", re.sub(r"\s+", " ", call))
+                by_call.setdefault(key, []).append(nid)
+        dups = {k: v for k, v in by_call.items() if len(set(v)) > 1}
         if dups:
             flagged += 1
-            print(f"{name}: DUPLICATED UDF NODES {dups}", flush=True)
+            print(f"{name}: DUPLICATED UDF EXPRESSIONS {dups}", flush=True)
     print(f"done; {flagged} flagged", flush=True)
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,8 +1,10 @@
-"""One-off r14 audit: flag registry queries whose physical plan carries
-an expensive expression inside a Join condition (a threshold filter on
+"""r14 gate: flag registry queries whose physical plan carries an
+expensive expression inside a Join condition (a threshold filter on
 a derived column pushed into the join re-evaluates the expression per
 probed row — see the dedup_minhash_lsh/dedup_jaccard_prefix
 array_intersect case fixed this round).
+
+Exits 1 on any finding (wired into tools/round_close.py).
 
     python tools/join_cond_audit.py [sf_dir] [name ...]
 """
@@ -24,7 +26,7 @@ EXPENSIVE = re.compile(
 )
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:]
 
@@ -56,7 +58,8 @@ def main() -> None:
                 print(f"{name}: {hit.group(0)} in join condition: {cond[:160]}", flush=True)
                 break
     print(f"done; {flagged} flagged", flush=True)
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -43,6 +43,11 @@ STEPS = [
     # subtrees, runtime-confirmed against the final adaptive plan's
     # reuse markers; exits 1 on any non-allowlisted double-compute
     ("plan-reuse audit", [sys.executable, "tools/plan_reuse_audit.py"]),
+    # r14 defect classes, made permanent gates: duplicated Python-UDF
+    # expressions (guide 4.4 filter-on-UDF-column pushdown) and
+    # expensive expressions inside Join conditions
+    ("arrow duplicate-eval audit", [sys.executable, "tools/arrow_dup_audit.py"]),
+    ("join-condition expense audit", [sys.executable, "tools/join_cond_audit.py"]),
     # over-2x adjudication (r12 verdict item 3): every duckdb_over2x
     # bench entry needs a recorded non-defect disposition
     ("over2x adjudication gate", [sys.executable, "tools/over2x_gate.py"]),
