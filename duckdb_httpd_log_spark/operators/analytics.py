@@ -693,10 +693,22 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # r15 (guide §2.4, r14-verdict item 1): v is read by c AND vc, c by
+    # p, vc AND cp, and lat is read up to 3x by the two-phase rank
+    # (bounds sample, counts pass, final join) — unpinned, each
+    # reference re-derived its full events-scan join cascade (16
+    # parquet scans in the pre-execution plan, collapsing only via
+    # AQE's runtime ReusedExchange rescue). Pin the three per-user /
+    # per-conversion narrow frames (guide §5: lineage cut, fault
+    # tolerance of the intermediate not critical), same pattern as
+    # emb_pca_power_train.
+    from pyspark import StorageLevel
+
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -704,6 +716,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") >= F.col("v_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -726,7 +739,9 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_us") - F.col("c_us")).alias("lat_us"),
         )
     )
-    lat = vc.unionAll(cp)
+    lat = vc.unionAll(cp).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     ranked = with_grouped_rank(
         spark, lat, ["stage"], [F.col("lat_us")], rn_col="rn", n_col="n"
     ).select("stage", "lat_us", "rn", "n")
@@ -1831,10 +1846,18 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # r15 (guide §2.4, same class as events_funnel_latency): v feeds c
+    # AND counts, c feeds p AND counts, and the 1-row counts frame is
+    # consumed by each of the 3 per-stage selects — unpinned, every
+    # reference re-derived the full events cascade. Pin the per-user
+    # frames and the 1-row counts card.
+    from pyspark import StorageLevel
+
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1842,6 +1865,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") >= F.col("v_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1854,6 +1878,7 @@ def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.agg(F.count(F.lit(1)).alias("n_view"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .localCheckpoint(eager=False)
     )
     rows = None
     for ordv, stage, cur, prev, first in [

@@ -998,12 +998,16 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     langd = scored.join(docs, "doc_id")
     # terciles from the grouped two-phase rank + exact integer ntile
     # formula — the oracle's naive per-lang ntile window would sort the
-    # whole scored corpus in |langs| tasks
+    # whole scored corpus in |langs| tasks. materialize=True (r15, guide
+    # §2.4/§5): langd's lineage is the FULL bigram-LM scoring pipeline,
+    # which the two-phase rank otherwise re-derives for its bounds
+    # sample, counts pass and final join — persisting the per-doc
+    # (lang, ppl, doc_id) rows runs the scoring once.
     from .distrank import ntile_expr, with_grouped_rank
 
     bucketed = with_grouped_rank(
         spark, langd, ["lang"], [F.col("ppl"), F.col("doc_id")],
-        rn_col="rn", n_col="n",
+        rn_col="rn", n_col="n", materialize=True,
     ).withColumn("tier", ntile_expr("rn", "n", 3))
     bucket = (
         F.when(F.col("tier") == 1, "head")
@@ -1351,7 +1355,19 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reported mean_dist un-scales by m0, and both the assignment and
     # the 1.5x-mean outlier test are scale-invariant. The 1e-300 floor
     # makes an all-zero corpus yield zero distances instead of NULLs.
-    m = raw.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0"))
+    # r15 (guide §2.4, r14-verdict item 1): m is read by vals AND the
+    # final select, cen by the d2 join, dist by md AND the final
+    # aggregate — unpinned, Catalyst re-derived the whole posexplode +
+    # aggregate subtree per reference (18 parquet scans in the
+    # pre-execution plan, collapsing only if AQE's runtime
+    # ReusedExchange rescue fires). Pin the model-sized frames (m: 1
+    # row, cen: labels x DIM) eagerly-lazily and the per-vector dist
+    # frame (3 narrow columns, one row per vector — 64x smaller than
+    # the exploded stream it derives from), exactly the
+    # emb_pca_power_train pattern.
+    m = raw.agg(F.greatest(F.max(F.abs("x0")), F.lit(1e-300)).alias("m0")).localCheckpoint(
+        eager=False
+    )
     vals = raw.crossJoin(F.broadcast(m)).select(
         "vec_id", "label", "pos", (F.col("x0") / F.col("m0")).alias("x")
     )
@@ -1360,7 +1376,7 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(fround(F.col("x") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
             "c"
         )
-    )
+    ).localCheckpoint(eager=False)
     diff2 = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
     d2 = (
         vals.join(F.broadcast(cen), ["label", "pos"])
@@ -1372,7 +1388,11 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg((F.sum("q9").cast("double") / F.lit(1000000000.0)).alias("dist2"))
     )
-    dist = d2.select("vec_id", "label", F.sqrt("dist2").alias("d"))
+    from pyspark import StorageLevel
+
+    dist = d2.select("vec_id", "label", F.sqrt("dist2").alias("d")).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     md = dist.groupBy("label").agg(
         ((F.sum(fround(F.col("d") * m6).cast("long")).cast("double") / m6) / F.count(F.lit(1))).alias(
             "mean_d"
@@ -3968,8 +3988,17 @@ HEAPS_RUNGS = 10
 )
 def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    docs_n = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    mx = docs_n.agg(F.max("doc_id").alias("mx"))
+    # r15 (guide §2.4, r14-verdict item 4): docs_n (2 narrow columns per
+    # doc) is read by mx AND the rung aggregation, and the 1-row mx
+    # feeds the rungs frame that both point passes broadcast — unpinned,
+    # each reference re-scanned and re-tokenized the corpus. Pinned,
+    # the corpus is scanned twice total (docs_n once, firsts once).
+    from pyspark import StorageLevel
+
+    docs_n = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    mx = docs_n.agg(F.max("doc_id").alias("mx")).localCheckpoint(eager=False)
     firsts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")

@@ -670,19 +670,46 @@ def label_propagation(pairs: DataFrame, a_col: str, b_col: str, id_out: str) -> 
     per-round SortMergeJoin of the label table. The round's
     localCheckpoint is lazy: the convergence-sum action immediately
     after materializes (and persists) it, so each round is exactly one
-    Spark job instead of checkpoint-job + sum-job."""
-    pairs = pairs.select(a_col, b_col).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    Spark job instead of checkpoint-job + sum-job.
+
+    r15 (guide §2.4, r14-verdict items 2/3):
+    (a) the SYMMETRIC edge list is pinned pre-partitioned on the join
+        key b, so the per-round edges⋈labels join reuses the stored
+        partitioning instead of re-shuffling the edge table every
+        round — the label-table shuffle (the propagation itself) is
+        the only per-round exchange of any size. Label checkpoints
+        come out of their groupBy hash-partitioned on id_out, so the
+        join side requirements are met without new exchanges; if AQE
+        coalesces the two pins to different partition counts, only the
+        (small) label side re-shuffles. Trade-off: a pre-partitioned
+        join is outside AQE's skew-join splitting, acceptable because
+        the per-round join previously hash-partitioned on the same key
+        anyway, so the skew exposure is unchanged.
+    (b) the initial labels are SEEDED with round 1's result: over
+        identity labels, min(own ∪ in-neighbors) = min(least(a, b))
+        grouped by a — the same shuffle the old distinct() init paid,
+        but it does round 1's propagation for free, and the prev_sum
+        action materializes the (lazy) seed checkpoint. Net: two
+        fewer Spark jobs per call (eager-init + separate first sum)
+        and one fewer propagation round on every graph.
+        The loop bound drops to CC_MAX_ITERS - 1 so the total number
+        of propagation rounds (and the loud-failure diameter
+        contract) is exactly what it was."""
+    pairs = pairs.select(a_col, b_col)
+    edges = (
+        pairs.union(pairs.select(F.col(b_col).alias(a_col), F.col(a_col).alias(b_col)))
+        .withColumnsRenamed({a_col: "a", b_col: "b"})
+        .repartition(F.col("b"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    edges = pairs.union(
-        pairs.select(F.col(b_col).alias(a_col), F.col(a_col).alias(b_col))
-    ).withColumnsRenamed({a_col: "a", b_col: "b"})
     labels = (
-        edges.select(F.col("a").alias(id_out)).distinct().withColumn("label", F.col(id_out))
-    ).localCheckpoint()
+        edges.groupBy(F.col("a").alias(id_out))
+        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("label"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(CC_MAX_ITERS - 1):
         # min over self ∪ in-neighbors (edges are symmetric, so this is
         # the undirected neighborhood); the groupBy partially aggregates
         # map-side, so the shuffle carries ≤ one row per (partition, id)

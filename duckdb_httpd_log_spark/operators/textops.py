@@ -1225,7 +1225,18 @@ _LM_LP6 = (
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # r15 (guide §6/§2.4, r14-verdict item 4): the scan+tokenize
+    # projection feeds THREE distinct passes (bigram counts, unigram
+    # counts, the scoring join's bigram stream) — semantically distinct
+    # aggregates, but the split() of every document is shared work. Pin
+    # it once so the corpus is read and tokenized one time instead of
+    # three (composers text_ccnet_bucket / dedup_rate-style consumers
+    # inherit the collapse).
+    from pyspark import StorageLevel
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -2539,27 +2550,30 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
+    # r15 (guide §2.3/§2.4, r14-verdict item 4): cnt is the add-1 token
+    # count table — pin it (vocab-sized model artifact) because q AND
+    # the totals both read it; and derive the totals FROM it instead of
+    # re-aggregating the exploded token stream: sum(ct - 1) over the
+    # vocab is exactly the en-token total, sum(cr - 1) the raw total,
+    # count(*) the vocab size — integer identities, so one aggregate
+    # over the small pinned table replaces a second full corpus pass.
     cnt = toks.groupBy("tok").agg(
         (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) + 1)
         .cast("long")
         .alias("ct"),
         (F.count(F.lit(1)) + 1).cast("long").alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
     q = cnt.select(
         "tok",
         F.expr(_DSIR_LR_E6.format(lr=f"({pln('ct')} - {pln('cr')})")).alias("lr_e6"),
     )
-    vsize = cnt.agg(F.count(F.lit(1)).alias("v"))
-    tot = (
-        toks.agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_raw"),
-            F.count(F.lit(1)).alias("r_raw"),
-        )
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            (F.col("t_raw") + F.col("v")).cast("long").alias("nt"),
-            (F.col("r_raw") + F.col("v")).cast("long").alias("nr"),
-        )
+    tot = cnt.agg(
+        F.sum(F.col("ct") - 1).alias("t_raw"),
+        F.sum(F.col("cr") - 1).alias("r_raw"),
+        F.count(F.lit(1)).alias("v"),
+    ).select(
+        (F.col("t_raw") + F.col("v")).cast("long").alias("nt"),
+        (F.col("r_raw") + F.col("v")).cast("long").alias("nr"),
     )
     c = tot.select(
         F.expr(_DSIR_LR_E6.format(lr=f"({pln('nr')} - {pln('nt')})")).alias("c_e6")

@@ -103,7 +103,22 @@ def materialization_barrier(col: Column) -> Column:
     dissolved the barrier; input_file_name() is equally nondeterministic
     to the optimizer but its length cannot be range-analyzed, and unlike
     rand it is valid in streaming plans. Pinned by
-    tests/test_plans.py::test_log_reader_fast_path_is_narrow.)"""
+    tests/test_plans.py::test_log_reader_fast_path_is_narrow.)
+
+    OFF-SCAN INVARIANT the call sites depend on (r14 ADVICE): since r14
+    this wrapper is also applied to post-join/post-aggregate columns
+    (dedup_minhash_lsh / dedup_jaccard_prefix's n_shared), where no file
+    scan is underneath. There the guard holds because Spark's
+    InputFileName expression reads a thread-local that is SET to the
+    empty string (never NULL) outside a file-scan RDD — length("") >= 0
+    is still true, so the barrier stays the identity. An .otherwise(col)
+    would make that structural instead, but it duplicates the wrapped
+    expression in the plan tree (breaking the single-evaluation pins the
+    reader path exists for and doubling codegen for the regex
+    projection), so the invariant is documented and pinned by test
+    instead: tests/test_operators.py::test_materialization_barrier_off_scan
+    evaluates the barrier over a join/aggregate with no file scan and
+    asserts non-NULL pass-through."""
     return F.when(F.length(F.input_file_name()) >= 0, col)
 
 

@@ -865,3 +865,30 @@ def test_label_propagation_components_exact(spark):
         | {(n, 20, 2) for n in (20, 21)}
     )
     assert rows == want
+
+
+def test_materialization_barrier_off_scan(spark):
+    """The barrier's guard is length(input_file_name()) >= 0 with no
+    .otherwise — the identity only because InputFileName yields the
+    EMPTY STRING (never NULL) when no file scan is underneath (r14
+    ADVICE: dedup_minhash_lsh/dedup_jaccard_prefix wrap a post-join,
+    post-aggregate column in it). Evaluate the barrier over a
+    join+aggregate plan with no files anywhere: every value must pass
+    through non-NULL. If Spark ever made InputFileName nullable
+    off-scan, the wrapped column would silently go NULL and candidate
+    pairs would be dropped — this test turns that into a loud failure."""
+    from pyspark.sql import functions as F
+
+    from duckdb_httpd_log_spark.sources.exprs import materialization_barrier
+
+    left = spark.createDataFrame([(1, 4), (2, 6)], "k long, x long")
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k long, y long")
+    agg = (
+        left.join(right, "k")
+        .groupBy("k")
+        .agg(F.sum(F.col("x") + F.col("y")).alias("s"))
+        .select("k", materialization_barrier(F.col("s")).alias("s"))
+        .orderBy("k")
+    )
+    rows = [(r.k, r.s) for r in agg.collect()]
+    assert rows == [(1, 14), (2, 26)]

@@ -358,6 +358,7 @@ def test_r14_arrow_kernels_evaluate_once(spark):
     for name, want in [
         ("dedup_embedding", 2),
         ("ann_lsh_topk", 3),
+        ("ann_ivf_topk", 3),
         ("ann_radius_search", 3),
         ("ann_knn_graph", 3),
         ("ann_lsh_trained_topk", 3),

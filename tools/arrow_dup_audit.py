@@ -41,6 +41,7 @@ def main() -> int:
     node_re = re.compile(r"\((\d+)\) (ArrowEvalPython|BatchEvalPython)")
     # detail blocks look like: "(12) ArrowEvalPython\nInput ...\nArguments: [cosine_of(ea#...)#...], ..."
     flagged = 0
+    errors = 0
     for name, qd in sorted(REGISTRY.items()):
         if names and name not in names:
             continue
@@ -51,10 +52,16 @@ def main() -> int:
                 df.explain("formatted")
             plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
+            # a query that cannot even build its plan is a regression this
+            # gate must not silently skip (r14 ADVICE)
+            errors += 1
             print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
             continue
         # collect per-node UDF CALL EXPRESSIONS (function name + argument
-        # attributes incl. expr ids; the trailing result id is stripped)
+        # attributes incl. expr ids; the trailing result id is stripped).
+        # The Arguments list holds one UDF call per top-level comma, so
+        # split on those instead of a no-nested-parens regex (which was
+        # blind to kernels invoked over nested expressions — r14 ADVICE)
         by_call: dict[str, list[str]] = {}
         for m in re.finditer(
             r"\((\d+)\) (ArrowEvalPython|BatchEvalPython)\s*\n(.*?)(?=\n\(\d+\) |\Z)",
@@ -65,15 +72,38 @@ def main() -> int:
             arg = re.search(r"Arguments: \[(.*?)\](?:,|\s*$)", body, re.S)
             if not arg:
                 continue
-            for call in re.findall(r"\w+\([^()]*\)(?:#\d+)?", arg.group(1)):
-                key = re.sub(r"#\d+$", "", re.sub(r"\s+", " ", call))
+            for call in _split_top_level(arg.group(1)):
+                if "(" not in call:
+                    continue
+                key = re.sub(r"#\d+$", "", re.sub(r"\s+", " ", call.strip()))
                 by_call.setdefault(key, []).append(nid)
         dups = {k: v for k, v in by_call.items() if len(set(v)) > 1}
         if dups:
             flagged += 1
             print(f"{name}: DUPLICATED UDF EXPRESSIONS {dups}", flush=True)
-    print(f"done; {flagged} flagged", flush=True)
-    return 1 if flagged else 0
+    print(f"done; {flagged} flagged, {errors} plan-build errors", flush=True)
+    return 1 if (flagged or errors) else 0
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split an Arguments payload on commas not inside parentheses/brackets,
+    so each piece is one full (possibly nested) UDF call expression."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 if __name__ == "__main__":

@@ -10,11 +10,13 @@ disposition per mover:
 - everything else gets the host-state note built from the two boards'
   calibration primitives (zero code change on those paths this round).
 
-Run AFTER bench.py has produced the close board; inspect the output
-before committing — any unexplained mover on a path this round touched
-must be investigated, not templated away.
+Run AFTER bench.py has produced the close board. DRY-RUN BY DEFAULT
+(r14 ADVICE): the templated host-state note must be inspected — any
+unexplained mover on a path this round touched must be investigated,
+not templated away — so writing tools/mover_dispositions.json requires
+an explicit --write.
 
-    python tools/gen_mover_dispositions.py [--dry-run]
+    python tools/gen_mover_dispositions.py [--write]
 """
 
 from __future__ import annotations
@@ -84,7 +86,7 @@ FIXED = {
 
 
 def main() -> int:
-    dry = "--dry-run" in sys.argv
+    dry = "--write" not in sys.argv  # inspect-first default (r14 ADVICE)
     with open(os.path.join(ROOT, "bench_full.json")) as fh:
         cur_doc = json.load(fh)
     with open(os.path.join(ROOT, "bench_prev.json")) as fh:
@@ -125,6 +127,8 @@ def main() -> int:
             )
         print(f"{n}: {r:.2f}x ({prev[n]:.2f}->{cur[n]:.2f} s) {'FIXED' if n in FIXED else 'host'}")
     print(f"{len(out)} movers")
+    if dry:
+        print("dry-run (default): pass --write to persist mover_dispositions.json")
     if not dry:
         with open(os.path.join(ROOT, "tools", "mover_dispositions.json"), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)

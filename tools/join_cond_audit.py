@@ -38,6 +38,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     flagged = 0
+    errors = 0
     for name, qd in sorted(REGISTRY.items()):
         if names and name not in names:
             continue
@@ -48,6 +49,8 @@ def main() -> int:
                 df.explain("formatted")
             plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
+            # plan-build failure = gate failure, not a skip (r14 ADVICE)
+            errors += 1
             print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
             continue
         for m in re.finditer(r"Join condition: (.+)", plan):
@@ -57,8 +60,8 @@ def main() -> int:
                 flagged += 1
                 print(f"{name}: {hit.group(0)} in join condition: {cond[:160]}", flush=True)
                 break
-    print(f"done; {flagged} flagged", flush=True)
-    return 1 if flagged else 0
+    print(f"done; {flagged} flagged, {errors} plan-build errors", flush=True)
+    return 1 if (flagged or errors) else 0
 
 
 if __name__ == "__main__":
