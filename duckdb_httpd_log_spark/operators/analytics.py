@@ -693,22 +693,28 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    # r15 (guide §2.4, r14-verdict item 1): v is read by c AND vc, c by
-    # p, vc AND cp, and lat is read up to 3x by the two-phase rank
+    # r15 (guide §2.4/§5, r14-verdict item 1): v is read by c AND vc, c
+    # by p, vc AND cp, and lat is read up to 3x by the two-phase rank
     # (bounds sample, counts pass, final join) — unpinned, each
     # reference re-derived its full events-scan join cascade (16
     # parquet scans in the pre-execution plan, collapsing only via
-    # AQE's runtime ReusedExchange rescue). Pin the three per-user /
-    # per-conversion narrow frames (guide §5: lineage cut, fault
-    # tolerance of the intermediate not critical), same pattern as
-    # emb_pca_power_train.
+    # AQE's runtime ReusedExchange rescue). Pinned via persist(), NOT
+    # localCheckpoint: the CacheManager substitutes every reference to
+    # the same canonical subtree with one InMemoryRelation (structural
+    # dedup, no AQE dependence), while a localCheckpoint here turned
+    # the frames into stats-less LogicalRDDs whose join estimates
+    # exploded (measured 250 PB for lat) and double-ran the query
+    # (interleaved A/B 1.0 -> 2.1 s; the persist form measures
+    # 0.63-0.74 s vs 1.0 s old). Retention: cached partitions unpin
+    # when the returned DataFrame's lineage is GC'd (bench.py's
+    # gc.collect() cadence), same contract as distrank's materialize.
     from pyspark import StorageLevel
 
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -716,7 +722,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") >= F.col("v_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -739,9 +745,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_us") - F.col("c_us")).alias("lat_us"),
         )
     )
-    lat = vc.unionAll(cp).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    lat = vc.unionAll(cp).persist(StorageLevel.MEMORY_AND_DISK)
     ranked = with_grouped_rank(
         spark, lat, ["stage"], [F.col("lat_us")], rn_col="rn", n_col="n"
     ).select("stage", "lat_us", "rn", "n")
