@@ -1047,11 +1047,20 @@ def corpus_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the tokenize + two hash aggs re-run three times (12 parquet
     # scans in the un-checkpointed plan). Materialize-once is what a
     # production pipeline would snapshot anyway.
+    # r15 (guide §2.3/§2.4, r14-verdict item 5): materialize it
+    # PRE-PARTITIONED on the term key — the a/b projections below then
+    # satisfy the pair join's distribution straight from the stored
+    # partitioning, so the candidate join re-shuffles NEITHER side
+    # (previously both sides re-exchanged the same rows by w). The
+    # repartition costs one exchange at pin time; the per-term fan-out
+    # is DF-capped, so the pre-partitioned join gives up nothing to
+    # AQE's skew splitting.
     wts = (
         tf.join(df, "w")
         .filter(F.col("df") <= TFIDF_DF_CAP)
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "w", w4.alias("w4"))
+        .repartition(F.col("w"))
         .localCheckpoint(eager=False)
     )
     norms = wts.groupBy("doc_id").agg(F.sum(F.col("w4") * F.col("w4")).alias("ss"))

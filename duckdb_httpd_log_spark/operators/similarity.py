@@ -828,8 +828,6 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     "two full k-means iterations (assign + update, twice) — the training loop, oracle-checked",
 )
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import collections
-
     from pyspark import StorageLevel
 
     # Every training iteration re-assigns the FULL corpus (semantically
@@ -868,12 +866,25 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select(assigned_cell("embedding").alias("cell"), "embedding")
 
     for _ in range(KMEANS_ITERS - 1):
-        model = _cell_means(_assigned(cell_ids, cen)).collect()  # nlist x DIM rows
-        by_cell: dict = collections.defaultdict(dict)
-        for r in model:
-            by_cell[r["cell"]][r["j"]] = r["c_new"]
-        cells = sorted(by_cell)
-        cen = np.array([[by_cell[c][j] for j in range(DIM)] for c in cells], dtype=np.float64)
+        # r15 (r14-verdict item 2: fewer actions per training round):
+        # collect the 64-wide grouped row per cell directly. The
+        # posexplode + ORDER BY tail of _cell_means is presentation
+        # shape for the FINAL result only; in the loop it added a
+        # range-partitioning boundary-sampling job per iteration and a
+        # 64x row blow-up before the collect. Values are identical:
+        # fround(avg(embedding[j]), 4) per (cell, j) either way.
+        grouped = _assigned(cell_ids, cen).groupBy("cell").agg(
+            *[
+                fround(F.avg(F.col("embedding").getItem(j).cast("double")), 4).alias(f"c{j}")
+                for j in range(DIM)
+            ]
+        )
+        model = grouped.collect()  # nlist rows x DIM cols
+        cells = sorted(r["cell"] for r in model)
+        by_cell = {r["cell"]: r for r in model}
+        cen = np.array(
+            [[by_cell[c][f"c{j}"] for j in range(DIM)] for c in cells], dtype=np.float64
+        )
         cell_ids = np.array(cells, dtype=np.int32)
 
     return _cell_means(_assigned(cell_ids, cen))
