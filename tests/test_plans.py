@@ -386,3 +386,39 @@ def test_r14_label_propagation_final_plan_is_window_only(spark):
         plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
         assert "SortMergeJoin" not in plan, name
         assert "Window" in plan, name
+
+
+def test_r15_fanout_pins_collapse_scans(spark):
+    # r15 fan-out pins (verdict item 1 + the text family): frames
+    # consumed 2-3x (the outlier filter's m/cen/dist, the funnel
+    # cascade's v/c/counts, the text ops' tokenized projections) are
+    # pinned so Catalyst stops re-deriving the full corpus subtree per
+    # reference. Before the pins these plans carried 8-36 parquet scans
+    # each (plans/r15/*_before.txt) and their execution cost depended
+    # on AQE's runtime ReusedExchange rescue.
+    for name, max_scans, max_exchanges in [
+        ("emb_outlier_filter", 0, 12),
+        ("events_funnel_dropoff", 0, 4),
+        ("q17_funnel", 2, 12),
+        ("text_lm_score", 0, 14),
+        ("text_dsir_weights", 2, 12),
+        ("text_heaps_law", 2, 18),
+    ]:
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_DIR))
+        n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+        assert n_scans <= max_scans, f"{name}: {n_scans} parquet scans"
+        n_ex = plan.count("Exchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} Exchanges"
+
+
+def test_r15_funnel_latency_uses_cache_substitution(spark):
+    # events_funnel_latency pins v/c/lat via persist(), NOT
+    # localCheckpoint: checkpointed frames are stats-less LogicalRDDs
+    # whose join estimates exploded (measured 250 PB) and flipped
+    # with_grouped_rank's naive/two-phase dispatch (A/B 1.0 -> 2.1 s);
+    # persist keeps original plan stats while the CacheManager
+    # substitutes every reference with one InMemoryRelation. Pin that
+    # the substitution is active (the executed plan reads the cached
+    # frames instead of re-deriving the events cascade per reference).
+    plan = _plan(REGISTRY["events_funnel_latency"].spark_fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
