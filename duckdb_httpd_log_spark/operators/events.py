@@ -160,17 +160,21 @@ def q17_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    # r15 (guide §2.4, same class as events_funnel_latency): v feeds c
-    # AND the final left-join spine, c feeds p AND the spine — pin the
-    # per-user frames so each reference reads the materialized rows
-    # instead of re-deriving the events cascade.
+    # r15 (guide §2.4/§5, same class as events_funnel_latency): v feeds
+    # c AND the final left-join spine, c feeds p AND the spine — pinned
+    # via persist() (CacheManager substitution: one InMemoryRelation
+    # per frame, column-prunable on read, original plan stats kept) so
+    # each reference reads the materialized rows instead of re-deriving
+    # the events cascade. localCheckpoint was measured here too: it
+    # blocked the count-path's column pruning and cost +75% on the
+    # bench action (counts in OPTIMIZATION_r15.md #3).
     from pyspark import StorageLevel
 
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("first_view_us"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -178,7 +182,7 @@ def q17_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") >= F.col("first_view_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("first_click_us"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

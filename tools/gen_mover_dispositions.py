@@ -29,58 +29,61 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # queries this round changed, with the A/B-backed explanation
 FIXED = {
-    "dedup_keep_best": (
-        "fixed-r14(lp): label_propagation union+min rounds, window sizes; "
-        "interleaved A/B 3.94->2.59 s (OPTIMIZATION_r14.md #7)"
+    "emb_outlier_filter": (
+        "fixed-r15(pin): m/cen/dist pinned, 18->0 scans / 40->10 Exchanges; "
+        "interleaved A/B 2.85->1.16 s (OPTIMIZATION_r15.md #1)"
     ),
-    "pipeline_dedup_account": (
-        "fixed-r14(lp): label_propagation union+min rounds, window sizes; "
-        "interleaved A/B 3.24->2.52 s (OPTIMIZATION_r14.md #7)"
+    "events_funnel_dropoff": (
+        "fixed-r15(pin): v/c/counts pinned, 36->0 scans / 76->2 Exchanges; "
+        "interleaved A/B 1.59->0.75 s (OPTIMIZATION_r15.md #2)"
     ),
-    "dedup_semantic_clusters": (
-        "fixed-r14(lp): label_propagation union+min rounds, window sizes; "
-        "interleaved A/B 4.53->3.82 s (OPTIMIZATION_r14.md #7)"
+    "q17_funnel": (
+        "fixed-r15(pin): v/c pinned, 12->2 scans; interleaved A/B "
+        "0.97->0.61 s (OPTIMIZATION_r15.md #3)"
+    ),
+    "events_funnel_latency": (
+        "fixed-r15(persist): v/c/lat persist-pinned (cache substitution, "
+        "stats preserved); interleaved A/B 1.52->0.73 s (OPTIMIZATION_r15.md #4)"
     ),
     "dedup_clusters": (
-        "fixed-r14(lp): label_propagation union+min rounds, window sizes; "
-        "A/B neutral at sf0.1, SMJ 2->0 (OPTIMIZATION_r14.md #7)"
+        "fixed-r15(lp): pre-partitioned pinned edges + seeded round 1; "
+        "kernel A/B -16..-20%, consumer flat at sf0.1 (OPTIMIZATION_r15.md #5)"
     ),
-    "dedup_jaccard_prefix": (
-        "fixed-r14(barrier): array_intersect out of the join condition; "
-        "interleaved A/B 4.5-5.1->3.7-3.9 s (OPTIMIZATION_r14.md #8)"
+    "dedup_semantic_clusters": (
+        "fixed-r15(lp): pre-partitioned pinned edges + seeded round 1; "
+        "interleaved A/B 5.77->4.32 s (OPTIMIZATION_r15.md #5)"
     ),
-    "dedup_minhash_lsh": (
-        "fixed-r14(barrier): array_intersect out of the join condition; "
-        "A/B neutral at sf0.1, one intersection per pair (OPTIMIZATION_r14.md #8)"
+    "dedup_keep_best": (
+        "fixed-r15(lp): same LP kernel (isolated A/B -16..-20%); composite "
+        "noise-bound on this host, plans identical (OPTIMIZATION_r15.md #5)"
     ),
-    "dedup_embedding": (
-        "fixed-r14(arrow): cosine kernel single-evaluation pin; A/B neutral "
-        "at sf0.1, ArrowEvalPython 2->1 on the verify (OPTIMIZATION_r14.md #6)"
+    "pipeline_dedup_account": (
+        "fixed-r15(lp): pre-partitioned pinned edges + seeded round 1; "
+        "interleaved A/B 2.87->2.43 s (OPTIMIZATION_r15.md #5)"
     ),
-    "emb_threshold_curve": (
-        "fixed-r14(arrow): inherits dedup_embedding's cosine single-evaluation "
-        "pin (OPTIMIZATION_r14.md #6)"
+    "kmeans_train": (
+        "fixed-r15(jobs): in-loop model collect without posexplode/ORDER BY "
+        "(one fewer sampling job per iteration); A/B neutral (OPTIMIZATION_r15.md #6)"
     ),
-    "ann_lsh_topk": "fixed-r14(arrow): bucket kernel single-evaluation pin (OPTIMIZATION_r14.md #6)",
-    "ann_ivf_topk": "fixed-r14(arrow): cell kernel single-evaluation pin (OPTIMIZATION_r14.md #6)",
-    "ann_radius_search": "fixed-r14(arrow): bucket kernel single-evaluation pin (OPTIMIZATION_r14.md #6)",
-    "ann_knn_graph": "fixed-r14(arrow): bucket kernel single-evaluation pin (OPTIMIZATION_r14.md #6)",
-    "ann_lsh_trained_topk": "fixed-r14(arrow): bucket kernel single-evaluation pin (OPTIMIZATION_r14.md #6)",
-    "ann_recall_eval": "fixed-r14(arrow): composes ann_lsh_topk's pinned kernel (OPTIMIZATION_r14.md #6)",
-    "emb_knn_consistency": "fixed-r14(arrow): composes ann_knn_graph's pinned kernel (OPTIMIZATION_r14.md #6)",
-    # inherited first-session r14 fixes (kept from the previous regen)
-    "bpe_train": (
-        "fixed-r14(fold): K merge rounds folded driver-side over the collected "
-        "<=2000-row vocab, 13 jobs->2; interleaved A/B 2.67->1.20 s"
+    "corpus_tfidf_pairs": (
+        "fixed-r15(partition): wts materialized pre-partitioned on the term "
+        "key; local plan BHJ either way, A/B neutral-positive (OPTIMIZATION_r15.md #7)"
     ),
-    "dedup_minhash_eval": (
-        "fixed-r14(pin): exact/cands pinned, 34->14 Exchanges; interleaved A/B 3.38->3.29 s"
+    "text_lm_score": (
+        "fixed-r15(pin): tokenized projection pinned, 6->0 scans; "
+        "A/B 1.62->1.49 s (OPTIMIZATION_r15.md #8)"
     ),
-    "emb_pca_power_step": (
-        "fixed-r14(pin): m/u pinned, 50->12 Exchanges / 26->0 scans; interleaved A/B 1.09->1.04 s"
+    "text_ccnet_bucket": (
+        "fixed-r15(materialize): scored frame persisted for the two-phase "
+        "rank + inherits the lm_score pin, 8->2 scans (OPTIMIZATION_r15.md #9)"
     ),
-    "emb_pca_power_train": (
-        "fixed-r14(pin): m/u1/u2 pinned, 134->12 Exchanges / 38->0 scans; interleaved A/B 3.63->2.19 s"
+    "text_dsir_weights": (
+        "fixed-r15(derive): totals from the pinned count table, 8->2 scans / "
+        "18->10 Exchanges; A/B 0.91->0.81 s (OPTIMIZATION_r15.md #10)"
+    ),
+    "text_heaps_law": (
+        "fixed-r15(pin): docs_n/mx pinned, 8->2 scans; A/B 1.86->1.74 s "
+        "(OPTIMIZATION_r15.md #11)"
     ),
 }
 
@@ -118,12 +121,13 @@ def main() -> int:
             )
         else:
             out[n] = (
-                f"host-state recovery: zero code change on this path this round; "
-                f"{prev[n]:.2f}->{cur[n]:.2f} s ({r:.2f}x) where the prev board was the "
-                f"interrupted session's host-contaminated close board "
-                f"(jvm_range_sum_s {oc.get('jvm_range_sum_s')} vs healthy "
-                f"{nc.get('jvm_range_sum_s')}); {drift_note}; fresh board matches the "
-                f"r13 healthy-board band (OPTIMIZATION_r14.md #Round-close)"
+                f"cross-board artifact: zero code change on this path this round; "
+                f"{prev[n]:.2f}->{cur[n]:.2f} s ({r:.2f}x) where the prev board is the "
+                f"DRIVER'S CPUS=8 scaling board (BENCH_r14_c8 overwrote bench_full.json "
+                f"at round start) and this board is the r15 close at CPUS=32 — the pair "
+                f"differs by core count and host, not by plan "
+                f"(jvm_range_sum_s {oc.get('jvm_range_sum_s')} vs {nc.get('jvm_range_sum_s')}); "
+                f"{drift_note} (OPTIMIZATION_r15.md #Round-close)"
             )
         print(f"{n}: {r:.2f}x ({prev[n]:.2f}->{cur[n]:.2f} s) {'FIXED' if n in FIXED else 'host'}")
     print(f"{len(out)} movers")
