@@ -1880,7 +1880,19 @@ def text_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = grams.select("doc_id", "pos", h.alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WSD_W - 1)
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    # r15 (guide §2.4/§5): fps feeds THREE consumers (n_fp, docfreq,
+    # the shared join-back) — persist-pin it so the stride-1
+    # posexplode + md5 + winnowing-window pipeline runs once per call
+    # instead of per consumer (persist, not localCheckpoint: the
+    # columnar cache stays prunable and plan stats survive, so the
+    # shared_fp join-back keeps its broadcast — the q17/funnel lesson).
+    from pyspark import StorageLevel
+
+    fps = (
+        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # n_fp needs no second shuffle pass over docfreq: count per doc
     # straight off the distinct fingerprint set, then join back ONLY
     # the fingerprints shared by >= 2 docs (values identical to the

@@ -85,6 +85,11 @@ FIXED = {
         "fixed-r15(pin): docs_n/mx pinned, 8->2 scans; A/B 1.86->1.74 s "
         "(OPTIMIZATION_r15.md #11)"
     ),
+    "text_winnow_dedup": (
+        "fixed-r15(pin): fps persist-pinned (3 consumers re-ran the winnowing "
+        "pipeline); count A/B 1.01-1.11->0.48-0.50 s (OPTIMIZATION_r15.md #12; "
+        "landed after the close board, which still shows the pre-pin time)"
+    ),
 }
 
 
